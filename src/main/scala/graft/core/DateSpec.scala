@@ -67,8 +67,10 @@ object DateSpec {
   def parse(spec: String): DateSpec = {
     val s = spec.trim
     if (s.contains("->")) {
-      val Array(a, b) = s.split("->").map(_.trim)
-      Range(parseDay(a), parseDay(b))
+      // first two parts only, extras ignored — matches the reference's
+      // parts[0]/parts[1] indexing (report_engine.py:95-96)
+      val parts = s.split("->").map(_.trim)
+      Range(parseDay(parts(0)), parseDay(parts(1)))
     } else if (s.startsWith("*")) {
       Month(YearMonth.parse(s.drop(1).trim, monthFmt))
     } else Day(parseDay(s))

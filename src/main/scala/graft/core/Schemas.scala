@@ -84,13 +84,13 @@ object Schemas {
   * render edge; canonically they are nulls).
   */
 final case class FunnelRow(
-    rowIdx: Int,
+    row_idx: Int,
     stage: String,
-    positiveAction: String,
-    successCount: java.lang.Long,
-    successPct: java.lang.Double,
-    dropCause: String,
-    dropCount: java.lang.Long,
-    dropPct: java.lang.Double,
-    isSubcause: Boolean,
+    positive_action: String,
+    success_count: java.lang.Long,
+    success_pct: java.lang.Double,
+    drop_cause: String,
+    drop_count: java.lang.Long,
+    drop_pct: java.lang.Double,
+    is_subcause: Boolean,
 )
