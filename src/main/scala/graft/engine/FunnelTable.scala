@@ -207,15 +207,38 @@ object FunnelTable {
       pct(col("appr"), col("total_users")).as("approved_pct"),
       pct(col("fetch_ok"), col("total_users")).as("shared_pct"))
 
-  /** Full pipeline: raw source frames -> canonical 18-row table. */
+  /** Full pipeline, mirroring the reference's `build_report_table` signature
+    * (`report_engine.py:233`): ONLY the stage frame arrives raw (per-day rows,
+    * reduced here via `aggregate_stages`); otp / discovery / fi-status arrive
+    * ALREADY AGGREGATED by their fetchers (`Total_*` single-row frames and
+    * grouped status counts). Re-aggregating those would silently corrupt the
+    * fi counts (`groupBy.count` over grouped rows -> Count=1 per status), so
+    * pre-aggregated inputs belong here and raw source frames belong in
+    * [[buildFromRaw]].
+    */
   def build(
       stages: DataFrame,
-      otp: DataFrame,
-      discovery: DataFrame,
-      userFunnel: DataFrame): DataFrame =
+      otpTotals: DataFrame,
+      discoveryTotals: DataFrame,
+      fiStatusCounts: DataFrame): DataFrame =
     rows(wide(
       FunnelAggregates.stageTotals(stages),
-      FunnelAggregates.otpTotals(otp),
-      FunnelAggregates.discoveryTotals(discovery),
-      FunnelAggregates.fiStatusCounts(userFunnel)))
+      otpTotals,
+      discoveryTotals,
+      fiStatusCounts))
+
+  /** Full pipeline from the four RAW source frames (S1-S4 shapes, see
+    * [[graft.core.Schemas]]): applies all four [[FunnelAggregates]] first —
+    * the path a real scan feeds ([[graft.io.FunnelSources]]).
+    */
+  def buildFromRaw(
+      rawStages: DataFrame,
+      rawOtp: DataFrame,
+      rawDiscovery: DataFrame,
+      rawUserFunnel: DataFrame): DataFrame =
+    rows(wide(
+      FunnelAggregates.stageTotals(rawStages),
+      FunnelAggregates.otpTotals(rawOtp),
+      FunnelAggregates.discoveryTotals(rawDiscovery),
+      FunnelAggregates.fiStatusCounts(rawUserFunnel)))
 }

@@ -65,4 +65,36 @@ object MockData {
         Row("Success", 820L), Row("Failed", 230L), Row("Not Attempted", 50L)),
       schema)
   }
+
+  // ---- Raw-shaped fixtures (S2-S4 schemas) for the buildFromRaw path.
+  // Aggregating these with FunnelAggregates reproduces the pre-aggregated
+  // frames above, so build(mock aggs) == buildFromRaw(mock raws) is the
+  // composition test the round-2 regression lacked.
+
+  /** One raw OTP summary row whose grand sums equal [[otpTotals]]. */
+  def rawOtp(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      java.util.List.of(Row("example-fiu", "0", "450", "1200")),
+      Schemas.otpSummary)
+
+  /** One raw discovery row whose NULLIF-cast sums equal [[discoveryTotals]]. */
+  def rawDiscovery(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      java.util.List.of(Row("example-fiu", "350", "600", "400", "150", "200")),
+      Schemas.discoverySummary)
+
+  /** Per-user fact rows whose groupBy-count equals [[fiStatusCounts]]
+    * (820 Success / 230 Failed / 50 Not Attempted), plus junk rows the
+    * status filter must drop.
+    */
+  def rawUserFunnel(spark: SparkSession): DataFrame = {
+    val rows = new java.util.ArrayList[Row]()
+    def add(status: String, n: Int): Unit =
+      (1 to n).foreach(i => rows.add(Row(s"example-fiu", status)))
+    add("Success", 820); add("Failed", 230); add("Not Attempted", 50)
+    rows.add(Row("example-fiu", null))
+    rows.add(Row("example-fiu", ""))
+    rows.add(Row("example-fiu", "Bogus"))
+    spark.createDataFrame(rows, Schemas.userFunnel)
+  }
 }

@@ -114,6 +114,17 @@ class FunnelTableSpec extends AnyFunSuite {
     assert(drop(17) === (jl.Long.valueOf(230L), jl.Double.valueOf(3.0)))
   }
 
+  test("buildFromRaw over raw S2-S4 fixtures equals build over pre-aggregated ones") {
+    val fromRaw = FunnelTable.buildFromRaw(
+      MockData.stages(spark),
+      MockData.rawOtp(spark),
+      MockData.rawDiscovery(spark),
+      MockData.rawUserFunnel(spark))
+    val raw = fromRaw.collect().map(r => r.getInt(0) -> r).toMap
+    assert(raw.size === 18)
+    (0 until 18).foreach { i => assert(raw(i) === table(i), s"row $i") }
+  }
+
   test("subcause success cells are null and flagged is_subcause") {
     Seq(3, 4, 5, 7, 8, 9, 10, 13, 14).foreach { i =>
       assert(table(i).getAs[jl.Long]("success_count") === null)
