@@ -24,14 +24,21 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Apply graft defaults to an externally created session (e.g. the
     * driver's); runtime-settable confs only.
+    *
+    * `nanosAsLong`: the harness's `events.parquet` carries
+    * TIMESTAMP(NANOS), which Spark 4 otherwise refuses to read
+    * (PARQUET_TYPE_ILLEGAL); with this on, `ts` arrives as raw Long nanos
+    * and readers normalize it (see graft.queries.Relational.events).
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 }

@@ -117,81 +117,80 @@ object FunnelTable {
   private val nullLong = lit(null).cast("long")
   private val nullDouble = lit(null).cast("double")
 
-  /** The 18 canonical data rows of the report (the reference's rows 7-24,
-    * `report_engine.py:300-317`), in fixed order, as an explode over the wide
-    * row. Header/summary presentation rows are the render step's concern
-    * ([[FunnelRender]]), not data.
+  /** One data row of the report, declaratively: `succ`/`drop` are SQL
+    * expressions over the [[wide]] row's columns (None = blank cell). A
+    * single spec table drives both the Spark plan ([[rows]]) and the
+    * DuckDB-oracle SQL generator (graft.queries.FunnelOverEvents), so the
+    * two can't drift.
+    */
+  final case class RowSpec(
+      idx: Int, stage: String, action: String,
+      succ: Option[String], cause: String, drop: Option[String],
+      sub: Boolean)
+
+  /** The 18 canonical data rows (the reference's rows 7-24,
+    * `report_engine.py:300-317`), in fixed order.
+    */
+  val rowSpecs: Seq[RowSpec] = Seq(
+    // hardcoded dropoff 0 (quirk 4, report_engine.py:300)
+    RowSpec(0, "Consent Initiated", "AA successfully received a consent handle",
+      Some("n_consent"), "AA did not receive a consent handle", Some("0"), sub = false),
+    RowSpec(1, "FIU initiated AA Client", "AA client was successfully initiated",
+      Some("n_after_init"), "AA client was not successfully initiated", Some("d1"), sub = false),
+    RowSpec(2, "Registration/Login", "User was authenticated",
+      Some("n_after_auth"), "User was not authenticated", Some("auth_drop"), sub = false),
+    RowSpec(3, "", "", None, "↳Incorrect OTP entered", Some("otp_wrong"), sub = true),
+    RowSpec(4, "", "", None, "↳OTP not received back", Some("otp_miss"), sub = true),
+    RowSpec(5, "", "", None, "↳Correct OTP entered but user dropped off",
+      Some("otp_ok_drop"), sub = true),
+    RowSpec(6, "Account Discovery", "User was able to find accounts",
+      Some("n_after_disc"), "User was not able to find accounts", Some("d3"), sub = false),
+    RowSpec(7, "", "", None, "↳FIP returned 'No Records Found'", Some("no_rec"), sub = true),
+    RowSpec(8, "", "", None, "↳FIP failed to send records", Some("fip_fail"), sub = true),
+    RowSpec(9, "", "",
+      None, "↳Some FIP returned 'No Records Found' and some failed to send records",
+      Some("some_fail"), sub = true),
+    RowSpec(10, "", "",
+      None, "↳FIP returned accounts, but user did not link any accounts",
+      Some("found_not_linked"), sub = true),
+    RowSpec(11, "Account Linking", "User was able to link accounts",
+      Some("n_after_link"), "User was not able to link accounts", Some("d4"), sub = false),
+    RowSpec(12, "Consent Request Review", "User approved the consent request",
+      Some("appr"), "User did not approve the consent request", Some("rej"), sub = false),
+    RowSpec(13, "", "", None, "↳User rejected the consent", Some("rej"), sub = true),
+    // blank-count subcause row (quirk 5, report_engine.py:314)
+    RowSpec(14, "", "", None, "↳User did not take any action", None, sub = true),
+    RowSpec(15, "Consent Artefact Delivery", "FIP accepted the consent artefact",
+      Some("fip_ok"), "FIP rejected the consent artefact", Some("fip_rej"), sub = false),
+    RowSpec(16, "FI Request", "FIU successfully requested the data",
+      Some("fi_req_ok"), "FIU did not request the data", Some("not_attempted"), sub = false),
+    RowSpec(17, "FI Fetch", "FIU successfully received the data",
+      Some("fetch_ok"), "FIU did not received the data", Some("fi_fetch_drop"), sub = false)
+  )
+
+  /** The 18 data rows as an explode over the wide row. Header/summary
+    * presentation rows are the render step's concern ([[FunnelRender]]),
+    * not data.
     */
   def rows(wideRow: DataFrame): DataFrame = {
     val t = col("total_users")
 
-    def stageRow(idx: Int, stage: String, action: String, succ: Column,
-        cause: String, drop: Column): Column =
-      struct(
-        lit(idx).as("row_idx"), lit(stage).as("stage"),
-        lit(action).as("positive_action"),
-        succ.cast("long").as("success_count"),
-        pct(succ, t).as("success_pct"),
-        lit(cause).as("drop_cause"),
-        drop.cast("long").as("drop_count"),
-        pct(drop, t).as("drop_pct"),
-        lit(false).as("is_subcause"))
+    def cell(e: Option[String]): (Column, Column) = e match {
+      case Some(ex) => (expr(ex).cast("long"), pct(expr(ex), t))
+      case None     => (nullLong, nullDouble)
+    }
 
-    def subRow(idx: Int, cause: String, drop: Column): Column =
+    val specs = rowSpecs.map { sp =>
+      val (succCnt, succPct) = cell(sp.succ)
+      val (dropCnt, dropPct) = cell(sp.drop)
       struct(
-        lit(idx).as("row_idx"), lit("").as("stage"),
-        lit("").as("positive_action"),
-        nullLong.as("success_count"),
-        nullDouble.as("success_pct"),
-        lit(cause).as("drop_cause"),
-        drop.cast("long").as("drop_count"),
-        pct(drop, t).as("drop_pct"),
-        lit(true).as("is_subcause"))
-
-    // The blank-count subcause row (quirk 5, report_engine.py:314).
-    def blankSubRow(idx: Int, cause: String): Column =
-      struct(
-        lit(idx).as("row_idx"), lit("").as("stage"),
-        lit("").as("positive_action"),
-        nullLong.as("success_count"),
-        nullDouble.as("success_pct"),
-        lit(cause).as("drop_cause"),
-        nullLong.as("drop_count"),
-        nullDouble.as("drop_pct"),
-        lit(true).as("is_subcause"))
-
-    val specs = Seq(
-      // hardcoded dropoff 0 (quirk 4, report_engine.py:300)
-      stageRow(0, "Consent Initiated", "AA successfully received a consent handle",
-        col("n_consent"), "AA did not receive a consent handle", lit(0L)),
-      stageRow(1, "FIU initiated AA Client", "AA client was successfully initiated",
-        col("n_after_init"), "AA client was not successfully initiated", col("d1")),
-      stageRow(2, "Registration/Login", "User was authenticated",
-        col("n_after_auth"), "User was not authenticated", col("auth_drop")),
-      subRow(3, "↳Incorrect OTP entered", col("otp_wrong")),
-      subRow(4, "↳OTP not received back", col("otp_miss")),
-      subRow(5, "↳Correct OTP entered but user dropped off", col("otp_ok_drop")),
-      stageRow(6, "Account Discovery", "User was able to find accounts",
-        col("n_after_disc"), "User was not able to find accounts", col("d3")),
-      subRow(7, "↳FIP returned 'No Records Found'", col("no_rec")),
-      subRow(8, "↳FIP failed to send records", col("fip_fail")),
-      subRow(9, "↳Some FIP returned 'No Records Found' and some failed to send records",
-        col("some_fail")),
-      subRow(10, "↳FIP returned accounts, but user did not link any accounts",
-        col("found_not_linked")),
-      stageRow(11, "Account Linking", "User was able to link accounts",
-        col("n_after_link"), "User was not able to link accounts", col("d4")),
-      stageRow(12, "Consent Request Review", "User approved the consent request",
-        col("appr"), "User did not approve the consent request", col("rej")),
-      subRow(13, "↳User rejected the consent", col("rej")),
-      blankSubRow(14, "↳User did not take any action"),
-      stageRow(15, "Consent Artefact Delivery", "FIP accepted the consent artefact",
-        col("fip_ok"), "FIP rejected the consent artefact", col("fip_rej")),
-      stageRow(16, "FI Request", "FIU successfully requested the data",
-        col("fi_req_ok"), "FIU did not request the data", col("not_attempted")),
-      stageRow(17, "FI Fetch", "FIU successfully received the data",
-        col("fetch_ok"), "FIU did not received the data", col("fi_fetch_drop"))
-    )
+        lit(sp.idx).as("row_idx"), lit(sp.stage).as("stage"),
+        lit(sp.action).as("positive_action"),
+        succCnt.as("success_count"), succPct.as("success_pct"),
+        lit(sp.cause).as("drop_cause"),
+        dropCnt.as("drop_count"), dropPct.as("drop_pct"),
+        lit(sp.sub).as("is_subcause"))
+    }
 
     wideRow
       .select(explode(array(specs: _*)).as("r"))

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.core.Schemas
+import graft.engine.FunnelTable
+
+/** The full funnel pipeline (SURVEY §2.9, `report_engine.py:233-319`)
+  * exercised over the harness's `events` table, so the driver's DuckDB
+  * oracle can verify it end-to-end.
+  *
+  * The four S1-S4 source shapes are synthesized deterministically from
+  * events: stage counts bucket `event_id % 11` into the 11 stage columns
+  * (cast to string — the raw CSV shape, so the string→double→long
+  * truncation path runs too), OTP buckets `% 3`, discovery `% 5`, and the
+  * per-user fact table maps event_type → fetch_status. Everything then
+  * flows through [[FunnelTable.buildFromRaw]] — the same plan a real
+  * funnel report runs.
+  *
+  * The oracle SQL is GENERATED from [[FunnelTable.rowSpecs]] so the Spark
+  * plan and the DuckDB twin share one definition of the 18 rows.
+  */
+object FunnelOverEvents {
+
+  private val statusMap: Seq[(String, String)] = Seq(
+    "purchase" -> "Success", "error" -> "Failed", "view" -> "Not Attempted")
+
+  def query(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    val ev = Relational.events(s, dir)
+
+    def bucketCounts(mod: Int, names: Seq[String]): DataFrame =
+      ev.agg(
+        count(when(pmod(col("event_id"), lit(mod)) === 0, lit(1)))
+          .cast("string").as(names.head),
+        names.tail.zipWithIndex.map { case (n, i) =>
+          count(when(pmod(col("event_id"), lit(mod)) === (i + 1), lit(1)))
+            .cast("string").as(n)
+        }: _*)
+
+    val rawStages = bucketCounts(11, Schemas.stageColumns)
+    val rawOtp = bucketCounts(3, Schemas.otpColumns)
+    val rawDiscovery = bucketCounts(5, Schemas.discoveryColumns)
+    val rawUserFunnel = ev.select(
+      col("user_id").cast("string").as("entity_id"),
+      statusMap.foldLeft(lit(null).cast("string")) { case (acc, (et, st)) =>
+        when(col("event_type") === et, st).otherwise(acc)
+      }.as("fetch_status"))
+
+    FunnelTable
+      .buildFromRaw(rawStages, rawOtp, rawDiscovery, rawUserFunnel)
+      .orderBy("row_idx")
+  }
+
+  /** DuckDB twin of [[query]], generated from the same row specs. */
+  val oracle: String = {
+    def esc(s: String): String = s.replace("'", "''")
+
+    def counts(mod: Int, prefix: String, n: Int): String =
+      (0 until n).map(i =>
+        s"count(*) FILTER (WHERE event_id % $mod = $i) AS ${prefix}$i")
+        .mkString(", ")
+
+    // c0..c10 follow Schemas.stageColumns order (SURVEY §1.3 S1).
+    val wide =
+      """c0+c1+c2+c3+c4+c5+c6 AS total_users,
+        |  c0 AS d1, c1 AS d2, c2 AS view_drop, c1+c2 AS auth_drop,
+        |  d0+d1_+d2_+d3_+d4_ AS d3,
+        |  c4 AS d4, c5 AS rej, c6 AS appr, c7 AS fip_rej, c8 AS fip_ok,
+        |  c9 AS fetch_ok, c10 AS not_attempted,
+        |  fi_s + fi_f AS fi_req_ok,
+        |  o1 AS otp_wrong, o2 AS otp_miss,
+        |  d1_ AS no_rec, d4_ AS fip_fail, d3_ AS some_fail,
+        |  d0 + d2_ AS found_not_linked""".stripMargin
+
+    def pct(e: String): String =
+      s"round(CAST(($e) AS DOUBLE) / total_users * 100, 1)"
+
+    def cell(e: Option[String], cnt: String, pc: String): String = e match {
+      case Some(ex) => s"CAST(($ex) AS BIGINT) AS $cnt, ${pct(ex)} AS $pc"
+      case None     => s"CAST(NULL AS BIGINT) AS $cnt, CAST(NULL AS DOUBLE) AS $pc"
+    }
+
+    val rowSelects = FunnelTable.rowSpecs.map { sp =>
+      s"""SELECT ${sp.idx} AS row_idx, '${esc(sp.stage)}' AS stage,
+         |  '${esc(sp.action)}' AS positive_action,
+         |  ${cell(sp.succ, "success_count", "success_pct")},
+         |  '${esc(sp.cause)}' AS drop_cause,
+         |  ${cell(sp.drop, "drop_count", "drop_pct")},
+         |  ${sp.sub.toString.toUpperCase} AS is_subcause
+         |FROM w2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+    // d0,d1_,... underscore-suffixed to dodge the d1..d4 metric names.
+    s"""WITH stg AS (SELECT ${counts(11, "c", 11)} FROM events),
+       |otp AS (SELECT ${counts(3, "o", 3)} FROM events),
+       |dsc AS (SELECT
+       |  count(*) FILTER (WHERE event_id % 5 = 0) AS d0,
+       |  count(*) FILTER (WHERE event_id % 5 = 1) AS d1_,
+       |  count(*) FILTER (WHERE event_id % 5 = 2) AS d2_,
+       |  count(*) FILTER (WHERE event_id % 5 = 3) AS d3_,
+       |  count(*) FILTER (WHERE event_id % 5 = 4) AS d4_ FROM events),
+       |fi AS (SELECT
+       |  count(*) FILTER (WHERE event_type = 'purchase') AS fi_s,
+       |  count(*) FILTER (WHERE event_type = 'error') AS fi_f FROM events),
+       |w AS (SELECT $wide FROM stg, otp, dsc, fi),
+       |w2 AS (SELECT *,
+       |  total_users AS n_consent,
+       |  total_users - d1 AS n_after_init,
+       |  total_users - d1 - auth_drop AS n_after_auth,
+       |  total_users - d1 - auth_drop - d3 AS n_after_disc,
+       |  total_users - d1 - auth_drop - d3 - d4 AS n_after_link,
+       |  fi_req_ok - fetch_ok AS fi_fetch_drop,
+       |  d2 - (otp_wrong + otp_miss) + view_drop AS otp_ok_drop
+       |FROM w)
+       |$rowSelects
+       |ORDER BY row_idx""".stripMargin
+  }
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GraftSession
+
+/** Relational operator queries for the driver's DuckDB-oracle gate: each
+  * entry exercises one operator family from SURVEY §2 over the harness's
+  * parquet tables, with a value-for-value-identical ANSI SQL twin in
+  * [[oracles]].
+  *
+  * Determinism rules that keep Spark and DuckDB hash-identical:
+  *  - money sums go through DECIMAL(18,2) (exact, order-independent) and
+  *    only the final scalar is cast back to double;
+  *  - sums of integer-valued doubles (quantities, counts) are exact in
+  *    binary and safe to sum directly;
+  *  - every result has a total ORDER BY;
+  *  - no raw timestamps in outputs (parquet ns vs µs precision).
+  *
+  * Double→long truncation is toward zero in Spark (`cast("long")`, matching
+  * the reference's `astype(float).astype(int)`, report_engine.py:225) but
+  * ROUNDS in DuckDB's bigint cast — the oracles spell `trunc()` explicitly.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events with `ts` restored to a timestamp: the file stores
+    * TIMESTAMP(NANOS) which the session reads as Long nanos (see
+    * [[GraftSession.tune]]); integer `div` keeps full precision (a double
+    * division would lose bits above 2^53).
+    */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  private def money(c: String) = col(c).cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GROUP BY + COUNT (SURVEY §2.4; report_engine.py:179-183)
+    "groupby_count" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(count("event_type").as("cnt"))
+        .orderBy("event_type")),
+
+    // boolean mask + conditional sum (report_engine.py:279-281)
+    "conditional_sum" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        sum(when(col("o_orderstatus").isin("O", "F"), money("o_totalprice")))
+          .cast("double").as("cond_sum"),
+        count(when(col("o_orderstatus").isin("O", "F"), lit(1))).as("cond_cnt"))),
+
+    // NULLIF('')-then-cast before SUM (report_engine.py:149-153)
+    "nullif_cast_sum" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        sum(nullif(col("l_quantity").cast("string"), lit("")).cast("double"))
+          .as("qty_sum"),
+        count(lit(1)).as("row_cnt"))),
+
+    // per-value double→long truncation BEFORE summing (report_engine.py:225)
+    "trunc_multi_sum" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        sum(col("l_quantity").cast("double").cast("long")).as("qty_trunc_sum"),
+        sum(col("l_extendedprice").cast("double").cast("long")).as("price_trunc_sum"),
+        sum(col("l_discount").cast("double").cast("long")).as("disc_trunc_sum"))),
+
+    // equality + IN-list + IS NOT NULL conjunction (report_engine.py:181-182)
+    "filters" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(
+          col("o_orderstatus").isin("O", "P") &&
+            col("o_orderpriority") === "1-URGENT" &&
+            col("o_custkey").isNotNull)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // cross-join of single-row aggregates (SURVEY §2.3 option 2)
+    "crossjoin_wide" -> ((s, dir) =>
+      t(s, dir, "orders").agg(count(lit(1)).as("order_cnt"))
+        .crossJoin(t(s, dir, "lineitem").agg(count(lit(1)).as("li_cnt")))
+        .crossJoin(events(s, dir).agg(count(lit(1)).as("event_cnt")))),
+
+    // partial aggregation + unionByName + final re-aggregation ≡ one agg
+    // (the reference's per-day concat+sum, report_engine.py:119-131)
+    "union_partial_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val lo = li.filter(col("l_linenumber") <= 3)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("sum_qty"))
+      val hi = li.filter(col("l_linenumber") > 3)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("sum_qty"))
+      lo.unionByName(hi)
+        .groupBy("l_returnflag").agg(sum("sum_qty").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ORDER BY + LIMIT (top-k with deterministic tiebreak)
+    "sort_limit" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // pivot status→count (report_engine.py:257-261 dict pivot)
+    "pivot_status" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")),
+
+    // dd-MM-yyyy row-date parse + inclusive range filter
+    // (report_engine.py:104-107)
+    "date_range_filter" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("d",
+          to_date(date_format(col("ts"), "dd-MM-yyyy"), "dd-MM-yyyy"))
+        .filter(col("d").between(lit("2024-01-08"), lit("2024-01-21")))
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")),
+
+    // fact⋈dimension equi-join + aggregate (SURVEY §2.3 generalization)
+    "join_equi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(money("o_totalprice")).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // small-dimension broadcast joins: nation and region never shuffle
+    "join_broadcast" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("r_name", "n_name")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "groupby_count" ->
+      """SELECT event_type, count(event_type) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "conditional_sum" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN o_orderstatus IN ('O','F')
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS cond_sum,
+        |  count(CASE WHEN o_orderstatus IN ('O','F') THEN 1 END) AS cond_cnt
+        |FROM orders""".stripMargin,
+    "nullif_cast_sum" ->
+      """SELECT
+        |  sum(CAST(nullif(CAST(l_quantity AS VARCHAR), '') AS DOUBLE)) AS qty_sum,
+        |  count(*) AS row_cnt
+        |FROM lineitem""".stripMargin,
+    "trunc_multi_sum" ->
+      """SELECT
+        |  sum(CAST(trunc(l_quantity) AS BIGINT)) AS qty_trunc_sum,
+        |  sum(CAST(trunc(l_extendedprice) AS BIGINT)) AS price_trunc_sum,
+        |  sum(CAST(trunc(l_discount) AS BIGINT)) AS disc_trunc_sum
+        |FROM lineitem""".stripMargin,
+    "filters" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus IN ('O','P') AND o_orderpriority = '1-URGENT'
+        |  AND o_custkey IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "crossjoin_wide" ->
+      """SELECT * FROM
+        |  (SELECT count(*) AS order_cnt FROM orders)
+        |  CROSS JOIN (SELECT count(*) AS li_cnt FROM lineitem)
+        |  CROSS JOIN (SELECT count(*) AS event_cnt FROM events)""".stripMargin,
+    "union_partial_agg" ->
+      """SELECT l_returnflag, sum(sum_qty) AS sum_qty FROM (
+        |  SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem
+        |  WHERE l_linenumber <= 3 GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem
+        |  WHERE l_linenumber > 3 GROUP BY l_returnflag
+        |) GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "date_range_filter" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |WHERE CAST(strptime(strftime(ts, '%d-%m-%Y'), '%d-%m-%Y') AS DATE)
+        |      BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "join_equi" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS cnt
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+  )
+}
