@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{FunnelOverEvents, Relational}
+import graft.queries.{FunnelOverEvents, LlmQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries +
+    Relational.queries ++ LlmQueries.queries +
       ("funnel_table" -> (FunnelOverEvents.query(_, _)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles +
+    Relational.oracles ++ LlmQueries.oracles +
       ("funnel_table" -> FunnelOverEvents.oracle)
 }

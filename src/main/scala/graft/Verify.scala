@@ -14,7 +14,10 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // class name too: ParseException and friends can have a null/empty
+        // message, which made a real failure look blank in the round log
+        System.err.println(
+          s"[verify] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1,0 +1,164 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, RegexTokenizer}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, scale-first:
+  * every near-dup path generates candidate pairs through BUCKETED joins
+  * (LSH band → hash-partitioned equi-join), never an all-pairs cross
+  * join — at 100 TB the candidate-pair count, not the doc count, is what
+  * must stay linear.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc_id per identical text. One
+    * hash-aggregate shuffle on the text (at scale: on [[TextAnalysis
+    * .fingerprint]] instead, so the shuffle key is 16 bytes, not the
+    * document).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
+      .select("doc_id", "dup_cnt")
+      .orderBy("doc_id")
+
+  /** Exact dedup, window variant (`row_number() = 1` — the
+    * oracle-friendly formulation; same shuffle shape as [[exact]]).
+    */
+  def exactWindow(docs: DataFrame): DataFrame =
+    docs.withColumn("rn",
+      row_number().over(
+        Window.partitionBy(TextAnalysis.fingerprint(col("text")))
+          .orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  /** Word-level 3-gram shingles — the unit of near-dup similarity. */
+  def shingles(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    filter(
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ", slice(toks, i + 1, lit(3)))),
+      s => s.isNotNull)
+  }
+
+  /** MinHash+LSH near-dup pairs: tokenize → 3-gram shingle → binary
+    * feature hash (2^18 dims) → MinHash with `numHashTables` bands.
+    * `approxSimilarityJoin` explodes per-band signatures and equi-joins
+    * on (band, signature) — candidate generation is a hash join on
+    * bucket keys, re-partitionable and skew-splittable by AQE; the
+    * quadratic blowup is confined to same-bucket collisions.
+    *
+    * Returns (doc_a, doc_b, jaccard_dist) with doc_a < doc_b, for pairs
+    * with estimated Jaccard distance <= `maxDistance`.
+    */
+  def minhashPairs(docs: DataFrame, maxDistance: Double = 0.6,
+      numHashTables: Int = 8): DataFrame = {
+    val tokenizer = new RegexTokenizer()
+      .setInputCol("text").setOutputCol("toks")
+      .setPattern("\\s+")
+    val ngram = new NGram().setN(3).setInputCol("toks").setOutputCol("grams")
+    val tf = new HashingTF()
+      .setInputCol("grams").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("bands")
+      .setNumHashTables(numHashTables).setSeed(42L)
+
+    val prepared = tf.transform(
+      ngram.transform(tokenizer.transform(docs.select("doc_id", "text"))))
+      // MinHash requires >=1 set bit: drop docs with <3 tokens
+      .filter(size(col("grams")) >= 1)
+    val model = lsh.fit(prepared)
+    model.approxSimilarityJoin(prepared, prepared, maxDistance, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        col("jaccard_dist"))
+      .filter(col("doc_a") < col("doc_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash over a token array: per-token xxhash64, each hash
+    * votes ±1 on all 64 bit positions, sign of the vote-sum becomes the
+    * bit. Pure higher-order-function Catalyst — no UDF, no shuffle.
+    */
+  def simhash(toks: Column): Column = {
+    val votes = aggregate(
+      transform(toks, t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) =>
+        zip_with(acc,
+          transform(sequence(lit(0), lit(63)), i =>
+            when(call_function("shiftright", h, i).bitwiseAND(1L) === 1L, 1L)
+              .otherwise(-1L)),
+          (a, b) => a + b))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L),
+      (a, b) => a.bitwiseOR(b))
+  }
+
+  /** Documents annotated with their simhash. */
+  def withSimhash(docs: DataFrame): DataFrame =
+    docs.withColumn("simhash", simhash(TextAnalysis.tokens(col("text"))))
+
+  /** SimHash near-dup pairs: band the 64-bit hash into four 16-bit
+    * bands; a pair is a candidate iff it collides on at least one band
+    * (pigeonhole: any pair within Hamming distance 3 shares a band).
+    * Candidates equi-join on (band_idx, band_value) — bucketed, never
+    * all-pairs — then exact Hamming distance filters.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val hashed = withSimhash(docs).select("doc_id", "simhash")
+    val banded = hashed.select(
+      col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), j -> " +
+          "struct(j AS band_idx, shiftright(simhash, j * 16) & 65535 AS band_val))"
+      )).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_idx"), col("band.band_val"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard over LSH-generated candidates: re-join the
+    * shingle sets onto the (pruned) candidate pairs and compute
+    * |A∩B| / |A∪B| exactly. The expensive exact measure runs only on
+    * candidates, which is the 100 TB-safe shape.
+    */
+  def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.1,
+      maxDistance: Double = 0.8): DataFrame = {
+    val grams = docs.select(
+      col("doc_id"),
+      array_distinct(shingles(col("text"))).as("grams"))
+    val pairs = minhashPairs(docs, maxDistance).select("doc_a", "doc_b")
+    pairs
+      .join(grams.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("grams", "grams_a"), "doc_a")
+      .join(grams.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("grams", "grams_b"), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+}

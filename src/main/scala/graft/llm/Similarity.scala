@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, as a scale-aware pipeline should have:
+  *  - [[cosineTopK]]: brute-force exact cosine — the correctness
+  *    baseline, O(N·d) one scan, no shuffle beyond the final top-k.
+  *    Dot products run as higher-order-function folds (codegen'd), no
+  *    UDF.
+  *  - [[annTopK]]: bucketed random-projection LSH — the 100 TB path.
+  *    Candidates come from same-bucket equi-joins; only candidates pay
+  *    the exact-distance cost.
+  */
+object Similarity {
+
+  /** Float array → double array (products/sums then run at full
+    * precision; float accumulation drifts across engines).
+    */
+  private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity between two double arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k by cosine similarity to the embedding of `queryId`.
+    * The query vector stays IN the plan (1-row broadcast cross join —
+    * no driver collect), so the whole thing is one Catalyst plan.
+    * Similarity is rounded to 6 decimals to absorb sum-order ULP noise
+    * before the (sim, vec_id) ranking, making the cut deterministic.
+    */
+  def cosineTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(dbl(col("embedding")).as("qvec"))
+    emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), dbl(col("embedding")).as("vec"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        bround(cosine(col("vec"), col("qvec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Approximate top-k via bucketed random-projection LSH (euclidean).
+    * `approxSimilarityJoin` of the 1-row query frame against the corpus
+    * equi-joins on hash buckets — candidate count stays ~constant per
+    * query as the corpus grows, which is what makes this the scale
+    * path. Output: neighbors by ascending euclidean distance.
+    */
+  def annTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
+      bucketLength: Double = 2.0, numHashTables: Int = 4,
+      maxDistance: Double = 10.0): DataFrame = {
+    val vecs = emb.select(col("vec_id"),
+      array_to_vector(col("embedding")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("buckets")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42L)
+    val model = lsh.fit(vecs)
+    val q = vecs.filter(col("vec_id") === queryId)
+    val corpus = vecs.filter(col("vec_id") =!= queryId)
+    model.approxSimilarityJoin(q, corpus, maxDistance, "dist")
+      .select(col("datasetB.vec_id").as("vec_id"), col("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets (the
+    * embedding-space analogue of [[Dedup.minhashPairs]]): pairs whose
+    * euclidean distance is under `maxDistance`, with exact cosine
+    * attached, bucketed join only.
+    */
+  def cosineNearDupPairs(emb: DataFrame, maxDistance: Double = 4.0,
+      minCosine: Double = 0.9): DataFrame = {
+    val vecs = emb.select(col("vec_id"),
+      array_to_vector(col("embedding")).as("features"),
+      dbl(col("embedding")).as("vec"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("buckets")
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, maxDistance, "dist")
+      .filter(col("datasetA.vec_id") < col("datasetB.vec_id"))
+      .select(
+        col("datasetA.vec_id").as("vec_a"),
+        col("datasetB.vec_id").as("vec_b"),
+        bround(cosine(col("datasetA.vec"), col("datasetB.vec")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .orderBy("vec_a", "vec_b")
+  }
+}

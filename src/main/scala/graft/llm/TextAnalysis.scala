@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization, language-ID heuristic, quality
+  * scoring, and content fingerprinting.
+  *
+  * Everything here is built-in-function Catalyst (regexp/md5/length —
+  * whole-stage codegen, no UDFs), embarrassingly parallel per row, and
+  * deliberately expressible in ANSI SQL so the DuckDB oracle can verify
+  * it value-for-value. Expressions avoid post-hoc rounding wherever the
+  * raw IEEE op (a single division) is already bit-deterministic across
+  * engines.
+  */
+object TextAnalysis {
+
+  /** Non-whitespace runs — identical semantics in Java regex and RE2,
+    * unlike `split` (which differs on trailing empties across engines).
+    */
+  val tokenPattern = "\\S+"
+
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit(tokenPattern), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Stopword alternations per language. ASCII-only and anchored with \b
+    * so Java regex and RE2 agree byte-for-byte.
+    */
+  val stopwords: Seq[(String, String)] = Seq(
+    "en" -> "the|and|of|to|in|is|that",
+    "de" -> "der|die|das|und|ist|nicht|ein",
+    "es" -> "el|la|los|que|y|una|por",
+    "fr" -> "le|les|et|des|une|dans|pour",
+    "zh" -> "de_zh_placeholder" // CJK stopwords don't occur in \S+-token ASCII text
+  )
+
+  def stopwordCount(text: Column, alternation: String): Column =
+    size(regexp_extract_all(lower(text), lit(s"\\b($alternation)\\b"), lit(0)))
+
+  /** Argmax over per-language stopword scores with a fixed priority order
+    * (en>de>es>fr>zh) and 'und' when nothing matches. Written as a single
+    * CASE (see [[langIdCaseSql]]) shared with the oracle.
+    */
+  val langIdCaseSql: String = {
+    val langs = stopwords.map(_._1)
+    val arms = langs.zipWithIndex.map { case (l, i) =>
+      val geAll = langs.zipWithIndex.collect {
+        case (o, j) if j != i => s"s_$l >= s_$o"
+      }.mkString(" AND ")
+      s"WHEN $geAll AND s_$l > 0 THEN '$l'"
+    }
+    s"CASE ${arms.mkString(" ")} ELSE 'und' END"
+  }
+
+  /** Per-document language scores + prediction. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = stopwords.foldLeft(docs) { case (df, (l, alt)) =>
+      df.withColumn(s"s_$l", stopwordCount(col("text"), alt))
+    }
+    scored.select(
+      (Seq(col("doc_id")) ++ stopwords.map { case (l, _) => col(s"s_$l") } :+
+        expr(langIdCaseSql).as("predicted_lang")): _*)
+  }
+
+  /** Per-document quality features: token count, punctuation and stopword
+    * ratios, chars-per-token, and a binary keep/drop. Ratios are single
+    * IEEE divisions (bit-identical across engines, no rounding needed).
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_calc"),
+      tokenCount(col("text")).as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).as("punct_cnt"),
+      stopwordCount(col("text"), stopwords.head._2).as("stop_cnt"))
+      .withColumn("punct_ratio",
+        col("punct_cnt").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio",
+        col("stop_cnt").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("chars_per_token",
+        col("n_chars_calc").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("keep",
+        col("n_tokens") >= 5 && col("n_tokens") <= 10000 && col("stop_ratio") >= 0.0)
+
+  /** Canonical content fingerprint: md5 over lowercased,
+    * whitespace-collapsed, trimmed text. Normalization and md5 agree
+    * across engines, so near-identical formatting dedups exactly.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
+  /** Per-language corpus statistics (one shuffle, map-side partials). */
+  def stats(docs: DataFrame): DataFrame =
+    docs.groupBy("lang").agg(
+      count(lit(1)).as("doc_cnt"),
+      sum("n_chars").as("total_chars"),
+      sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
+      max(tokenCount(col("text"))).as("max_tokens"),
+      min(tokenCount(col("text"))).as("min_tokens"))
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver-contract registration for the LLM-data-pipeline operators
+  * (dedup, similarity search, text analysis, multimodal plumbing) over
+  * the `documents` / `embeddings` tables.
+  *
+  * SQL-expressible operators carry a DuckDB oracle. LSH/SimHash paths
+  * depend on engine-specific hash functions (murmur3/xxhash64) and
+  * register without one (driver rows-only check) — their *exact*
+  * counterparts (exact dedup, brute-force cosine) are the oracle-checked
+  * ground truth the approximate paths are validated against in tests.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/documents.parquet")
+  }
+
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/embeddings.parquet")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_exact_window" -> ((s, dir) => Dedup.exactWindow(docs(s, dir))),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
+    "quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")),
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(docs(s, dir)).orderBy("lang")),
+    "doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(emb(s, dir))),
+    "ann_lsh" -> ((s, dir) =>
+      Similarity.annTopK(emb(s, dir), k = 10,
+        bucketLength = 1.0, numHashTables = 4, maxDistance = 1.5)),
+    "cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir),
+        maxDistance = 1.1, minCosine = 0.4)),
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.features(s, docs(s, dir)))
+  )
+
+  private val stopSql: Map[String, String] = TextAnalysis.stopwords.toMap
+
+  private def stopCount(lang: String): String =
+    s"len(regexp_extract_all(lower(text), '\\b(${stopSql(lang)})\\b'))"
+
+  /** The fingerprint normalization, DuckDB spelling ('g' = replace-all,
+    * which Spark's regexp_replace does by default).
+    */
+  private val fpSql = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_exact_window" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY $fpSql ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
+    "lang_id" -> {
+      val scores = TextAnalysis.stopwords
+        .map { case (l, _) => s"${stopCount(l)} AS s_$l" }.mkString(",\n  ")
+      s"""SELECT doc_id, ${TextAnalysis.stopwords.map("s_" + _._1).mkString(", ")},
+         |  ${TextAnalysis.langIdCaseSql} AS predicted_lang
+         |FROM (SELECT doc_id, $scores FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "quality_score" ->
+      s"""SELECT doc_id, n_chars_calc, n_tokens, punct_cnt, stop_cnt,
+         |  CAST(punct_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS punct_ratio,
+         |  CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         |  CAST(n_chars_calc AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token,
+         |  (n_tokens >= 5 AND n_tokens <= 10000
+         |    AND CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.0) AS keep
+         |FROM (SELECT doc_id,
+         |  length(text) AS n_chars_calc,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS punct_cnt,
+         |  CAST(${stopCount("en")} AS INT) AS stop_cnt
+         |FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, count(*) AS doc_cnt, sum(n_chars) AS total_chars,
+        |  sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS total_tokens,
+        |  max(CAST(len(regexp_extract_all(text, '\S+')) AS INT)) AS max_tokens,
+        |  min(CAST(len(regexp_extract_all(text, '\S+')) AS INT)) AS min_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "doc_fingerprint" ->
+      s"SELECT doc_id, $fpSql AS fp FROM documents ORDER BY doc_id",
+    // dim is fixed at 64 (range upper bound exclusive); DuckDB lists are
+    // 1-indexed. Sum-order ULP noise is absorbed by round(...,6) before
+    // the (sim, vec_id) ranking — same as the Spark side.
+    "cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id,
+        |  sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+        |  sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na2,
+        |  sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nb2
+        |FROM embeddings e, q, range(1, 65) t(i)
+        |WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+        |SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim
+        |FROM d ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  )
+}

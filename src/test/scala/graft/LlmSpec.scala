@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-pipeline operator tests on planted fixtures: known duplicates,
+  * known near-duplicates, known token counts — so correctness is asserted
+  * against hand-computable ground truth, not just determinism.
+  */
+class LlmSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away home"
+
+  test("exact dedup keeps min doc_id and counts duplicates") {
+    val d = docs(1L -> base, 2L -> base, 3L -> "something else entirely here")
+    val out = Dedup.exact(d).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("fingerprint dedup unifies case/whitespace variants") {
+    val d = docs(
+      1L -> base,
+      2L -> ("  " + base.toUpperCase.replace(" ", "   ") + " "),
+      3L -> "different")
+    val out = Dedup.exactWindow(d).collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(1L, 3L))
+  }
+
+  test("minhash LSH finds the planted near-duplicate, not the unrelated doc") {
+    val nearDup = base.replace("lazy", "sleepy") // 1-token edit
+    val other =
+      "completely unrelated content about spark catalyst optimizer internals and shuffles"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minhashPairs(d, maxDistance = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: identical text -> identical hash; near-dup closer than unrelated") {
+    val d = docs(
+      1L -> base, 2L -> base,
+      3L -> base.replace("lazy", "sleepy"),
+      4L -> "completely different words about catalyst shuffles and codegen stages")
+    val h = Dedup.withSimhash(d).select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
+  }
+
+  test("ngram jaccard on planted near-dup is high and exact") {
+    val nearDup = base.replace("lazy", "sleepy")
+    val d = docs(1L -> base, 2L -> nearDup)
+    val out = Dedup.ngramJaccard(d, minJaccard = 0.0, maxDistance = 0.9)
+      .collect()
+    assert(out.length === 1)
+    val j = out.head.getDouble(2)
+    // 14 tokens -> 12 trigrams each; "lazy" occurs in 3 trigrams:
+    // |A∩B| = 9, |A∪B| = 15
+    assert(j === 9.0 / 15.0)
+  }
+
+  test("token count and fingerprint match hand counts") {
+    val d = docs(1L -> "a  b\tc\nd ")
+    val n = d.select(TextAnalysis.tokenCount(col("text"))).collect().head.getInt(0)
+    assert(n === 4)
+  }
+
+  test("langId prefers the language whose stopwords dominate") {
+    val d = docs(
+      1L -> "the cat and the dog of the house is that big",
+      2L -> "der hund und die katze ist nicht ein problem")
+    val out = TextAnalysis.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("predicted_lang"))).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+  }
+
+  test("cosine topk: hand-built vectors rank by true cosine") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 0),
+      (3L, Array(0.5f, 0.5f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.cosineTopK(e, queryId = 0L, k = 2).collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(top.head.getDouble(1) > 0.99)
+  }
+
+  test("ann LSH top-10 overlaps exact top-10 heavily on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.cosineTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.annTopK(emb, 0L, 10, bucketLength = 1.0,
+      numHashTables = 4, maxDistance = 1.5).collect().map(_.getLong(0)).toSet
+    assert((exact & approx).size >= 7, s"exact=$exact approx=$approx")
+  }
+
+  test("multimodal feature extraction is deterministic and complete") {
+    val d = docs(1L -> "abc", 2L -> "defg", 3L -> "hi")
+    val f1 = Multimodal.features(spark, d).collect()
+    val f2 = Multimodal.features(spark, d).collect()
+    assert(f1.toSeq === f2.toSeq)
+    assert(f1.length === 3)
+    assert(f1.map(_.getAs[String]("modality")).toSet.subsetOf(
+      Set("image", "audio", "video")))
+    // ascii payload -> ratio 1.0
+    assert(f1.forall(_.getAs[Double]("ascii_ratio") === 1.0))
+  }
+}
