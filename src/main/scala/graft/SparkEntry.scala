@@ -21,7 +21,24 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ LlmQueries.queries +
-      ("funnel_table" -> (FunnelOverEvents.query(_, _)))
+      ("funnel_table" -> (FunnelOverEvents.query(_, _))) +
+      // CSV source layer end-to-end (path templating, month glob, range
+      // post-filter, entity pushdown) over a generated on-disk fixture in
+      // the reference's directory layout; rows-only check (CSV, not in
+      // the oracle's parquet catalog).
+      ("csv_funnel_report" -> ((s: SparkSession, _: String) => {
+        GraftSession.tune(s)
+        val base = graft.io.FunnelCsvFixture.ensureDefault(
+          "/root/repo/target/funnel-csv-fixture")
+        val spec = graft.core.DateSpec.parse("31_01_2026 -> 01_02_2026")
+        val e = Some("fiu-a")
+        graft.engine.FunnelTable.buildFromRaw(
+          graft.io.FunnelSources.stages(s, base, spec, e),
+          graft.io.FunnelSources.otp(s, base, spec, e),
+          graft.io.FunnelSources.discovery(s, base, spec, e),
+          graft.io.FunnelSources.userFunnel(s, base, spec, e))
+          .orderBy("row_idx")
+      }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
