@@ -58,10 +58,21 @@ object FunnelTable {
       coalesce(sum(when(col("fetch_status") === "Failed", col("Count"))), lit(0L))
         .cast("long").as("fi_failed_cnt"))
 
-    val joined = stageTotals
+    wideFromJoined(stageTotals
       .crossJoin(otpTotals)
       .crossJoin(discoveryTotals)
-      .crossJoin(fiAgg)
+      .crossJoin(fiAgg))
+  }
+
+  /** Derived-metric projection over ONE single-row frame that already
+    * carries all source columns (11 stage + 3 `Total_*` otp + 5
+    * discovery + `fi_success_cnt`/`fi_failed_cnt`). Callers that can
+    * compute every aggregate in a single scan of one table (e.g. the
+    * funnel-over-events oracle query) use this directly and skip the
+    * four-frame cross join — one pass over the fact table instead of
+    * four, which at 100 TB is the whole game.
+    */
+  def wideFromJoined(joined: DataFrame): DataFrame = {
 
     // stage column as long (`int(stage_totals[...])`, report_engine.py:240+)
     def st(c: String): Column = col(c).cast("long")

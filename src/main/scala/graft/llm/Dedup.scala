@@ -72,6 +72,9 @@ object Dedup {
       ngram.transform(tokenizer.transform(docs.select("doc_id", "text"))))
       // MinHash requires >=1 set bit: drop docs with <3 tokens
       .filter(size(col("grams")) >= 1)
+      // only (id, features) enter the LSH join — text/toks/grams dragged
+      // through the per-table explode would multiply shuffle bytes
+      .select("doc_id", "features")
     val model = lsh.fit(prepared)
     model.approxSimilarityJoin(prepared, prepared, maxDistance, "jaccard_dist")
       .select(
@@ -84,7 +87,10 @@ object Dedup {
 
   /** 64-bit SimHash over a token array: per-token xxhash64, each hash
     * votes ±1 on all 64 bit positions, sign of the vote-sum becomes the
-    * bit. Pure higher-order-function Catalyst — no UDF, no shuffle.
+    * bit. Higher-order-function Catalyst — correct but INTERPRETED
+    * (array lambdas don't enter whole-stage codegen); kept as the
+    * reference semantics, with [[withSimhash]] as the codegen'd
+    * explode+aggregate production form.
     */
   def simhash(toks: Column): Column = {
     val votes = aggregate(
@@ -103,9 +109,29 @@ object Dedup {
       (a, b) => a.bitwiseOR(b))
   }
 
-  /** Documents annotated with their simhash. */
-  def withSimhash(docs: DataFrame): DataFrame =
-    docs.withColumn("simhash", simhash(TextAnalysis.tokens(col("text"))))
+  /** Documents annotated with their simhash — explode tokens, one
+    * codegen'd hash-aggregate of 64 conditional bit-vote sums per doc,
+    * reassemble the hash. Semantically identical to [[simhash]] (vote
+    * sign per bit, tie → 0) but whole-stage-codegen end to end; the
+    * shuffle is by doc_id, which is also the right distribution key at
+    * scale.
+    */
+  def withSimhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val h = xxhash64(col("tok"))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(call_function("shiftright", h, lit(i)).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$i")
+    }
+    val votes = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val hash = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, call_function("shiftleft", lit(1L), lit(i)))
+        .otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    docs.join(votes.select(col("doc_id"), hash.as("simhash")), Seq("doc_id"), "left")
+      .withColumn("simhash", coalesce(col("simhash"), lit(0L)))
+  }
 
   /** SimHash near-dup pairs: band the 64-bit hash into four 16-bit
     * bands; a pair is a candidate iff it collides on at least one band

@@ -76,22 +76,40 @@ object Similarity {
     * embedding-space analogue of [[Dedup.minhashPairs]]): pairs whose
     * euclidean distance is under `maxDistance`, with exact cosine
     * attached, bucketed join only.
+    *
+    * Two deliberate plan choices keep this linear-ish: (a) the LSH
+    * self-join carries ONLY (vec_id, features) — dragging the raw
+    * array column through the per-hash-table explode + distinct
+    * multiplies shuffle bytes by the table count; (b) cosine is derived
+    * algebraically from the join's own euclidean distance and two
+    * precomputed per-vector norms (cos = (|a|²+|b|²−d²) / 2|a||b|) —
+    * no per-pair array fold at all.
     */
   def cosineNearDupPairs(emb: DataFrame, maxDistance: Double = 4.0,
       minCosine: Double = 0.9): DataFrame = {
     val vecs = emb.select(col("vec_id"),
-      array_to_vector(col("embedding")).as("features"),
-      dbl(col("embedding")).as("vec"))
+      array_to_vector(col("embedding")).as("features"))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("buckets")
-      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+      .setBucketLength(0.5).setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, maxDistance, "dist")
+    val pairs = model.approxSimilarityJoin(vecs, vecs, maxDistance, "dist")
       .filter(col("datasetA.vec_id") < col("datasetB.vec_id"))
       .select(
         col("datasetA.vec_id").as("vec_a"),
         col("datasetB.vec_id").as("vec_b"),
-        bround(cosine(col("datasetA.vec"), col("datasetB.vec")), 6).as("cos"))
+        col("dist"))
+    val v = dbl(col("embedding"))
+    val norms = broadcast(
+      emb.select(col("vec_id"), sqrt(dot(v, v)).as("norm")))
+    pairs
+      .join(norms.select(col("vec_id").as("vec_a"), col("norm").as("na")), "vec_a")
+      .join(norms.select(col("vec_id").as("vec_b"), col("norm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        bround(
+          (col("na") * col("na") + col("nb") * col("nb")
+            - col("dist") * col("dist")) / (lit(2.0) * col("na") * col("nb")),
+          6).as("cos"))
       .filter(col("cos") >= minCosine)
       .orderBy("vec_a", "vec_b")
   }

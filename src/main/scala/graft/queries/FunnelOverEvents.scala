@@ -27,31 +27,44 @@ object FunnelOverEvents {
   private val statusMap: Seq[(String, String)] = Seq(
     "purchase" -> "Success", "error" -> "Failed", "view" -> "Not Attempted")
 
+  /** ONE scan of events computes all 21 aggregates (11 stage + 3 otp +
+    * 5 discovery + 2 fi counts) as conditional counts in a single
+    * HashAggregate, then projects the wide funnel metrics — versus the
+    * naive four-frame build, which scans the fact table four times. At
+    * 100 TB that is 4 passes vs 1. Cast chains replicate the per-source
+    * aggregate paths exactly (stage counts travel string→double→long,
+    * the raw-CSV truncation route), so results are bit-identical to
+    * [[FunnelTable.buildFromRaw]] — LlmSpec-equivalent paths are covered
+    * by FunnelTableSpec; the DuckDB oracle pins this one.
+    */
   def query(s: SparkSession, dir: String): DataFrame = {
     GraftSession.tune(s)
     val ev = Relational.events(s, dir)
 
-    def bucketCounts(mod: Int, names: Seq[String]): DataFrame =
-      ev.agg(
-        count(when(pmod(col("event_id"), lit(mod)) === 0, lit(1)))
-          .cast("string").as(names.head),
-        names.tail.zipWithIndex.map { case (n, i) =>
-          count(when(pmod(col("event_id"), lit(mod)) === (i + 1), lit(1)))
-            .cast("string").as(n)
-        }: _*)
+    def cnt(mod: Int, i: Int) =
+      count(when(pmod(col("event_id"), lit(mod)) === i, lit(1)))
 
-    val rawStages = bucketCounts(11, Schemas.stageColumns)
-    val rawOtp = bucketCounts(3, Schemas.otpColumns)
-    val rawDiscovery = bucketCounts(5, Schemas.discoveryColumns)
-    val rawUserFunnel = ev.select(
-      col("user_id").cast("string").as("entity_id"),
-      statusMap.foldLeft(lit(null).cast("string")) { case (acc, (et, st)) =>
-        when(col("event_type") === et, st).otherwise(acc)
-      }.as("fetch_status"))
+    val aggs =
+      Schemas.stageColumns.zipWithIndex.map { case (c, i) =>
+        cnt(11, i).cast("string").cast("double").cast("long").as(c)
+      } ++
+        Schemas.otpColumns.zipWithIndex.map { case (c, i) =>
+          cnt(3, i).cast("string").cast("double").as("Total_" + c)
+        } ++
+        Schemas.discoveryColumns.zipWithIndex.map { case (c, i) =>
+          cnt(5, i).cast("string").cast("double").as(c)
+        } ++
+        statusMap.collect {
+          case (et, "Success") =>
+            count(when(col("event_type") === et, lit(1)))
+              .cast("long").as("fi_success_cnt")
+          case (et, "Failed") =>
+            count(when(col("event_type") === et, lit(1)))
+              .cast("long").as("fi_failed_cnt")
+        }
 
-    FunnelTable
-      .buildFromRaw(rawStages, rawOtp, rawDiscovery, rawUserFunnel)
-      .orderBy("row_idx")
+    val one = ev.agg(aggs.head, aggs.tail: _*)
+    FunnelTable.rows(FunnelTable.wideFromJoined(one)).orderBy("row_idx")
   }
 
   /** DuckDB twin of [[query]], generated from the same row specs. */
