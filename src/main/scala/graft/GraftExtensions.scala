@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.functions.ArrayDotProduct
+
+/** Session extension point: injects the engine's native expressions so
+  * `array_dot` is callable from SQL and `call_function`. Activated by
+  * `spark.sql.extensions=graft.GraftExtensions` (set by
+  * [[GraftSession.builder]]); host applications can add it to their own
+  * builder the same way.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      ArrayDotProduct.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "array_dot takes exactly 2 arguments")
+        ArrayDotProduct(children.head, children(1))
+      }))
+  }
+}

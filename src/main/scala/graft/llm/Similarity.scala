@@ -23,8 +23,17 @@ object Similarity {
     */
   private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Fused codegen'd dot product ([[graft.functions.ArrayDotProduct]]).
+    * Built directly from the expression (no registry dependency, works
+    * on any session) — the HOF spelling
+    * `aggregate(zip_with(a,b,_*_), 0d, _+_)` is interpreted per row and
+    * was the bottleneck of the brute-force scan.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.ArrayDotProduct(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(a),
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(b)))
 
   /** Cosine similarity between two double arrays. */
   def cosine(a: Column, b: Column): Column =

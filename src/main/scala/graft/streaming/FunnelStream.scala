@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** Streaming surface of the engine (Structured Streaming).
+  *
+  * The reference is a daily t-1 batch (`run_reports.py:183`) — its
+  * daily-partition pull is the batch analogue of a tumbling 1-day
+  * window. This module expresses the same funnel aggregations over a
+  * STREAM of events: `readStream` → watermarked windowed aggregation →
+  * any sink; plus a `mapGroupsWithState` sessionizer for the per-user
+  * state the batch engine gets for free from its per-user fact table.
+  * Batch parity: every aggregate here reuses the same expressions as
+  * the batch path, so a windowed streaming result for a closed day
+  * equals the batch result for that day's partition.
+  */
+object FunnelStream {
+
+  /** Tumbling daily stage counts with late-data tolerance: the
+    * streaming analogue of one `{date}/` directory of the reference's
+    * layout. Watermark bounds state: windows close `lateness` after
+    * their end and their state is evicted — mandatory at 100 TB/day.
+    */
+  def dailyEventCounts(events: DataFrame, lateness: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("day.start").as("day_start"), col("event_type"), col("cnt"))
+
+  /** Streaming FI status counts — same status mapping as the batch
+    * funnel's S4 aggregation, per day.
+    */
+  def dailyFiStatusCounts(events: DataFrame, lateness: String = "1 day"): DataFrame = {
+    val status = when(col("event_type") === "purchase", "Success")
+      .when(col("event_type") === "error", "Failed")
+      .when(col("event_type") === "view", "Not Attempted")
+    events
+      .withColumn("fetch_status", status)
+      .filter(col("fetch_status").isNotNull)
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day").as("day"), col("fetch_status"))
+      .agg(count(lit(1)).as("Count"))
+      .select(col("day.start").as("day_start"), col("fetch_status"), col("Count"))
+  }
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class UserFunnelState(events: Long, purchases: Long)
+  final case class UserFunnelUpdate(user_id: Long, events: Long, purchases: Long,
+      converted: Boolean)
+
+  /** Custom per-key state via `mapGroupsWithState`: running per-user
+    * funnel position (event count, purchase count, converted flag).
+    * State is one small case class per user — KV-store-backed,
+    * partition-parallel.
+    */
+  def userFunnelState(events: Dataset[UserEvent]): Dataset[UserFunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserFunnelState, UserFunnelUpdate] {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserFunnelState]) =>
+          val prev = state.getOption.getOrElse(UserFunnelState(0L, 0L))
+          var ev = prev.events
+          var pur = prev.purchases
+          batch.foreach { e =>
+            ev += 1
+            if (e.event_type == "purchase") pur += 1
+          }
+          state.update(UserFunnelState(ev, pur))
+          UserFunnelUpdate(userId, ev, pur, pur > 0)
+      }
+  }
+}

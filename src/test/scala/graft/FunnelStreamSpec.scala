@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.FunnelStream
+
+/** Streaming funnel: drive MemoryStream micro-batches through the
+  * watermarked daily aggregation and the stateful sessionizer; assert
+  * batch parity (a closed streaming day == the batch aggregate of the
+  * same rows).
+  */
+class FunnelStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def ts(day: Int, hour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("daily windowed counts equal the batch aggregate of the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+
+    val q = FunnelStream.dailyEventCounts(events)
+      .writeStream.format("memory").queryName("daily")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(Seq(
+        (ts(1, 1), "view"), (ts(1, 2), "view"), (ts(1, 3), "purchase"),
+        (ts(2, 1), "error"), (ts(2, 2), "view")))
+      q.processAllAvailable()
+
+      val streamed = spark.table("daily")
+        .select("day_start", "event_type", "cnt")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(streamed === Set(
+        ("2024-01-01 00:00:00.0", "view", 2L),
+        ("2024-01-01 00:00:00.0", "purchase", 1L),
+        ("2024-01-02 00:00:00.0", "error", 1L),
+        ("2024-01-02 00:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming FI status mapping matches the batch status map") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+
+    val q = FunnelStream.dailyFiStatusCounts(events)
+      .writeStream.format("memory").queryName("fi")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(Seq(
+        (ts(1, 1), "purchase"), (ts(1, 2), "purchase"), (ts(1, 3), "error"),
+        (ts(1, 4), "view"), (ts(1, 5), "click"))) // click -> dropped
+      q.processAllAvailable()
+      val got = spark.table("fi").select("fetch_status", "Count")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === Map("Success" -> 2L, "Failed" -> 1L, "Not Attempted" -> 1L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user funnel state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[FunnelStream.UserEvent]
+
+    val q = FunnelStream.userFunnelState(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        FunnelStream.UserEvent(1L, ts(1, 1), "view"),
+        FunnelStream.UserEvent(1L, ts(1, 2), "view"),
+        FunnelStream.UserEvent(2L, ts(1, 1), "view"))
+      q.processAllAvailable()
+      input.addData(FunnelStream.UserEvent(1L, ts(1, 3), "purchase"))
+      q.processAllAvailable()
+
+      val last = spark.table("sessions")
+        .groupBy("user_id")
+        .agg(max("events").as("events"), max("purchases").as("purchases"),
+          max("converted").as("converted"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+      assert(last(1L) === ((3L, 1L, true)))  // state carried across batches
+      assert(last(2L) === ((1L, 0L, false)))
+    } finally q.stop()
+  }
+}
