@@ -1,0 +1,128 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{DateSpec, Schemas}
+import graft.engine.{FunnelAggregates, FunnelTable}
+
+/** Property-based invariants (scalacheck): the date-spec algebra the
+  * path construction depends on, and the funnel arithmetic contract
+  * under arbitrary non-negative inputs.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  /** Deterministic scalacheck sampling (scalatestplus isn't in the
+    * offline dependency cache, so forAll is spelled by hand: fixed
+    * seeds, reproducible failures).
+    */
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val genDate: Gen[LocalDate] = for {
+    epochDay <- Gen.choose(
+      LocalDate.of(2020, 1, 1).toEpochDay,
+      LocalDate.of(2030, 12, 31).toEpochDay)
+  } yield LocalDate.ofEpochDay(epochDay)
+
+  private val genRange: Gen[DateSpec.Range] = for {
+    a <- genDate
+    len <- Gen.choose(0, 100)
+  } yield DateSpec.Range(a, a.plusDays(len))
+
+  test("Range.monthPrefixes covers the month of every enumerated day") {
+    samples(genRange, 200).foreach { r =>
+      val prefixes = r.monthPrefixes.toSet
+      assert(r.days.forall(d =>
+        prefixes.contains("*" + DateSpec.formatMonth(java.time.YearMonth.from(d)))))
+      // and no excess months: every prefix contains at least one covered day
+      assert(prefixes.size ===
+        r.days.map(d => java.time.YearMonth.from(d)).distinct.size)
+    }
+  }
+
+  test("Range.days is ascending, inclusive of both endpoints") {
+    samples(genRange, 200).foreach { r =>
+      assert(r.days.head === r.start)
+      assert(r.days.last === r.end)
+      assert(r.days.sliding(2).forall {
+        case Seq(a, b) => b === a.plusDays(1)
+        case _ => true
+      })
+    }
+  }
+
+  test("day token parse/format round-trips") {
+    samples(genDate, 300).foreach { d =>
+      assert(DateSpec.parseDay(DateSpec.formatDay(d)) === d)
+      assert(DateSpec.parse(DateSpec.formatDay(d)) === DateSpec.Day(d))
+    }
+  }
+
+  test("range spec parse is whitespace-tolerant around the arrow") {
+    samples(for { r <- genRange; l <- Gen.choose(0, 3); p <- Gen.choose(0, 3) } yield (r, l, p), 100).foreach { case (r, padL, padR) =>
+      val s = DateSpec.formatDay(r.start) + (" " * padL) + "->" +
+        (" " * padR) + DateSpec.formatDay(r.end)
+      assert(DateSpec.parse(s) === r)
+    }
+  }
+
+  private val genStageVals: Gen[Seq[Int]] =
+    Gen.listOfN(Schemas.stageColumns.size, Gen.choose(0, 100000))
+
+  test("funnel invariants hold for arbitrary non-negative stage inputs") {
+    // Spark round-trips are expensive: a few samples, each a full plan
+    samples(genStageVals, 5).foreach { vals =>
+      val stageRow = Row.fromSeq(
+        Seq("e", "01-01-2026") ++ vals.map(_.toString))
+      val stages = spark.createDataFrame(
+        java.util.List.of(stageRow), Schemas.stages)
+      val wide = FunnelTable.wide(
+        FunnelAggregates.stageTotals(stages),
+        graft.io.MockData.otpTotals(spark),
+        graft.io.MockData.discoveryTotals(spark),
+        graft.io.MockData.fiStatusCounts(spark))
+      val w = wide.collect().head
+
+      val total = vals.take(7).map(_.toLong).sum
+      assert(w.getAs[Long]("total_users") === total)
+      assert(w.getAs[Long]("n_consent") === total)
+      assert(w.getAs[Long]("n_after_init") === total - vals(0))
+      // survivors chain: each step subtracts its drop
+      assert(w.getAs[Long]("n_after_auth") ===
+        w.getAs[Long]("n_after_init") - w.getAs[Long]("auth_drop"))
+      assert(w.getAs[Long]("n_after_disc") ===
+        w.getAs[Long]("n_after_auth") - w.getAs[Long]("d3"))
+      assert(w.getAs[Long]("n_after_link") ===
+        w.getAs[Long]("n_after_disc") - w.getAs[Long]("d4"))
+
+      val table = FunnelTable.rows(wide).collect()
+      assert(table.length === 18)
+      if (total > 0)
+        // pct of the full base is exactly 100.0
+        assert(table.find(_.getInt(0) == 0).get.getAs[Double]("success_pct") === 100.0)
+    }
+  }
+
+  test("partial+final aggregation ≡ one-shot aggregation for any row split") {
+    val rows = (1 to 20).map(i =>
+      Row.fromSeq(Seq(s"e$i", "01-01-2026") ++
+        Schemas.stageColumns.indices.map(c => ((i * 7 + c) % 50).toString)))
+    samples(Gen.choose(1, 19), 5).foreach { split =>
+      val all = spark.createDataFrame(java.util.List.of(rows: _*), Schemas.stages)
+      val a = spark.createDataFrame(java.util.List.of(rows.take(split): _*), Schemas.stages)
+      val b = spark.createDataFrame(java.util.List.of(rows.drop(split): _*), Schemas.stages)
+      val once = FunnelAggregates.stageTotals(all).collect().head
+      val partial = FunnelAggregates.stageTotals(
+        FunnelAggregates.stageTotals(a).unionByName(
+          FunnelAggregates.stageTotals(b))).collect().head
+      assert(once === partial)
+    }
+  }
+}
