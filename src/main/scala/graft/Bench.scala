@@ -25,6 +25,18 @@ object Bench {
         case c => c.toString
       } + "\""
 
+    // Warm the JVM/codegen and page in the parquet footers before timing:
+    // otherwise the first query absorbs several seconds of one-time cost
+    // and per-query numbers depend on alphabetical order.
+    spark.range(1 << 20).selectExpr("sum(id)").write
+      .mode("overwrite").format("noop").save()
+    Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
+      .foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).write
+          .mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -137,6 +137,21 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // SQL front-end: the same engine through spark.sql text (the
+    // reference's consumers wrote SQL strings; both surfaces must agree)
+    "sql_topsegments" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS cnt,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+          |WHERE o_orderstatus <> 'P'
+          |GROUP BY c_mktsegment
+          |ORDER BY revenue DESC, c_mktsegment
+          |LIMIT 3""".stripMargin)
+    }),
+
     // small-dimension broadcast joins: nation and region never shuffle
     "join_broadcast" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -209,6 +224,14 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "sql_topsegments" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'P'
+        |GROUP BY c_mktsegment
+        |ORDER BY revenue DESC, c_mktsegment
+        |LIMIT 3""".stripMargin,
     "join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS cnt
         |FROM customer
