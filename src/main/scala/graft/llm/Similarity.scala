@@ -81,6 +81,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into `nlist` cells; a query probes only its `nprobe`
+    * nearest cells and ranks those candidates by exact cosine
+    * ([[graft.functions.ArrayDotProduct]]). The candidate set is
+    * nprobe/nlist of the corpus — the classic trade of recall for a
+    * bounded scan, and the natural partition layout at scale (cells =
+    * files/buckets, cell assignment precomputed at ingest).
+    *
+    * Everything stays in-plan: centroids are a tiny broadcast frame,
+    * never a driver-side loop.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val spark = emb.sparkSession
+    val vecs = emb.select(col("vec_id"),
+      array_to_vector(col("embedding")).as("features"),
+      dbl(col("embedding")).as("vec"))
+    val km = new KMeans().setK(nlist).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(vecs)
+    val assigned = model.transform(vecs).select("vec_id", "cell", "vec")
+
+    import spark.implicits._
+    val centroids = broadcast(
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq
+        .toDF("cell", "centroid"))
+
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("vec").as("qvec"))
+    // nprobe nearest cells to the query, by centroid distance
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("cell"), col("qvec"),
+        (dot(col("centroid"), col("centroid"))
+          - lit(2.0) * dot(col("centroid"), col("qvec"))).as("cdist"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+      .limit(nprobe)
+      .select("cell", "qvec")
+
+    assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probed), "cell") // candidates: probed cells only
+      .select(col("vec_id"),
+        bround(cosine(col("vec"), col("qvec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the
     * embedding-space analogue of [[Dedup.minhashPairs]]): pairs whose
     * euclidean distance is under `maxDistance`, with exact cosine

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy-hitter keys.
+  *
+  * AQE's skew-join splitting handles join-side skew at runtime; for
+  * AGGREGATIONS over pathologically hot keys (one key = 30% of 100 TB),
+  * pre-shuffle salting keeps every reducer bounded: phase 1 aggregates
+  * on (key, salt) — map-side partials spread the hot key over `salts`
+  * reducers — phase 2 re-aggregates partials on the key alone. Works
+  * for any algebraic aggregate (sum/count/min/max); the phase-2 combine
+  * of each is declared by the caller.
+  */
+object Skew {
+
+  /** Deterministic per-row salt in [0, salts): derived from a hash of
+    * the whole row, so it needs no id column and stays stable across
+    * retries (rand() would break speculative-execution determinism).
+    */
+  private def salt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts.toLong))
+
+  /** Salted `groupBy(key).agg(sum(value))`. */
+  def saltedSum(df: DataFrame, key: String, value: String,
+      salts: Int = 16): DataFrame =
+    df.withColumn("__salt", salt(df, salts))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(value)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as(s"sum_$value"))
+
+  /** Salted `groupBy(key).count()`. */
+  def saltedCount(df: DataFrame, key: String, salts: Int = 16): DataFrame =
+    df.withColumn("__salt", salt(df, salts))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("cnt"))
+
+  /** Salted distinct-count via two-phase exact distinct: phase 1
+    * dedups (key, salt, value) — the hot key's values spread across
+    * reducers — phase 2 counts distinct values per key (each value now
+    * appears once globally).
+    */
+  def saltedCountDistinct(df: DataFrame, key: String, value: String,
+      salts: Int = 16): DataFrame =
+    df.select(col(key), col(value))
+      .withColumn("__salt", pmod(xxhash64(col(value)), lit(salts.toLong)))
+      .dropDuplicates(key, value, "__salt")
+      // value-derived salt => identical values share a salt, so the
+      // global dropDuplicates collapses them within one reducer
+      .dropDuplicates(key, value)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as(s"distinct_$value"))
+}

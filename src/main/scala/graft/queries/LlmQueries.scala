@@ -49,6 +49,8 @@ object LlmQueries {
     "ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(emb(s, dir), k = 10,
         bucketLength = 1.0, numHashTables = 4, maxDistance = 1.5)),
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), k = 10, nlist = 16, nprobe = 4)),
     "cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir),
         maxDistance = 1.1, minCosine = 0.4)),
