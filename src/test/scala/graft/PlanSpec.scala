@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape regressions: the properties PLANS.md documents,
+  * enforced. A change that silently un-broadcasts a dimension join,
+  * drops a pushed filter, or sneaks an all-pairs cartesian into a
+  * near-dup path fails here, not at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  test("filters: every predicate is pushed to the parquet scan") {
+    // default metadata cap (100 chars) truncates the PushedFilters list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p = plan(q("filters"))
+    assert(p.contains("PushedFilters"))
+    Seq("In(o_orderstatus", "EqualTo(o_orderpriority,1-URGENT)",
+      "IsNotNull(o_custkey)").foreach(f =>
+      assert(p.contains(f), s"predicate not pushed: $f\n$p"))
+  }
+
+  test("filters: scan is column-pruned to the projection") {
+    val p = plan(q("filters"))
+    assert(!p.contains("o_orderdate"), "unprojected column read from parquet")
+  }
+
+  test("join_broadcast: both dimension joins are broadcast, no shuffle join") {
+    val p = plan(q("join_broadcast"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p.take(500))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("funnel_table: exactly one scan of events") {
+    val p = plan(q("funnel_table"))
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"funnel must read events once\n${p.take(800)}")
+  }
+
+  test("near-dup candidate generation never degenerates to a cartesian product") {
+    Seq("dedup_minhash", "dedup_simhash", "cosine_neardup").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name has an all-pairs join")
+    }
+  }
+
+  test("cosine_topk: the only cross join is the 1-row broadcast query vector") {
+    val p = plan(q("cosine_topk"))
+    // BroadcastNestedLoopJoin with a 1-row build side is the intended
+    // shape; a CartesianProduct (both sides unbroadcast) is not.
+    assert(!p.contains("CartesianProduct"), p.take(500))
+  }
+
+  test("groupby aggregates use two-phase hash aggregation (map-side partials)") {
+    val p = plan(q("groupby_count"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
+  }
+}
