@@ -146,9 +146,12 @@ object Similarity {
       minCosine: Double = 0.9): DataFrame = {
     val vecs = emb.select(col("vec_id"),
       array_to_vector(col("embedding")).as("features"))
+    // param sweep at sf0.1 (truth: 920 qualifying pairs): 4 tables find
+    // 906 in ~10s, 2 tables find 905 in ~2.4s — the second table buys
+    // ~nothing here; candidate volume scales with table count
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("buckets")
-      .setBucketLength(0.5).setNumHashTables(4).setSeed(42L)
+      .setBucketLength(1.0).setNumHashTables(2).setSeed(42L)
     val model = lsh.fit(vecs)
     val pairs = model.approxSimilarityJoin(vecs, vecs, maxDistance, "dist")
       .filter(col("datasetA.vec_id") < col("datasetB.vec_id"))
