@@ -40,8 +40,13 @@ object RunReports {
     case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
   }
 
-  /** Yesterday, the reference's default reporting date (t-1 daily batch). */
-  def defaultDate(today: LocalDate = LocalDate.now()): String =
+  /** Yesterday, the reference's default reporting date (t-1 daily batch).
+    * Resolved in UTC to agree with the session's pinned
+    * `spark.sql.session.timeZone=UTC` and the UTC-partitioned source
+    * layout — the JVM default zone near midnight would pick a different
+    * day than the data partitions.
+    */
+  def defaultDate(today: LocalDate = LocalDate.now(java.time.ZoneOffset.UTC)): String =
     DateSpec.formatDay(today.minusDays(1))
 
   def main(argv: Array[String]): Unit = {

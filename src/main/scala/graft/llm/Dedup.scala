@@ -36,13 +36,17 @@ object Dedup {
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
 
-  /** Word-level 3-gram shingles — the unit of near-dup similarity. */
+  /** Word-level 3-gram shingles — the unit of near-dup similarity.
+    * Documents with fewer than 3 tokens yield an EMPTY array: without the
+    * guard `sequence(0, size-3)` on size<3 produces a descending sequence
+    * whose `slice(_, 0, _)` throws unconditionally.
+    */
   def shingles(text: Column): Column = {
     val toks = TextAnalysis.tokens(text)
-    filter(
+    when(size(toks) >= 3,
       transform(sequence(lit(0), size(toks) - 3), i =>
-        concat_ws(" ", slice(toks, i + 1, lit(3)))),
-      s => s.isNotNull)
+        concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** MinHash+LSH near-dup pairs: tokenize → 3-gram shingle → binary

@@ -39,18 +39,16 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("cnt"))
 
-  /** Salted distinct-count via two-phase exact distinct: phase 1
-    * dedups (key, salt, value) — the hot key's values spread across
-    * reducers — phase 2 counts distinct values per key (each value now
-    * appears once globally).
+  /** Skew-safe exact distinct-count, two-phase: phase 1 dedups
+    * (key, value) — the shuffle key INCLUDES the value, so a hot key's
+    * rows already spread across reducers by value hash (no salt needed;
+    * a salt derived from the dedup key itself would be a no-op), with
+    * map-side partial dedup bounding shuffle volume — phase 2 counts per
+    * key, where `count` is algebraic and partial-aggregates map-side.
     */
   def saltedCountDistinct(df: DataFrame, key: String, value: String,
       salts: Int = 16): DataFrame =
     df.select(col(key), col(value))
-      .withColumn("__salt", pmod(xxhash64(col(value)), lit(salts.toLong)))
-      .dropDuplicates(key, value, "__salt")
-      // value-derived salt => identical values share a salt, so the
-      // global dropDuplicates collapses them within one reducer
       .dropDuplicates(key, value)
       .groupBy(col(key))
       .agg(count(lit(1)).as(s"distinct_$value"))

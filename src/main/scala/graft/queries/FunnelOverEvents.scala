@@ -88,8 +88,14 @@ object FunnelOverEvents {
         |  d1_ AS no_rec, d4_ AS fip_fail, d3_ AS some_fail,
         |  d0 + d2_ AS found_not_linked""".stripMargin
 
+    // Mirrors FunnelTable.pct exactly: half-even rounding (DuckDB
+    // round_even = Spark bround = Python round) and the non-positive-base
+    // -> 0.0 guard; plain round() is half-away-from-zero and would drift
+    // on representable halves.
     def pct(e: String): String =
-      s"round(CAST(($e) AS DOUBLE) / total_users * 100, 1)"
+      s"""CASE WHEN total_users > 0
+         | THEN round_even(CAST(($e) AS DOUBLE) / total_users * 100, 1)
+         | ELSE 0.0 END""".stripMargin.replace("\n", "")
 
     def cell(e: Option[String], cnt: String, pc: String): String = e match {
       case Some(ex) => s"CAST(($ex) AS BIGINT) AS $cnt, ${pct(ex)} AS $pc"

@@ -98,9 +98,12 @@ object LlmQueries {
          |  CAST(${stopCount("en")} AS INT) AS stop_cnt
          |FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    // CAST around the integer sums: DuckDB sum(BIGINT) is HUGEINT,
+    // Spark's is BIGINT — cast the final scalar back for the hash compare
     "text_stats" ->
-      """SELECT lang, count(*) AS doc_cnt, sum(n_chars) AS total_chars,
-        |  sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS total_tokens,
+      """SELECT lang, count(*) AS doc_cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS total_tokens,
         |  max(CAST(len(regexp_extract_all(text, '\S+')) AS INT)) AS max_tokens,
         |  min(CAST(len(regexp_extract_all(text, '\S+')) AS INT)) AS min_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

@@ -180,11 +180,13 @@ object Relational {
         |  sum(CAST(nullif(CAST(l_quantity AS VARCHAR), '') AS DOUBLE)) AS qty_sum,
         |  count(*) AS row_cnt
         |FROM lineitem""".stripMargin,
+    // outer CAST: DuckDB types sum(BIGINT) as HUGEINT, Spark as BIGINT —
+    // without it the hash compare fails on type, not value
     "trunc_multi_sum" ->
       """SELECT
-        |  sum(CAST(trunc(l_quantity) AS BIGINT)) AS qty_trunc_sum,
-        |  sum(CAST(trunc(l_extendedprice) AS BIGINT)) AS price_trunc_sum,
-        |  sum(CAST(trunc(l_discount) AS BIGINT)) AS disc_trunc_sum
+        |  CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS qty_trunc_sum,
+        |  CAST(sum(CAST(trunc(l_extendedprice) AS BIGINT)) AS BIGINT) AS price_trunc_sum,
+        |  CAST(sum(CAST(trunc(l_discount) AS BIGINT)) AS BIGINT) AS disc_trunc_sum
         |FROM lineitem""".stripMargin,
     "filters" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
