@@ -24,10 +24,22 @@ val jdk17AddOpens = Seq(
   "java.base/java.net", "java.base/java.nio",
   "java.base/java.util", "java.base/java.util.concurrent",
   "java.base/java.util.concurrent.atomic",
+  "java.base/jdk.internal.ref",
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // The non-module flags spark-submit/spark-shell also pass
+  // (JavaModuleOptions): jdk.reflect.useDirectMethodHandle=false is
+  // PERFORMANCE-CRITICAL — JDK 17's method-handle core reflection makes
+  // Spark's interpreted-expression paths (higher-order functions,
+  // Invoke) several times slower; measured 2.7s -> 20s on the minhash
+  // signature stage without it.
+  "-XX:+IgnoreUnrecognizedVMOptions",
+  "--add-modules=jdk.incubator.vector",
+  "-Djdk.reflect.useDirectMethodHandle=false",
+  "-Dio.netty.tryReflectionSetAccessible=true",
+  "--enable-native-access=ALL-UNNAMED",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

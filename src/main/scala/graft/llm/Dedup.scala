@@ -49,8 +49,113 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash+LSH near-dup pairs: tokenize → 3-gram shingle → binary
-    * feature hash (2^18 dims) → MinHash with `numHashTables` bands.
+  /** Portable MinHash signatures `h0..h{numHashes-1}` per document: one
+    * codegen'd explode of the distinct shingles, then a single
+    * groupBy(doc_id) carrying `numHashes` min-aggregates (map-side
+    * partial mins keep the shuffle at one row of `numHashes` 32-char
+    * strings per doc). The i-th hash of a shingle is `md5("i:" ++
+    * shingle)` compared as a hex STRING — lexicographic min over
+    * uniformly-distributed hex strings is a valid minhash, and md5 +
+    * ASCII ordering are engine-independent, so an external SQL engine
+    * (the DuckDB oracle) reproduces signatures, candidate pairs, and
+    * estimates bit-for-bit. Documents with no shingles (<3 tokens) drop
+    * out, like the MLlib path's ≥1-set-bit requirement.
+    */
+  /** Universal-hash family over a 28-bit base hash: `h_i(x) =
+    * (a_i·x + b_i) mod p`, p = 2^31−1. One md5 per shingle (the only
+    * cryptographic hash), `numHashes` cheap integer hashes derived from
+    * it — 16× fewer md5 calls than hashing per (i, shingle), which is
+    * the difference that matters when the corpus is 100 TB. All
+    * arithmetic stays below 2^59 (a_i < 2^31, x < 2^28), so 64-bit
+    * engines agree exactly; constants are fixed so any SQL engine (the
+    * DuckDB oracle) reproduces the family.
+    */
+  val minhashP = 2147483647L // 2^31 - 1
+  def minhashA(i: Int): Long = 1103515245L + 12345L * i
+  def minhashB(i: Int): Long = 60251L * (i + 7)
+
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 16): DataFrame = {
+    // Repartition the narrow (doc_id, text) input BEFORE the expensive
+    // shingle-explode + hash stage: a compact corpus slice can arrive
+    // as one file split, which would serialize the whole hash pipeline
+    // onto a single core. The partition count is EXPLICIT
+    // (REPARTITION_BY_NUM) — a bare repartition(col) is
+    // REPARTITION_BY_COL, which AQE coalesces right back to one
+    // partition because the pre-explode bytes are tiny; the cost is in
+    // the downstream per-row work AQE can't see.
+    val g = docs.select(col("doc_id"), col("text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text")))).as("gram"))
+      // 28-bit base hash: first 7 hex chars of md5
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram").cast("binary")), 1, 7), 16, 10)
+          .cast("long").as("x"))
+    val mins = (0 until numHashes).map(i =>
+      min(pmod(lit(minhashA(i)) * col("x") + lit(minhashB(i)), lit(minhashP)))
+        .as(s"h$i"))
+    g.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded-LSH near-dup pairs over [[minhashSignatures]] — the
+    * production near-dup path. The signature is cut into `bands` bands
+    * of `numHashes/bands` rows; a pair is a candidate iff EVERY hash of
+    * some band agrees, i.e. an equi-join on (band_idx, concatenated
+    * band key) — bucketed, hash-partitionable, AQE-skew-splittable,
+    * never all-pairs. Estimated Jaccard = matching positions /
+    * numHashes; pairs with estimated distance > `maxDistance` drop.
+    *
+    * At 16 hashes × 4 bands the detection probability is
+    * `1-(1-j^4)^4` ≈ 99% at j=0.9 (the near-dup regime) while j≤0.1
+    * noise pairs almost never collide — and unlike
+    * [[minhashPairs]]'s per-table signature explode, the join carries
+    * only (doc_id, band key).
+    */
+  def minhashBandedPairs(docs: DataFrame, maxDistance: Double = 0.6,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, numHashes)
+    // Carry the signature array THROUGH the band join (sig = 16 hex
+    // strings ≈ 0.5 KB/doc): estimating on the collision rows and
+    // deduping after costs bands× shuffle bytes but computes the whole
+    // signature pipeline once per side — re-joining signatures onto a
+    // distinct'd pair list would re-run the explode+aggregate twice
+    // more (measured 4× recompute ⇒ ~4× wall time at sf0.1).
+    val banded = sig.select(col("doc_id"),
+      array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band_idx"),
+          // ':'-separated so (1,23) never collides with (12,3)
+          concat_ws(":",
+            (0 until rows).map(q => col(s"h${j * rows + q}").cast("string")): _*)
+            .as("band_key"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("sig"),
+        col("band.band_idx"), col("band.band_key"))
+    // plain element_at comparisons, not zip_with/aggregate: array
+    // lambdas run interpreted (no codegen) and their first-run JIT cost
+    // alone dominated this query's wall time in a fresh JVM
+    val matches = (1 to numHashes).map { i =>
+      when(element_at(col("a.sig"), i) === element_at(col("b.sig"), i), 1)
+        .otherwise(0)
+    }.reduce(_ + _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (lit(1.0) - matches.cast("double") / lit(numHashes)).as("jaccard_dist"))
+      // a pair appears once per colliding band with an identical
+      // estimate; keep one
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("jaccard_dist") <= maxDistance)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash+LSH near-dup pairs via MLlib: tokenize → 3-gram shingle →
+    * binary feature hash (2^18 dims) → MinHash with `numHashTables` bands.
     * `approxSimilarityJoin` explodes per-band signatures and equi-joins
     * on (band, signature) — candidate generation is a hash join on
     * bucket keys, re-partitionable and skew-splittable by AQE; the
@@ -170,14 +275,24 @@ object Dedup {
   /** Exact n-gram Jaccard over LSH-generated candidates: re-join the
     * shingle sets onto the (pruned) candidate pairs and compute
     * |A∩B| / |A∪B| exactly. The expensive exact measure runs only on
-    * candidates, which is the 100 TB-safe shape.
+    * candidates ([[minhashBandedPairs]] — portable, so the whole
+    * pipeline is DuckDB-oracle-checkable), which is the 100 TB-safe
+    * shape. `bands` tunes candidate recall (bands=numHashes ⇒ r=1,
+    * any single matching hash is a candidate).
     */
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.1,
-      maxDistance: Double = 0.8): DataFrame = {
-    val grams = docs.select(
-      col("doc_id"),
-      array_distinct(shingles(col("text"))).as("grams"))
-    val pairs = minhashPairs(docs, maxDistance).select("doc_a", "doc_b")
+      maxDistance: Double = 0.8, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    // same explicit repartition as minhashSignatures: the interpreted
+    // shingle HOF is the per-row cost a one-split input would serialize
+    val grams = docs.select(col("doc_id"), col("text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(
+        col("doc_id"),
+        array_distinct(shingles(col("text"))).as("grams"))
+    val pairs = minhashBandedPairs(docs, maxDistance, numHashes, bands)
+      .select("doc_a", "doc_b")
     pairs
       .join(grams.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("grams", "grams_a"), "doc_a")

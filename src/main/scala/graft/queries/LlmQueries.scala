@@ -31,7 +31,7 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_exact_window" -> ((s, dir) => Dedup.exactWindow(docs(s, dir))),
-    "dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashBandedPairs(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
     "lang_id" -> ((s, dir) =>
@@ -68,7 +68,75 @@ object LlmQueries {
     */
   private val fpSql = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
+  /** Shared CTE prefix reproducing [[Dedup.minhashSignatures]] +
+    * the banded candidate join in DuckDB: tokens → distinct 3-gram
+    * shingles → per-doc min of md5("i:" ++ shingle) hex strings →
+    * band keys → equi-joined candidate pairs. Deterministic given md5,
+    * so candidates match the Spark plan exactly.
+    */
+  private def minhashCtes(numHashes: Int, bands: Int): String = {
+    val r = numHashes / bands
+    // same universal-hash family as Dedup.minhashSignatures:
+    // x = 28-bit md5 prefix, h_i = (a_i*x + b_i) mod (2^31-1)
+    val minCols = (0 until numHashes).map { i =>
+      s"min((${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % ${Dedup.minhashP}) AS h$i"
+    }.mkString(", ")
+    val bandSelects = (0 until bands).map { j =>
+      val key = (0 until r).map(q => s"CAST(h${j * r + q} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, $j AS band_idx, $key AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+    val sigList = (0 until numHashes).map(i => s"h$i").mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+       |gsets AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+       |  FROM toks WHERE len(t) >= 3),
+       |g AS (SELECT doc_id,
+       |  CAST('0x' || substr(md5(unnest(grams)), 1, 7) AS BIGINT) AS x
+       |  FROM gsets),
+       |sig AS (SELECT doc_id, $minCols FROM g GROUP BY doc_id),
+       |banded AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |sigarr AS (SELECT doc_id, $sigList AS sig FROM sig),
+       |est AS (
+       |  SELECT doc_a, doc_b,
+       |    1.0 - CAST(len(list_filter(range(1, ${numHashes + 1}),
+       |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes AS jaccard_dist
+       |  FROM cand
+       |  JOIN sigarr sa ON cand.doc_a = sa.doc_id
+       |  JOIN sigarr sb ON cand.doc_b = sb.doc_id)""".stripMargin
+  }
+
+  private def minhashOracle(maxDistance: Double, numHashes: Int = 16,
+      bands: Int = 4): String =
+    s"""${minhashCtes(numHashes, bands)}
+       |SELECT doc_a, doc_b, jaccard_dist FROM est
+       |WHERE jaccard_dist <= $maxDistance
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private def ngramJaccardOracle(minJaccard: Double, maxDistance: Double,
+      numHashes: Int = 16, bands: Int = 4): String =
+    s"""${minhashCtes(numHashes, bands)}
+       |SELECT * FROM (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |      / CAST(len(list_distinct(ga.grams || gb.grams)) AS DOUBLE) AS jaccard
+       |  FROM (SELECT doc_a, doc_b FROM est WHERE jaccard_dist <= $maxDistance) p
+       |  JOIN gsets ga ON p.doc_a = ga.doc_id
+       |  JOIN gsets gb ON p.doc_b = gb.doc_id)
+       |WHERE jaccard >= $minJaccard
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // parameters MUST mirror the registered queries above
+    "dedup_minhash" -> minhashOracle(maxDistance = 0.6),
+    "ngram_jaccard" -> ngramJaccardOracle(minJaccard = 0.1, maxDistance = 0.8),
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -64,11 +64,33 @@ class LlmSpec extends AnyFunSuite {
     assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
   }
 
+  test("banded minhash finds the planted near-duplicate, not the unrelated doc") {
+    val nearDup = base.replace("lazy", "sleepy")
+    val other =
+      "completely unrelated content about spark catalyst optimizer internals and shuffles"
+    // bands=16 (r=1): any matching hash is a candidate — deterministic
+    // detection for the j=0.6 planted pair
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minhashBandedPairs(d, maxDistance = 0.8, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("banded minhash estimate tracks exact jaccard on identical docs") {
+    val d = docs(1L -> base, 2L -> base)
+    val out = Dedup.minhashBandedPairs(d, maxDistance = 0.5).collect()
+    assert(out.length === 1)
+    // identical shingle sets -> identical signatures -> distance 0
+    assert(out.head.getDouble(2) === 0.0)
+  }
+
   test("ngram jaccard on planted near-dup is high and exact") {
     val nearDup = base.replace("lazy", "sleepy")
     val d = docs(1L -> base, 2L -> nearDup)
-    val out = Dedup.ngramJaccard(d, minJaccard = 0.0, maxDistance = 0.9)
-      .collect()
+    // r=1 banding so the j=0.6 planted pair is a guaranteed candidate
+    val out = Dedup.ngramJaccard(d, minJaccard = 0.0, maxDistance = 0.9,
+      bands = 16).collect()
     assert(out.length === 1)
     val j = out.head.getDouble(2)
     // 14 tokens -> 12 trigrams each; "lazy" occurs in 3 trigrams:
