@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{FunnelOverEvents, LlmQueries, Relational}
+import graft.queries.{CsvFunnelReport, FunnelOverEvents, LlmQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,26 +23,15 @@ object SparkEntry {
     Relational.queries ++ LlmQueries.queries +
       ("funnel_table" -> (FunnelOverEvents.query(_, _))) +
       // CSV source layer end-to-end (path templating, month glob, range
-      // post-filter, entity pushdown) over a generated on-disk fixture in
-      // the reference's directory layout; rows-only check (CSV, not in
-      // the oracle's parquet catalog).
-      ("csv_funnel_report" -> ((s: SparkSession, _: String) => {
-        GraftSession.tune(s)
-        val base = graft.io.FunnelCsvFixture.ensureDefault(
-          "/root/repo/target/funnel-csv-fixture")
-        val spec = graft.core.DateSpec.parse("31_01_2026 -> 01_02_2026")
-        val e = Some("fiu-a")
-        graft.engine.FunnelTable.buildFromRaw(
-          graft.io.FunnelSources.stages(s, base, spec, e),
-          graft.io.FunnelSources.otp(s, base, spec, e),
-          graft.io.FunnelSources.discovery(s, base, spec, e),
-          graft.io.FunnelSources.userFunnel(s, base, spec, e))
-          .orderBy("row_idx")
-      }))
+      // post-filter, entity pushdown) over a generated on-disk fixture
+      // in the reference's directory layout, oracle-checked by DuckDB
+      // read_csv over the same files.
+      ("csv_funnel_report" -> (CsvFunnelReport.query(_, _)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ LlmQueries.oracles +
-      ("funnel_table" -> FunnelOverEvents.oracle)
+      ("funnel_table" -> FunnelOverEvents.oracle) +
+      ("csv_funnel_report" -> CsvFunnelReport.oracle)
 }

@@ -194,55 +194,51 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash over a token array: per-token xxhash64, each hash
-    * votes ±1 on all 64 bit positions, sign of the vote-sum becomes the
-    * bit. Higher-order-function Catalyst — correct but INTERPRETED
-    * (array lambdas don't enter whole-stage codegen); kept as the
-    * reference semantics, with [[withSimhash]] as the codegen'd
-    * explode+aggregate production form.
+  /** SimHash geometry: 60 bits — the widest md5 hex prefix (15 chars)
+    * that still fits a POSITIVE 64-bit integer in every engine (16
+    * chars can exceed Long.MaxValue, which a non-ANSI string→long cast
+    * nulls out). Like the minhash family, md5 is the portability
+    * anchor: the DuckDB oracle reproduces per-token hashes, bit votes,
+    * bands, and Hamming distances exactly.
     */
-  def simhash(toks: Column): Column = {
-    val votes = aggregate(
-      transform(toks, t => xxhash64(t)),
-      array_repeat(lit(0L), 64),
-      (acc, h) =>
-        zip_with(acc,
-          transform(sequence(lit(0), lit(63)), i =>
-            when(call_function("shiftright", h, i).bitwiseAND(1L) === 1L, 1L)
-              .otherwise(-1L)),
-          (a, b) => a + b))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
-      lit(0L),
-      (a, b) => a.bitwiseOR(b))
-  }
+  val simhashBits = 60
+  val simhashBands = 4
+  private val bandBits = simhashBits / simhashBands // 15
+  private val bandMask = (1L << bandBits) - 1
+
+  /** Per-token 60-bit portable hash. */
+  private def tokHash(tok: Column): Column =
+    conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Documents annotated with their simhash — explode tokens, one
-    * codegen'd hash-aggregate of 64 conditional bit-vote sums per doc,
-    * reassemble the hash. Semantically identical to [[simhash]] (vote
-    * sign per bit, tie → 0) but whole-stage-codegen end to end; the
-    * shuffle is by doc_id, which is also the right distribution key at
-    * scale.
+    * codegen'd hash-aggregate of 60 conditional bit-vote sums per doc
+    * (each token votes ±1 per bit position; the sign of the vote sum
+    * becomes the bit, tie → 0), reassemble the hash. Whole-stage-codegen
+    * end to end; the shuffle is by doc_id, which is also the right
+    * distribution key at scale. Tokenless docs get simhash 0.
     */
   def withSimhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("tok"))
-    val h = xxhash64(col("tok"))
-    val bitVotes = (0 until 64).map { i =>
-      sum(when(call_function("shiftright", h, lit(i)).bitwiseAND(1L) === 1L, 1L)
+    // explicit repartition for the same reason as minhashSignatures: the
+    // per-row explode+hash work must not ride on one file split
+    val toks = docs.select(col("doc_id"), col("text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val h = tokHash(col("tok"))
+    val bitVotes = (0 until simhashBits).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L)
         .otherwise(-1L)).as(s"b$i")
     }
     val votes = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val hash = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, call_function("shiftleft", lit(1L), lit(i)))
-        .otherwise(0L)
+    val hash = (0 until simhashBits).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     docs.join(votes.select(col("doc_id"), hash.as("simhash")), Seq("doc_id"), "left")
       .withColumn("simhash", coalesce(col("simhash"), lit(0L)))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit hash into four 16-bit
+  /** SimHash near-dup pairs: band the 60-bit hash into four 15-bit
     * bands; a pair is a candidate iff it collides on at least one band
     * (pigeonhole: any pair within Hamming distance 3 shares a band).
     * Candidates equi-join on (band_idx, band_value) — bucketed, never
@@ -252,10 +248,11 @@ object Dedup {
     val hashed = withSimhash(docs).select("doc_id", "simhash")
     val banded = hashed.select(
       col("doc_id"), col("simhash"),
-      explode(expr(
-        "transform(sequence(0, 3), j -> " +
-          "struct(j AS band_idx, shiftright(simhash, j * 16) & 65535 AS band_val))"
-      )).as("band"))
+      explode(array((0 until simhashBands).map { j =>
+        struct(lit(j).as("band_idx"),
+          shiftright(col("simhash"), j * bandBits).bitwiseAND(bandMask)
+            .as("band_val"))
+      }: _*)).as("band"))
       .select(col("doc_id"), col("simhash"),
         col("band.band_idx"), col("band.band_val"))
     val a = banded.as("a")

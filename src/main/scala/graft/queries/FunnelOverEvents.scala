@@ -67,10 +67,11 @@ object FunnelOverEvents {
     FunnelTable.rows(FunnelTable.wideFromJoined(one)).orderBy("row_idx")
   }
 
-  /** DuckDB twin of [[query]], generated from the same row specs. */
+  /** DuckDB twin of [[query]]: source-specific CTEs down to the wide
+    * single-row `w`, then the shared table generator
+    * ([[FunnelOracleGen.tableSql]]) for survivors + the 18 rows.
+    */
   val oracle: String = {
-    def esc(s: String): String = s.replace("'", "''")
-
     def counts(mod: Int, prefix: String, n: Int): String =
       (0 until n).map(i =>
         s"count(*) FILTER (WHERE event_id % $mod = $i) AS ${prefix}$i")
@@ -88,53 +89,19 @@ object FunnelOverEvents {
         |  d1_ AS no_rec, d4_ AS fip_fail, d3_ AS some_fail,
         |  d0 + d2_ AS found_not_linked""".stripMargin
 
-    // Mirrors FunnelTable.pct exactly: half-even rounding (DuckDB
-    // round_even = Spark bround = Python round) and the non-positive-base
-    // -> 0.0 guard; plain round() is half-away-from-zero and would drift
-    // on representable halves.
-    def pct(e: String): String =
-      s"""CASE WHEN total_users > 0
-         | THEN round_even(CAST(($e) AS DOUBLE) / total_users * 100, 1)
-         | ELSE 0.0 END""".stripMargin.replace("\n", "")
-
-    def cell(e: Option[String], cnt: String, pc: String): String = e match {
-      case Some(ex) => s"CAST(($ex) AS BIGINT) AS $cnt, ${pct(ex)} AS $pc"
-      case None     => s"CAST(NULL AS BIGINT) AS $cnt, CAST(NULL AS DOUBLE) AS $pc"
-    }
-
-    val rowSelects = FunnelTable.rowSpecs.map { sp =>
-      s"""SELECT ${sp.idx} AS row_idx, '${esc(sp.stage)}' AS stage,
-         |  '${esc(sp.action)}' AS positive_action,
-         |  ${cell(sp.succ, "success_count", "success_pct")},
-         |  '${esc(sp.cause)}' AS drop_cause,
-         |  ${cell(sp.drop, "drop_count", "drop_pct")},
-         |  ${sp.sub.toString.toUpperCase} AS is_subcause
-         |FROM w2""".stripMargin
-    }.mkString("\nUNION ALL\n")
-
     // d0,d1_,... underscore-suffixed to dodge the d1..d4 metric names.
-    s"""WITH stg AS (SELECT ${counts(11, "c", 11)} FROM events),
-       |otp AS (SELECT ${counts(3, "o", 3)} FROM events),
-       |dsc AS (SELECT
-       |  count(*) FILTER (WHERE event_id % 5 = 0) AS d0,
-       |  count(*) FILTER (WHERE event_id % 5 = 1) AS d1_,
-       |  count(*) FILTER (WHERE event_id % 5 = 2) AS d2_,
-       |  count(*) FILTER (WHERE event_id % 5 = 3) AS d3_,
-       |  count(*) FILTER (WHERE event_id % 5 = 4) AS d4_ FROM events),
-       |fi AS (SELECT
-       |  count(*) FILTER (WHERE event_type = 'purchase') AS fi_s,
-       |  count(*) FILTER (WHERE event_type = 'error') AS fi_f FROM events),
-       |w AS (SELECT $wide FROM stg, otp, dsc, fi),
-       |w2 AS (SELECT *,
-       |  total_users AS n_consent,
-       |  total_users - d1 AS n_after_init,
-       |  total_users - d1 - auth_drop AS n_after_auth,
-       |  total_users - d1 - auth_drop - d3 AS n_after_disc,
-       |  total_users - d1 - auth_drop - d3 - d4 AS n_after_link,
-       |  fi_req_ok - fetch_ok AS fi_fetch_drop,
-       |  d2 - (otp_wrong + otp_miss) + view_drop AS otp_ok_drop
-       |FROM w)
-       |$rowSelects
-       |ORDER BY row_idx""".stripMargin
+    FunnelOracleGen.tableSql(
+      s"""WITH stg AS (SELECT ${counts(11, "c", 11)} FROM events),
+         |otp AS (SELECT ${counts(3, "o", 3)} FROM events),
+         |dsc AS (SELECT
+         |  count(*) FILTER (WHERE event_id % 5 = 0) AS d0,
+         |  count(*) FILTER (WHERE event_id % 5 = 1) AS d1_,
+         |  count(*) FILTER (WHERE event_id % 5 = 2) AS d2_,
+         |  count(*) FILTER (WHERE event_id % 5 = 3) AS d3_,
+         |  count(*) FILTER (WHERE event_id % 5 = 4) AS d4_ FROM events),
+         |fi AS (SELECT
+         |  count(*) FILTER (WHERE event_type = 'purchase') AS fi_s,
+         |  count(*) FILTER (WHERE event_type = 'error') AS fi_f FROM events),
+         |w AS (SELECT $wide FROM stg, otp, dsc, fi)""".stripMargin)
   }
 }

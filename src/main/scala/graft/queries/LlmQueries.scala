@@ -10,11 +10,13 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
   * (dedup, similarity search, text analysis, multimodal plumbing) over
   * the `documents` / `embeddings` tables.
   *
-  * SQL-expressible operators carry a DuckDB oracle. LSH/SimHash paths
-  * depend on engine-specific hash functions (murmur3/xxhash64) and
-  * register without one (driver rows-only check) — their *exact*
-  * counterparts (exact dedup, brute-force cosine) are the oracle-checked
-  * ground truth the approximate paths are validated against in tests.
+  * SQL-expressible operators carry a DuckDB oracle — including the
+  * MinHash and SimHash near-dup paths, whose hash families are built on
+  * md5 (engine-independent) precisely so the banding/candidate logic is
+  * oracle-verifiable. Only the random-projection ANN paths (ann_lsh,
+  * ann_ivf, cosine_neardup — MLlib-internal seeded projections) register
+  * rows-only; their exact counterpart (brute-force cosine) is the
+  * oracle-checked ground truth they are validated against in tests.
   */
 object LlmQueries {
 
@@ -120,6 +122,49 @@ object LlmQueries {
        |WHERE jaccard_dist <= $maxDistance
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** DuckDB twin of [[Dedup.simhashPairs]]: per-token 60-bit md5-prefix
+    * hash, 60 bit-vote sums per doc, sign → bit, 4×15-bit bands,
+    * banded self-join, exact Hamming ≤ maxHamming. Tokenless docs get
+    * simhash 0 via the LEFT JOIN + coalesce, mirroring withSimhash.
+    */
+  private def simhashOracle(maxHamming: Int): String = {
+    val bits = Dedup.simhashBits
+    val bands = Dedup.simhashBands
+    val bandBits = bits / bands
+    val bandMask = (1L << bandBits) - 1
+    val votes = (0 until bits).map(i =>
+      s"sum(CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val assemble = (0 until bits).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    val bandSelects = (0 until bands).map(j =>
+      s"SELECT doc_id, $j AS band_idx, (simhash >> ${j * bandBits}) & $bandMask AS band_val FROM sh")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |  CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS x FROM toks),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |sh0 AS (SELECT doc_id, $assemble AS simhash FROM v),
+       |sh AS (SELECT d.doc_id, coalesce(sh0.simhash, 0) AS simhash
+       |  FROM documents d LEFT JOIN sh0 ON d.doc_id = sh0.doc_id),
+       |banded AS ($bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id)
+       |SELECT * FROM (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+       |  FROM pairs p
+       |  JOIN sh sa ON p.doc_a = sa.doc_id
+       |  JOIN sh sb ON p.doc_b = sb.doc_id)
+       |WHERE hamming <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private def ngramJaccardOracle(minJaccard: Double, maxDistance: Double,
       numHashes: Int = 16, bands: Int = 4): String =
     s"""${minhashCtes(numHashes, bands)}
@@ -137,6 +182,7 @@ object LlmQueries {
     // parameters MUST mirror the registered queries above
     "dedup_minhash" -> minhashOracle(maxDistance = 0.6),
     "ngram_jaccard" -> ngramJaccardOracle(minJaccard = 0.1, maxDistance = 0.8),
+    "dedup_simhash" -> simhashOracle(maxHamming = 6),
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
