@@ -26,6 +26,23 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenizer (the GPT-2 split, simplified): contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * whitespace runs. Deliberately restricted to what Java regex and RE2
+    * treat identically — ASCII classes, non-capturing alternation, NO
+    * lookahead (RE2 has none; the original GPT-2 pattern's `\s+(?!\S)`
+    * is dropped) — so the DuckDB oracle can count the exact same tokens.
+    * This is the unit a byte-pair encoder would merge within; counting
+    * them approximates LLM token cost far better than whitespace words.
+    */
+  val bpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeTokenPattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Stopword alternations per language. ASCII-only and anchored with \b
     * so Java regex and RE2 agree byte-for-byte.
     */

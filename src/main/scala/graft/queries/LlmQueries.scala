@@ -57,7 +57,13 @@ object LlmQueries {
       Similarity.cosineNearDupPairs(emb(s, dir),
         maxDistance = 1.1, minCosine = 0.4)),
     "multimodal_features" -> ((s, dir) =>
-      Multimodal.features(s, docs(s, dir)))
+      Multimodal.features(s, docs(s, dir))),
+    "token_count_bpe" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id"))
   )
 
   private val stopSql: Map[String, String] = TextAnalysis.stopwords.toMap
@@ -223,6 +229,13 @@ object LlmQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "doc_fingerprint" ->
       s"SELECT doc_id, $fpSql AS fp FROM documents ORDER BY doc_id",
+    "token_count_bpe" -> {
+      val pat = TextAnalysis.bpeTokenPattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // dim is fixed at 64 (range upper bound exclusive); DuckDB lists are
     // 1-indexed. Sum-order ULP noise is absorbed by round(...,6) before
     // the (sim, vec_id) ranking — same as the Spark side.

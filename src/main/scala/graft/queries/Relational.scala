@@ -152,6 +152,28 @@ object Relational {
           |LIMIT 3""".stripMargin)
     }),
 
+    // hot-key-safe two-phase aggregation (graft.ops.Skew): results must
+    // equal the plain one-phase groupBy — the oracle checks exactly that.
+    // DECIMAL inside so the two-phase sum is order-independent.
+    "salted_sum" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), money("value").as("value"))
+      graft.ops.Skew.saltedSum(ev, "event_type", "value")
+        .select(col("event_type"), col("sum_value").cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // semi-structured column: JSON path extraction + typed aggregation
+    // (training pipelines carry metadata as JSON strings at 100 TB; the
+    // extraction must be a codegen'd row function, never a driver parse)
+    "json_extract_agg" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("k_sum"), count(col("k")).as("k_cnt"))
+        .orderBy("event_type")),
+
     // small-dimension broadcast joins: nation and region never shuffle
     "join_broadcast" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -239,6 +261,16 @@ object Relational {
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    // the salted two-phase path must equal the plain one-phase aggregate
+    "salted_sum" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "json_extract_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(json_extract_string(props, '$.k')) AS k_cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

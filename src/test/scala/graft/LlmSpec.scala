@@ -104,6 +104,16 @@ class LlmSpec extends AnyFunSuite {
     assert(n === 4)
   }
 
+  test("bpe token count matches the hand-segmented split") {
+    // don | 't | ' stop' | ' 123' | ' now' | !! -> 6 BPE-ish tokens
+    val d = docs(1L -> "don't stop 123 now!!")
+    val r = d.select(
+      TextAnalysis.tokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe")).collect().head
+    assert(r.getInt(0) === 4)
+    assert(r.getInt(1) === 6)
+  }
+
   test("langId prefers the language whose stopwords dominate") {
     val d = docs(
       1L -> "the cat and the dog of the house is that big",
