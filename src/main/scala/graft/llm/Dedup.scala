@@ -141,7 +141,13 @@ object Dedup {
       when(element_at(col("a.sig"), i) === element_at(col("b.sig"), i), 1)
         .otherwise(0)
     }.reduce(_ + _)
-    banded.as("a").join(banded.as("b"),
+    // SHUFFLE_HASH, not the optimizer's broadcast choice: the banded
+    // side is O(corpus) — broadcasting it only looks cheap at test SF
+    // and would OOM at scale — and with BOTH sides shuffling on the same
+    // band keys, the two identical signature subplans collapse into one
+    // ReusedExchange (verified in the executed plan), halving the
+    // signature computation that a broadcast plan runs twice.
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))

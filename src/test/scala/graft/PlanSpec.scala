@@ -52,6 +52,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_minhash: banded self-join shuffles (never broadcasts the O(N) side) and reuses the signature exchange") {
+    val df = q("dedup_minhash")
+    df.collect() // adaptive plan finalizes only on execution
+    val p = plan(df)
+    assert(p.contains("ShuffledHashJoin"), p.take(400))
+    assert(p.contains("ReusedExchange"),
+      s"signature pipeline computed twice\n${p.take(400)}")
+    assert(!p.contains("BroadcastHashJoin"))
+  }
+
   test("cosine_topk: the only cross join is the 1-row broadcast query vector") {
     val p = plan(q("cosine_topk"))
     // BroadcastNestedLoopJoin with a 1-row build side is the intended
