@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming surface of the engine (Structured Streaming).
   *
@@ -50,6 +50,61 @@ object FunnelStream {
   final case class UserFunnelState(events: Long, purchases: Long)
   final case class UserFunnelUpdate(user_id: Long, events: Long, purchases: Long,
       converted: Boolean)
+
+  final case class SessionState(
+      start: java.sql.Timestamp, last: java.sql.Timestamp, events: Long)
+  final case class ClosedSession(user_id: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      events: Long)
+
+  /** Session windows via `flatMapGroupsWithState` with EVENT-TIME
+    * timeout: a user's events within `gapMinutes` of each other form one
+    * session; a longer gap (or the watermark passing the timeout) closes
+    * the session and emits it. This is the 0..N-outputs stateful shape
+    * `mapGroupsWithState` can't express (a batch may close several
+    * sessions for one key, or none), and the state per key is one small
+    * case class — bounded by the watermark, which is what keeps a
+    * 100 TB/day stream's state store finite.
+    */
+  def userSessions(events: Dataset[UserEvent], gapMinutes: Int = 30,
+      lateness: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.start, s.last, s.events))
+          } else {
+            // within a micro-batch, order by event time; a gap inside the
+            // batch closes the running session immediately
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
+                  cur = Some(s.copy(last = e.ts, events = s.events + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(userId, s.start, s.last, s.events)
+                  cur = Some(SessionState(e.ts, e.ts, 1L))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
 
   /** Custom per-key state via `mapGroupsWithState`: running per-user
     * funnel position (event count, purchase count, converted flag).

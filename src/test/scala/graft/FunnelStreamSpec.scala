@@ -69,6 +69,31 @@ class FunnelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState closes sessions on gap and keeps the open one") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[FunnelStream.UserEvent]
+
+    val q = FunnelStream.userSessions(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("usersessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 2h gap —
+      // the third event closes the first session within the same batch
+      input.addData(
+        FunnelStream.UserEvent(1L, ts(1, 1), "view"),
+        FunnelStream.UserEvent(1L, Timestamp.valueOf("2024-01-01 01:10:00"), "view"),
+        FunnelStream.UserEvent(1L, ts(1, 3), "purchase"))
+      q.processAllAvailable()
+
+      val closed = spark.table("usersessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3)))
+      assert(closed.toSeq === Seq(
+        (1L, "2024-01-01 01:00:00.0", "2024-01-01 01:10:00.0", 2L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user funnel state across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
