@@ -109,4 +109,52 @@ object FunnelSources {
   def userFunnel(spark: SparkSession, base: String, spec: DateSpec,
       entityId: Option[String] = None): DataFrame =
     daySource(spark, base, userFunnelPrefix, Schemas.userFunnel, spec, entityId)
+
+  // ---- Hive-partitioned parquet layout (the at-scale alternative) ----
+  //
+  // Path templating (above) mirrors the reference exactly, but at 100 TB
+  // the canonical layout is a `date=YYYY-MM-DD/` partitioned parquet
+  // table: partition selection becomes a PLANNED predicate
+  // (PruneFileSourcePartitions), pruning happens before any file is
+  // listed into the scan, and the same table serves every date range
+  // without path arithmetic.
+
+  /** One-time ingest: a raw CSV-layout source re-written as partitioned
+    * parquet, the row `Date` (dd-MM-yyyy) becoming the `date` partition
+    * column. Dynamic partition write — one output dir per day.
+    */
+  def ingestPartitioned(stagesRaw: DataFrame, outDir: String): Unit =
+    stagesRaw
+      // distinct temp name: withColumn("date") would case-insensitively
+      // REPLACE the existing string `Date` column instead of adding one
+      .withColumn("__part_date", to_date(col("Date"), "dd-MM-yyyy"))
+      // the string Date column is redundant with the partition value,
+      // and keeping both would make `Date`/`date` ambiguous
+      .drop("Date")
+      .withColumnRenamed("__part_date", "date")
+      .write.mode("overwrite")
+      .partitionBy("date")
+      .parquet(outDir)
+
+  /** Scan the partitioned layout with a spec-derived PARTITION predicate:
+    * Catalyst prunes non-matching `date=` directories at planning time
+    * (visible as `PartitionFilters` on the scan — asserted in
+    * FunnelSourcesSpec), so a Day spec reads one directory out of
+    * however many the table holds, without any path construction.
+    */
+  def stagesPartitioned(spark: SparkSession, dir: String, spec: DateSpec,
+      entityId: Option[String] = None): DataFrame = {
+    val df = spark.read.parquet(dir)
+    val pruned = spec match {
+      case DateSpec.Day(d) => df.filter(col("date") === lit(d.toString))
+      // raw comparisons on the partition column only: wrapping it in a
+      // function (e.g. date_format) would block partition pruning
+      case m: DateSpec.Month =>
+        df.filter(col("date").between(
+          lit(m.month.atDay(1).toString), lit(m.month.atEndOfMonth.toString)))
+      case r: DateSpec.Range =>
+        df.filter(col("date").between(lit(r.start.toString), lit(r.end.toString)))
+    }
+    entityId.fold(pruned)(e => FunnelAggregates.forEntity(pruned, "Entity_ID", e))
+  }
 }

@@ -51,6 +51,33 @@ class FunnelSourcesSpec extends AnyFunSuite {
       .head.getDate(0).toString === "2026-01-31")
   }
 
+  test("partitioned-parquet layout: planner prunes date partitions and results match the CSV path") {
+    val out = Files.createTempDirectory("funnel-part").toString + "/stages"
+    // ingest the whole 3-day CSV corpus once into date=... partitions
+    FunnelSources.ingestPartitioned(
+      FunnelSources.stages(spark, base, DateSpec.parse("30_01_2026 -> 01_02_2026")),
+      out)
+
+    val spec = DateSpec.parse("31_01_2026 -> 01_02_2026")
+    val df = FunnelSources.stagesPartitioned(spark, out, spec, Some("fiu-a"))
+    // PartitionFilters on the scan = pruning happens at planning time,
+    // before any data file of the out-of-range day is listed
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(plan.contains("date#") && plan.contains(">= 2026-01-31"),
+      s"range predicate not applied to the partition column\n${plan.take(800)}")
+    // same rows as the CSV-layout path for the same spec + entity
+    // (the partitioned table's `date` is the parsed Date column)
+    val csv = FunnelSources.stages(spark, base, spec, Some("fiu-a"))
+      .select(col("Entity_ID"), to_date(col("Date"), "dd-MM-yyyy").as("d"),
+        col("AA_client_Initialization"))
+      .collect().map(_.toSeq).toSet
+    val part = df.select(col("Entity_ID"), col("date").as("d"),
+      col("AA_client_Initialization"))
+      .collect().map(_.toSeq).toSet
+    assert(part === csv)
+  }
+
   test("summary sources read exact day-path lists (no whole-month overcount)") {
     val spec = DateSpec.parse("31_01_2026 -> 01_02_2026")
     assert(FunnelSources.otp(spark, base, spec).count() === 4)

@@ -77,6 +77,30 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("banded minhash finds every true near-dup pair of the sf0.001 corpus") {
+    // ground truth by exact all-pairs 3-gram Jaccard (test-only cross
+    // join, 50 docs): every pair with true J >= 0.5 must be produced by
+    // the banded path at the registered parameters. Deterministic: the
+    // hash family is fixed.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val grams = d.select(col("doc_id"),
+      array_distinct(Dedup.shingles(col("text"))).as("g"))
+      .filter(size(col("g")) > 0)
+    val a = grams.select(col("doc_id").as("ia"), col("g").as("ga"))
+    val b = grams.select(col("doc_id").as("ib"), col("g").as("gb"))
+    val truth = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))).cast("double")).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashBandedPairs(d, maxDistance = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain near-dups")
+    assert(truth.subsetOf(found),
+      s"missed pairs: ${truth -- found} (found ${found.size}, truth ${truth.size})")
+  }
+
   test("banded minhash estimate tracks exact jaccard on identical docs") {
     val d = docs(1L -> base, 2L -> base)
     val out = Dedup.minhashBandedPairs(d, maxDistance = 0.5).collect()
