@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.ArrayDotProduct
+import graft.functions.{ArrayCosineSimilarity, ArrayDotProduct}
 
 /** Session extension point: injects the engine's native expressions so
-  * `array_dot` is callable from SQL and `call_function`. Activated by
+  * `array_dot` / `array_cosine` are callable from SQL and
+  * `call_function`. Activated by
   * `spark.sql.extensions=graft.GraftExtensions` (set by
   * [[GraftSession.builder]]); host applications can add it to their own
   * builder the same way.
@@ -19,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "array_dot takes exactly 2 arguments")
         ArrayDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("array_cosine"),
+      ArrayCosineSimilarity.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "array_cosine takes exactly 2 arguments")
+        ArrayCosineSimilarity(children.head, children(1))
       }))
   }
 }

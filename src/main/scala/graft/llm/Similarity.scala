@@ -35,9 +35,16 @@ object Similarity {
         org.apache.spark.sql.graftbridge.GraftBridge.expression(a),
         org.apache.spark.sql.graftbridge.GraftBridge.expression(b)))
 
-  /** Cosine similarity between two double arrays. */
+  /** Cosine similarity between two double arrays — the fused native
+    * expression ([[graft.functions.ArrayCosineSimilarity]]): one array
+    * pass for dot + both norms instead of three, bit-identical to the
+    * composed `dot/(|a|·|b|)` for nonzero norms.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.ArrayCosineSimilarity(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(a),
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(b)))
 
   /** Exact top-k by cosine similarity to the embedding of `queryId`.
     * The query vector stays IN the plan (1-row broadcast cross join —

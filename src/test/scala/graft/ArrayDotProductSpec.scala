@@ -48,4 +48,30 @@ class ArrayDotProductSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(d === 32.0)
   }
+
+  test("fused array_cosine is bit-identical to the composed dot/norm form") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.3, -0.7, 0.1), Array(-0.2, 0.9, 2.5)),
+      (Array(1.0, 0.0), Array(1.0, 0.0))
+    ).toDF("a", "b")
+    def fused(a: String, b: String) =
+      GraftBridge.column(graft.functions.ArrayCosineSimilarity(
+        GraftBridge.expression(col(a)), GraftBridge.expression(col(b))))
+    val rows = df.select(
+      fused("a", "b").as("f"),
+      (dotCol("a", "b") / (sqrt(dotCol("a", "a")) * sqrt(dotCol("b", "b"))))
+        .as("c")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    assert(rows(2).getDouble(0) === 1.0)
+  }
+
+  test("array_cosine: zero-norm input yields null, and SQL registration works") {
+    val r = spark.sql(
+      "SELECT array_cosine(array(0d,0d), array(1d,2d)) AS z, " +
+        "array_cosine(array(1d,0d), array(0d,1d)) AS o").collect().head
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) === 0.0)
+  }
 }
