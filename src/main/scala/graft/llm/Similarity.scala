@@ -138,6 +138,71 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic ±1 sign-projection vectors (Rademacher), one per
+    * hash bit: entry (i, d) is +1 iff the low bit of md5("i:d") is set.
+    * Derived once on the driver and inlined as LITERALS into both the
+    * Spark plan and the DuckDB oracle, so the two engines evaluate the
+    * same projection in the same left-to-right order — which makes the
+    * whole sign-LSH path value-portable, unlike MLlib's seeded gaussian
+    * projections.
+    */
+  def signProjections(nBits: Int, dim: Int): Seq[Array[Double]] =
+    (0 until nBits).map { i =>
+      Array.tabulate(dim) { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$i:$d".getBytes("UTF-8"))
+        if ((h(0) & 0x1) == 1) 1.0 else -1.0
+      }
+    }
+
+  /** Embedding near-dup pairs via SIGN-projection LSH: bit i =
+    * (v · r_i > 0) for the deterministic ±1 projections above; bands of
+    * `bitsPerBand` bits equi-join candidates (bucketed, never
+    * all-pairs), then exact fused cosine filters at `minCosine`.
+    * Detection probability for angle θ: p_bit = 1 − θ/π, band p_bit^r,
+    * any-of-b bands 1−(1−p_bit^r)^b — ~87% per true pair at cos 0.9
+    * with 6×8 bits, but only ~15% at cos 0.45 (sign bits barely beat
+    * coin flips there; shorter bands would recover recall only by
+    * surrendering selectivity). Use THIS operator for the
+    * high-similarity dedup regime; [[cosineNearDupPairs]] (euclidean
+    * LSH) is the recall workhorse at moderate thresholds. What this one
+    * uniquely offers: full DuckDB verifiability — the oracle inlines
+    * the same projections — unlike the seeded
+    * BucketedRandomProjectionLSH path.
+    */
+  def signLshNearDupPairs(emb: DataFrame, minCosine: Double = 0.4,
+      nBits: Int = 48, bitsPerBand: Int = 8): DataFrame = {
+    require(nBits % bitsPerBand == 0)
+    val bands = nBits / bitsPerBand
+    val dim = 64
+    val projs = signProjections(nBits, dim)
+    val v = dbl(col("embedding"))
+    val bitCols = projs.zipWithIndex.map { case (r, i) =>
+      when(dot(v, array(r.map(lit(_)): _*)) > 0, 1).otherwise(0).as(s"bit$i")
+    }
+    val bits = emb.select(
+      (col("vec_id") +: v.as("vec") +: bitCols): _*)
+    val banded = bits.select(col("vec_id"), col("vec"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band_idx"),
+          concat_ws("",
+            (0 until bitsPerBand).map(q =>
+              col(s"bit${j * bitsPerBand + q}").cast("string")): _*)
+            .as("band_key"))
+      }: _*)).as("band"))
+      .select(col("vec_id"), col("vec"),
+        col("band.band_idx"), col("band.band_key"))
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        bround(cosine(col("a.vec"), col("b.vec")), 6).as("cos"))
+      .dropDuplicates("vec_a", "vec_b")
+      .filter(col("cos") >= minCosine)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the
     * embedding-space analogue of [[Dedup.minhashPairs]]): pairs whose
     * euclidean distance is under `maxDistance`, with exact cosine

@@ -63,7 +63,9 @@ object LlmQueries {
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "neardup_signlsh" -> ((s, dir) =>
+      Similarity.signLshNearDupPairs(emb(s, dir), minCosine = 0.4))
   )
 
   private val stopSql: Map[String, String] = TextAnalysis.stopwords.toMap
@@ -171,6 +173,55 @@ object LlmQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** DuckDB twin of [[Similarity.signLshNearDupPairs]]: the SAME ±1
+    * projection literals, evaluated as a left-to-right add/subtract
+    * chain (matching ArrayDotProduct's ascending loop bit for bit,
+    * since multiplying by ±1.0 is exact), then banding, the candidate
+    * self-join, and exact cosine rounded to 6 decimals on both sides.
+    */
+  private def signLshOracle(minCosine: Double, nBits: Int = 48,
+      bitsPerBand: Int = 8): String = {
+    val bands = nBits / bitsPerBand
+    val projs = Similarity.signProjections(nBits, dim = 64)
+    val bitCols = projs.zipWithIndex.map { case (r, i) =>
+      val chain = r.zipWithIndex.map { case (sign, d) =>
+        val term = s"CAST(embedding[${d + 1}] AS DOUBLE)"
+        if (d == 0) { if (sign > 0) term else s"(0.0 - $term)" }
+        else if (sign > 0) s"+ $term" else s"- $term"
+      }.mkString(" ")
+      s"CASE WHEN ($chain) > 0 THEN 1 ELSE 0 END AS bit$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until bands).map { j =>
+      val key = (0 until bitsPerBand)
+        .map(q => s"CAST(bit${j * bitsPerBand + q} AS VARCHAR)")
+        .mkString(" || ")
+      s"SELECT vec_id, $j AS band_idx, $key AS band_key FROM bits"
+    }.mkString(" UNION ALL ")
+    s"""WITH bits AS (SELECT vec_id,
+       |  $bitCols
+       |FROM embeddings),
+       |banded AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.vec_id < b.vec_id),
+       |cosd AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)) AS na2,
+       |    sum(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS nb2
+       |  FROM cand c
+       |  JOIN embeddings ea ON c.vec_a = ea.vec_id
+       |  JOIN embeddings eb ON c.vec_b = eb.vec_id, range(1, 65) t(i)
+       |  GROUP BY c.vec_a, c.vec_b)
+       |SELECT * FROM (
+       |  SELECT vec_a, vec_b, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cos
+       |  FROM cosd)
+       |WHERE cos >= $minCosine
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   private def ngramJaccardOracle(minJaccard: Double, maxDistance: Double,
       numHashes: Int = 16, bands: Int = 4): String =
     s"""${minhashCtes(numHashes, bands)}
@@ -189,6 +240,7 @@ object LlmQueries {
     "dedup_minhash" -> minhashOracle(maxDistance = 0.6),
     "ngram_jaccard" -> ngramJaccardOracle(minJaccard = 0.1, maxDistance = 0.8),
     "dedup_simhash" -> simhashOracle(maxHamming = 6),
+    "neardup_signlsh" -> signLshOracle(minCosine = 0.4),
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -169,6 +169,18 @@ class LlmSpec extends AnyFunSuite {
     assert((exact & approx).size >= 7, s"exact=$exact approx=$approx")
   }
 
+  test("sign-LSH near-dup finds planted identical and near-identical vectors") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(d => math.sin(d + 1).toFloat)
+    val near = base.clone(); near(0) = base(0) + 0.01f // cos ~ 1
+    val far = Array.tabulate(64)(d => math.cos(3 * d + 2).toFloat)
+    val e = Seq((0L, base, 0), (1L, near, 0), (2L, far, 1))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.signLshNearDupPairs(e, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
   test("multimodal feature extraction is deterministic and complete") {
     val d = docs(1L -> "abc", 2L -> "defg", 3L -> "hi")
     val f1 = Multimodal.features(spark, d).collect()

@@ -70,6 +70,34 @@ class RenderSinksSpec extends AnyFunSuite {
     assert(r2.ccFor("a") === Recipients.fallbackDefaultCc)
   }
 
+  test("real-source mode: full orchestration over the CSV fixture with per-entity isolation") {
+    import graft.app.RunReports
+    import graft.io.{FunnelCsvFixture => Fx}
+    val base = Files.createTempDirectory("run-e2e").toString
+    Fx.write(base, Fx.defaultDays)
+    val out = Files.createTempDirectory("run-e2e-out").toString
+    // fiu-a and fiu-b have data; ghost-fiu must fail in isolation
+    // without killing the run
+    val rec = Files.createTempFile("recipients", ".json")
+    Files.writeString(rec,
+      """{"to": {"fiu-a": ["a@x"], "fiu-b": ["b@x"], "ghost-fiu": ["g@x"]},
+        |"cc": {"default": ["cc@x"]}}""".stripMargin)
+
+    val failures = RunReports.run(spark, RunReports.Args(
+      base = Some(base), date = Some("31_01_2026 -> 01_02_2026"),
+      recipients = Some(rec.toString), out = out))
+    assert(failures === 1) // only the ghost entity
+
+    Seq("fiu-a", "fiu-b").foreach { e =>
+      val stem = s"$out/funnel_report-$e-31_01_2026-01_02_2026"
+      val table = spark.read.parquet(s"$stem.parquet")
+      assert(table.count() === 18, s"missing/short table for $e")
+      assert(Files.exists(Paths.get(s"$stem.xlsx")))
+    }
+    assert(!Files.list(Paths.get(out)).iterator().asScala
+      .exists(_.getFileName.toString.contains("ghost")))
+  }
+
   test("email sink skips cleanly without SMTP config") {
     assert(!Sinks.emailOrSkip(Seq("a@e.com"), Nil, "subject", "/tmp/x.xlsx"))
   }
