@@ -203,6 +203,54 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** ANN top-k via the same sign-projection bands: candidates are
+    * vectors sharing at least one band with the QUERY vector (bucket
+    * probe, not a pair join — the probe side is one row), ranked by
+    * exact fused cosine. Deterministic projections ⇒ the only
+    * oracle-checkable ANN path; recall tracks the per-pair band math in
+    * [[signLshNearDupPairs]]. At scale the banded corpus is a
+    * precomputed index (write once, bucket-partitioned); the probe
+    * reads only matching buckets.
+    *
+    * Bands are SHORTER here than in the pair join (4 bits, not 8):
+    * a probe's candidate set is O(corpus fraction), not O(pairs), so
+    * recall is worth buying — 12×4 bits give ~93% per-neighbor recall
+    * at cos 0.5 while still skipping ~half the corpus; 8-bit bands
+    * would miss most moderate-similarity neighbors.
+    */
+  def annSignTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
+      nBits: Int = 48, bitsPerBand: Int = 4): DataFrame = {
+    require(nBits % bitsPerBand == 0)
+    val bands = nBits / bitsPerBand
+    val projs = signProjections(nBits, dim = 64)
+    val v = dbl(col("embedding"))
+    val bitCols = projs.zipWithIndex.map { case (r, i) =>
+      when(dot(v, array(r.map(lit(_)): _*)) > 0, 1).otherwise(0).as(s"bit$i")
+    }
+    val bits = emb.select((col("vec_id") +: v.as("vec") +: bitCols): _*)
+    val banded = bits.select(col("vec_id"), col("vec"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band_idx"),
+          concat_ws("",
+            (0 until bitsPerBand).map(q =>
+              col(s"bit${j * bitsPerBand + q}").cast("string")): _*)
+            .as("band_key"))
+      }: _*)).as("band"))
+      .select(col("vec_id"), col("vec"),
+        col("band.band_idx"), col("band.band_key"))
+    val q = broadcast(banded.filter(col("vec_id") === queryId)
+      .select(col("band_idx").as("q_band_idx"),
+        col("band_key").as("q_band_key"), col("vec").as("qvec")))
+    banded.filter(col("vec_id") =!= queryId)
+      .join(q, col("band_idx") === col("q_band_idx") &&
+        col("band_key") === col("q_band_key"))
+      .select(col("vec_id"),
+        bround(cosine(col("vec"), col("qvec")), 6).as("sim"))
+      .dropDuplicates("vec_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the
     * embedding-space analogue of [[Dedup.minhashPairs]]): pairs whose
     * euclidean distance is under `maxDistance`, with exact cosine

@@ -65,7 +65,8 @@ object LlmQueries {
         TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")),
     "neardup_signlsh" -> ((s, dir) =>
-      Similarity.signLshNearDupPairs(emb(s, dir), minCosine = 0.4))
+      Similarity.signLshNearDupPairs(emb(s, dir), minCosine = 0.4)),
+    "ann_sign" -> ((s, dir) => Similarity.annSignTopK(emb(s, dir), k = 10))
   )
 
   private val stopSql: Map[String, String] = TextAnalysis.stopwords.toMap
@@ -179,8 +180,11 @@ object LlmQueries {
     * since multiplying by ±1.0 is exact), then banding, the candidate
     * self-join, and exact cosine rounded to 6 decimals on both sides.
     */
-  private def signLshOracle(minCosine: Double, nBits: Int = 48,
-      bitsPerBand: Int = 8): String = {
+  /** Shared CTE prefix for the sign-projection paths: per-vector sign
+    * bits (the ±1 chains evaluated left-to-right, matching
+    * ArrayDotProduct's ascending loop) and the banded bucket relation.
+    */
+  private def signLshCtes(nBits: Int, bitsPerBand: Int): String = {
     val bands = nBits / bitsPerBand
     val projs = Similarity.signProjections(nBits, dim = 64)
     val bitCols = projs.zipWithIndex.map { case (r, i) =>
@@ -200,7 +204,12 @@ object LlmQueries {
     s"""WITH bits AS (SELECT vec_id,
        |  $bitCols
        |FROM embeddings),
-       |banded AS ($bandSelects),
+       |banded AS ($bandSelects)""".stripMargin
+  }
+
+  private def signLshOracle(minCosine: Double, nBits: Int = 48,
+      bitsPerBand: Int = 8): String = {
+    s"""${signLshCtes(nBits, bitsPerBand)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM banded a JOIN banded b
@@ -222,6 +231,29 @@ object LlmQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** DuckDB twin of [[Similarity.annSignTopK]]: probe the query
+    * vector's band buckets, rank candidates by exact cosine.
+    */
+  private def annSignOracle(queryId: Long, k: Int, nBits: Int = 48,
+      bitsPerBand: Int = 4): String =
+    s"""${signLshCtes(nBits, bitsPerBand)},
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM banded b JOIN banded q
+       |    ON b.band_idx = q.band_idx AND b.band_key = q.band_key
+       |  WHERE q.vec_id = $queryId AND b.vec_id <> $queryId),
+       |cosd AS (
+       |  SELECT c.vec_id,
+       |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na2,
+       |    sum(CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)) AS nb2
+       |  FROM cand c
+       |  JOIN embeddings e ON c.vec_id = e.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = $queryId, range(1, 65) t(i)
+       |  GROUP BY c.vec_id)
+       |SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim
+       |FROM cosd ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+
   private def ngramJaccardOracle(minJaccard: Double, maxDistance: Double,
       numHashes: Int = 16, bands: Int = 4): String =
     s"""${minhashCtes(numHashes, bands)}
@@ -241,6 +273,7 @@ object LlmQueries {
     "ngram_jaccard" -> ngramJaccardOracle(minJaccard = 0.1, maxDistance = 0.8),
     "dedup_simhash" -> simhashOracle(maxHamming = 6),
     "neardup_signlsh" -> signLshOracle(minCosine = 0.4),
+    "ann_sign" -> annSignOracle(queryId = 0L, k = 10),
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -169,6 +169,13 @@ class LlmSpec extends AnyFunSuite {
     assert((exact & approx).size >= 7, s"exact=$exact approx=$approx")
   }
 
+  test("sign-LSH ANN candidates overlap the exact top-10 on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.cosineTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.annSignTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    assert((exact & approx).size >= 5, s"exact=$exact approx=$approx")
+  }
+
   test("sign-LSH near-dup finds planted identical and near-identical vectors") {
     import spark.implicits._
     val base = Array.tabulate(64)(d => math.sin(d + 1).toFloat)
