@@ -70,6 +70,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(500))
   }
 
+  test("driver smoke contract: entry returns a non-empty funnel table") {
+    assert(SparkEntry.entry(spark).count() === 18)
+  }
+
   test("groupby aggregates use two-phase hash aggregation (map-side partials)") {
     val p = plan(q("groupby_count"))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
