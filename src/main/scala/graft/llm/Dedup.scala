@@ -275,6 +275,40 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Decontamination: remove from `corpus` every document whose
+    * normalized fingerprint appears in `blocklist` — the train/test
+    * leakage guard every training pipeline needs. A LEFT ANTI hash join
+    * on the 16-byte fingerprint (never the text): the blocklist side
+    * dedups first, so the join carries one row per distinct blocked
+    * content. Broadcast when the blocklist is small (a benchmark's test
+    * split); shuffle-join at blocklist scale — Catalyst picks by size.
+    */
+  def decontaminate(corpus: DataFrame, blocklist: DataFrame): DataFrame = {
+    val blocked = blocklist
+      .select(TextAnalysis.fingerprint(col("text")).as("__blocked_fp"))
+      .distinct()
+    corpus.join(blocked,
+      TextAnalysis.fingerprint(corpus("text")) === col("__blocked_fp"),
+      "left_anti")
+  }
+
+  /** Deterministic train/val/test assignment: bucket = a 28-bit
+    * md5-derived hash of the id, mod 1000; thresholds carve the split.
+    * Pure function of the id — stable across runs, engines (the DuckDB
+    * oracle reproduces it), and cluster layouts, which is what makes a
+    * split reproducible at 100 TB; never `rand()`.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+      trainPerMille: Int = 800, valPerMille: Int = 100): Column = {
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 7), 16, 10)
+        .cast("long"),
+      lit(1000L))
+    when(bucket < trainPerMille, "train")
+      .when(bucket < trainPerMille + valPerMille, "val")
+      .otherwise("test")
+  }
+
   /** Exact n-gram Jaccard over LSH-generated candidates: re-join the
     * shingle sets onto the (pruned) candidate pairs and compute
     * |A∩B| / |A∪B| exactly. The expensive exact measure runs only on

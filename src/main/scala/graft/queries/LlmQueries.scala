@@ -66,7 +66,29 @@ object LlmQueries {
         .orderBy("doc_id")),
     "neardup_signlsh" -> ((s, dir) =>
       Similarity.signLshNearDupPairs(emb(s, dir), minCosine = 0.4)),
-    "ann_sign" -> ((s, dir) => Similarity.annSignTopK(emb(s, dir), k = 10))
+    "ann_sign" -> ((s, dir) => Similarity.annSignTopK(emb(s, dir), k = 10)),
+    // decontaminate the even-id half of the corpus against the odd-id
+    // half as a stand-in blocklist (exact dups planted across both)
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+    "split_assign" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(Dedup.assignSplit(docs(s, dir), "doc_id").as("split"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("split", "lang")),
+    "length_quantiles" -> ((s, dir) =>
+      docs(s, dir).groupBy("lang").agg(
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.75)").as("p75"),
+        max("n_chars").as("max_chars"))
+        .orderBy("lang"))
   )
 
   private val stopSql: Map[String, String] = TextAnalysis.stopwords.toMap
@@ -274,6 +296,34 @@ object LlmQueries {
     "dedup_simhash" -> simhashOracle(maxHamming = 6),
     "neardup_signlsh" -> signLshOracle(minCosine = 0.4),
     "ann_sign" -> annSignOracle(queryId = 0L, k = 10),
+    "decontaminate" ->
+      s"""SELECT a.doc_id, a.lang, a.n_chars FROM documents a
+         |WHERE a.doc_id % 2 = 0 AND NOT EXISTS (
+         |  SELECT 1 FROM documents b
+         |  WHERE b.doc_id % 2 = 1
+         |    AND ${fpSql.replace("text", "b.text")} = ${fpSql.replace("text", "a.text")})
+         |ORDER BY a.doc_id""".stripMargin,
+    // same bucket arithmetic as Dedup.assignSplit
+    "split_assign" ->
+      """SELECT split, lang, count(*) AS cnt FROM (
+        |  SELECT lang,
+        |    CASE WHEN bucket < 800 THEN 'train'
+        |         WHEN bucket < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT lang,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 1000
+        |      AS bucket
+        |  FROM documents))
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    // quartiles over integers interpolate at exact quarters -> both
+    // engines' linear-interpolation formulas are FP-exact and equal
+    "length_quantiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

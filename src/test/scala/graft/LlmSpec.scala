@@ -138,6 +138,29 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getInt(1) === 6)
   }
 
+  test("decontaminate drops corpus docs whose normalized content is blocklisted") {
+    val corpus = docs(
+      1L -> base,
+      2L -> "clean document that stays",
+      3L -> ("  " + base.toUpperCase + "  ")) // normalization variant of 1
+    val blocklist = docs(100L -> base, 101L -> "something else")
+    val kept = Dedup.decontaminate(corpus, blocklist)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L)) // 1 exact-blocked, 3 variant-blocked
+  }
+
+  test("split assignment is deterministic, total, and roughly proportional") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val counts = d.groupBy(Dedup.assignSplit(d, "doc_id").as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 500L)
+    assert(counts("train") > 350 && counts("train") < 450) // ~80% of 500
+    // deterministic: same assignment on recompute
+    val again = d.groupBy(Dedup.assignSplit(d, "doc_id").as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === counts)
+  }
+
   test("langId prefers the language whose stopwords dominate") {
     val d = docs(
       1L -> "the cat and the dog of the house is that big",
