@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the single most recent right row at
+  * or before the left row's time, per key. Spark has no native as-of
+  * operator; the scalable composition is NOT the naive
+  * `left.join(right, key && rTime <= lTime)` + max-per-row (a range
+  * join whose candidate count explodes quadratically on hot keys) but a
+  * tagged UNION + one window pass: sort each key's merged timeline once
+  * and carry the latest right payload forward with
+  * `last(_, ignoreNulls)`. One shuffle, O(n log n) per key, skew
+  * handled the same way any window over a hot key is.
+  */
+object AsofJoin {
+
+  /** `left` joined as-of against `right` on equal `key` with
+    * `right(rightTime) <= left(leftTime)`; each `rightValues` column
+    * appears in the output as `asof_<name>` (null when no right row
+    * precedes). `leftTime`/`rightTime` must be mutually comparable.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightValues: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // right rows sort BEFORE left rows at equal time (tag 0 < 1), which
+    // is what makes the bound inclusive (<=)
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__tag", lit(1))
+    val lPadded = rightValues.foldLeft(l)((df, v) =>
+      df.withColumn(s"__rv_$v", lit(null).cast(right.schema(v).dataType)))
+    val r0 = right
+      .select((col(key) +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
+        rightValues.map(v => col(v).as(s"__rv_$v"))): _*)
+    val rPadded = leftCols.filterNot(_ == key).foldLeft(r0)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val merged = lPadded.unionByName(rPadded)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightValues.foldLeft(merged)((df, v) =>
+      df.withColumn(s"asof_$v", last(col(s"__rv_$v"), ignoreNulls = true).over(w)))
+    filled.filter(col("__tag") === 1)
+      .select((leftCols.map(col) ++ rightValues.map(v => col(s"asof_$v"))): _*)
+  }
+}

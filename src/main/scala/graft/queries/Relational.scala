@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -174,6 +175,57 @@ object Relational {
         .agg(sum("k").as("k_sum"), count(col("k")).as("k_cnt"))
         .orderBy("event_type")),
 
+    // windowed analytics: 7-day moving sum + day-over-day delta over
+    // daily event counts (one shuffle for the agg, one for the window —
+    // both partitioned by the same key family)
+    "window_moving" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.select(
+        col("day"), col("event_type"), col("cnt"),
+        sum("cnt").over(w.rowsBetween(-6, 0)).as("mov7"),
+        (col("cnt") - coalesce(lag("cnt", 1).over(w), lit(0L))).as("delta"))
+        .orderBy("event_type", "day")
+    }),
+
+    // grouping sets: ROLLUP totals by (status, priority), (status), ()
+    "rollup_count" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // existence semi-join: customers that placed at least one urgent order
+    "join_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // as-of join (an operator Spark lacks natively — graft.ops.AsofJoin
+    // composes it as tagged-union + one window pass): each purchase
+    // event picks the user's latest view at or before it. Timestamps
+    // leave the result as epoch micros (raw timestamp outputs break the
+    // ns/µs parquet parity with the oracle).
+    "asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsofJoin.asofJoin(
+          purchases, views, "user_id", "ts", "ts", Seq("ts", "value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("asof_ts")).as("view_us"),
+          col("asof_value").as("view_value"))
+        .orderBy("event_id")
+    }),
+
     // small-dimension broadcast joins: nation and region never shuffle
     "join_broadcast" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -271,6 +323,35 @@ object Relational {
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  count(json_extract_string(props, '$.k')) AS k_cnt
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // DuckDB reads the nanos column as a plain TIMESTAMP (nanosAsLong is
+    // a Spark-side setting), so day is a direct date cast
+    "window_moving" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, cnt,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7,
+        |  cnt - coalesce(lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day), 0)
+        |    AS delta
+        |FROM daily ORDER BY event_type, day""".stripMargin,
+    "rollup_count" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "join_semi" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // DuckDB has NATIVE ASOF JOIN — the ideal oracle for our composed one
+    "asof_join" ->
+      """SELECT a.event_id, a.user_id,
+        |  epoch_us(b.ts) AS view_us, b.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY a.event_id""".stripMargin
   )
 }

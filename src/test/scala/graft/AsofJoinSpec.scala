@@ -1,0 +1,40 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.AsofJoin
+
+/** As-of join semantics on hand-built rows: inclusive bound, latest
+  * prior wins, null when nothing precedes, keys don't leak.
+  */
+class AsofJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("picks the latest right row at or before each left time, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // after both quotes of key 10
+      (2L, 10L, ts("2024-01-01 08:30:00")), // between the two
+      (3L, 10L, ts("2024-01-01 08:00:00")), // EXACTLY at first quote (inclusive)
+      (4L, 10L, ts("2024-01-01 07:00:00")), // before any -> null
+      (5L, 99L, ts("2024-01-01 12:00:00"))  // key with no right rows -> null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), 1.0),
+      (10L, ts("2024-01-01 09:00:00"), 2.0)
+    ).toDF("k", "rt", "price")
+
+    val out = AsofJoin.asofJoin(left, right, "k", "t", "rt", Seq("price"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out === Map(
+      1L -> Some(2.0), 2L -> Some(1.0), 3L -> Some(1.0),
+      4L -> None, 5L -> None))
+  }
+}
