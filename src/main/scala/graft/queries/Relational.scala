@@ -226,6 +226,19 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // range join (graft.ops.RangeJoin — time-binned candidate equi-join,
+    // never cartesian): events within 60s of each other, counted by the
+    // ordered type pair
+    "range_join_window" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      graft.ops.RangeJoin
+        .withinWindowPairs(ev, "event_id", "us", 60000000L, Seq("event_type"))
+        .groupBy(col("a_event_type").as("type_a"), col("b_event_type").as("type_b"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // small-dimension broadcast joins: nation and region never shuffle
     "join_broadcast" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -345,6 +358,15 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // DuckDB's inequality join is the exact-definition oracle for the
+    // binned range join
+    "range_join_window" ->
+      """SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS pair_cnt
+        |FROM events a JOIN events b
+        |  ON a.event_id <> b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // DuckDB has NATIVE ASOF JOIN — the ideal oracle for our composed one
     "asof_join" ->
       """SELECT a.event_id, a.user_id,

@@ -47,7 +47,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("near-dup candidate generation never degenerates to a cartesian product") {
     Seq("dedup_minhash", "dedup_simhash", "cosine_neardup",
-      "neardup_signlsh").foreach { name =>
+      "neardup_signlsh", "range_join_window", "asof_join").foreach { name =>
       val p = plan(q(name))
       assert(!p.contains("CartesianProduct"), s"$name has an all-pairs join")
     }
