@@ -239,6 +239,32 @@ object Relational {
         .orderBy("type_a", "type_b")
     }),
 
+    // Count-Min sketch (graft.functions.CountMinSketchAgg — typed
+    // Aggregator with a depth×width counter buffer): one sketch of the
+    // event_type stream, probed IN-PLAN with the same portable hash the
+    // aggregator uses; estimates carry the true counts alongside (CMS
+    // guarantees est >= true)
+    "cms_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val depth = 4
+      val width = 64
+      val cms = new graft.functions.CountMinSketchAgg(depth, width)
+      val ev = events(s, dir)
+      val sketch = ev.select(col("event_type")).as[String]
+        .select(cms.toColumn.name("sketch"))
+      val est = (0 until depth).map { i =>
+        element_at(col("sketch"),
+          (lit(i * width) +
+            pmod(conv(substring(md5(concat(lit(s"$i:"), col("event_type"))
+              .cast("binary")), 1, 7), 16, 10).cast("long"), lit(width.toLong)) +
+            1).cast("int"))
+      }.reduce(least(_, _))
+      ev.groupBy("event_type").agg(count(lit(1)).as("true_cnt"))
+        .crossJoin(broadcast(sketch))
+        .select(col("event_type"), est.as("est_cnt"), col("true_cnt"))
+        .orderBy("event_type")
+    }),
+
     // small-dimension broadcast joins: nation and region never shuffle
     "join_broadcast" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -358,6 +384,30 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the oracle rebuilds the same sketch relationally: counters =
+    // counts per (row, cell) under the shared md5 hash family
+    "cms_heavy_hitters" ->
+      """WITH h AS (
+        |  SELECT event_type, i,
+        |    CAST('0x' || substr(md5(i || ':' || event_type), 1, 7) AS BIGINT) % 64
+        |      AS cell
+        |  FROM events, range(0, 4) t(i)),
+        |counters AS (SELECT i, cell, count(*) AS c FROM h GROUP BY i, cell),
+        |keys AS (SELECT event_type, count(*) AS true_cnt FROM events
+        |         GROUP BY event_type),
+        |kh AS (
+        |  SELECT k.event_type, t.i,
+        |    CAST('0x' || substr(md5(t.i || ':' || k.event_type), 1, 7) AS BIGINT) % 64
+        |      AS cell
+        |  FROM keys k, range(0, 4) t(i)),
+        |est AS (
+        |  SELECT kh.event_type, min(c.c) AS est_cnt
+        |  FROM kh JOIN counters c ON kh.i = c.i AND kh.cell = c.cell
+        |  GROUP BY kh.event_type)
+        |SELECT e.event_type, CAST(e.est_cnt AS BIGINT) AS est_cnt,
+        |  CAST(k.true_cnt AS BIGINT) AS true_cnt
+        |FROM est e JOIN keys k ON e.event_type = k.event_type
+        |ORDER BY e.event_type""".stripMargin,
     // DuckDB's inequality join is the exact-definition oracle for the
     // binned range join
     "range_join_window" ->
