@@ -102,6 +102,27 @@ object TextAnalysis {
       .withColumn("keep",
         col("n_tokens") >= 5 && col("n_tokens") <= 10000 && col("stop_ratio") >= 0.0)
 
+  /** PII patterns, deliberately ASCII-only and lookahead-free so Java
+    * regex and RE2 (DuckDB) agree byte for byte: email-shaped tokens and
+    * long digit runs (phone/account-number shaped). Training corpora get
+    * these REDACTED, not dropped — the document survives, the span
+    * doesn't.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longDigitPattern = "[0-9]{9,}"
+
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(longDigitPattern), lit(0)))
+
+  /** Text with PII spans replaced by fixed tags (emails first, so their
+    * digit substrings can't double-match the number pattern).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      longDigitPattern, "<NUM>")
+
   /** Canonical content fingerprint: md5 over lowercased,
     * whitespace-collapsed, trimmed text. Normalization and md5 agree
     * across engines, so near-identical formatting dedups exactly.

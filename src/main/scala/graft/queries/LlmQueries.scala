@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{CorpusReport, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver-contract registration for the LLM-data-pipeline operators
   * (dedup, similarity search, text analysis, multimodal plumbing) over
@@ -88,7 +88,15 @@ object LlmQueries {
         expr("percentile(n_chars, 0.5)").as("p50"),
         expr("percentile(n_chars, 0.75)").as("p75"),
         max("n_chars").as("max_chars"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+    "pii_scrub" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.piiCount(col("text")).as("pii_spans"),
+        length(TextAnalysis.redactPii(col("text"))).as("redacted_len"),
+        length(col("text")).as("orig_len"))
+        .orderBy("doc_id")),
+    "corpus_report" -> ((s, dir) => CorpusReport.report(docs(s, dir)))
   )
 
   private val stopSql: Map[String, String] = TextAnalysis.stopwords.toMap
@@ -295,6 +303,37 @@ object LlmQueries {
     "ngram_jaccard" -> ngramJaccardOracle(minJaccard = 0.1, maxDistance = 0.8),
     "dedup_simhash" -> simhashOracle(maxHamming = 6),
     "neardup_signlsh" -> signLshOracle(minCosine = 0.4),
+    "pii_scrub" -> {
+      val em = TextAnalysis.emailPattern.replace("\\", "\\\\")
+      val num = TextAnalysis.longDigitPattern
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$em'))
+         |    + len(regexp_extract_all(text, '$num')) AS INT) AS pii_spans,
+         |  length(regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
+         |    '$num', '<NUM>', 'g')) AS redacted_len,
+         |  length(text) AS orig_len
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "corpus_report" ->
+      s"""SELECT n_docs, n_langs, distinct_docs,
+         |  1.0 - CAST(distinct_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+         |  total_tokens, total_chars,
+         |  CAST(quality_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate,
+         |  pii_docs
+         |FROM (SELECT
+         |  count(*) AS n_docs,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(count(DISTINCT $fpSql) AS BIGINT) AS distinct_docs,
+         |  CAST(sum(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)) AS BIGINT)
+         |    AS total_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  count(CASE WHEN len(regexp_extract_all(text, '\\S+')) BETWEEN 5 AND 10000
+         |             THEN 1 END) AS quality_keep,
+         |  count(CASE WHEN len(regexp_extract_all(text,
+         |      '${TextAnalysis.emailPattern.replace("\\", "\\\\")}'))
+         |    + len(regexp_extract_all(text, '${TextAnalysis.longDigitPattern}')) > 0
+         |             THEN 1 END) AS pii_docs
+         |FROM documents)""".stripMargin,
     "ann_sign" -> annSignOracle(queryId = 0L, k = 10),
     "decontaminate" ->
       s"""SELECT a.doc_id, a.lang, a.n_chars FROM documents a

@@ -161,6 +161,31 @@ class LlmSpec extends AnyFunSuite {
     assert(again === counts)
   }
 
+  test("pii redaction replaces emails and long digit runs, leaves prose") {
+    import spark.implicits._
+    val d = docs(1L ->
+      "contact jane.doe+x@corp.example.org or call 12345678901 about order 42")
+    val r = d.select(
+      TextAnalysis.piiCount(col("text")).as("n"),
+      TextAnalysis.redactPii(col("text")).as("t")).collect().head
+    assert(r.getInt(0) === 2)
+    assert(r.getString(1) ===
+      "contact <EMAIL> or call <NUM> about order 42")
+  }
+
+  test("corpus report: hand-computable card over a planted corpus") {
+    val d = docs(
+      1L -> base, 2L -> base, // dup pair
+      3L -> "tiny",            // < 5 tokens -> quality-dropped
+      4L -> "reach me at a@b.co for the long document about many things")
+    val r = graft.llm.CorpusReport.report(d).collect().head
+    assert(r.getLong(0) === 4)   // n_docs
+    assert(r.getLong(2) === 3)   // distinct fingerprints
+    assert(r.getDouble(3) === 0.25) // dup_rate
+    assert(r.getDouble(6) === 0.75) // keep_rate (3 of 4 pass)
+    assert(r.getLong(7) === 1)   // pii_docs
+  }
+
   test("langId prefers the language whose stopwords dominate") {
     val d = docs(
       1L -> "the cat and the dog of the house is that big",
