@@ -51,6 +51,18 @@ object FunnelStream {
   final case class UserFunnelUpdate(user_id: Long, events: Long, purchases: Long,
       converted: Boolean)
 
+  /** Streaming exact dedup: drop events whose id was already seen,
+    * with the dedup state BOUNDED by the watermark — without
+    * `withWatermark`, streaming `dropDuplicates` keeps every key
+    * forever, which is the classic unbounded-state bug at
+    * 100 TB/day. At-least-once upstream delivery becomes exactly-once
+    * rows downstream within the lateness horizon.
+    */
+  def dedupedEvents(events: DataFrame, lateness: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicates("event_id")
+
   final case class SessionState(
       start: java.sql.Timestamp, last: java.sql.Timestamp, events: Long)
   final case class ClosedSession(user_id: Long,

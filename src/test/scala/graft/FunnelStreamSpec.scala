@@ -69,6 +69,27 @@ class FunnelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed events across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type")
+
+    val q = FunnelStream.dedupedEvents(events)
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq((1L, ts(1, 1), "view"), (2L, ts(1, 2), "view")))
+      q.processAllAvailable()
+      // replay of 1 plus a fresh event in a later batch
+      input.addData(Seq((1L, ts(1, 1), "view"), (3L, ts(1, 3), "purchase")))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState closes sessions on gap and keeps the open one") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
