@@ -155,6 +155,52 @@ object Similarity {
       }
     }
 
+  /** Materialize the IVF index the in-memory [[ivfTopK]] only simulates:
+    * KMeans cell assignment computed once at ingest, vectors written as
+    * `cell=`-partitioned parquet, centroids alongside as a tiny table.
+    * At 100 TB this is the layout that makes ANN cheap — a probe is a
+    * PARTITION-PRUNED scan of nprobe directories, not a full pass.
+    */
+  def ivfWriteIndex(emb: DataFrame, dir: String, nlist: Int = 16): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(8)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(vecs)
+    model.transform(vecs).select("vec_id", "embedding", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Probe a persisted IVF index: rank cells by centroid distance to
+    * the query (centroids are a tiny table — driver-side), then scan
+    * ONLY the nprobe matching `cell=` partitions (raw IN-predicate on
+    * the partition column ⇒ PruneFileSourcePartitions, asserted in
+    * LlmSpec) and rank candidates by exact cosine.
+    */
+  def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryVec: Array[Double], k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val probed = centroids.map { case (cell, c) =>
+      val d2 = c.zip(queryVec).map { case (x, q) => val t = x - q; t * t }.sum
+      (cell, d2)
+    }.sortBy { case (cell, d2) => (d2, cell) }.take(nprobe).map(_._1)
+    val q = array(queryVec.map(lit(_)): _*)
+    spark.read.parquet(s"$dir/vectors")
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"),
+        bround(cosine(dbl(col("embedding")), q), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding near-dup pairs via SIGN-projection LSH: bit i =
     * (v · r_i > 0) for the deterministic ±1 projections above; bands of
     * `bitsPerBand` bits equi-join candidates (bucketed, never

@@ -217,6 +217,27 @@ class LlmSpec extends AnyFunSuite {
     assert((exact & approx).size >= 7, s"exact=$exact approx=$approx")
   }
 
+  test("persisted IVF index: probe is partition-pruned and full-probe equals exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    Similarity.ivfWriteIndex(emb, dir, nlist = 8)
+    val qvec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect().head
+      .getSeq[Float](0).map(_.toDouble).toArray
+
+    val probe = Similarity.ivfProbeIndex(spark, dir, qvec, k = 11, nprobe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(400))
+    assert(plan.contains("cell#") && plan.contains(" IN "),
+      s"probe must prune cell partitions\n${plan.take(600)}")
+
+    // probing EVERY cell = brute force (query vec itself leads, drop it)
+    val full = Similarity.ivfProbeIndex(spark, dir, qvec, k = 11, nprobe = 8)
+      .collect().filter(_.getLong(0) != 0L).map(_.getLong(0)).take(10)
+    val exact = Similarity.cosineTopK(emb, 0L, 10).collect().map(_.getLong(0))
+    assert(full.toSeq === exact.toSeq)
+  }
+
   test("sign-LSH ANN candidates overlap the exact top-10 on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.cosineTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
