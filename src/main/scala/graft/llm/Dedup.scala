@@ -49,18 +49,6 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Portable MinHash signatures `h0..h{numHashes-1}` per document: one
-    * codegen'd explode of the distinct shingles, then a single
-    * groupBy(doc_id) carrying `numHashes` min-aggregates (map-side
-    * partial mins keep the shuffle at one row of `numHashes` 32-char
-    * strings per doc). The i-th hash of a shingle is `md5("i:" ++
-    * shingle)` compared as a hex STRING — lexicographic min over
-    * uniformly-distributed hex strings is a valid minhash, and md5 +
-    * ASCII ordering are engine-independent, so an external SQL engine
-    * (the DuckDB oracle) reproduces signatures, candidate pairs, and
-    * estimates bit-for-bit. Documents with no shingles (<3 tokens) drop
-    * out, like the MLlib path's ≥1-set-bit requirement.
-    */
   /** Universal-hash family over a 28-bit base hash: `h_i(x) =
     * (a_i·x + b_i) mod p`, p = 2^31−1. One md5 per shingle (the only
     * cryptographic hash), `numHashes` cheap integer hashes derived from
@@ -68,12 +56,20 @@ object Dedup {
     * the difference that matters when the corpus is 100 TB. All
     * arithmetic stays below 2^59 (a_i < 2^31, x < 2^28), so 64-bit
     * engines agree exactly; constants are fixed so any SQL engine (the
-    * DuckDB oracle) reproduces the family.
+    * DuckDB oracle) reproduces the family bit-for-bit.
     */
   val minhashP = 2147483647L // 2^31 - 1
   def minhashA(i: Int): Long = 1103515245L + 12345L * i
   def minhashB(i: Int): Long = 60251L * (i + 7)
 
+  /** Portable MinHash signatures `h0..h{numHashes-1}` (longs) per
+    * document: one codegen'd explode of the distinct shingles to their
+    * 28-bit md5-prefix base hash, then a single groupBy(doc_id) with
+    * `numHashes` min-aggregates over the universal-hash family above —
+    * map-side partial mins keep the shuffle at one row of `numHashes`
+    * longs per doc. Documents with no shingles (<3 tokens) drop out,
+    * like the MLlib path's ≥1-set-bit requirement.
+    */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 16): DataFrame = {
     // Repartition the narrow (doc_id, text) input BEFORE the expensive
     // shingle-explode + hash stage: a compact corpus slice can arrive
@@ -117,8 +113,8 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minhashSignatures(docs, numHashes)
-    // Carry the signature array THROUGH the band join (sig = 16 hex
-    // strings ≈ 0.5 KB/doc): estimating on the collision rows and
+    // Carry the signature array THROUGH the band join (sig = 16 longs
+    // ≈ 128 B/doc): estimating on the collision rows and
     // deduping after costs bands× shuffle bytes but computes the whole
     // signature pipeline once per side — re-joining signatures onto a
     // distinct'd pair list would re-run the explode+aggregate twice

@@ -216,28 +216,36 @@ object Similarity {
     * the same projections — unlike the seeded
     * BucketedRandomProjectionLSH path.
     */
-  def signLshNearDupPairs(emb: DataFrame, minCosine: Double = 0.4,
-      nBits: Int = 48, bitsPerBand: Int = 8): DataFrame = {
-    require(nBits % bitsPerBand == 0)
+  /** Shared sign-LSH banding: (vec_id, vec, band_idx, band_key) rows,
+    * one per band per vector. `dim` must cover the embedding width —
+    * ArrayDotProduct folds over the COMMON prefix, so an undersized dim
+    * would silently project onto truncated vectors.
+    */
+  private def signBanded(emb: DataFrame, nBits: Int, bitsPerBand: Int,
+      dim: Int): DataFrame = {
+    require(nBits % bitsPerBand == 0, "bitsPerBand must divide nBits")
     val bands = nBits / bitsPerBand
-    val dim = 64
     val projs = signProjections(nBits, dim)
     val v = dbl(col("embedding"))
     val bitCols = projs.zipWithIndex.map { case (r, i) =>
       when(dot(v, array(r.map(lit(_)): _*)) > 0, 1).otherwise(0).as(s"bit$i")
     }
-    val bits = emb.select(
-      (col("vec_id") +: v.as("vec") +: bitCols): _*)
-    val banded = bits.select(col("vec_id"), col("vec"),
-      explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band_idx"),
-          concat_ws("",
-            (0 until bitsPerBand).map(q =>
-              col(s"bit${j * bitsPerBand + q}").cast("string")): _*)
-            .as("band_key"))
-      }: _*)).as("band"))
+    emb.select((col("vec_id") +: v.as("vec") +: bitCols): _*)
+      .select(col("vec_id"), col("vec"),
+        explode(array((0 until bands).map { j =>
+          struct(lit(j).as("band_idx"),
+            concat_ws("",
+              (0 until bitsPerBand).map(q =>
+                col(s"bit${j * bitsPerBand + q}").cast("string")): _*)
+              .as("band_key"))
+        }: _*)).as("band"))
       .select(col("vec_id"), col("vec"),
         col("band.band_idx"), col("band.band_key"))
+  }
+
+  def signLshNearDupPairs(emb: DataFrame, minCosine: Double = 0.4,
+      nBits: Int = 48, bitsPerBand: Int = 8, dim: Int = 64): DataFrame = {
+    val banded = signBanded(emb, nBits, bitsPerBand, dim)
     banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
@@ -265,25 +273,8 @@ object Similarity {
     * would miss most moderate-similarity neighbors.
     */
   def annSignTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
-      nBits: Int = 48, bitsPerBand: Int = 4): DataFrame = {
-    require(nBits % bitsPerBand == 0)
-    val bands = nBits / bitsPerBand
-    val projs = signProjections(nBits, dim = 64)
-    val v = dbl(col("embedding"))
-    val bitCols = projs.zipWithIndex.map { case (r, i) =>
-      when(dot(v, array(r.map(lit(_)): _*)) > 0, 1).otherwise(0).as(s"bit$i")
-    }
-    val bits = emb.select((col("vec_id") +: v.as("vec") +: bitCols): _*)
-    val banded = bits.select(col("vec_id"), col("vec"),
-      explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band_idx"),
-          concat_ws("",
-            (0 until bitsPerBand).map(q =>
-              col(s"bit${j * bitsPerBand + q}").cast("string")): _*)
-            .as("band_key"))
-      }: _*)).as("band"))
-      .select(col("vec_id"), col("vec"),
-        col("band.band_idx"), col("band.band_key"))
+      nBits: Int = 48, bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
+    val banded = signBanded(emb, nBits, bitsPerBand, dim)
     val q = broadcast(banded.filter(col("vec_id") === queryId)
       .select(col("band_idx").as("q_band_idx"),
         col("band_key").as("q_band_key"), col("vec").as("qvec")))

@@ -41,9 +41,17 @@ object AsofJoin {
     val merged = lPadded.unionByName(rPadded)
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightValues.foldLeft(merged)((df, v) =>
-      df.withColumn(s"asof_$v", last(col(s"__rv_$v"), ignoreNulls = true).over(w)))
+    // ONE atomic payload struct per right row: last(ignoreNulls) over
+    // the struct picks the most recent right ROW even when some of its
+    // members are null — filling each value column independently would
+    // stitch members from DIFFERENT right rows (and make "no preceding
+    // row" indistinguishable from "preceding row with a null value")
+    val payload = when(col("__tag") === 0,
+      struct(rightValues.map(v => col(s"__rv_$v")): _*))
+    val filled = merged
+      .withColumn("__asof", last(payload, ignoreNulls = true).over(w))
     filled.filter(col("__tag") === 1)
-      .select((leftCols.map(col) ++ rightValues.map(v => col(s"asof_$v"))): _*)
+      .select((leftCols.map(col) ++
+        rightValues.map(v => col("__asof").getField(s"__rv_$v").as(s"asof_$v"))): _*)
   }
 }

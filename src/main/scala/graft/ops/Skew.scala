@@ -46,8 +46,7 @@ object Skew {
     * map-side partial dedup bounding shuffle volume — phase 2 counts per
     * key, where `count` is algebraic and partial-aggregates map-side.
     */
-  def saltedCountDistinct(df: DataFrame, key: String, value: String,
-      salts: Int = 16): DataFrame =
+  def twoPhaseCountDistinct(df: DataFrame, key: String, value: String): DataFrame =
     df.select(col(key), col(value))
       .dropDuplicates(key, value)
       .groupBy(col(key))

@@ -304,7 +304,11 @@ object LlmQueries {
     "dedup_simhash" -> simhashOracle(maxHamming = 6),
     "neardup_signlsh" -> signLshOracle(minCosine = 0.4),
     "pii_scrub" -> {
-      val em = TextAnalysis.emailPattern.replace("\\", "\\\\")
+      // the pattern goes into a single-quoted DuckDB literal VERBATIM —
+      // DuckDB does not process backslashes there, so doubling them
+      // would hand RE2 a literal-backslash pattern that matches nothing
+      // (and silently vacate the oracle)
+      val em = TextAnalysis.emailPattern
       val num = TextAnalysis.longDigitPattern
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$em'))
@@ -330,7 +334,7 @@ object LlmQueries {
          |  count(CASE WHEN len(regexp_extract_all(text, '\\S+')) BETWEEN 5 AND 10000
          |             THEN 1 END) AS quality_keep,
          |  count(CASE WHEN len(regexp_extract_all(text,
-         |      '${TextAnalysis.emailPattern.replace("\\", "\\\\")}'))
+         |      '${TextAnalysis.emailPattern}'))
          |    + len(regexp_extract_all(text, '${TextAnalysis.longDigitPattern}')) > 0
          |             THEN 1 END) AS pii_docs
          |FROM documents)""".stripMargin,

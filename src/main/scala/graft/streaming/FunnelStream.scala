@@ -52,16 +52,18 @@ object FunnelStream {
       converted: Boolean)
 
   /** Streaming exact dedup: drop events whose id was already seen,
-    * with the dedup state BOUNDED by the watermark — without
-    * `withWatermark`, streaming `dropDuplicates` keeps every key
-    * forever, which is the classic unbounded-state bug at
-    * 100 TB/day. At-least-once upstream delivery becomes exactly-once
-    * rows downstream within the lateness horizon.
+    * with the dedup state BOUNDED by the watermark. The variant
+    * matters: plain `dropDuplicates("event_id")` NEVER evicts state
+    * unless the watermarked column is part of the key — the classic
+    * unbounded-state bug at 100 TB/day —
+    * `dropDuplicatesWithinWatermark` expires each key once the
+    * watermark passes its event time. At-least-once upstream delivery
+    * becomes exactly-once rows downstream within the lateness horizon.
     */
   def dedupedEvents(events: DataFrame, lateness: String = "1 day"): DataFrame =
     events
       .withWatermark("ts", lateness)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   final case class SessionState(
       start: java.sql.Timestamp, last: java.sql.Timestamp, events: Long)
@@ -101,7 +103,14 @@ object FunnelStream {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
-                  cur = Some(s.copy(last = e.ts, events = s.events + 1))
+                  // a LATE event (earlier than the state's bounds but
+                  // inside the watermark) widens the session, never
+                  // shrinks it — naive last=e.ts would move session_end
+                  // backwards and produce an inverted interval
+                  cur = Some(SessionState(
+                    if (e.ts.before(s.start)) e.ts else s.start,
+                    if (e.ts.after(s.last)) e.ts else s.last,
+                    s.events + 1))
                 case Some(s) =>
                   closed ::= ClosedSession(userId, s.start, s.last, s.events)
                   cur = Some(SessionState(e.ts, e.ts, 1L))

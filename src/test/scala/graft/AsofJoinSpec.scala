@@ -37,4 +37,19 @@ class AsofJoinSpec extends AnyFunSuite {
       1L -> Some(2.0), 2L -> Some(1.0), 3L -> Some(1.0),
       4L -> None, 5L -> None))
   }
+
+  test("a null value in the matched right row stays null (no stitching from older rows)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), Some(5.0)),
+      (10L, ts("2024-01-01 09:00:00"), Option.empty[Double]) // latest, null value
+    ).toDF("k", "rt", "price")
+    val row = AsofJoin.asofJoin(left, right, "k", "t", "rt", Seq("rt", "price"))
+      .collect().head
+    // the matched ROW is the 09:00 one — its null price must surface,
+    // not the 08:00 row's 5.0
+    assert(row.getTimestamp(3).toString === "2024-01-01 09:00:00.0")
+    assert(row.isNullAt(4))
+  }
 }

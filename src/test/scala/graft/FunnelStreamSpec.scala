@@ -115,6 +115,32 @@ class FunnelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a late in-gap event widens the session instead of moving its end backwards") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[FunnelStream.UserEvent]
+
+    val q = FunnelStream.userSessions(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("latesessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(FunnelStream.UserEvent(1L, ts(1, 10), "view"))
+      q.processAllAvailable()
+      // late event 10 min EARLIER, still within the gap and watermark
+      input.addData(
+        FunnelStream.UserEvent(1L, Timestamp.valueOf("2024-01-01 09:50:00"), "view"))
+      q.processAllAvailable()
+      // a far-later event closes the widened session in-batch
+      input.addData(FunnelStream.UserEvent(1L, ts(1, 15), "purchase"))
+      q.processAllAvailable()
+
+      val closed = spark.table("latesessions").collect()
+        .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+      assert(closed.toSeq === Seq(
+        ("2024-01-01 09:50:00.0", "2024-01-01 10:00:00.0", 2L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user funnel state across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -38,10 +38,10 @@ class SkewSpec extends AnyFunSuite {
     assert(salted("h") === 900L)
   }
 
-  test("saltedCountDistinct equals countDistinct") {
+  test("twoPhaseCountDistinct equals countDistinct") {
     val plain = skewed.groupBy("k").agg(countDistinct("v").as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val salted = Skew.saltedCountDistinct(skewed, "k", "v")
+    val salted = Skew.twoPhaseCountDistinct(skewed, "k", "v")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted === plain)
   }
