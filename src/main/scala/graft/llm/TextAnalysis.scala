@@ -130,6 +130,38 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
+  /** Top-k corpus terms per language by TF-IDF. Deterministic across
+    * engines by construction: the score is `idf(term) × Σtf` — the term
+    * frequency sums as an INTEGER first and multiplies the idf once, so
+    * there is no float summation order to drift; idf =
+    * ln((N+1)/(df+1)) is one libm call on an exactly-computed double,
+    * and bround(6) + term tiebreak pin the ranking. Two shuffles: one
+    * per-(term) aggregate (tf sum + distinct-doc df together), one
+    * window per lang for the top-k.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val terms = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(lower(col("text")))).as("term"))
+    val byLangTerm = terms.groupBy("lang", "term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df_lang"))
+    // df is GLOBAL (a term common in every language is uninformative
+    // everywhere), so aggregate it once across langs
+    val dfGlobal = terms.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = byLangTerm.join(dfGlobal, "term").crossJoin(broadcast(n))
+      .select(col("lang"), col("term"),
+        bround(col("tf").cast("double") *
+          log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)),
+          6).as("score"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("lang", "rank")
+  }
+
   /** Per-language corpus statistics (one shuffle, map-side partials). */
   def stats(docs: DataFrame): DataFrame =
     docs.groupBy("lang").agg(

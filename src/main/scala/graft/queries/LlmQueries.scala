@@ -96,7 +96,9 @@ object LlmQueries {
         length(TextAnalysis.redactPii(col("text"))).as("redacted_len"),
         length(col("text")).as("orig_len"))
         .orderBy("doc_id")),
-    "corpus_report" -> ((s, dir) => CorpusReport.report(docs(s, dir)))
+    "corpus_report" -> ((s, dir) => CorpusReport.report(docs(s, dir))),
+    "tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(s, dir), k = 10))
   )
 
   private val stopSql: Map[String, String] = TextAnalysis.stopwords.toMap
@@ -318,6 +320,26 @@ object LlmQueries {
          |  length(text) AS orig_len
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "tfidf_top_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |lt AS (SELECT lang, term, count(*) AS tf FROM t GROUP BY lang, term),
+        |dfg AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+        |scored AS (
+        |  SELECT lt.lang, lt.term,
+        |    round_even(CAST(lt.tf AS DOUBLE) *
+        |      ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dfg.df AS DOUBLE) + 1.0)),
+        |      6) AS score
+        |  FROM lt JOIN dfg ON lt.term = dfg.term, n),
+        |ranked AS (
+        |  SELECT lang, term, score,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY score DESC, term ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT lang, term, score, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     "corpus_report" ->
       s"""SELECT n_docs, n_langs, distinct_docs,
          |  1.0 - CAST(distinct_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,

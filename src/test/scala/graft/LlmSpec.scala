@@ -186,6 +186,20 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getLong(7) === 1)   // pii_docs
   }
 
+  test("tfidf top terms: hand-computed score and rank on a planted corpus") {
+    val d = docs(
+      1L -> "spark spark catalyst",
+      2L -> "pandas pandas pandas catalyst")
+    val out = TextAnalysis.tfidfTopTerms(d, k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    // N=2; catalyst df=2 -> idf=ln(3/3)=0 (uninformative, ranks last);
+    // spark: tf=2, df=1 -> 2*ln(1.5); pandas: tf=3, df=1 -> 3*ln(1.5)
+    val en = out.filter(_._1 == "en")
+    assert(en.map(t => (t._2, t._4)).toSeq ===
+      Seq(("pandas", 1), ("spark", 2)))
+    assert(math.abs(en.head._3 - 3 * math.log(1.5)) < 1e-6)
+  }
+
   test("langId prefers the language whose stopwords dominate") {
     val d = docs(
       1L -> "the cat and the dog of the house is that big",
