@@ -201,21 +201,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding near-dup pairs via SIGN-projection LSH: bit i =
-    * (v · r_i > 0) for the deterministic ±1 projections above; bands of
-    * `bitsPerBand` bits equi-join candidates (bucketed, never
-    * all-pairs), then exact fused cosine filters at `minCosine`.
-    * Detection probability for angle θ: p_bit = 1 − θ/π, band p_bit^r,
-    * any-of-b bands 1−(1−p_bit^r)^b — ~87% per true pair at cos 0.9
-    * with 6×8 bits, but only ~15% at cos 0.45 (sign bits barely beat
-    * coin flips there; shorter bands would recover recall only by
-    * surrendering selectivity). Use THIS operator for the
-    * high-similarity dedup regime; [[cosineNearDupPairs]] (euclidean
-    * LSH) is the recall workhorse at moderate thresholds. What this one
-    * uniquely offers: full DuckDB verifiability — the oracle inlines
-    * the same projections — unlike the seeded
-    * BucketedRandomProjectionLSH path.
-    */
   /** Shared sign-LSH banding: (vec_id, vec, band_idx, band_key) rows,
     * one per band per vector. `dim` must cover the embedding width —
     * ArrayDotProduct folds over the COMMON prefix, so an undersized dim
@@ -243,6 +228,21 @@ object Similarity {
         col("band.band_idx"), col("band.band_key"))
   }
 
+  /** Embedding near-dup pairs via SIGN-projection LSH: bit i =
+    * (v · r_i > 0) for the deterministic ±1 projections above; bands of
+    * `bitsPerBand` bits equi-join candidates (bucketed, never
+    * all-pairs), then exact fused cosine filters at `minCosine`.
+    * Detection probability for angle θ: p_bit = 1 − θ/π, band p_bit^r,
+    * any-of-b bands 1−(1−p_bit^r)^b — ~87% per true pair at cos 0.9
+    * with 6×8 bits, but only ~15% at cos 0.45 (sign bits barely beat
+    * coin flips there; shorter bands would recover recall only by
+    * surrendering selectivity). Use THIS operator for the
+    * high-similarity dedup regime; [[cosineNearDupPairs]] (euclidean
+    * LSH) is the recall workhorse at moderate thresholds. What this one
+    * uniquely offers: full DuckDB verifiability — the oracle inlines
+    * the same projections — unlike the seeded
+    * BucketedRandomProjectionLSH path.
+    */
   def signLshNearDupPairs(emb: DataFrame, minCosine: Double = 0.4,
       nBits: Int = 48, bitsPerBand: Int = 8, dim: Int = 64): DataFrame = {
     val banded = signBanded(emb, nBits, bitsPerBand, dim)

@@ -135,9 +135,10 @@ object TextAnalysis {
     * frequency sums as an INTEGER first and multiplies the idf once, so
     * there is no float summation order to drift; idf =
     * ln((N+1)/(df+1)) is one libm call on an exactly-computed double,
-    * and bround(6) + term tiebreak pin the ranking. Two shuffles: one
-    * per-(term) aggregate (tf sum + distinct-doc df together), one
-    * window per lang for the top-k.
+    * and bround(6) + term tiebreak pin the ranking. ONE corpus scan:
+    * the (lang, term) aggregate carries both tf and per-lang df, and
+    * the global df is derived from it by summation — each doc has
+    * exactly one lang, so per-lang doc sets are disjoint.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -147,9 +148,10 @@ object TextAnalysis {
     val byLangTerm = terms.groupBy("lang", "term")
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df_lang"))
     // df is GLOBAL (a term common in every language is uninformative
-    // everywhere), so aggregate it once across langs
-    val dfGlobal = terms.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // everywhere) = sum of the disjoint per-lang dfs — no second
+    // tokenization pass over the corpus
+    val dfGlobal = byLangTerm.groupBy("term")
+      .agg(sum("df_lang").as("df"))
     val scored = byLangTerm.join(dfGlobal, "term").crossJoin(broadcast(n))
       .select(col("lang"), col("term"),
         bround(col("tf").cast("double") *

@@ -102,15 +102,24 @@ object FunnelStream {
             var cur = state.getOption
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
+                case Some(s) if e.ts.getTime - s.last.getTime <= gapMs &&
+                    s.start.getTime - e.ts.getTime <= gapMs =>
                   // a LATE event (earlier than the state's bounds but
-                  // inside the watermark) widens the session, never
-                  // shrinks it — naive last=e.ts would move session_end
+                  // inside the watermark AND within the gap of the
+                  // session interval) widens the session, never shrinks
+                  // it — naive last=e.ts would move session_end
                   // backwards and produce an inverted interval
                   cur = Some(SessionState(
                     if (e.ts.before(s.start)) e.ts else s.start,
                     if (e.ts.after(s.last)) e.ts else s.last,
                     s.events + 1))
+                case Some(s) if s.start.getTime - e.ts.getTime > gapMs =>
+                  // late event more than a gap BEFORE the open session:
+                  // it belongs to an older, already-expired session.
+                  // Emit it as its own closed singleton (retro-merging
+                  // would need unbounded per-key history) and keep the
+                  // open session untouched.
+                  closed ::= ClosedSession(userId, e.ts, e.ts, 1L)
                 case Some(s) =>
                   closed ::= ClosedSession(userId, s.start, s.last, s.events)
                   cur = Some(SessionState(e.ts, e.ts, 1L))

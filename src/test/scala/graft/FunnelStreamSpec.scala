@@ -141,6 +141,34 @@ class FunnelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a late event beyond the gap becomes its own session, not a merge") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[FunnelStream.UserEvent]
+
+    val q = FunnelStream.userSessions(input.toDS(),
+        gapMinutes = 30, lateness = "2 hours")
+      .writeStream.format("memory").queryName("prelatesessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(FunnelStream.UserEvent(1L, ts(1, 10), "view"))
+      q.processAllAvailable()
+      // 50 min before the session start: beyond the gap, within lateness
+      input.addData(
+        FunnelStream.UserEvent(1L, Timestamp.valueOf("2024-01-01 09:10:00"), "view"))
+      q.processAllAvailable()
+      input.addData(FunnelStream.UserEvent(1L, ts(1, 15), "purchase"))
+      q.processAllAvailable()
+
+      val closed = spark.table("prelatesessions").collect()
+        .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+        .sortBy(_._1)
+      assert(closed.toSeq === Seq(
+        ("2024-01-01 09:10:00.0", "2024-01-01 09:10:00.0", 1L), // stale singleton
+        ("2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user funnel state across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
