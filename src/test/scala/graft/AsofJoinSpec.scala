@@ -38,6 +38,31 @@ class AsofJoinSpec extends AnyFunSuite {
       4L -> None, 5L -> None))
   }
 
+  test("equals the brute-force as-of definition on random data (fixed seed)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 80).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong)).toSeq
+    // unique right times per key so the expected match is unambiguous
+    val right = rnd.shuffle((0 until 5).flatMap(k =>
+      rnd.shuffle((0 until 1000).toList).take(12).map(t =>
+        (k.toLong, t.toLong, rnd.nextDouble())))).toSeq
+    val l = left.toDF("id", "k", "t")
+    val r = right.toDF("k", "rt", "price")
+
+    val got = AsofJoin.asofJoin(l, r, "k", "t", "rt", Seq("price"))
+      .collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(3)) None else Some(row.getDouble(3)))).toMap
+
+    val byKey = right.groupBy(_._1)
+    val expected = left.map { case (id, k, t) =>
+      id -> byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+    }.toMap
+    assert(got === expected)
+  }
+
   test("a null value in the matched right row stays null (no stitching from older rows)") {
     import spark.implicits._
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")

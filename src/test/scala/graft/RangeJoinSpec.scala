@@ -12,6 +12,21 @@ class RangeJoinSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = TestSpark.session
 
+  test("equals the brute-force pair definition on random data (fixed seed)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 120).map(i => (i.toLong, rnd.nextInt(5000).toLong, "k"))
+    val df = rows.toDF("id", "t", "kind")
+    val got = RangeJoin.withinWindowPairs(df, "id", "t", 100L, Seq("kind"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- rows; b <- rows
+      if a._1 != b._1 && math.abs(a._2 - b._2) <= 100L
+    } yield (a._1, b._1)).toSet
+    assert(got === expected)
+  }
+
   test("pairs within the window survive, boundaries inclusive, no dupes") {
     import spark.implicits._
     // width 100: (1,2) 60 apart straddling a bin edge; (1,3) exactly 100
