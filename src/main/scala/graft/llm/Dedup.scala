@@ -305,6 +305,27 @@ object Dedup {
       .otherwise("test")
   }
 
+  /** Deterministic domain-mixture sampling: keep a row iff its portable
+    * id-hash bucket falls under the per-source keep rate (per-mille) —
+    * how a training mix hits its domain targets REPRODUCIBLY: the same
+    * doc survives on every run, engine, and cluster layout, unlike any
+    * rand()-based sample. The bucket is salted with "mix:" so sampling
+    * stays independent of [[assignSplit]]'s buckets (otherwise the
+    * sample would correlate with the train/val/test split).
+    */
+  def sampleByMixture(df: DataFrame, idCol: String,
+      ratesPerMille: Seq[(String, Int)],
+      defaultPerMille: Int = 1000): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("mix:"), col(idCol).cast("string"))
+        .cast("binary")), 1, 7), 16, 10).cast("long"),
+      lit(1000L))
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (s, r)) => when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
   /** Exact n-gram Jaccard over LSH-generated candidates: re-join the
     * shingle sets onto the (pruned) candidate pairs and compute
     * |A∩B| / |A∪B| exactly. The expensive exact measure runs only on

@@ -98,8 +98,18 @@ object LlmQueries {
         .orderBy("doc_id")),
     "corpus_report" -> ((s, dir) => CorpusReport.report(docs(s, dir))),
     "tfidf_top_terms" -> ((s, dir) =>
-      TextAnalysis.tfidfTopTerms(docs(s, dir), k = 10))
+      TextAnalysis.tfidfTopTerms(docs(s, dir), k = 10)),
+    // downsample low-quality sources to a target mix; report the
+    // per-source survivor counts
+    "mixture_sample" -> ((s, dir) =>
+      Dedup.sampleByMixture(docs(s, dir), "doc_id", mixtureRates)
+        .groupBy("source").agg(count(lit(1)).as("kept"))
+        .orderBy("source"))
   )
+
+  /** Rates for the registered mixture query — shared with the oracle. */
+  private val mixtureRates: Seq[(String, Int)] =
+    (0 to 4).map(i => s"src$i" -> 250) ++ (5 to 9).map(i => s"src$i" -> 500)
 
   private val stopSql: Map[String, String] = TextAnalysis.stopwords.toMap
 
@@ -319,6 +329,16 @@ object LlmQueries {
          |    '$num', '<NUM>', 'g')) AS redacted_len,
          |  length(text) AS orig_len
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "mixture_sample" -> {
+      val arms = mixtureRates.map { case (s, r) =>
+        s"WHEN source = '$s' THEN $r"
+      }.mkString(" ")
+      s"""SELECT source, count(*) AS kept FROM documents
+         |WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 7)
+         |        AS BIGINT) % 1000
+         |      < (CASE $arms ELSE 1000 END)
+         |GROUP BY source ORDER BY source""".stripMargin
     },
     "tfidf_top_terms" ->
       """WITH t AS (

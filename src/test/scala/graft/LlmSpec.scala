@@ -149,6 +149,21 @@ class LlmSpec extends AnyFunSuite {
     assert(kept === Set(2L)) // 1 exact-blocked, 3 variant-blocked
   }
 
+  test("mixture sampling is deterministic and hits per-source rates roughly") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val rates = Seq("src0" -> 0, "src1" -> 1000)
+    val kept = Dedup.sampleByMixture(d, "doc_id", rates, defaultPerMille = 500)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("src0"))      // rate 0 -> dropped entirely
+    assert(kept("src1") === 25L)        // rate 1000 -> all survive
+    val others = kept.filterKeys(k => k != "src0" && k != "src1").values.sum
+    assert(others > 150 && others < 300) // ~50% of the remaining 450
+    val again = Dedup.sampleByMixture(d, "doc_id", rates, defaultPerMille = 500)
+      .count()
+    assert(again === kept.values.sum)
+  }
+
   test("split assignment is deterministic, total, and roughly proportional") {
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val counts = d.groupBy(Dedup.assignSplit(d, "doc_id").as("s")).count()
