@@ -288,6 +288,17 @@ object Dedup {
       "left_anti")
   }
 
+  /** Per-mille hash bucket of `salt ++ id` via the portable 28-bit md5
+    * prefix — the ONE place the bucket recipe lives; split assignment
+    * and mixture sampling derive from it with different salts so their
+    * decisions stay independent.
+    */
+  private def hashBucket1000(idCol: String, salt: String): Column =
+    pmod(
+      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))
+        .cast("binary")), 1, 7), 16, 10).cast("long"),
+      lit(1000L))
+
   /** Deterministic train/val/test assignment: bucket = a 28-bit
     * md5-derived hash of the id, mod 1000; thresholds carve the split.
     * Pure function of the id — stable across runs, engines (the DuckDB
@@ -296,10 +307,7 @@ object Dedup {
     */
   def assignSplit(df: DataFrame, idCol: String,
       trainPerMille: Int = 800, valPerMille: Int = 100): Column = {
-    val bucket = pmod(
-      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 7), 16, 10)
-        .cast("long"),
-      lit(1000L))
+    val bucket = hashBucket1000(idCol, salt = "")
     when(bucket < trainPerMille, "train")
       .when(bucket < trainPerMille + valPerMille, "val")
       .otherwise("test")
@@ -315,13 +323,14 @@ object Dedup {
     */
   def sampleByMixture(df: DataFrame, idCol: String,
       ratesPerMille: Seq[(String, Int)],
-      defaultPerMille: Int = 1000): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(concat(lit("mix:"), col(idCol).cast("string"))
-        .cast("binary")), 1, 7), 16, 10).cast("long"),
-      lit(1000L))
-    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) {
-      case (acc, (s, r)) => when(col("source") === s, lit(r)).otherwise(acc)
+      defaultPerMille: Int = 1000,
+      sourceCol: String = "source"): DataFrame = {
+    val bucket = hashBucket1000(idCol, salt = "mix:")
+    // reversed fold so the FIRST matching entry wins — the same
+    // precedence as the oracle's generated CASE arms (foldLeft wraps
+    // later entries outermost, which would flip priority on duplicates)
+    val rate = ratesPerMille.reverse.foldLeft(lit(defaultPerMille)) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
     }
     df.filter(bucket < rate)
   }

@@ -340,13 +340,18 @@ object LlmQueries {
          |      < (CASE $arms ELSE 1000 END)
          |GROUP BY source ORDER BY source""".stripMargin
     },
+    // dfg mirrors the Spark side's df definition EXACTLY — sum of the
+    // per-(lang, term) distinct-doc counts — so the two agree even on a
+    // corpus where one doc_id appears under several langs
     "tfidf_top_terms" ->
       """WITH t AS (
         |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '\S+')) AS term
         |  FROM documents),
         |n AS (SELECT count(*) AS n_docs FROM documents),
-        |lt AS (SELECT lang, term, count(*) AS tf FROM t GROUP BY lang, term),
-        |dfg AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+        |lt AS (SELECT lang, term, count(*) AS tf,
+        |  count(DISTINCT doc_id) AS df_lang FROM t GROUP BY lang, term),
+        |dfg AS (SELECT term, CAST(sum(df_lang) AS BIGINT) AS df
+        |  FROM lt GROUP BY term),
         |scored AS (
         |  SELECT lt.lang, lt.term,
         |    round_even(CAST(lt.tf AS DOUBLE) *

@@ -95,43 +95,34 @@ object FunnelStream {
             state.remove()
             Iterator.single(ClosedSession(userId, s.start, s.last, s.events))
           } else {
-            // within a micro-batch, order by event time; a gap inside the
-            // batch closes the running session immediately
-            val sorted = batch.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[ClosedSession]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              cur match {
-                case Some(s) if e.ts.getTime - s.last.getTime <= gapMs &&
-                    s.start.getTime - e.ts.getTime <= gapMs =>
-                  // a LATE event (earlier than the state's bounds but
-                  // inside the watermark AND within the gap of the
-                  // session interval) widens the session, never shrinks
-                  // it — naive last=e.ts would move session_end
-                  // backwards and produce an inverted interval
-                  cur = Some(SessionState(
-                    if (e.ts.before(s.start)) e.ts else s.start,
-                    if (e.ts.after(s.last)) e.ts else s.last,
-                    s.events + 1))
-                case Some(s) if s.start.getTime - e.ts.getTime > gapMs =>
-                  // late event more than a gap BEFORE the open session:
-                  // it belongs to an older, already-expired session.
-                  // Emit it as its own closed singleton (retro-merging
-                  // would need unbounded per-key history) and keep the
-                  // open session untouched.
-                  closed ::= ClosedSession(userId, e.ts, e.ts, 1L)
-                case Some(s) =>
-                  closed ::= ClosedSession(userId, s.start, s.last, s.events)
-                  cur = Some(SessionState(e.ts, e.ts, 1L))
-                case None =>
-                  cur = Some(SessionState(e.ts, e.ts, 1L))
+            // Interval-sweep merge over (open session ∪ this batch's
+            // events), sorted by start: any two items within the gap
+            // fuse — late events inside the watermark merge with EACH
+            // OTHER and with the open session symmetrically, widening
+            // but never shrinking intervals; the latest merged interval
+            // stays open in state, everything earlier closes. (Late
+            // events split ACROSS batches can still land in separate
+            // sessions — that's inherent to bounded-lateness streaming,
+            // not to this merge.)
+            val items =
+              (state.getOption.toSeq.map(s => (s.start, s.last, s.events)) ++
+                batch.map(e => (e.ts, e.ts, 1L)))
+                .sortBy { case (st, en, _) => (st.getTime, en.getTime) }
+            val merged = scala.collection.mutable.ArrayBuffer
+              .empty[(java.sql.Timestamp, java.sql.Timestamp, Long)]
+            items.foreach { case (st, en, c) =>
+              merged.lastOption match {
+                case Some((ps, pe, pc)) if st.getTime - pe.getTime <= gapMs =>
+                  merged(merged.length - 1) =
+                    (ps, if (en.after(pe)) en else pe, pc + c)
+                case _ => merged += ((st, en, c))
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last.getTime + gapMs)
-            }
-            closed.reverse.iterator
+            val open = merged.last
+            state.update(SessionState(open._1, open._2, open._3))
+            state.setTimeoutTimestamp(open._2.getTime + gapMs)
+            merged.dropRight(1).iterator
+              .map { case (st, en, c) => ClosedSession(userId, st, en, c) }
           }
       }
   }

@@ -141,6 +141,34 @@ class FunnelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stale late events in one batch merge with each other before closing") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[FunnelStream.UserEvent]
+
+    // lateness must put the watermark strictly BELOW 09:00 (watermark =
+    // 12:00 - lateness; an event at the watermark is dropped)
+    val q = FunnelStream.userSessions(input.toDS(),
+        gapMinutes = 30, lateness = "4 hours")
+      .writeStream.format("memory").queryName("stalemerge")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(FunnelStream.UserEvent(1L, ts(1, 12), "view"))
+      q.processAllAvailable()
+      // two late events 5 min apart, both far before the open session:
+      // they must fuse into ONE closed session, not two singletons
+      input.addData(
+        FunnelStream.UserEvent(1L, Timestamp.valueOf("2024-01-01 09:00:00"), "view"),
+        FunnelStream.UserEvent(1L, Timestamp.valueOf("2024-01-01 09:05:00"), "view"))
+      q.processAllAvailable()
+
+      val closed = spark.table("stalemerge").collect()
+        .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+      assert(closed.toSeq === Seq(
+        ("2024-01-01 09:00:00.0", "2024-01-01 09:05:00.0", 2L)))
+    } finally q.stop()
+  }
+
   test("a late event beyond the gap becomes its own session, not a merge") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
