@@ -190,6 +190,26 @@ object Relational {
         .orderBy("event_type", "day")
     }),
 
+    // set operations: customers with urgent orders vs customers with
+    // F-status orders — intersection and difference, deduplicated
+    "set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val fstatus = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      urgent.intersect(fstatus).agg(count(lit(1)).as("both_cnt"))
+        .crossJoin(urgent.except(fstatus).agg(count(lit(1)).as("only_urgent_cnt")))
+    }),
+
+    // full CUBE over (status, priority): every grouping-set combination
+    "cube_count" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // grouping sets: ROLLUP totals by (status, priority), (status), ()
     "rollup_count" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -375,6 +395,21 @@ object Relational {
         |  cnt - coalesce(lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day), 0)
         |    AS delta
         |FROM daily ORDER BY event_type, day""".stripMargin,
+    "set_ops" ->
+      """SELECT * FROM
+        |(SELECT count(*) AS both_cnt FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+        |CROSS JOIN
+        |(SELECT count(*) AS only_urgent_cnt FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))""".stripMargin,
+    "cube_count" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "rollup_count" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
