@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * ([[FunnelTable.rows]] + [[FunnelTable.summary]]) — presentation is a
   * view of the data, never the data itself (SURVEY §1.1).
   *
-  * Grid shape (0-indexed rows, as in the reference list-of-lists):
+  * Grid shape — 24 rows, 0-indexed (the reference's list-of-lists,
+  * `report_engine.py:294-318`; its xlsx writer prepends one more blank
+  * row, which here is RunReports' concern, making the FILE 25 rows):
   *   0     summary header
   *   1-2   summary metric rows (approved %, shared %)
   *   3     blank spacer
   *   4     "Successful Users" / "Dropped off Users" banner
   *   5     column headers
-  *   6-24  the 18 data rows ([[FunnelTable.rowSpecs]] order, +1 summary-
-  *         offset: reference row 6 = data row 0)
+  *   6-23  the 18 data rows ([[FunnelTable.rowSpecs]] order:
+  *         grid row 6 = data row 0)
   *
   * All cells are strings; numbers are formatted like Python's `str()`
   * (ints bare, floats with a trailing .0 when integral — Spark's
@@ -24,12 +26,8 @@ import org.apache.spark.sql.functions._
   */
 object FunnelRender {
 
-  private val cols = (0 to 6).map(i => s"c$i")
-
-  /** One ordered 25-row grid; `ord` is the presentation row index. */
+  /** One ordered 24-row grid; `ord` is the presentation row index. */
   def grid(rows: DataFrame, summary: DataFrame): DataFrame = {
-    val spark = rows.sparkSession
-
     def s(c: org.apache.spark.sql.Column) = coalesce(c.cast("string"), lit(""))
 
     val head = summary.select(

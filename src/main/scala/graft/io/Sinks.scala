@@ -8,8 +8,11 @@ import org.apache.spark.sql.{DataFrame, Row}
 
 /** Sinks for the funnel report (SURVEY §2.1).
   *
-  * The CANONICAL sinks are distributed writes of the typed table
-  * (parquet/csv) — driver-verifiable, scale-safe. The xlsx sink is a
+  * The CANONICAL sinks are parquet/csv of the typed table —
+  * driver-verifiable. Both are SINGLE-FILE, REPORT-SIZED sinks
+  * (`coalesce(1)` so each report is one artifact, like the reference's
+  * one xlsx per entity): a large query result should use
+  * `df.write.parquet` directly, not these. The xlsx sink is a
   * driver-side render of the ≤25-row presentation grid (the reference's
   * `write_funnel_excel`, `run_reports.py:64-125`): collect() is correct
   * there BY DESIGN — a fixed-size report, not data. Written as minimal
@@ -19,11 +22,11 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object Sinks {
 
-  /** Canonical: distributed parquet of the typed funnel table. */
+  /** Canonical: single-file parquet of the (report-sized) typed table. */
   def parquet(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(path)
 
-  /** Canonical: headered CSV of any small result. */
+  /** Canonical: single-file headered CSV of any small result. */
   def csv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", true).csv(path)
 
@@ -104,15 +107,20 @@ object Sinks {
   }
 
   /** Email delivery stub — the reference skips cleanly when SMTP config
-    * is absent (`run_reports.py:132-140`); no SMTP exists in this
-    * environment, so this logs the skip and returns. A real
-    * implementation would MIME-attach `attachment` and STARTTLS-send.
+    * is absent (`run_reports.py:132-140`); no SMTP client exists in this
+    * environment, so this ALWAYS skips (returning false = not sent, as
+    * the reference's send_report_mail returns True only on a real send)
+    * and logs which branch it took. A real implementation would
+    * MIME-attach `attachment` and STARTTLS-send in the configured case.
     */
   def emailOrSkip(to: Seq[String], cc: Seq[String], subject: String,
       attachment: String): Boolean = {
     val configured = sys.env.contains("SMTP_HOST") && sys.env.contains("SMTP_USER")
-    if (!configured)
+    if (configured)
+      println(s"[email] SMTP configured but no client ships in this build; " +
+        s"NOT sent: to=${to.mkString(",")} subject=$subject")
+    else
       println(s"[email] skipped (no SMTP config): to=${to.mkString(",")} subject=$subject")
-    configured
+    false
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Bucketed-table helpers: pre-shuffle once at write time so repeated
   * joins/aggregations on the bucket key never shuffle again.
@@ -14,10 +15,18 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, sorted external table at `path`. */
+  /** Write `df` as a bucketed, sorted external table at `path`.
+    * Repartitioned BY THE BUCKET KEY first: without it every write task
+    * emits its own file per bucket (tasks × buckets small files at
+    * scale), and Spark won't trust per-bucket ordering split across
+    * files, so downstream joins re-sort and the write-time sortBy buys
+    * nothing. One shuffle here is the price of zero shuffles on every
+    * later join.
+    */
   def writeBucketed(df: DataFrame, table: String, path: String,
       key: String, buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, col(key))
+      .write
       .mode("overwrite")
       .option("path", path)
       .bucketBy(buckets, key)
