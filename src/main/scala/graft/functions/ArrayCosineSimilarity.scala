@@ -13,9 +13,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * walks each array three times ([[ArrayDotProduct]] per term); a
   * brute-force similarity scan is memory-bandwidth-bound, so one fused
   * pass accumulating dot, |a|² and |b|² together is the right inner
-  * loop. Accumulators are independent, so the result is bit-identical
-  * to the composed form. Zero-norm input → null (no direction to
-  * compare), mirroring SQL's null-propagation rather than NaN.
+  * loop. For equal-length, null-free arrays (the embedding-column
+  * contract) the accumulators are independent and the result is
+  * bit-identical to the composed form. The spellings diverge on ragged
+  * or null-holed input: the fused pass restricts all three sums to the
+  * common prefix and to positions non-null on BOTH sides, while
+  * composed `dot(a,a)` walks a's full length skipping only a's own
+  * nulls. Zero-norm input → null (no direction to compare), mirroring
+  * SQL's null-propagation rather than NaN.
   */
 case class ArrayCosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

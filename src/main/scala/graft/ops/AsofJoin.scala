@@ -25,6 +25,12 @@ object AsofJoin {
       leftTime: String, rightTime: String,
       rightValues: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the tagged-union plumbing reserves these names; a silent collision
+    // would corrupt the window fill, so fail loudly up front
+    val reserved = Set("__t", "__tag", "__asof") ++ rightValues.map(v => s"__rv_$v")
+    val clashes = (left.columns ++ right.columns).filter(reserved).distinct
+    require(clashes.isEmpty,
+      s"asofJoin reserves column names ${clashes.mkString(", ")}; rename them in the inputs")
     // right rows sort BEFORE left rows at equal time (tag 0 < 1), which
     // is what makes the bound inclusive (<=)
     val l = left

@@ -19,6 +19,13 @@ object RangeJoin {
     * `idCol` excluded, both orientations kept). `timeCol` must be a
     * numeric time (e.g. epoch micros); `width` in the same unit.
     * Column names in the output are prefixed `a_` / `b_`.
+    *
+    * REQUIRES `idCol` unique per row: self-pair exclusion and the
+    * candidate dedup both key on it, so duplicate ids would drop valid
+    * pairs between distinct rows sharing an id and collapse distinct
+    * row-pairs to one arbitrary row's `carryCols`. Callers with a
+    * non-unique natural id must pre-assign a surrogate
+    * (e.g. `monotonically_increasing_id()`) and pass that.
     */
   def withinWindowPairs(df: DataFrame, idCol: String, timeCol: String,
       width: Long, carryCols: Seq[String]): DataFrame = {
@@ -32,11 +39,14 @@ object RangeJoin {
       .drop("__bin0")
     def pref(p: String, d: DataFrame): DataFrame =
       cols.foldLeft(d)((acc, c) => acc.withColumnRenamed(c, s"$p$c"))
+    // exactly-once by construction: b's three exploded copies carry
+    // DISTINCT bin values, so for any (a-row, b-row) at most one copy
+    // equals a's single bin — and a pair within `width` differs by at
+    // most one bin, so exactly one does. No dedup pass needed, which
+    // saves a full shuffle over the candidate set.
     pref("a_", a).join(pref("b_", b), "__bin")
       .filter(col(s"a_$idCol") =!= col(s"b_$idCol") &&
         abs(col(s"a_$timeCol") - col(s"b_$timeCol")) <= width)
-      // a pair lands in 1 shared true bin but up to 3 candidate bins
-      .dropDuplicates(s"a_$idCol", s"b_$idCol")
       .drop("__bin")
   }
 

@@ -47,7 +47,10 @@ object CsvFunnelReport {
     * The shared [[FunnelOracleGen.tableSql]] emits survivors + rows.
     */
   val oracle: String = {
-    val days = FunnelCsvFixture.defaultDays
+    // derived from the SAME DateSpec the Spark side scans — the fixture's
+    // defaultDays happening to coincide is not load-bearing, so editing
+    // either constant can't silently desync the pair
+    val days = DateSpec.parse(dateSpecText).days
     def files(prefix: String): String =
       days.map { d =>
         val tok = DateSpec.formatDay(d)
