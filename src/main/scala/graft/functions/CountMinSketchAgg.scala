@@ -9,12 +9,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * merged element-wise, so partial aggregation and AQE work exactly as
   * for any algebraic aggregate).
   *
-  * Hashing is the engine's PORTABLE md5 family (`md5("i:" ++ key)`,
-  * first 7 hex chars as a 28-bit int, mod `width`) — bit-identical to
-  * the SQL spelling used by expressions and the DuckDB oracle, so a
-  * sketch built by this aggregator can be probed (and verified) from
-  * plain SQL. Estimate for a key = min over rows of its counter; always
-  * an overestimate, never under (the CMS guarantee).
+  * Hashing is the engine's PORTABLE md5 family, pair-generated à la
+  * Kirsch–Mitzenmacher ("Less Hashing, Same Performance", ESA 2006):
+  * ONE md5 per key yields two 28-bit words `h1` (hex chars 1-7) and
+  * `h2` (hex chars 8-14), and row `i` uses `(h1 + i·h2) mod width`.
+  * One digest instead of `depth` digests per row — the hash is the
+  * dominant per-row cost at scale — and still bit-identical to the SQL
+  * spelling used by expressions and the DuckDB oracle, so a sketch
+  * built by this aggregator can be probed (and verified) from plain
+  * SQL. Estimate for a key = min over rows of its counter; always an
+  * overestimate, never under (the CMS guarantee).
   */
 final class CountMinSketchAgg(val depth: Int, val width: Int)
     extends Aggregator[String, Array[Long], Seq[Long]] {
@@ -22,9 +26,10 @@ final class CountMinSketchAgg(val depth: Int, val width: Int)
   override def zero: Array[Long] = new Array[Long](depth * width)
 
   override def reduce(buf: Array[Long], key: String): Array[Long] = {
+    val (h1, h2) = CountMinSketchAgg.hashPair(key)
     var i = 0
     while (i < depth) {
-      buf(i * width + CountMinSketchAgg.cell(i, key, width)) += 1L
+      buf(i * width + ((h1 + i.toLong * h2) % width).toInt) += 1L
       i += 1
     }
     buf
@@ -46,18 +51,31 @@ final class CountMinSketchAgg(val depth: Int, val width: Int)
 
 object CountMinSketchAgg {
 
-  /** Row `i`'s counter index for `key`: the 28-bit md5 prefix of
-    * "i:key", mod width — the same arithmetic as
-    * `CAST('0x'||substr(md5(i||':'||key),1,7) AS BIGINT) % width` in
-    * DuckDB and `conv(substring(md5(..),1,7),16,10) % width` in Spark
-    * SQL.
+  private val tlMd5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** The two 28-bit hash words of `key`: the values of md5-hex chars
+    * 1-7 and 8-14 — the same arithmetic as
+    * `CAST('0x'||substr(md5(key),1,7) AS BIGINT)` /
+    * `...substr(md5(key),8,7)...` in DuckDB and
+    * `conv(substring(md5(key),1,7),16,10)` / `...8,7...` in Spark SQL.
     */
+  def hashPair(key: String): (Long, Long) = {
+    val md = tlMd5.get()
+    md.reset()
+    val d = md.digest(key.getBytes("UTF-8"))
+    // hex chars 1-7 = bytes 0-2 + high nibble of byte 3, big-endian
+    val h1 = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
+    // hex chars 8-14 = low nibble of byte 3 + bytes 4-6
+    val h2 = ((d(3) & 0x0fL) << 24) | ((d(4) & 0xffL) << 16) |
+      ((d(5) & 0xffL) << 8) | (d(6) & 0xffL)
+    (h1, h2)
+  }
+
+  /** Row `i`'s counter index for `key` under the pair-generated family. */
   def cell(i: Int, key: String, width: Int): Int = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$i:$key".getBytes("UTF-8"))
-    // first 7 hex chars = 28 bits: 3.5 bytes, big-endian
-    val x = ((digest(0) & 0xffL) << 20) | ((digest(1) & 0xffL) << 12) |
-      ((digest(2) & 0xffL) << 4) | ((digest(3) & 0xf0L) >> 4)
-    (x % width).toInt
+    val (h1, h2) = hashPair(key)
+    ((h1 + i.toLong * h2) % width).toInt
   }
 }

@@ -138,6 +138,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF with a FLAT deterministic coarse quantizer: instead of KMeans
+    * centroids ([[ivfTopK]]), the `nlist` cell centers are a
+    * deterministic pseudo-random SAMPLE of the corpus — the vectors
+    * with the smallest `md5(vec_id)` (the same sampling trick FAISS's
+    * random-init / reservoir-train path uses; a random sample is a
+    * serviceable coarse quantizer, just with less balanced cells).
+    * What that buys over KMeans: every step — seed choice, cell
+    * assignment (argmin of squared L2, rounded to 6 dp, ties to the
+    * smaller seed id), probe ranking, candidate scoring — is plain
+    * relational algebra over md5, so the ENTIRE index is rebuildable
+    * and value-checkable by the DuckDB oracle, unlike any
+    * iteratively-fitted quantizer. Plan shape is identical to
+    * [[ivfTopK]]: tiny broadcast seed table, one window pass to
+    * assign, probe = broadcast semi-join on cell id.
+    */
+  def ivfFlatTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = emb.select(col("vec_id"), dbl(col("embedding")).as("vec"))
+    val seeds = broadcast(v
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(nlist)
+      .select(col("vec_id").as("seed_id"), col("vec").as("seed")))
+    def d2(a: Column, b: Column): Column = bround(
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 6)
+
+    val byDist = Window.partitionBy("vec_id")
+      .orderBy(col("__d2").asc, col("seed_id").asc)
+    val assigned = v.join(seeds) // broadcast nlist-row cross product
+      .withColumn("__d2", d2(col("vec"), col("seed")))
+      .withColumn("__rn", row_number().over(byDist))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("vec"), col("seed_id").as("cell"))
+
+    val probed = v.filter(col("vec_id") === queryId)
+      .select(col("vec").as("qvec"))
+      .join(seeds)
+      .withColumn("__d2", d2(col("qvec"), col("seed")))
+      .orderBy(col("__d2").asc, col("seed_id").asc)
+      .limit(nprobe)
+      .select(col("seed_id").as("cell"), col("qvec"))
+
+    assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probed), "cell")
+      .select(col("vec_id"),
+        bround(cosine(col("vec"), col("qvec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Deterministic ±1 sign-projection vectors (Rademacher), one per
     * hash bit: entry (i, d) is +1 iff the low bit of md5("i:d") is set.
     * Derived once on the driver and inlined as LITERALS into both the

@@ -53,6 +53,10 @@ object LlmQueries {
         bucketLength = 1.0, numHashTables = 4, maxDistance = 1.5)),
     "ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), k = 10, nlist = 16, nprobe = 4)),
+    // the oracle-checkable IVF: deterministic sampled coarse quantizer,
+    // so DuckDB can rebuild the whole index (seeds, assignment, probe)
+    "ann_ivf_flat" -> ((s, dir) =>
+      Similarity.ivfFlatTopK(emb(s, dir), k = 10, nlist = 16, nprobe = 4)),
     "cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir),
         maxDistance = 1.1, minCosine = 0.4)),
@@ -464,6 +468,39 @@ object LlmQueries {
     // dim is fixed at 64 (range upper bound exclusive); DuckDB lists are
     // 1-indexed. Sum-order ULP noise is absorbed by round(...,6) before
     // the (sim, vec_id) ranking — same as the Spark side.
+    // the flat-quantizer IVF rebuilt end-to-end: same seed sample (md5
+    // order), same rounded-L2 assignment with the same tiebreak, same
+    // probe cut, exact cosine over the surviving candidates
+    "ann_ivf_flat" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS seed FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |d AS (
+        |  SELECT e.vec_id, s.seed_id,
+        |    round(sum((CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed[i] AS DOUBLE))
+        |            * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed[i] AS DOUBLE))),
+        |          6) AS d2
+        |  FROM embeddings e, seeds s, range(1, 65) t(i)
+        |  GROUP BY e.vec_id, s.seed_id),
+        |asn AS (
+        |  SELECT vec_id, seed_id AS cell FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) = 1),
+        |probe AS (
+        |  SELECT seed_id AS cell FROM d WHERE vec_id = 0
+        |  ORDER BY d2, seed_id LIMIT 4),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT e.vec_id,
+        |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na2,
+        |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nb2
+        |  FROM embeddings e
+        |  JOIN asn a ON e.vec_id = a.vec_id
+        |  JOIN probe p ON a.cell = p.cell, q, range(1, 65) t(i)
+        |  WHERE e.vec_id <> 0
+        |  GROUP BY e.vec_id)
+        |SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim
+        |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id,

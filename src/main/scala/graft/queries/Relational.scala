@@ -261,9 +261,10 @@ object Relational {
 
     // Count-Min sketch (graft.functions.CountMinSketchAgg — typed
     // Aggregator with a depth×width counter buffer): one sketch of the
-    // event_type stream, probed IN-PLAN with the same portable hash the
-    // aggregator uses; estimates carry the true counts alongside (CMS
-    // guarantees est >= true)
+    // event_type stream, probed IN-PLAN with the same portable
+    // Kirsch–Mitzenmacher md5 pair the aggregator uses (ONE digest per
+    // key, row i's cell = (h1 + i·h2) mod width); estimates carry the
+    // true counts alongside (CMS guarantees est >= true)
     "cms_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       val depth = 4
@@ -272,17 +273,53 @@ object Relational {
       val ev = events(s, dir)
       val sketch = ev.select(col("event_type")).as[String]
         .select(cms.toColumn.name("sketch"))
+      val hex = md5(col("event_type").cast("binary"))
+      val h1 = conv(substring(hex, 1, 7), 16, 10).cast("long")
+      val h2 = conv(substring(hex, 8, 7), 16, 10).cast("long")
       val est = (0 until depth).map { i =>
         element_at(col("sketch"),
-          (lit(i * width) +
-            pmod(conv(substring(md5(concat(lit(s"$i:"), col("event_type"))
-              .cast("binary")), 1, 7), 16, 10).cast("long"), lit(width.toLong)) +
+          (lit(i * width) + pmod(h1 + lit(i.toLong) * h2, lit(width.toLong)) +
             1).cast("int"))
       }.reduce(least(_, _))
       ev.groupBy("event_type").agg(count(lit(1)).as("true_cnt"))
         .crossJoin(broadcast(sketch))
         .select(col("event_type"), est.as("est_cnt"), col("true_cnt"))
         .orderBy("event_type")
+    }),
+
+    // HyperLogLog distinct sketch (graft.functions.HyperLogLogAgg):
+    // per-group approximate count-distinct whose 64-register state is
+    // built on the portable md5 family, estimated IN-PLAN, and carried
+    // next to the exact countDistinct. At 100 TB this replaces the
+    // global key shuffle of exact distinct with a mergeable 64-int
+    // buffer per group. reg_weight/zero_regs are exact-integer
+    // witnesses of the full register state (an FP-free oracle check).
+    "hll_distinct" -> ((s, dir) => {
+      val hll = udaf(new graft.functions.HyperLogLogAgg(),
+        org.apache.spark.sql.Encoders.STRING)
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          hll(col("user_id").cast("string")).as("regs"),
+          countDistinct("user_id").as("true_distinct"))
+        .select(col("event_type"),
+          graft.functions.HyperLogLogAgg.estimate(col("regs")).as("est_distinct"),
+          col("true_distinct"),
+          graft.functions.HyperLogLogAgg.regWeight(col("regs")).as("reg_weight"),
+          graft.functions.HyperLogLogAgg.zeroRegs(col("regs")).as("zero_regs"))
+        .orderBy("event_type")
+    }),
+
+    // top-k per group: one window pass, never a per-group sort-limit
+    // loop; the partition-local rank prunes before any global ordering
+    "topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+        .orderBy("o_orderpriority", "rk")
     }),
 
     // small-dimension broadcast joins: nation and region never shuffle
@@ -420,11 +457,13 @@ object Relational {
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // the oracle rebuilds the same sketch relationally: counters =
-    // counts per (row, cell) under the shared md5 hash family
+    // counts per (row, cell) under the shared Kirsch–Mitzenmacher md5
+    // pair (h1 = hex chars 1-7, h2 = chars 8-14, cell_i = (h1+i·h2)%w)
     "cms_heavy_hitters" ->
       """WITH h AS (
         |  SELECT event_type, i,
-        |    CAST('0x' || substr(md5(i || ':' || event_type), 1, 7) AS BIGINT) % 64
+        |    (CAST('0x' || substr(md5(event_type), 1, 7) AS BIGINT)
+        |     + i * CAST('0x' || substr(md5(event_type), 8, 7) AS BIGINT)) % 64
         |      AS cell
         |  FROM events, range(0, 4) t(i)),
         |counters AS (SELECT i, cell, count(*) AS c FROM h GROUP BY i, cell),
@@ -432,7 +471,8 @@ object Relational {
         |         GROUP BY event_type),
         |kh AS (
         |  SELECT k.event_type, t.i,
-        |    CAST('0x' || substr(md5(t.i || ':' || k.event_type), 1, 7) AS BIGINT) % 64
+        |    (CAST('0x' || substr(md5(k.event_type), 1, 7) AS BIGINT)
+        |     + t.i * CAST('0x' || substr(md5(k.event_type), 8, 7) AS BIGINT)) % 64
         |      AS cell
         |  FROM keys k, range(0, 4) t(i)),
         |est AS (
@@ -443,6 +483,52 @@ object Relational {
         |  CAST(k.true_cnt AS BIGINT) AS true_cnt
         |FROM est e JOIN keys k ON e.event_type = k.event_type
         |ORDER BY e.event_type""".stripMargin,
+    // the oracle rebuilds the HLL registers relationally from DISTINCT
+    // keys (md5 is per-key, so duplicates can't move a max), re-derives
+    // the estimate with the same integer-weight arithmetic, and checks
+    // the exact-integer register witnesses alongside
+    "hll_distinct" ->
+      """WITH keys AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT event_type,
+        |        CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |          AS x
+        |      FROM keys),
+        |br AS (SELECT event_type, x % 64 AS bucket,
+        |        55 - (CASE WHEN x // 64 = 0 THEN 0
+        |                   ELSE length(bin(x // 64)) END) AS rho
+        |       FROM h),
+        |regs AS (SELECT event_type, bucket, max(rho) AS reg
+        |         FROM br GROUP BY 1, 2),
+        |grid AS (SELECT e.event_type, t.b AS bucket
+        |         FROM (SELECT DISTINCT event_type FROM events) e,
+        |              range(0, 64) t(b)),
+        |full_regs AS (SELECT g.event_type, coalesce(r.reg, 0) AS reg
+        |              FROM grid g LEFT JOIN regs r
+        |                ON r.event_type = g.event_type AND r.bucket = g.bucket),
+        |agg AS (SELECT event_type,
+        |          CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS reg_weight,
+        |          CAST(count(*) FILTER (WHERE reg = 0) AS INT) AS zero_regs
+        |        FROM full_regs GROUP BY event_type),
+        |est AS (SELECT event_type, reg_weight, zero_regs,
+        |          (0.709 * 4096) * pow(2.0, 55) / CAST(reg_weight AS DOUBLE) AS raw
+        |        FROM agg),
+        |tru AS (SELECT event_type, count(DISTINCT user_id) AS true_distinct
+        |        FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  round(CASE WHEN e.raw <= 160.0 AND e.zero_regs > 0
+        |             THEN 64.0 * ln(64.0 / e.zero_regs) ELSE e.raw END, 4)
+        |    AS est_distinct,
+        |  CAST(t.true_distinct AS BIGINT) AS true_distinct,
+        |  e.reg_weight, e.zero_regs
+        |FROM est e JOIN tru t USING (event_type)
+        |ORDER BY e.event_type""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        |FROM orders
+        |QUALIFY rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin,
     // DuckDB's inequality join is the exact-definition oracle for the
     // binned range join
     "range_join_window" ->

@@ -18,9 +18,11 @@ class CountMinSketchSpec extends AnyFunSuite {
     val keys = Seq("view", "purchase", "error", "x", "", "späßchen", "0:tricky")
     val rows = for (i <- 0 until 4; k <- keys) yield (i, k)
     val df = rows.toDF("i", "k")
+    val hex = md5(col("k").cast("binary"))
     val sqlCell = pmod(
-      conv(substring(md5(concat(col("i").cast("string"), lit(":"), col("k"))
-        .cast("binary")), 1, 7), 16, 10).cast("long"), lit(64L))
+      conv(substring(hex, 1, 7), 16, 10).cast("long") +
+        col("i").cast("long") * conv(substring(hex, 8, 7), 16, 10).cast("long"),
+      lit(64L))
     val got = df.select(col("i"), col("k"), sqlCell.as("cell")).collect()
     got.foreach { r =>
       assert(r.getLong(2) ===

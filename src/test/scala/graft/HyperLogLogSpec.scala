@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.HyperLogLogAgg
+
+/** HyperLogLog aggregator: the JVM bucket/rank matches the portable SQL
+  * spelling, merge is max-wise (so partial aggregation is exact), and
+  * estimates land within the expected error of the truth.
+  */
+class HyperLogLogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  test("JVM bucket/rank equal the portable SQL spelling for arbitrary keys") {
+    import spark.implicits._
+    val keys = Seq("1", "42", "", "späßchen", "user-9971", "0")
+    val df = keys.toDF("k")
+    val x = conv(substring(md5(col("k").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val w = (x / 64).cast("long") // integer div: x fits 60 bits, positive
+    val got = df.select(col("k"), pmod(x, lit(64L)).as("bucket"),
+      (lit(55) - when(w === 0, 0)
+        .otherwise(length(regexp_replace(conv(w, 10, 2), "^0+", ""))))
+        .as("rho"))
+      .collect()
+    got.foreach { r =>
+      val (b, rho) = HyperLogLogAgg.bucketRho(r.getString(0))
+      assert(r.getLong(1) === b.toLong, s"bucket mismatch for ${r.getString(0)}")
+      assert(r.getInt(2) === rho, s"rho mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("merge of split partitions equals one-shot registers; estimate is sane") {
+    val keys = (1 to 1000).map(i => s"user-$i")
+    val agg = new HyperLogLogAgg()
+    val whole = keys.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = keys.splitAt(400)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(whole.toSeq === merged.toSeq)
+
+    import spark.implicits._
+    val est = keys.toDF("k")
+      .agg(org.apache.spark.sql.functions
+        .udaf(new HyperLogLogAgg(), org.apache.spark.sql.Encoders.STRING)(col("k"))
+        .as("regs"))
+      .select(HyperLogLogAgg.estimate(col("regs")).as("est"))
+      .head().getDouble(0)
+    // sigma ≈ 1.04/sqrt(64) ≈ 13%; allow 3 sigma
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.4, s"estimate $est too far from 1000")
+  }
+
+  test("duplicates never move the estimate") {
+    val agg = new HyperLogLogAgg()
+    val once = Seq("a", "b", "c").foldLeft(agg.zero)(agg.reduce)
+    val many = (Seq.fill(50)("a") ++ Seq.fill(9)("b") ++ Seq("c", "a", "b"))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(once.toSeq === many.toSeq)
+  }
+}

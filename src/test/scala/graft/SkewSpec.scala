@@ -61,4 +61,18 @@ class SkewSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(again.toSeq === ivf.toSeq)
   }
+
+  test("flat-quantizer IVF with a full probe equals exact top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // nprobe = nlist ⇒ every cell scanned ⇒ candidate set = whole corpus
+    val full = Similarity.ivfFlatTopK(emb, 0L, 10, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Similarity.cosineTopK(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq === exact.toSeq)
+    // a partial probe returns a subset of the corpus, still k deep
+    val part = Similarity.ivfFlatTopK(emb, 0L, 10, nlist = 8, nprobe = 2)
+      .collect().map(_.getLong(0))
+    assert(part.length === 10 && part.distinct.length === 10)
+  }
 }
