@@ -288,6 +288,34 @@ object Dedup {
       "left_anti")
   }
 
+  /** [[decontaminate]] through a Bloom pre-filter — the 100 TB shape.
+    * The exact anti-join shuffles the WHOLE corpus by fingerprint; at
+    * scale the corpus side dwarfs the blocklist, and most rows aren't
+    * blocked. Here the blocklist aggregates into one broadcast bit
+    * array ([[graft.functions.BloomFilterAgg]]); corpus rows probe it
+    * MAP-SIDE, and only bloom-positive candidates (true hits + the
+    * ~fp-rate sliver of false positives) pay the exact anti-join.
+    * No false negatives ⇒ the result EQUALS [[decontaminate]] row for
+    * row — which is exactly what the oracle checks.
+    */
+  def decontaminateBloom(corpus: DataFrame, blocklist: DataFrame,
+      nBits: Int = 1 << 16, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val bloomAgg = udaf(new graft.functions.BloomFilterAgg(nBits, k),
+      Encoders.STRING)
+    val bloom = blocklist
+      .select(TextAnalysis.fingerprint(col("text")).as("__fp"))
+      .agg(bloomAgg(col("__fp")).as("__bloom"))
+    val probed = corpus
+      .crossJoin(broadcast(bloom))
+      .withColumn("__hit", graft.functions.BloomFilterAgg.mayContain(
+        col("__bloom"), TextAnalysis.fingerprint(col("text")), nBits, k))
+      .drop("__bloom")
+    val clean = probed.filter(!col("__hit")).drop("__hit")
+    val candidates = probed.filter(col("__hit")).drop("__hit")
+    clean.unionByName(decontaminate(candidates, blocklist))
+  }
+
   /** Per-mille hash bucket of `salt ++ id` via the portable 28-bit md5
     * prefix — the ONE place the bucket recipe lives; split assignment
     * and mixture sampling derive from it with different salts so their

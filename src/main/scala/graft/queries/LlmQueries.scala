@@ -81,6 +81,17 @@ object LlmQueries {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
+    // same semantics THROUGH the broadcast bloom pre-filter — the
+    // 100 TB path; no false negatives, so it must equal the exact
+    // anti-join row for row (the oracle is the same SQL)
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminateBloom(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
     "split_assign" -> ((s, dir) =>
       docs(s, dir)
         .groupBy(Dedup.assignSplit(docs(s, dir), "doc_id").as("split"), col("lang"))
@@ -391,6 +402,14 @@ object LlmQueries {
          |FROM documents)""".stripMargin,
     "ann_sign" -> annSignOracle(queryId = 0L, k = 10),
     "decontaminate" ->
+      s"""SELECT a.doc_id, a.lang, a.n_chars FROM documents a
+         |WHERE a.doc_id % 2 = 0 AND NOT EXISTS (
+         |  SELECT 1 FROM documents b
+         |  WHERE b.doc_id % 2 = 1
+         |    AND ${fpSql.replace("text", "b.text")} = ${fpSql.replace("text", "a.text")})
+         |ORDER BY a.doc_id""".stripMargin,
+    // the bloom path must be row-identical to the exact anti-join
+    "decontaminate_bloom" ->
       s"""SELECT a.doc_id, a.lang, a.n_chars FROM documents a
          |WHERE a.doc_id % 2 = 0 AND NOT EXISTS (
          |  SELECT 1 FROM documents b

@@ -20,7 +20,7 @@ class HyperLogLogSpec extends AnyFunSuite {
     val df = keys.toDF("k")
     val x = conv(substring(md5(col("k").cast("binary")), 1, 15), 16, 10)
       .cast("long")
-    val w = (x / 64).cast("long") // integer div: x fits 60 bits, positive
+    val w = shiftright(x, 6) // exact integer div (col / 64 would go via double)
     val got = df.select(col("k"), pmod(x, lit(64L)).as("bucket"),
       (lit(55) - when(w === 0, 0)
         .otherwise(length(regexp_replace(conv(w, 10, 2), "^0+", ""))))

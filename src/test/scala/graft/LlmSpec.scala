@@ -149,6 +149,33 @@ class LlmSpec extends AnyFunSuite {
     assert(kept === Set(2L)) // 1 exact-blocked, 3 variant-blocked
   }
 
+  test("bloom decontamination equals the exact anti-join and prunes the shuffle") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val blocklist = d.filter(col("doc_id") % 2 === 1)
+    val exact = Dedup.decontaminate(corpus, blocklist)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.decontaminateBloom(corpus, blocklist)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom === exact)
+    // with 64 Kib / k=5 over ~250 keys, fp-rate is ~0: the candidate set
+    // the exact join re-checks should be essentially just the true hits
+    val fp = graft.functions.BloomFilterAgg
+    val nBits = 1 << 16
+    val bloomRow = blocklist
+      .select(TextAnalysis.fingerprint(col("text")).as("f"))
+      .agg(udaf(new graft.functions.BloomFilterAgg(nBits, 5),
+        org.apache.spark.sql.Encoders.STRING)(col("f")).as("b"))
+    val candidates = corpus.crossJoin(broadcast(bloomRow))
+      .filter(fp.mayContain(col("b"),
+        TextAnalysis.fingerprint(col("text")), nBits, 5))
+      .count()
+    val trueHits = corpus.count() - exact.size
+    assert(candidates >= trueHits)
+    assert(candidates <= trueHits + 5,
+      s"bloom should prune: candidates=$candidates trueHits=$trueHits")
+  }
+
   test("mixture sampling is deterministic and hits per-source rates roughly") {
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val rates = Seq("src0" -> 0, "src1" -> 1000)
