@@ -57,9 +57,7 @@ object BloomFilterAgg {
     * the probe runs map-side inside codegen.
     */
   def mayContain(filter: Column, key: Column, nBits: Int, k: Int): Column = {
-    val hex = md5(key.cast("binary"))
-    val h1 = conv(substring(hex, 1, 7), 16, 10).cast("long")
-    val h2 = conv(substring(hex, 8, 7), 16, 10).cast("long")
+    val (h1, h2) = CountMinSketchAgg.hashPairCols(key)
     (0 until k).map { i =>
       val pos = pmod(h1 + lit(i.toLong) * h2, lit(nBits.toLong))
       val word = element_at(filter, shiftright(pos, 6).cast("int") + 1)

@@ -54,11 +54,18 @@ object CountMinSketchAgg {
   private val tlMd5: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
-  /** The two 28-bit hash words of `key`: the values of md5-hex chars
-    * 1-7 and 8-14 — the same arithmetic as
+  /** The two hash words of `key`: h1 = value of md5-hex chars 1-7,
+    * h2 = value of chars 8-14 forced ODD (`| 1`). The odd-forcing
+    * matters with power-of-two moduli: an even h2 shares a factor with
+    * the width, so the i·h2 strides revisit cells — in the worst case
+    * (h2 ≡ 0 mod width, ~1/width of keys) every row would collapse to
+    * ONE cell and the depth guarantee to a single hash row. An odd h2
+    * is a unit mod 2^w: all `depth` cells stay distinct.
+    *
+    * Same arithmetic as
     * `CAST('0x'||substr(md5(key),1,7) AS BIGINT)` /
-    * `...substr(md5(key),8,7)...` in DuckDB and
-    * `conv(substring(md5(key),1,7),16,10)` / `...8,7...` in Spark SQL.
+    * `...substr(md5(key),8,7)... | 1` in DuckDB and [[hashPairCols]]
+    * in Spark SQL.
     */
   def hashPair(key: String): (Long, Long) = {
     val md = tlMd5.get()
@@ -70,6 +77,19 @@ object CountMinSketchAgg {
     // hex chars 8-14 = low nibble of byte 3 + bytes 4-6
     val h2 = ((d(3) & 0x0fL) << 24) | ((d(4) & 0xffL) << 16) |
       ((d(5) & 0xffL) << 8) | (d(6) & 0xffL)
+    (h1, h2 | 1L)
+  }
+
+  /** [[hashPair]] as Columns — THE portable spelling, shared by every
+    * in-plan probe (CMS estimate, Bloom membership) so the recipe that
+    * must stay bit-identical to the JVM path lives in one place.
+    */
+  def hashPairCols(key: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    val hex = md5(key.cast("binary"))
+    val h1 = conv(substring(hex, 1, 7), 16, 10).cast("long")
+    val h2 = conv(substring(hex, 8, 7), 16, 10).cast("long").bitwiseOR(1L)
     (h1, h2)
   }
 

@@ -296,10 +296,20 @@ object Dedup {
     * MAP-SIDE, and only bloom-positive candidates (true hits + the
     * ~fp-rate sliver of false positives) pay the exact anti-join.
     * No false negatives ⇒ the result EQUALS [[decontaminate]] row for
-    * row — which is exactly what the oracle checks.
+    * row — which is exactly what the oracle checks. (A NULL text never
+    * matches the anti-join, so the probe treats it as a non-hit.)
+    *
+    * SIZE `nBits` to the blocklist: ~10 bits per distinct blocked
+    * fingerprint keeps the false-positive rate ~1% (the default fits
+    * ~100k entries); an undersized filter stays CORRECT but saturates,
+    * routing most of the corpus into the exact join. The two branches
+    * re-scan the corpus; that is the deliberate trade — two cheap
+    * columnar scans with a map-side filter beat one scan that shuffles
+    * every clean row, and the single-scan spelling (an anti-join gated
+    * on the probe) would put the full corpus back through the join.
     */
   def decontaminateBloom(corpus: DataFrame, blocklist: DataFrame,
-      nBits: Int = 1 << 16, k: Int = 5): DataFrame = {
+      nBits: Int = 1 << 20, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.Encoders
     val bloomAgg = udaf(new graft.functions.BloomFilterAgg(nBits, k),
       Encoders.STRING)
@@ -308,8 +318,12 @@ object Dedup {
       .agg(bloomAgg(col("__fp")).as("__bloom"))
     val probed = corpus
       .crossJoin(broadcast(bloom))
-      .withColumn("__hit", graft.functions.BloomFilterAgg.mayContain(
-        col("__bloom"), TextAnalysis.fingerprint(col("text")), nBits, k))
+      // null text -> null fingerprint -> null probe; the exact anti-join
+      // KEEPS such rows (null never equals), so a non-hit is the
+      // equality-preserving reading
+      .withColumn("__hit", coalesce(graft.functions.BloomFilterAgg.mayContain(
+        col("__bloom"), TextAnalysis.fingerprint(col("text")), nBits, k),
+        lit(false)))
       .drop("__bloom")
     val clean = probed.filter(!col("__hit")).drop("__hit")
     val candidates = probed.filter(col("__hit")).drop("__hit")

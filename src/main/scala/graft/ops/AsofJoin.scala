@@ -31,6 +31,12 @@ object AsofJoin {
     val clashes = (left.columns ++ right.columns).filter(reserved).distinct
     require(clashes.isEmpty,
       s"asofJoin reserves column names ${clashes.mkString(", ")}; rename them in the inputs")
+    // the OUTPUT namespace too: each rightValues column lands as asof_<v>
+    // next to every left column, so a left asof_<v> would duplicate it
+    val outClashes = left.columns.toSet
+      .intersect(rightValues.map(v => s"asof_$v").toSet)
+    require(outClashes.isEmpty,
+      s"asofJoin emits ${outClashes.mkString(", ")}; rename the left column(s)")
     // right rows sort BEFORE left rows at equal time (tag 0 < 1), which
     // is what makes the bound inclusive (<=)
     val l = left

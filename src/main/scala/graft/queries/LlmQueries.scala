@@ -136,6 +136,18 @@ object LlmQueries {
     */
   private val fpSql = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
+  /** Shared by `decontaminate` and `decontaminate_bloom` — one
+    * definition, so the bloom path's equality claim can't silently
+    * desync from the exact one.
+    */
+  private val decontaminateOracle: String =
+    s"""SELECT a.doc_id, a.lang, a.n_chars FROM documents a
+       |WHERE a.doc_id % 2 = 0 AND NOT EXISTS (
+       |  SELECT 1 FROM documents b
+       |  WHERE b.doc_id % 2 = 1
+       |    AND ${fpSql.replace("text", "b.text")} = ${fpSql.replace("text", "a.text")})
+       |ORDER BY a.doc_id""".stripMargin
+
   /** Shared CTE prefix reproducing [[Dedup.minhashSignatures]] +
     * the banded candidate join in DuckDB: tokens → distinct 3-gram
     * shingles → per-doc min of md5("i:" ++ shingle) hex strings →
@@ -401,21 +413,10 @@ object LlmQueries {
          |             THEN 1 END) AS pii_docs
          |FROM documents)""".stripMargin,
     "ann_sign" -> annSignOracle(queryId = 0L, k = 10),
-    "decontaminate" ->
-      s"""SELECT a.doc_id, a.lang, a.n_chars FROM documents a
-         |WHERE a.doc_id % 2 = 0 AND NOT EXISTS (
-         |  SELECT 1 FROM documents b
-         |  WHERE b.doc_id % 2 = 1
-         |    AND ${fpSql.replace("text", "b.text")} = ${fpSql.replace("text", "a.text")})
-         |ORDER BY a.doc_id""".stripMargin,
-    // the bloom path must be row-identical to the exact anti-join
-    "decontaminate_bloom" ->
-      s"""SELECT a.doc_id, a.lang, a.n_chars FROM documents a
-         |WHERE a.doc_id % 2 = 0 AND NOT EXISTS (
-         |  SELECT 1 FROM documents b
-         |  WHERE b.doc_id % 2 = 1
-         |    AND ${fpSql.replace("text", "b.text")} = ${fpSql.replace("text", "a.text")})
-         |ORDER BY a.doc_id""".stripMargin,
+    "decontaminate" -> decontaminateOracle,
+    // IDENTICAL oracle by construction: the bloom path's whole claim is
+    // row-for-row equality with the exact anti-join
+    "decontaminate_bloom" -> decontaminateOracle,
     // same bucket arithmetic as Dedup.assignSplit
     "split_assign" ->
       """SELECT split, lang, count(*) AS cnt FROM (

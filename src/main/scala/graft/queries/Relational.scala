@@ -273,9 +273,8 @@ object Relational {
       val ev = events(s, dir)
       val sketch = ev.select(col("event_type")).as[String]
         .select(cms.toColumn.name("sketch"))
-      val hex = md5(col("event_type").cast("binary"))
-      val h1 = conv(substring(hex, 1, 7), 16, 10).cast("long")
-      val h2 = conv(substring(hex, 8, 7), 16, 10).cast("long")
+      val (h1, h2) =
+        graft.functions.CountMinSketchAgg.hashPairCols(col("event_type"))
       val est = (0 until depth).map { i =>
         element_at(col("sketch"),
           (lit(i * width) + pmod(h1 + lit(i.toLong) * h2, lit(width.toLong)) +
@@ -463,7 +462,7 @@ object Relational {
       """WITH h AS (
         |  SELECT event_type, i,
         |    (CAST('0x' || substr(md5(event_type), 1, 7) AS BIGINT)
-        |     + i * CAST('0x' || substr(md5(event_type), 8, 7) AS BIGINT)) % 64
+        |     + i * (CAST('0x' || substr(md5(event_type), 8, 7) AS BIGINT) | 1)) % 64
         |      AS cell
         |  FROM events, range(0, 4) t(i)),
         |counters AS (SELECT i, cell, count(*) AS c FROM h GROUP BY i, cell),
@@ -472,7 +471,7 @@ object Relational {
         |kh AS (
         |  SELECT k.event_type, t.i,
         |    (CAST('0x' || substr(md5(k.event_type), 1, 7) AS BIGINT)
-        |     + t.i * CAST('0x' || substr(md5(k.event_type), 8, 7) AS BIGINT)) % 64
+        |     + t.i * (CAST('0x' || substr(md5(k.event_type), 8, 7) AS BIGINT) | 1)) % 64
         |      AS cell
         |  FROM keys k, range(0, 4) t(i)),
         |est AS (

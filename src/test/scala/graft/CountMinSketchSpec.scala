@@ -18,11 +18,8 @@ class CountMinSketchSpec extends AnyFunSuite {
     val keys = Seq("view", "purchase", "error", "x", "", "späßchen", "0:tricky")
     val rows = for (i <- 0 until 4; k <- keys) yield (i, k)
     val df = rows.toDF("i", "k")
-    val hex = md5(col("k").cast("binary"))
-    val sqlCell = pmod(
-      conv(substring(hex, 1, 7), 16, 10).cast("long") +
-        col("i").cast("long") * conv(substring(hex, 8, 7), 16, 10).cast("long"),
-      lit(64L))
+    val (h1, h2) = CountMinSketchAgg.hashPairCols(col("k"))
+    val sqlCell = pmod(h1 + col("i").cast("long") * h2, lit(64L))
     val got = df.select(col("i"), col("k"), sqlCell.as("cell")).collect()
     got.foreach { r =>
       assert(r.getLong(2) ===
