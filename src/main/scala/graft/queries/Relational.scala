@@ -286,6 +286,18 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // event-time tumbling windows in BATCH (the same window() operator
+    // the streaming paths use): epoch-aligned 6-hour buckets, emitted
+    // as epoch micros (raw timestamps break ns/µs parquet parity)
+    "tumbling_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(money("value")).cast("double").as("val_sum"))
+        .select(unix_micros(col("w.start")).as("win_start_us"),
+          col("event_type"), col("cnt"), col("val_sum"))
+        .orderBy("win_start_us", "event_type")),
+
     // HyperLogLog distinct sketch (graft.functions.HyperLogLogAgg):
     // per-group approximate count-distinct whose 64-register state is
     // built on the portable md5 family, estimated IN-PLAN, and carried
@@ -482,6 +494,13 @@ object Relational {
         |  CAST(k.true_cnt AS BIGINT) AS true_cnt
         |FROM est e JOIN keys k ON e.event_type = k.event_type
         |ORDER BY e.event_type""".stripMargin,
+    // Spark's window() aligns buckets to the epoch in session-UTC; the
+    // oracle replays that arithmetic on the microsecond timeline
+    "tumbling_window" ->
+      """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS win_start_us,
+        |  event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the oracle rebuilds the HLL registers relationally from DISTINCT
     // keys (md5 is per-key, so duplicates can't move a max), re-derives
     // the estimate with the same integer-weight arithmetic, and checks
