@@ -333,6 +333,29 @@ object Relational {
         .orderBy("o_orderpriority", "rk")
     }),
 
+    // grouped string aggregation: sort_array(collect_list) + concat_ws
+    // is the deterministic Spark spelling of SQL's ordered string_agg
+    "string_agg_group" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+            .as("statuses"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")),
+
+    // unpivot (wide -> long, the inverse of the pivot op): the 3-col
+    // truncated-sum row melts into (metric, value) pairs
+    "unpivot_sums" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem").agg(
+        sum(col("l_quantity").cast("double").cast("long")).as("qty"),
+        sum(col("l_extendedprice").cast("double").cast("long")).as("price"),
+        sum(col("l_discount").cast("double").cast("long")).as("disc"))
+      wide.unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("qty"), col("price"), col("disc")), "metric", "value")
+        .orderBy("metric")
+    }),
+
     // small-dimension broadcast joins: nation and region never shuffle
     "join_broadcast" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -494,6 +517,24 @@ object Relational {
         |  CAST(k.true_cnt AS BIGINT) AS true_cnt
         |FROM est e JOIN keys k ON e.event_type = k.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "string_agg_group" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |    AS statuses,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // spelled as UNION ALL so the oracle pins the same (metric, value)
+    // pairs without depending on DuckDB's UNPIVOT column ordering
+    "unpivot_sums" ->
+      """WITH wide AS (SELECT
+        |  CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |  CAST(sum(CAST(trunc(l_extendedprice) AS BIGINT)) AS BIGINT) AS price,
+        |  CAST(sum(CAST(trunc(l_discount) AS BIGINT)) AS BIGINT) AS disc
+        |FROM lineitem)
+        |SELECT 'qty' AS metric, qty AS value FROM wide
+        |UNION ALL SELECT 'price', price FROM wide
+        |UNION ALL SELECT 'disc', disc FROM wide
+        |ORDER BY metric""".stripMargin,
     // Spark's window() aligns buckets to the epoch in session-UTC; the
     // oracle replays that arithmetic on the microsecond timeline
     "tumbling_window" ->
