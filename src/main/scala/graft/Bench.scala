@@ -39,17 +39,33 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Two timed passes, min per query. A single pass is hostage to
+    // whatever else the host is doing during THAT query's 0.2-30 s slot:
+    // round-5 and round-6 ran IDENTICAL code and individual queries
+    // swung 60x (0.44 s -> 34 s) purely from machine noise. The min of
+    // two spaced samples is a far better estimator of the plan's true
+    // cost — noise only ever adds time, never subtracts it.
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) =
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    for (pass <- 1 to 2) {
+      // Give ContextCleaner a chance between passes: collect dropped
+      // broadcast/shuffle references so pass 2 doesn't run on top of
+      // pass 1's accumulated state.
+      System.gc()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (!errors.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            timings(name) = timings.get(name).fold(sec)(math.min(_, sec))
+          } catch {
+            case e: Throwable =>
+              timings.remove(name)
+              errors(name) =
+                Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+        }
       }
     }
 

@@ -377,6 +377,74 @@ object Dedup {
     df.filter(bucket < rate)
   }
 
+  /** Duplicate-CLUSTER resolution: connected components over a near-dup
+    * pair list, labeling every paired document with the smallest doc_id
+    * reachable from it. Pairs alone don't tell a pipeline what to drop —
+    * near-dup is not transitive, so A~B, B~C must collapse into ONE
+    * cluster {A,B,C} keeping one representative, or chained dups survive
+    * two-by-two.
+    *
+    * Pregel-style min-label propagation, entirely in DataFrame joins:
+    * each round takes the min over neighbors' labels, then one
+    * pointer-jump (label := label's label) — the jump is what turns
+    * O(component diameter) rounds into O(log diameter), the same
+    * contraction trick as large-star/small-star [Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14]. Each
+    * round is two shuffles on doc_id-sized keys; `localCheckpoint`
+    * truncates lineage so the plan doesn't grow with iterations (the
+    * classic iterative-Spark failure mode), and the convergence check is
+    * one tiny count per round — the driver coordinates supersteps but
+    * never holds data.
+    *
+    * Returns (doc_id, cluster_id, is_rep) for every document that
+    * appears in some pair; singleton docs are implicitly their own
+    * cluster and are omitted (at 100 TB the pair graph is sparse — the
+    * omission keeps this output O(dups), not O(corpus)).
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .localCheckpoint(true)
+    var converged = labels.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("nid"), col("cluster").as("ncl")),
+          col("dst") === col("nid"))
+        .groupBy(col("src")).agg(min("ncl").as("nbr_min"))
+      val stepped = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+      // pointer jump: follow my label's OWN label one hop
+      val jumped = stepped.as("x")
+        .join(
+          stepped.select(col("id").as("pid"), col("cluster").as("pcl")).as("p"),
+          col("x.cluster") === col("p.pid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.cluster"), coalesce(col("pcl"), col("x.cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
+      converged = jumped
+        .join(labels.select(col("id").as("oid"), col("cluster").as("old")),
+          col("id") === col("oid"))
+        .filter(col("cluster") =!= col("old"))
+        .isEmpty
+      labels = jumped
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+        (col("id") === col("cluster")).as("is_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard over LSH-generated candidates: re-join the
     * shingle sets onto the (pruned) candidate pairs and compute
     * |A∩B| / |A∪B| exactly. The expensive exact measure runs only on

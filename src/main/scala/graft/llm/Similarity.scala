@@ -155,23 +155,9 @@ object Similarity {
     */
   def ivfFlatTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = emb.select(col("vec_id"), dbl(col("embedding")).as("vec"))
-    val seeds = broadcast(v
-      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
-      .limit(nlist)
-      .select(col("vec_id").as("seed_id"), col("vec").as("seed")))
-    def d2(a: Column, b: Column): Column = bround(
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x), 6)
-
-    val byDist = Window.partitionBy("vec_id")
-      .orderBy(col("__d2").asc, col("seed_id").asc)
-    val assigned = v.join(seeds) // broadcast nlist-row cross product
-      .withColumn("__d2", d2(col("vec"), col("seed")))
-      .withColumn("__rn", row_number().over(byDist))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("vec"), col("seed_id").as("cell"))
+    val seeds = flatSeeds(v, nlist)
+    val assigned = flatAssigned(v, seeds)
 
     val probed = v.filter(col("vec_id") === queryId)
       .select(col("vec").as("qvec"))
@@ -188,6 +174,74 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Squared L2, rounded to 6 dp so the argmin tiebreak is
+    * engine-portable (see [[ivfFlatTopK]]).
+    */
+  private def d2(a: Column, b: Column): Column = bround(
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 6)
+
+  /** The deterministic md5-sampled seed table shared by [[ivfFlatTopK]]
+    * and [[kmeansStep]].
+    */
+  private def flatSeeds(v: DataFrame, nlist: Int): DataFrame =
+    broadcast(v
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(nlist)
+      .select(col("vec_id").as("seed_id"), col("vec").as("seed")))
+
+  /** Nearest-seed cell assignment: broadcast nlist-row cross product,
+    * one window pass for the argmin (ties to the smaller seed id).
+    */
+  private def flatAssigned(v: DataFrame, seeds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDist = Window.partitionBy("vec_id")
+      .orderBy(col("__d2").asc, col("seed_id").asc)
+    v.join(seeds)
+      .withColumn("__d2", d2(col("vec"), col("seed")))
+      .withColumn("__rn", row_number().over(byDist))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("vec"), col("seed_id").as("cell"))
+  }
+
+  /** One Lloyd iteration of K-means from the deterministic flat seeds:
+    * assign every vector to its nearest seed ([[flatAssigned]] — the
+    * same argmin the IVF index uses), then emit each cell's new
+    * centroid as flat (cell, pos, m) rows with the member count.
+    * This is the training step that turns the sampled quantizer into a
+    * fitted one — and because seeds, assignment, and the mean are plain
+    * relational algebra, the whole step is DuckDB-oracle-checkable,
+    * which no MLlib-fitted quantizer is.
+    *
+    * Plan shape at 100 TB: broadcast seeds, one narrow window pass per
+    * vector, then ONE hash aggregate keyed (cell, dim) with map-side
+    * partials — dims fan out 64× but rows are (long, int, double)
+    * triples, and the shuffle is bounded by nlist × dim groups.
+    * `bround(..., 6)` absorbs float sum-order noise (the per-dim mean is
+    * the only order-sensitive float reduction).
+    */
+  def kmeansStep(emb: DataFrame, nlist: Int = 16): DataFrame = {
+    val v = emb.select(col("vec_id"), dbl(col("embedding")).as("vec"))
+    val assigned = flatAssigned(v, flatSeeds(v, nlist))
+    assigned
+      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(bround(avg("x"), 6).as("m"), count(lit(1)).as("members"))
+      .orderBy("cell", "pos")
+  }
+
+  /** Per-label mean embedding (class centroids), flat (label, pos, m)
+    * output: one posexplode + one hash aggregate keyed (label, dim),
+    * map-side combinable — the standard building block for centroid
+    * classifiers, topic drift monitoring, and per-domain embedding
+    * health checks over a 100 TB corpus.
+    */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(dbl(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(bround(avg("x"), 6).as("m"), count(lit(1)).as("members"))
+      .orderBy("label", "pos")
 
   /** Deterministic ±1 sign-projection vectors (Rademacher), one per
     * hash bit: entry (i, d) is +1 iff the low bit of md5("i:d") is set.

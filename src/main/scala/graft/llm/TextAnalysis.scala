@@ -164,6 +164,59 @@ object TextAnalysis {
       .orderBy("lang", "rank")
   }
 
+  /** Gopher-style repetition filtering [Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446 §A1.1]: documents dominated by repeated fragments
+    * are boilerplate/spam and poison a training mix even after exact
+    * and near dedup (those compare ACROSS documents; this measures
+    * repetition WITHIN one).
+    *
+    * Per document: fraction of word-bigram occurrences taken by the
+    * most frequent bigram, fraction of duplicate bigram occurrences,
+    * mean word length, and symbol-to-word ratio ('#' and '...' runs),
+    * plus a keep flag over Gopher-like thresholds. One explode +
+    * two-level aggregate, keyed by doc_id throughout — partition-local
+    * at scale, no global shuffle beyond the per-doc groupBy; ratios are
+    * single IEEE divisions, bit-identical across engines.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    // word bigrams; <2 tokens -> empty (same guard shape as Dedup.shingles)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val perGram = docs
+      .select(col("doc_id"), explode(bigrams).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy("doc_id").agg(
+      sum("c").as("n_bigrams"),
+      max("c").as("top_bigram_cnt"),
+      count(lit(1)).as("distinct_bigrams"))
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      length(regexp_replace(col("text"), "\\s+", "")).as("word_chars"),
+      size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+        .as("symbol_cnt"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("word_chars").cast("double") /
+          nullif(col("n_tokens"), lit(0)).cast("double")).as("mean_word_len"),
+        (col("symbol_cnt").cast("double") /
+          nullif(col("n_tokens"), lit(0)).cast("double")).as("symbol_ratio"),
+        coalesce(col("top_bigram_cnt").cast("double") /
+          col("n_bigrams").cast("double"), lit(0.0)).as("top_bigram_frac"),
+        coalesce((col("n_bigrams") - col("distinct_bigrams")).cast("double") /
+          col("n_bigrams").cast("double"), lit(0.0)).as("dup_bigram_frac"))
+      .withColumn("keep",
+        coalesce(col("mean_word_len").between(3.0, 12.0), lit(false)) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("top_bigram_frac") <= 0.18 &&
+          col("dup_bigram_frac") <= 0.3)
+  }
+
   /** Per-language corpus statistics (one shuffle, map-side partials). */
   def stats(docs: DataFrame): DataFrame =
     docs.groupBy("lang").agg(

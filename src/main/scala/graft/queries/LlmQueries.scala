@@ -34,12 +34,18 @@ object LlmQueries {
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_exact_window" -> ((s, dir) => Dedup.exactWindow(docs(s, dir))),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashBandedPairs(docs(s, dir))),
+    // pair list -> connected components -> per-doc cluster label; the
+    // step that decides WHICH near-dups to drop
+    "dedup_cluster" -> ((s, dir) =>
+      Dedup.dupClusters(Dedup.minhashBandedPairs(docs(s, dir)))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
     "quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")),
+    "repetition_filter" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")),
     "text_stats" -> ((s, dir) =>
       TextAnalysis.stats(docs(s, dir)).orderBy("lang")),
     "doc_fingerprint" -> ((s, dir) =>
@@ -48,6 +54,11 @@ object LlmQueries {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(emb(s, dir))),
+    // one Lloyd iteration from the deterministic flat seeds — the
+    // oracle-checkable K-means training step
+    "kmeans_step" -> ((s, dir) => Similarity.kmeansStep(emb(s, dir))),
+    "embedding_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(emb(s, dir))),
     "ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(emb(s, dir), k = 10,
         bucketLength = 1.0, numHashTables = 4, maxDistance = 1.5)),
@@ -323,6 +334,31 @@ object LlmQueries {
        |SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim
        |FROM cosd ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
 
+  /** DuckDB twin of [[Dedup.dupClusters]] over [[Dedup
+    * .minhashBandedPairs]]: the same banded candidate pairs, then the
+    * transitive closure as a recursive CTE (UNION dedups, so it
+    * terminates), cluster = min reachable doc_id. Min-label propagation
+    * to a fixpoint and min-over-closure define the same labeling, so the
+    * iterative Spark path and the one-shot SQL agree exactly.
+    */
+  private def dupClusterOracle(maxDistance: Double, numHashes: Int = 16,
+      bands: Int = 4): String =
+    // the closure CTE must live in a WITH RECURSIVE list; DuckDB allows
+    // non-recursive CTEs (the minhash prefix) in the same list
+    s"""${minhashCtes(numHashes, bands).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |dedges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM est WHERE jaccard_dist <= $maxDistance
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM est WHERE jaccard_dist <= $maxDistance),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM dedges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src)
+       |SELECT src AS doc_id,
+       |  least(src, min(dst)) AS cluster_id,
+       |  least(src, min(dst)) = src AS is_rep
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   private def ngramJaccardOracle(minJaccard: Double, maxDistance: Double,
       numHashes: Int = 16, bands: Int = 4): String =
     s"""${minhashCtes(numHashes, bands)}
@@ -339,6 +375,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     // parameters MUST mirror the registered queries above
     "dedup_minhash" -> minhashOracle(maxDistance = 0.6),
+    "dedup_cluster" -> dupClusterOracle(maxDistance = 0.6),
     "ngram_jaccard" -> ngramJaccardOracle(minJaccard = 0.1, maxDistance = 0.8),
     "dedup_simhash" -> simhashOracle(maxHamming = 6),
     "neardup_signlsh" -> signLshOracle(minCosine = 0.4),
@@ -467,6 +504,45 @@ object LlmQueries {
          |  CAST(${stopCount("en")} AS INT) AS stop_cnt
          |FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    // word-bigram repetition stats; ratios are single IEEE divisions of
+    // integer-valued operands, exact in both engines
+    "repetition_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM t WHERE len(tk) >= 2),
+        |pg AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram),
+        |pd AS (SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(max(c) AS BIGINT) AS top_bigram_cnt,
+        |  count(*) AS distinct_bigrams
+        |  FROM pg GROUP BY doc_id),
+        |base AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        |  length(regexp_replace(text, '\s+', '', 'g')) AS word_chars,
+        |  len(regexp_extract_all(text, '#|\.\.\.')) AS symbol_cnt
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, mean_word_len, symbol_ratio,
+        |  top_bigram_frac, dup_bigram_frac,
+        |  (coalesce(mean_word_len BETWEEN 3.0 AND 12.0, false)
+        |    AND symbol_ratio <= 0.1 AND top_bigram_frac <= 0.18
+        |    AND dup_bigram_frac <= 0.3) AS keep
+        |FROM (
+        |  SELECT b.doc_id, b.n_tokens,
+        |    CAST(b.word_chars AS DOUBLE) / CAST(nullif(b.n_tokens, 0) AS DOUBLE)
+        |      AS mean_word_len,
+        |    CAST(b.symbol_cnt AS DOUBLE) / CAST(nullif(b.n_tokens, 0) AS DOUBLE)
+        |      AS symbol_ratio,
+        |    coalesce(CAST(pd.top_bigram_cnt AS DOUBLE)
+        |      / CAST(pd.n_bigrams AS DOUBLE), 0.0) AS top_bigram_frac,
+        |    coalesce(CAST(pd.n_bigrams - pd.distinct_bigrams AS DOUBLE)
+        |      / CAST(pd.n_bigrams AS DOUBLE), 0.0) AS dup_bigram_frac
+        |  FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // CAST around the integer sums: DuckDB sum(BIGINT) is HUGEINT,
     // Spark's is BIGINT — cast the final scalar back for the hash compare
     "text_stats" ->
@@ -521,6 +597,33 @@ object LlmQueries {
         |  GROUP BY e.vec_id)
         |SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim
         |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    // same seeds/assignment CTEs as ann_ivf_flat, then the per-(cell,dim)
+    // mean — avg's sum-order noise absorbed by round(...,6) on both sides
+    "kmeans_step" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS seed FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |d AS (
+        |  SELECT e.vec_id, s.seed_id,
+        |    round(sum((CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed[i] AS DOUBLE))
+        |            * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed[i] AS DOUBLE))),
+        |          6) AS d2
+        |  FROM embeddings e, seeds s, range(1, 65) t(i)
+        |  GROUP BY e.vec_id, s.seed_id),
+        |asn AS (
+        |  SELECT vec_id, seed_id AS cell FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) = 1)
+        |SELECT a.cell, CAST(i - 1 AS INT) AS pos,
+        |  round(avg(CAST(e.embedding[i] AS DOUBLE)), 6) AS m,
+        |  count(*) AS members
+        |FROM embeddings e JOIN asn a ON e.vec_id = a.vec_id, range(1, 65) t(i)
+        |GROUP BY a.cell, i ORDER BY a.cell, pos""".stripMargin,
+    "embedding_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m,
+        |  count(*) AS members
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id,

@@ -356,6 +356,76 @@ object Relational {
         .orderBy("metric")
     }),
 
+    // anti join (the complement of join_semi): customers with NO urgent
+    // order — same hash-join shuffle shape, null-safe by construction
+    "join_anti" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // scalar-subquery shape: rows above the global mean, spelled
+    // multiplicatively (price × n > total) so every comparison is one
+    // IEEE double op — no decimal-division scale rules to diverge on.
+    // The one-row aggregate broadcasts; the fact table never reshuffles.
+    "scalar_subquery" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val tot = o.agg(
+        sum(money("o_totalprice")).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      o.join(broadcast(tot))
+        .filter(col("o_totalprice") * col("n") > col("total"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // explicit GROUPING SETS (beyond cube/rollup) + grouping() markers,
+    // through the SQL front-end
+    "grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |  (o_orderstatus, o_orderpriority))
+          |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
+    }),
+
+    // ranking-function family over one window pass: dense_rank,
+    // percent_rank, ntile, cume_dist (all rank-arithmetic —
+    // deterministic given the total tiebreak)
+    "window_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          dense_rank().over(w).as("drk"),
+          percent_rank().over(w).as("prk"),
+          ntile(4).over(w).as("tile"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
+    // equi-width histogram: min/max in one tiny broadcast aggregate,
+    // then a single scan bins every row — two passes, no shuffle of the
+    // fact table; the bin expression is mirrored verbatim in the oracle
+    // so the IEEE division sequence is identical
+    "histogram_bins" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val st = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      o.join(broadcast(st))
+        .select(least(
+          floor((col("o_totalprice") - col("mn")) /
+            ((col("mx") - col("mn")) / lit(10.0))), lit(9L))
+          .cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        .orderBy("bin")
+    }),
+
     // small-dimension broadcast joins: nation and region never shuffle
     "join_broadcast" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -597,6 +667,44 @@ object Relational {
         |  ON a.event_id <> b.event_id
         | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "join_anti" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "scalar_subquery" ->
+      """WITH s AS (SELECT
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n FROM orders)
+        |SELECT o_orderstatus, count(*) AS cnt
+        |FROM orders, s
+        |WHERE o_totalprice * s.n > s.total
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
+    "window_ranks" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(dense_rank() OVER w AS INT) AS drk,
+        |  percent_rank() OVER w AS prk,
+        |  CAST(ntile(4) OVER w AS INT) AS tile,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "histogram_bins" ->
+      """WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |  FROM orders)
+        |SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 10.0)), 9)
+        |    AS INT) AS bin,
+        |  count(*) AS cnt
+        |FROM orders, s GROUP BY bin ORDER BY bin""".stripMargin,
     // DuckDB has NATIVE ASOF JOIN — the ideal oracle for our composed one
     "asof_join" ->
       """SELECT a.event_id, a.user_id,

@@ -313,6 +313,88 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
+  test("dupClusters collapses a chain into one component labeled by its min") {
+    import spark.implicits._
+    // pair graph: 1-2, 2-3 (a chain: near-dup is not transitive),
+    // plus an isolated pair 7-9; node 5 appears in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (7L, 7L, true), (9L, 7L, false)))
+  }
+
+  test("dupClusters handles a long path (propagation crosses many hops)") {
+    import spark.implicits._
+    // path 0-1-2-...-12: min label must travel the whole chain
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs).collect()
+    assert(out.length === 13)
+    assert(out.forall(_.getLong(1) === 0L))
+    assert(out.count(_.getBoolean(2)) === 1)
+  }
+
+  test("dupClusters on an empty pair list returns no rows") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.dupClusters(pairs).collect().isEmpty)
+  }
+
+  test("repetitionStats flags bigram-repeated boilerplate, keeps prose") {
+    val d = docs(
+      1L -> base, // normal prose
+      2L -> "buy now buy now buy now buy now buy now buy now", // spam
+      3L -> "x") // single token: no bigrams, short words
+    val out = TextAnalysis.repetitionStats(d).orderBy("doc_id").collect()
+    val prose = out(0)
+    val spam = out(1)
+    val tiny = out(2)
+    assert(prose.getAs[Boolean]("keep"))
+    // "buy now" dominates: 6 occurrences of "buy now" + 5 "now buy" = 11
+    // bigrams, top frac 6/11
+    assert(spam.getAs[Int]("n_tokens") === 12)
+    assert(math.abs(spam.getAs[Double]("top_bigram_frac") - 6.0 / 11.0) < 1e-12)
+    assert(!spam.getAs[Boolean]("keep"))
+    // one token -> no bigrams -> fracs default 0, mean word len 1 -> drop
+    assert(tiny.getAs[Double]("top_bigram_frac") === 0.0)
+    assert(!tiny.getAs[Boolean]("keep"))
+  }
+
+  test("kmeansStep: centroids average exactly the members of each cell") {
+    import spark.implicits._
+    // 4 vectors in 2 tight groups; nlist=2 seeds by md5 order of vec_id
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), "a"),
+      (1L, Array(1.1f, 0.0f), "a"),
+      (2L, Array(0.0f, 5.0f), "b"),
+      (3L, Array(0.0f, 5.1f), "b")).toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeansStep(e, nlist = 2).collect()
+    // 2 cells x 2 dims
+    assert(out.length === 4)
+    val members = out.map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(members.values.sum === 4L)
+    // every cell's per-dim mean is the average of its members: with 2
+    // clusters far apart, each cell holds one tight group -> dim-0 means
+    // are ~1.05 and 0.0 (in some cell order)
+    val dim0 = out.filter(_.getInt(1) === 0).map(_.getDouble(2)).sorted
+    assert(math.abs(dim0(0) - 0.0) < 1e-6)
+    assert(math.abs(dim0(1) - 1.05) < 1e-3)
+  }
+
+  test("labelCentroids: per-label mean of a hand-built table") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 3.0f), "a"),
+      (1L, Array(3.0f, 5.0f), "a"),
+      (2L, Array(10.0f, 0.0f), "b")).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(e).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("a", 0, 2.0, 2L), ("a", 1, 4.0, 2L),
+      ("b", 0, 10.0, 1L), ("b", 1, 0.0, 1L)))
+  }
+
   test("multimodal feature extraction is deterministic and complete") {
     val d = docs(1L -> "abc", 2L -> "defg", 3L -> "hi")
     val f1 = Multimodal.features(spark, d).collect()
