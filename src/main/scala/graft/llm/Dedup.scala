@@ -445,6 +445,22 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified (per-group) sample: the first `n` rows of
+    * each group in (md5(id), id) order — "give me a reproducible
+    * inspection sample of every language / source / split" without
+    * `rand()`'s run-to-run drift. One window pass; the md5 order is a
+    * uniform pseudo-random permutation, engine-portable like every
+    * other hash in this module, and the id tiebreak makes the pick
+    * total. At scale the rank prunes partition-locally before any
+    * global ordering.
+    */
+  def samplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
   /** Exact n-gram Jaccard over LSH-generated candidates: re-join the
     * shingle sets onto the (pruned) candidate pairs and compute
     * |A∩B| / |A∪B| exactly. The expensive exact measure runs only on

@@ -108,6 +108,10 @@ object LlmQueries {
         .groupBy(Dedup.assignSplit(docs(s, dir), "doc_id").as("split"), col("lang"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("split", "lang")),
+    "sample_per_group" -> ((s, dir) =>
+      Dedup.samplePerGroup(docs(s, dir), "lang", "doc_id", 3)
+        .select("lang", "doc_id", "rn")
+        .orderBy("lang", "rn")),
     "length_quantiles" -> ((s, dir) =>
       docs(s, dir).groupBy("lang").agg(
         expr("percentile(n_chars, 0.25)").as("p25"),
@@ -466,6 +470,13 @@ object LlmQueries {
         |      AS bucket
         |  FROM documents))
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "sample_per_group" ->
+      """SELECT lang, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+        |FROM documents
+        |QUALIFY rn <= 3
+        |ORDER BY lang, rn""".stripMargin,
     // quartiles over integers interpolate at exact quarters -> both
     // engines' linear-interpolation formulas are FP-exact and equal
     "length_quantiles" ->

@@ -426,6 +426,80 @@ object Relational {
         .orderBy("bin")
     }),
 
+    // bucketed-table layout exercised through the gate: write both sides
+    // bucketed+sorted on the join key (graft.ops.Bucketing), then join
+    // the catalog tables. Pre-shuffled-at-write is the 100 TB layout for
+    // keys joined daily; BucketingSpec asserts the zero-Exchange plan,
+    // this query asserts the VALUES survive the bucketed write+read.
+    "join_bucketed" -> ((s, dir) => {
+      val base = "/root/repo/target/bucketed"
+      graft.ops.Bucketing.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_orders_b", s"$base/orders_b", "o_custkey", 8)
+      graft.ops.Bucketing.writeBucketed(
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        "graft_customer_b", s"$base/customer_b", "c_custkey", 8)
+      s.table("graft_orders_b")
+        .join(s.table("graft_customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(money("o_totalprice")).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // JSON-lines sink+source round-trip: write the documents table as
+    // JSONL, read it back with the EXPLICIT schema (never inference at
+    // scale), and checksum every column — the oracle computes the same
+    // checksums from the parquet original, so any value the JSON path
+    // mangles (escaping, unicode, nulls) breaks the hash.
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val path = "/root/repo/target/roundtrip/documents_jsonl"
+      d.write.mode("overwrite").json(path)
+      s.read.schema(d.schema).json(path).agg(
+        count(lit(1)).as("n"),
+        sum("doc_id").as("id_sum"),
+        sum("n_chars").as("chars"),
+        countDistinct("lang").as("langs"),
+        sum(length(col("text")).cast("long")).as("text_len"))
+    }),
+
+    // same round-trip through the columnar ORC source/sink
+    "orc_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val path = "/root/repo/target/roundtrip/documents_orc"
+      d.write.mode("overwrite").orc(path)
+      s.read.schema(d.schema).orc(path).agg(
+        count(lit(1)).as("n"),
+        sum("doc_id").as("id_sum"),
+        sum("n_chars").as("chars"),
+        countDistinct("lang").as("langs"),
+        sum(length(col("text")).cast("long")).as("text_len"))
+    }),
+
+    // the date-function family over the event timeline: extraction
+    // (year/quarter/month/iso-week/day-of-week/day-of-year), month-end,
+    // date arithmetic, and day differences — grouped to one row per day
+    // so the whole family is exercised without a per-event blowup
+    "datetime_functions" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      daily.select(
+        col("day"), col("cnt"),
+        year(col("day")).as("yr"),
+        quarter(col("day")).as("qtr"),
+        month(col("day")).as("mo"),
+        weekofyear(col("day")).as("iso_week"),
+        dayofweek(col("day")).as("dow"),
+        dayofyear(col("day")).as("doy"),
+        last_day(col("day")).as("month_end"),
+        date_add(col("day"), 30).as("plus30"),
+        datediff(col("day"), to_date(lit("2024-01-01"))).as("days_since"))
+        .orderBy("day")
+    }),
+
     // small-dimension broadcast joins: nation and region never shuffle
     "join_broadcast" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -705,6 +779,45 @@ object Relational {
         |    AS INT) AS bin,
         |  count(*) AS cnt
         |FROM orders, s GROUP BY bin ORDER BY bin""".stripMargin,
+    // bucketed write+read must preserve the plain join's values
+    "join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the round-trip checksums must equal the parquet originals'
+    "jsonl_roundtrip" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+        |  CAST(sum(length(text)) AS BIGINT) AS text_len
+        |FROM documents""".stripMargin,
+    "orc_roundtrip" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+        |  CAST(sum(length(text)) AS BIGINT) AS text_len
+        |FROM documents""".stripMargin,
+    // DuckDB's week() is ISO week (= Spark weekofyear); its dayofweek is
+    // 0=Sunday where Spark's is 1=Sunday, hence the +1; date - DATE is
+    // an integer day count (= Spark datediff)
+    "datetime_functions" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1)
+        |SELECT day, cnt,
+        |  CAST(year(day) AS INT) AS yr,
+        |  CAST(quarter(day) AS INT) AS qtr,
+        |  CAST(month(day) AS INT) AS mo,
+        |  CAST(week(day) AS INT) AS iso_week,
+        |  CAST(dayofweek(day) + 1 AS INT) AS dow,
+        |  CAST(dayofyear(day) AS INT) AS doy,
+        |  last_day(day) AS month_end,
+        |  day + 30 AS plus30,
+        |  CAST(day - DATE '2024-01-01' AS INT) AS days_since
+        |FROM daily ORDER BY day""".stripMargin,
     // DuckDB has NATIVE ASOF JOIN — the ideal oracle for our composed one
     "asof_join" ->
       """SELECT a.event_id, a.user_id,
