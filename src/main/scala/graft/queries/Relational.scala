@@ -500,6 +500,47 @@ object Relational {
         .orderBy("day")
     }),
 
+    // changelog -> current state (the CDC/SCD "latest wins" materialize):
+    // one window pass per key, total tiebreak — the batch analogue of
+    // streaming state compaction, and the shape a 100 TB upsert
+    // materialization takes (shuffle by key once, rank, keep rn=1)
+    "cdc_latest" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy("user_id")
+    }),
+
+    // per-group z-score outlier flags with DETERMINISTIC moments: Σx and
+    // Σx² accumulate as DECIMAL (exact, order-independent) and only the
+    // final scalars hit double, so mean/sd/z are fixed IEEE expression
+    // chains the oracle mirrors verbatim — no Welford-vs-naive or
+    // sum-order drift. The stats aggregate broadcasts back onto the
+    // stream; the fact table shuffles once.
+    "outlier_zscore" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("value"))
+      val st = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(money("value")).cast("double").as("sx"),
+        sum(money("value") * money("value")).cast("double").as("sxx"))
+        .select(col("event_type"), col("n"),
+          (col("sx") / col("n")).as("mean"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)).as("sd"))
+      ev.join(broadcast(st), "event_type")
+        .groupBy(col("event_type"), col("mean"), col("sd"))
+        .agg(count(when(abs((col("value") - col("mean")) / col("sd")) > 3.0,
+          lit(1))).as("outliers"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("outliers"), col("n"),
+          bround(col("mean"), 6).as("mean_r"), bround(col("sd"), 6).as("sd_r"))
+        .orderBy("event_type")
+    }),
+
     // small-dimension broadcast joins: nation and region never shuffle
     "join_broadcast" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -818,6 +859,33 @@ object Relational {
         |  day + 30 AS plus30,
         |  CAST(day - DATE '2024-01-01' AS INT) AS days_since
         |FROM daily ORDER BY day""".stripMargin,
+    "cdc_latest" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS ts_us, value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    // mean/sd spelled as the SAME double expression chain over exact
+    // decimal sums; z compares identically in both engines
+    "outlier_zscore" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type),
+        |m AS (SELECT event_type, n, sx / n AS mean,
+        |    sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+        |  FROM st)
+        |SELECT e.event_type,
+        |  count(*) FILTER (WHERE abs((e.value - m.mean) / m.sd) > 3.0)
+        |    AS outliers,
+        |  count(*) AS n,
+        |  round(m.mean, 6) AS mean_r,
+        |  round(m.sd, 6) AS sd_r
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY e.event_type, m.mean, m.sd
+        |ORDER BY e.event_type""".stripMargin,
     // DuckDB has NATIVE ASOF JOIN — the ideal oracle for our composed one
     "asof_join" ->
       """SELECT a.event_id, a.user_id,
