@@ -108,6 +108,43 @@ object LlmQueries {
         .groupBy(Dedup.assignSplit(docs(s, dir), "doc_id").as("split"), col("lang"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("split", "lang")),
+    // cluster -> KEEP policy: within each near-dup cluster keep the
+    // longest document (ties to the smaller id) — the policy step a real
+    // dedup pipeline runs after cluster resolution, where "keep the
+    // min id" would discard the best copy
+    "dedup_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val cl = Dedup.dupClusters(Dedup.minhashBandedPairs(d))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      cl.join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(col("rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("best_doc"),
+          col("n_chars").as("best_chars"), col("cluster_size"))
+        .orderBy("cluster_id")
+    }),
+    // token-budgeted shard packing: per-language running token total
+    // (exclusive), shard = total div budget — how a training corpus
+    // splits into byte/token-bounded output files. Partitioned by lang
+    // so the running sum stays parallel; a globally-ordered pack would
+    // need the two-phase block-prefix form instead.
+    "shard_assign" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("lang"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+        .withColumn("shard",
+          floor((sum("ntok").over(w) - col("ntok")) / lit(5000.0)))
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("docs"), sum("ntok").as("tokens"))
+        .orderBy("lang", "shard")
+    }),
     "sample_per_group" -> ((s, dir) =>
       Dedup.samplePerGroup(docs(s, dir), "lang", "doc_id", 3)
         .select("lang", "doc_id", "rn")
@@ -363,6 +400,35 @@ object LlmQueries {
        |  least(src, min(dst)) = src AS is_rep
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** DuckDB twin of the `dedup_keep_best` policy: the [[dupClusterOracle]]
+    * closure, joined to documents, longest-doc-wins window.
+    */
+  private def dedupKeepBestOracle(maxDistance: Double, numHashes: Int = 16,
+      bands: Int = 4): String =
+    s"""${minhashCtes(numHashes, bands).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |dedges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM est WHERE jaccard_dist <= $maxDistance
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM est WHERE jaccard_dist <= $maxDistance),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM dedges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src),
+       |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+       |  FROM cl JOIN documents d USING (doc_id))
+       |SELECT cluster_id, doc_id AS best_doc, n_chars AS best_chars,
+       |  cluster_size
+       |FROM (
+       |  SELECT cluster_id, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY n_chars DESC, doc_id) AS rk,
+       |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+       |      AS cluster_size
+       |  FROM j)
+       |WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+
   private def ngramJaccardOracle(minJaccard: Double, maxDistance: Double,
       numHashes: Int = 16, bands: Int = 4): String =
     s"""${minhashCtes(numHashes, bands)}
@@ -470,6 +536,23 @@ object LlmQueries {
         |      AS bucket
         |  FROM documents))
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "dedup_keep_best" -> dedupKeepBestOracle(maxDistance = 0.6),
+    // same running-total arithmetic; floor of the identical IEEE
+    // division, integer sums cast back to BIGINT
+    "shard_assign" ->
+      """WITH tk AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |cum AS (
+        |  SELECT lang, doc_id, ntok,
+        |    CAST(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS running
+        |  FROM tk)
+        |SELECT lang, CAST(floor((running - ntok) / 5000.0) AS BIGINT) AS shard,
+        |  count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS tokens
+        |FROM cum GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
     "sample_per_group" ->
       """SELECT lang, doc_id,
         |  CAST(row_number() OVER (PARTITION BY lang

@@ -500,6 +500,56 @@ object Relational {
         .orderBy("day")
     }),
 
+    // batch sessionization (the batch twin of streaming/FunnelStream
+    // .userSessions): a session breaks where the gap to the previous
+    // event exceeds 30 min; session number = running count of breaks.
+    // Two window passes over ONE hash partitioning (user_id) — lag and
+    // running sum share the shuffle — then the per-session rollup.
+    "sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = unix_micros(col("ts")) -
+        unix_micros(lag(col("ts"), 1).over(w))
+      val sess = events(s, dir)
+        .withColumn("new_sess",
+          when(coalesce(gapUs > 30L * 60 * 1000000, lit(true)), 1)
+            .otherwise(0))
+        .withColumn("sess_no", sum("new_sess").over(w))
+      sess.groupBy("user_id", "sess_no")
+        .agg(count(lit(1)).as("n_events"),
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"))
+        .orderBy("user_id", "sess_no")
+    }),
+
+    // data-quality check battery (the dbt-test family): null keys,
+    // duplicate primary keys, FK orphans, range violations, empty
+    // payloads — each an independent aggregate, unioned into one
+    // (check, violations) report. Each check is a single scan with a
+    // map-side-combinable aggregate; none shuffles more than its
+    // distinct-count key.
+    "dq_checks" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val ev = events(s, dir)
+      val d = t(s, dir, "documents")
+      def check(name: String, cnt: DataFrame): DataFrame =
+        cnt.select(lit(name).as("check"), col("violations"))
+      check("orders_null_custkey",
+        o.agg(count(when(col("o_custkey").isNull, 1)).as("violations")))
+        .unionByName(check("orders_dup_pk",
+          o.agg((count(lit(1)) - countDistinct("o_orderkey")).as("violations"))))
+        .unionByName(check("lineitem_orphan_fk",
+          li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("violations"))))
+        .unionByName(check("events_value_out_of_range",
+          ev.agg(count(when(col("value").isNull ||
+            col("value") < 0 || col("value") > 1000000, 1)).as("violations"))))
+        .unionByName(check("documents_empty_text",
+          d.agg(count(when(col("text").isNull || length(col("text")) === 0, 1))
+            .as("violations"))))
+        .orderBy("check")
+    }),
+
     // changelog -> current state (the CDC/SCD "latest wins" materialize):
     // one window pass per key, total tiebreak — the batch analogue of
     // streaming state compaction, and the shape a 100 TB upsert
@@ -859,6 +909,46 @@ object Relational {
         |  day + 30 AS plus30,
         |  CAST(day - DATE '2024-01-01' AS INT) AS days_since
         |FROM daily ORDER BY day""".stripMargin,
+    // same break/running-count arithmetic; CAST pins DuckDB's window
+    // sums (HUGEINT) and counts back to Spark's types
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN coalesce(
+        |      epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000,
+        |      true) THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS sess_no
+        |  FROM g)
+        |SELECT user_id, sess_no, count(*) AS n_events,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        |FROM s GROUP BY user_id, sess_no
+        |ORDER BY user_id, sess_no""".stripMargin,
+    "dq_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'orders_null_custkey' AS "check",
+        |    count(CASE WHEN o_custkey IS NULL THEN 1 END) AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_dup_pk',
+        |    count(*) - count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_fk', count(*) FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |  UNION ALL
+        |  SELECT 'events_value_out_of_range',
+        |    count(CASE WHEN value IS NULL OR value < 0 OR value > 1000000
+        |               THEN 1 END)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'documents_empty_text',
+        |    count(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END)
+        |  FROM documents)
+        |ORDER BY "check"""".stripMargin,
     "cdc_latest" ->
       """SELECT user_id, event_type, epoch_us(ts) AS ts_us, value
         |FROM events
