@@ -26,13 +26,6 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      // ContextCleaner (broadcast/shuffle/RDD cleanup) is driven by JVM GC
-      // of the driver-side references; on a large heap a multi-hundred-
-      // query run may never GC, so cleanup never fires and shuffle dirs /
-      // broadcast blocks accumulate for the life of the session. Periodic
-      // GC bounds that accumulation (the same reason long-lived streaming
-      // drivers set it well below the 30min default).
-      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.ui.enabled", "false")
 
   /** Apply graft defaults to an externally created session (e.g. the

@@ -7,7 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(cpus).getOrCreate()
+    // Periodic GC so ContextCleaner keeps up across the whole query
+    // suite (nothing here is timed, so the full-GC pauses are free);
+    // Bench instead GCs between queries to keep pauses out of timed
+    // slots.
+    val spark = GraftSession.builder(cpus)
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

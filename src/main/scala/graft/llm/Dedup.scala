@@ -455,10 +455,12 @@ object Dedup {
     * global ordering.
     */
   def samplePerGroup(df: DataFrame, groupCol: String, idCol: String,
-      n: Int): DataFrame = {
+      n: Int, rankCol: String = "rn"): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"input already has a '$rankCol' column; pass a different rankCol")
     val w = Window.partitionBy(groupCol)
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
   }
 
   /** Exact n-gram Jaccard over LSH-generated candidates: re-join the

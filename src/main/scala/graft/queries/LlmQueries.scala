@@ -375,36 +375,19 @@ object LlmQueries {
        |SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim
        |FROM cosd ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
 
-  /** DuckDB twin of [[Dedup.dupClusters]] over [[Dedup
-    * .minhashBandedPairs]]: the same banded candidate pairs, then the
-    * transitive closure as a recursive CTE (UNION dedups, so it
-    * terminates), cluster = min reachable doc_id. Min-label propagation
-    * to a fixpoint and min-over-closure define the same labeling, so the
-    * iterative Spark path and the one-shot SQL agree exactly.
+  /** Shared recursive-closure CTE prefix for the duplicate-cluster
+    * oracles: the banded-minhash pairs ([[minhashCtes]], promoted to a
+    * WITH RECURSIVE list — DuckDB allows non-recursive CTEs there), the
+    * undirected edge list, the transitive closure (UNION dedups, so it
+    * terminates), and `cl(doc_id, cluster_id)` with cluster = min
+    * reachable doc_id. Min-label propagation to a fixpoint and
+    * min-over-closure define the same labeling, so the iterative Spark
+    * path and the one-shot SQL agree exactly. ONE definition so the
+    * cluster_id semantics (and the distance threshold) cannot drift
+    * between the queries built on it.
     */
-  private def dupClusterOracle(maxDistance: Double, numHashes: Int = 16,
-      bands: Int = 4): String =
-    // the closure CTE must live in a WITH RECURSIVE list; DuckDB allows
-    // non-recursive CTEs (the minhash prefix) in the same list
-    s"""${minhashCtes(numHashes, bands).replaceFirst("WITH ", "WITH RECURSIVE ")},
-       |dedges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM est WHERE jaccard_dist <= $maxDistance
-       |  UNION ALL
-       |  SELECT doc_b, doc_a FROM est WHERE jaccard_dist <= $maxDistance),
-       |reach(src, dst) AS (
-       |  SELECT src, dst FROM dedges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src)
-       |SELECT src AS doc_id,
-       |  least(src, min(dst)) AS cluster_id,
-       |  least(src, min(dst)) = src AS is_rep
-       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
-
-  /** DuckDB twin of the `dedup_keep_best` policy: the [[dupClusterOracle]]
-    * closure, joined to documents, longest-doc-wins window.
-    */
-  private def dedupKeepBestOracle(maxDistance: Double, numHashes: Int = 16,
-      bands: Int = 4): String =
+  private def dupClosureCtes(maxDistance: Double, numHashes: Int,
+      bands: Int): String =
     s"""${minhashCtes(numHashes, bands).replaceFirst("WITH ", "WITH RECURSIVE ")},
        |dedges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM est WHERE jaccard_dist <= $maxDistance
@@ -415,7 +398,23 @@ object LlmQueries {
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src),
        |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-       |  FROM reach GROUP BY src),
+       |  FROM reach GROUP BY src)""".stripMargin
+
+  /** DuckDB twin of [[Dedup.dupClusters]] over [[Dedup
+    * .minhashBandedPairs]].
+    */
+  private def dupClusterOracle(maxDistance: Double, numHashes: Int = 16,
+      bands: Int = 4): String =
+    s"""${dupClosureCtes(maxDistance, numHashes, bands)}
+       |SELECT doc_id, cluster_id, cluster_id = doc_id AS is_rep
+       |FROM cl ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of the `dedup_keep_best` policy: the [[dupClosureCtes]]
+    * closure, joined to documents, longest-doc-wins window.
+    */
+  private def dedupKeepBestOracle(maxDistance: Double, numHashes: Int = 16,
+      bands: Int = 4): String =
+    s"""${dupClosureCtes(maxDistance, numHashes, bands)},
        |j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
        |  FROM cl JOIN documents d USING (doc_id))
        |SELECT cluster_id, doc_id AS best_doc, n_chars AS best_chars,
@@ -428,6 +427,26 @@ object LlmQueries {
        |      AS cluster_size
        |  FROM j)
        |WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+
+  /** Shared seeds/assignment CTE prefix of the flat-quantizer IVF
+    * oracles (`ann_ivf_flat`, `kmeans_step`): md5-ordered seed sample,
+    * rounded-L2 distances, argmin cell assignment with the seed-id
+    * tiebreak — mirrors [[Similarity]]'s `flatSeeds`/`flatAssigned`.
+    */
+  private val ivfFlatCtes: String =
+    """WITH seeds AS (
+      |  SELECT vec_id AS seed_id, embedding AS seed FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |d AS (
+      |  SELECT e.vec_id, s.seed_id,
+      |    round(sum((CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed[i] AS DOUBLE))
+      |            * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed[i] AS DOUBLE))),
+      |          6) AS d2
+      |  FROM embeddings e, seeds s, range(1, 65) t(i)
+      |  GROUP BY e.vec_id, s.seed_id),
+      |asn AS (
+      |  SELECT vec_id, seed_id AS cell FROM d
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) = 1)""".stripMargin
 
   private def ngramJaccardOracle(minJaccard: Double, maxDistance: Double,
       numHashes: Int = 16, bands: Int = 4): String =
@@ -662,19 +681,7 @@ object LlmQueries {
     // order), same rounded-L2 assignment with the same tiebreak, same
     // probe cut, exact cosine over the surviving candidates
     "ann_ivf_flat" ->
-      """WITH seeds AS (
-        |  SELECT vec_id AS seed_id, embedding AS seed FROM embeddings
-        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        |d AS (
-        |  SELECT e.vec_id, s.seed_id,
-        |    round(sum((CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed[i] AS DOUBLE))
-        |            * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed[i] AS DOUBLE))),
-        |          6) AS d2
-        |  FROM embeddings e, seeds s, range(1, 65) t(i)
-        |  GROUP BY e.vec_id, s.seed_id),
-        |asn AS (
-        |  SELECT vec_id, seed_id AS cell FROM d
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) = 1),
+      s"""$ivfFlatCtes,
         |probe AS (
         |  SELECT seed_id AS cell FROM d WHERE vec_id = 0
         |  ORDER BY d2, seed_id LIMIT 4),
@@ -691,27 +698,16 @@ object LlmQueries {
         |  GROUP BY e.vec_id)
         |SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim
         |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
-    // same seeds/assignment CTEs as ann_ivf_flat, then the per-(cell,dim)
-    // mean — avg's sum-order noise absorbed by round(...,6) on both sides
+    // same seeds/assignment CTEs as ann_ivf_flat ([[ivfFlatCtes]] — one
+    // definition), then the per-(cell,dim) mean — avg's sum-order noise
+    // absorbed by round(...,6) on both sides
     "kmeans_step" ->
-      """WITH seeds AS (
-        |  SELECT vec_id AS seed_id, embedding AS seed FROM embeddings
-        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        |d AS (
-        |  SELECT e.vec_id, s.seed_id,
-        |    round(sum((CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed[i] AS DOUBLE))
-        |            * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed[i] AS DOUBLE))),
-        |          6) AS d2
-        |  FROM embeddings e, seeds s, range(1, 65) t(i)
-        |  GROUP BY e.vec_id, s.seed_id),
-        |asn AS (
-        |  SELECT vec_id, seed_id AS cell FROM d
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) = 1)
-        |SELECT a.cell, CAST(i - 1 AS INT) AS pos,
-        |  round(avg(CAST(e.embedding[i] AS DOUBLE)), 6) AS m,
-        |  count(*) AS members
-        |FROM embeddings e JOIN asn a ON e.vec_id = a.vec_id, range(1, 65) t(i)
-        |GROUP BY a.cell, i ORDER BY a.cell, pos""".stripMargin,
+      s"""$ivfFlatCtes
+         |SELECT a.cell, CAST(i - 1 AS INT) AS pos,
+         |  round(avg(CAST(e.embedding[i] AS DOUBLE)), 6) AS m,
+         |  count(*) AS members
+         |FROM embeddings e JOIN asn a ON e.vec_id = a.vec_id, range(1, 65) t(i)
+         |GROUP BY a.cell, i ORDER BY a.cell, pos""".stripMargin,
     "embedding_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS pos,
         |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m,

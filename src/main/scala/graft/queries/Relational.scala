@@ -42,6 +42,13 @@ object Relational {
 
   private def money(c: String) = col(c).cast(DecimalType(18, 2))
 
+  /** Identifier-safe tag of an sf dir, for per-scale scratch paths and
+    * table names (concurrent Verify/Bench runs at different SFs must not
+    * share them).
+    */
+  private def sfTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // GROUP BY + COUNT (SURVEY §2.4; report_engine.py:179-183)
     "groupby_count" -> ((s, dir) =>
@@ -432,15 +439,19 @@ object Relational {
     // keys joined daily; BucketingSpec asserts the zero-Exchange plan,
     // this query asserts the VALUES survive the bucketed write+read.
     "join_bucketed" -> ((s, dir) => {
-      val base = "/root/repo/target/bucketed"
+      // path + table names keyed by the sf dir: a Verify (sf0.01) and a
+      // Bench (sf0.1) overlapping in time must not clobber each other's
+      // tables mid-query
+      val tag = sfTag(dir)
+      val base = s"/root/repo/target/bucketed_$tag"
       graft.ops.Bucketing.writeBucketed(
         t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
-        "graft_orders_b", s"$base/orders_b", "o_custkey", 8)
+        s"graft_orders_b_$tag", s"$base/orders_b", "o_custkey", 8)
       graft.ops.Bucketing.writeBucketed(
         t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
-        "graft_customer_b", s"$base/customer_b", "c_custkey", 8)
-      s.table("graft_orders_b")
-        .join(s.table("graft_customer_b"),
+        s"graft_customer_b_$tag", s"$base/customer_b", "c_custkey", 8)
+      s.table(s"graft_orders_b_$tag")
+        .join(s.table(s"graft_customer_b_$tag"),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("cnt"),
@@ -455,7 +466,7 @@ object Relational {
     // mangles (escaping, unicode, nulls) breaks the hash.
     "jsonl_roundtrip" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val path = "/root/repo/target/roundtrip/documents_jsonl"
+      val path = s"/root/repo/target/roundtrip/documents_jsonl_${sfTag(dir)}"
       d.write.mode("overwrite").json(path)
       s.read.schema(d.schema).json(path).agg(
         count(lit(1)).as("n"),
@@ -468,7 +479,7 @@ object Relational {
     // same round-trip through the columnar ORC source/sink
     "orc_roundtrip" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val path = "/root/repo/target/roundtrip/documents_orc"
+      val path = s"/root/repo/target/roundtrip/documents_orc_${sfTag(dir)}"
       d.write.mode("overwrite").orc(path)
       s.read.schema(d.schema).orc(path).agg(
         count(lit(1)).as("n"),
@@ -603,6 +614,17 @@ object Relational {
         .orderBy("r_name", "n_name")
     })
   )
+
+  /** Column checksums both sink round-trips must preserve (computed by
+    * DuckDB from the parquet originals).
+    */
+  private val roundtripChecksumOracle: String =
+    """SELECT count(*) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+      |  CAST(sum(length(text)) AS BIGINT) AS text_len
+      |FROM documents""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "groupby_count" ->
@@ -876,21 +898,10 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    // the round-trip checksums must equal the parquet originals'
-    "jsonl_roundtrip" ->
-      """SELECT count(*) AS n,
-        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
-        |  CAST(sum(n_chars) AS BIGINT) AS chars,
-        |  CAST(count(DISTINCT lang) AS BIGINT) AS langs,
-        |  CAST(sum(length(text)) AS BIGINT) AS text_len
-        |FROM documents""".stripMargin,
-    "orc_roundtrip" ->
-      """SELECT count(*) AS n,
-        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
-        |  CAST(sum(n_chars) AS BIGINT) AS chars,
-        |  CAST(count(DISTINCT lang) AS BIGINT) AS langs,
-        |  CAST(sum(length(text)) AS BIGINT) AS text_len
-        |FROM documents""".stripMargin,
+    // the round-trip checksums must equal the parquet originals' — one
+    // definition for both formats, so the equality claims can't desync
+    "jsonl_roundtrip" -> roundtripChecksumOracle,
+    "orc_roundtrip" -> roundtripChecksumOracle,
     // DuckDB's week() is ISO week (= Spark weekofyear); its dayofweek is
     // 0=Sunday where Spark's is 1=Sunday, hence the +1; date - DATE is
     // an integer day count (= Spark datediff)
