@@ -39,6 +39,25 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("cnt"))
 
+  /** Skew-mitigated equi-join for a hot-keyed big side against a small
+    * (but not broadcast-small) dimension: the big side gets a
+    * deterministic salt in [0, salts), the small side is replicated once
+    * per salt value, and the join key becomes (key, salt) — a hot key's
+    * rows spread over `salts` reducers instead of melting one. Each
+    * (big row, small row) pair matches on exactly one salt value, so the
+    * result is row-for-row the plain inner join. This is the manual form
+    * of what AQE's skew-join split does at runtime; it exists for plans
+    * AQE can't rescue (a single key holding >1/salts of the table still
+    * skews any split that must keep the key whole).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 16): DataFrame = {
+    val bigS = big.withColumn("__salt", salt(big, salts))
+    val smallS = small.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Skew-safe exact distinct-count, two-phase: phase 1 dedups
     * (key, value) — the shuffle key INCLUDES the value, so a hot key's
     * rows already spread across reducers by value hash (no salt needed;

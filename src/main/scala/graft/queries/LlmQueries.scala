@@ -171,7 +171,41 @@ object LlmQueries {
     "mixture_sample" -> ((s, dir) =>
       Dedup.sampleByMixture(docs(s, dir), "doc_id", mixtureRates)
         .groupBy("source").agg(count(lit(1)).as("kept"))
-        .orderBy("source"))
+        .orderBy("source")),
+    // edit-distance verification of LSH candidates: the exact (O(n·m)
+    // per pair) measure runs ONLY on banded-minhash survivors — the
+    // two-tier cheap-filter / exact-verify shape every fuzzy matcher
+    // takes at scale. levenshtein() is codegen'd and per-row; the
+    // candidate join bounds the quadratic work.
+    "fuzzy_match" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.minhashBandedPairs(d)
+        .select("doc_a", "doc_b")
+        .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+          length(col("ta")).cast("long").as("len_a"),
+          length(col("tb")).cast("long").as("len_b"))
+        .orderBy("doc_a", "doc_b")
+    }),
+    // higher-order array functions over the token array — transform /
+    // filter / aggregate / max evaluate per-row (interpreted, but with
+    // NO shuffle) where an explode would multiply the row count by
+    // |tokens| before re-aggregating; fine off the hot path (the hot-path
+    // ports — simhash, minhash — use explode + codegen'd aggregates)
+    "array_functions" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val lens = transform(toks, t => length(t).cast("long"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        aggregate(lens, lit(0L), (a, x) => a + x).as("tok_chars"),
+        size(filter(toks, t => length(t) > 4)).cast("long").as("n_long"),
+        array_max(lens).as("max_len"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Rates for the registered mixture query — shared with the oracle. */
@@ -464,6 +498,30 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     // parameters MUST mirror the registered queries above
     "dedup_minhash" -> minhashOracle(maxDistance = 0.6),
+    // exact edit distance over the SAME banded candidates
+    "fuzzy_match" ->
+      s"""${minhashCtes(16, 4)}
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+         |  CAST(length(da.text) AS BIGINT) AS len_a,
+         |  CAST(length(db.text) AS BIGINT) AS len_b
+         |FROM (SELECT doc_a, doc_b FROM est WHERE jaccard_dist <= 0.6) c
+         |JOIN documents da ON c.doc_a = da.doc_id
+         |JOIN documents db ON c.doc_b = db.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "array_functions" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tok,
+        |  CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+        |    AS BIGINT) AS tok_chars,
+        |  CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long,
+        |  CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT)
+        |    AS max_len,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        |FROM t ORDER BY doc_id""".stripMargin,
     "dedup_cluster" -> dupClusterOracle(maxDistance = 0.6),
     "ngram_jaccard" -> ngramJaccardOracle(minJaccard = 0.1, maxDistance = 0.8),
     "dedup_simhash" -> simhashOracle(maxHamming = 6),

@@ -602,6 +602,57 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // skew-mitigated equi-join: event_type has only a handful of values,
+    // so a plain shuffle join lands each type on ONE reducer — the
+    // pathological hot-key shape. Skew.saltedJoin spreads each key over
+    // 16 salts; the merge hint forces the shuffle path (at test SF the
+    // optimizer would broadcast the dim and hide the mechanism; at
+    // 100 TB a per-key profile dim is corpus-sized and can't broadcast).
+    // The gate: salted output ≡ the plain-join oracle, row for row.
+    "salted_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), money("value").as("value"))
+      val dim = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("type_total"))
+      graft.ops.Skew.saltedJoin(ev, dim.hint("merge"), "event_type")
+        .groupBy("event_type", "type_total")
+        .agg(sum("value").cast("double").as("sum_value"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // argmax WITHOUT a window: max(struct(...)) picks each user's
+    // highest-value event (event_id tiebreak makes it total) in ONE
+    // partial-aggregating pass — at 100 TB the map-side combine reduces
+    // each partition to one row per key before the shuffle, where the
+    // window form (rank + filter) must shuffle every raw row first.
+    "argmax_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(max(struct(col("value"), col("event_id"), col("event_type")))
+          .as("m"))
+        .select(col("user_id"), col("m.value").as("best_value"),
+          col("m.event_id").as("best_event"),
+          col("m.event_type").as("best_type"))
+        .orderBy("user_id")),
+
+    // SCD2 validity intervals from a changelog: collapse consecutive
+    // duplicate states, then valid_from/valid_to from the next change.
+    // Both window passes share one (user_id) hash partitioning — the
+    // filter between them preserves distribution, so ONE shuffle total.
+    "scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from_us")
+    }),
+
     // small-dimension broadcast joins: nation and region never shuffle
     "join_broadcast" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -994,6 +1045,39 @@ object Relational {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
         |  ON a.user_id = b.user_id AND a.ts >= b.ts
-        |ORDER BY a.event_id""".stripMargin
+        |ORDER BY a.event_id""".stripMargin,
+    // the salted (key, salt) join must equal the plain inner join
+    "salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, count(*) AS type_total
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, type_total,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY event_type, type_total ORDER BY event_type""".stripMargin,
+    // struct-max ordering = (value, event_id, event_type) lexicographic;
+    // the window spelling with the same total order is its oracle
+    "argmax_agg" ->
+      """SELECT user_id, value AS best_value, event_id AS best_event,
+        |  event_type AS best_type
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY value DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "scd2_intervals" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |chg AS (SELECT * FROM ch
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts), 1) OVER w AS valid_to_us,
+        |  lead(epoch_us(ts), 1) OVER w IS NULL AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from_us""".stripMargin
   )
 }

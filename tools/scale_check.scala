@@ -1,0 +1,47 @@
+// 10x scale spot-check for the round-7 heavy operators.
+// Run: spark-shell --driver-class-path target/scala-2.13/classes -i tools/scale_check.scala
+// Replicates documents/embeddings/events (sf0.1) 10x with shifted ids into
+// /tmp/graft_scale10, then times the registered queries through their real
+// entry points (SparkEntry.queries) against that dir. Every text is
+// replicated 10x, so dup clusters carry real collision load.
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+val s = graft.GraftSession.tune(spark)
+val src = "/root/testdata/sf0.1"
+val out = "/tmp/graft_scale10"
+
+def rep(name: String, idCols: Map[String, Long]): Unit = {
+  val base = s.read.parquet(s"$src/$name.parquet")
+  val parts = (0 until 10).map { i =>
+    idCols.foldLeft(base) { case (df, (c, stride)) =>
+      df.withColumn(c, col(c) + lit(i * stride))
+    }
+  }
+  parts.reduce(_.unionByName(_)).write.mode("overwrite")
+    .parquet(s"$out/$name.parquet")
+}
+rep("documents", Map("doc_id" -> 1000000L))
+rep("embeddings", Map("vec_id" -> 1000000L))
+rep("events", Map("event_id" -> 10000000L, "user_id" -> 100000L))
+// small dims pass through unchanged for dq_checks etc.
+for (t <- Seq("orders", "lineitem", "customer", "supplier", "part",
+              "nation", "region")) {
+  s.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
+    .parquet(s"$out/$t.parquet")
+}
+println(s"replicated 10x -> $out")
+
+def time(name: String): Unit = {
+  val q = graft.SparkEntry.queries(name)
+  val t0 = System.nanoTime()
+  val n = q(s, out).count()
+  val sec = (System.nanoTime() - t0) / 1e9
+  println(f"SCALE10 $name%-20s $sec%8.2f s  rows=$n")
+}
+// warm the JIT on a cheap one first
+time("dedup_exact")
+for (q <- Seq("dedup_cluster", "dedup_keep_best", "repetition_filter",
+              "shard_assign", "sessionize", "kmeans_step", "dq_checks",
+              "cdc_latest", "dedup_minhash", "token_count_bpe")) time(q)
+System.exit(0)
