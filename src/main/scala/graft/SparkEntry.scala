@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{CsvFunnelReport, FunnelOverEvents, LlmQueries, Relational}
+import graft.queries.{Analytics, CsvFunnelReport, FunnelOverEvents, LlmQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ LlmQueries.queries +
+    Relational.queries ++ LlmQueries.queries ++ Analytics.queries +
       ("funnel_table" -> (FunnelOverEvents.query(_, _))) +
       // CSV source layer end-to-end (path templating, month glob, range
       // post-filter, entity pushdown) over a generated on-disk fixture
@@ -31,7 +31,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ LlmQueries.oracles +
+    Relational.oracles ++ LlmQueries.oracles ++ Analytics.oracles +
       ("funnel_table" -> FunnelOverEvents.oracle) +
       ("csv_funnel_report" -> CsvFunnelReport.oracle)
 }

@@ -330,6 +330,45 @@ object Dedup {
     clean.unionByName(decontaminate(candidates, blocklist))
   }
 
+  /** Lowercased word n-grams of a text column (empty array below n
+    * tokens) — the GPT-3-style contamination unit [Brown et al.,
+    * "Language Models are Few-Shot Learners", arXiv:2005.14165 §C uses
+    * 13-grams]. Same slice-of-token-sequence shape as
+    * [[TextAnalysis.repetitionStats]]'s bigrams.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** N-gram-overlap decontamination: drop every training document that
+    * shares ANY word `n`-gram with the held-out set — the standard
+    * benchmark-leakage guard (GPT-3 §C; exact-fingerprint
+    * [[decontaminate]] only catches whole-document copies, while a test
+    * question pasted INSIDE a larger page still leaks).
+    *
+    * Shape at 100 TB: the held-out side is benchmark-sized (millions of
+    * grams, not billions), so its distinct gram set BROADCASTS and the
+    * training side's explode → semi-join probe is map-side — the corpus
+    * text itself never shuffles; only the matched doc_ids (a tiny set)
+    * reach the final anti-join, which broadcasts back. Two corpus scans
+    * (gram probe + row fetch), zero corpus-sized shuffles.
+    */
+  def decontaminateNgrams(train: DataFrame, test: DataFrame,
+      n: Int = 8): DataFrame = {
+    val testGrams = test
+      .select(explode(wordNgrams(col("text"), n)).as("__gram"))
+      .distinct()
+    val contaminated = train
+      .select(col("doc_id"), explode(wordNgrams(col("text"), n)).as("__gram"))
+      .join(broadcast(testGrams), Seq("__gram"), "left_semi")
+      .select("doc_id").distinct()
+    train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+  }
+
   /** Per-mille hash bucket of `salt ++ id` via the portable 28-bit md5
     * prefix — the ONE place the bucket recipe lives; split assignment
     * and mixture sampling derive from it with different salts so their

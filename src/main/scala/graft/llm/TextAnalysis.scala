@@ -217,6 +217,38 @@ object TextAnalysis {
           col("dup_bigram_frac") <= 0.3)
   }
 
+  /** Overlapping token-window chunking — the context-window prep step of
+    * a training pipeline: each document becomes ceil(n/stride) chunks of
+    * up to `chunkSize` tokens, consecutive chunks sharing
+    * `chunkSize - stride` tokens of overlap so no training example loses
+    * boundary context.
+    *
+    * Pure per-row Catalyst (tokenize → explode a start-offset sequence →
+    * slice), no shuffle at all: at 100 TB this is a map-only stage whose
+    * output partitioning follows the input. Chunk text is emitted as md5
+    * so result rows stay narrow; the chunk token count and index make the
+    * result self-describing.
+    */
+  def chunkWithStride(docs: DataFrame, chunkSize: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      "chunks must advance and overlap non-negatively")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("start",
+        explode(sequence(lit(0L), col("n") - 1L, lit(stride.toLong))))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        least(lit(chunkSize.toLong), col("n") - col("start"))
+          .as("chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("start") + 1L).cast("int"), lit(chunkSize)))
+          .cast("binary")).as("chunk_md5"))
+  }
+
   /** Per-language corpus statistics (one shuffle, map-side partials). */
   def stats(docs: DataFrame): DataFrame =
     docs.groupBy("lang").agg(

@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GraftSession
+import graft.llm.{Dedup, TextAnalysis}
+
+/** Round-7 analytics batch: behavioral/time-series operators (cohorts,
+  * transitions, time-range frames), deterministic second-moment
+  * statistics, value-window functions, ratio-to-report, median/mode, a
+  * sketch-accuracy gate, bipartite graph degrees, and two
+  * training-pipeline ops (stride chunking, n-gram decontamination).
+  *
+  * Same determinism contract as [[Relational]]: DECIMAL for money sums,
+  * fixed IEEE expression chains mirrored verbatim in the oracle, total
+  * ORDER BY everywhere, integer arithmetic wherever exactness matters.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  private def money(c: String) = col(c).cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // weekly cohort retention: each user joins the cohort of their first
+    // active week; cell (cohort, age) counts users still active `age`
+    // weeks later. Week index is INTEGER day-arithmetic (div 7), never a
+    // date_trunc whose week-start convention could differ across
+    // engines. The per-user first-week aggregate is users-sized →
+    // broadcast back onto the event stream; the fact table shuffles once
+    // for the final (cohort, age) rollup.
+    "cohort_retention" -> ((s, dir) => {
+      val ev = Relational.events(s, dir).select(col("user_id"),
+        expr("datediff(to_date(ts), date'2024-01-01') div 7").as("wk"))
+      val firstWk = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      ev.join(broadcast(firstWk), "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+        .agg(countDistinct("user_id").as("users"))
+        .orderBy("cohort_wk", "age_wk")
+    }),
+
+    // Markov transition counts over each user's event sequence: ONE
+    // window pass (lead) keyed by user, then a small (from, to) rollup —
+    // the path-analysis primitive behind funnel mining. The window and
+    // nothing else shuffles the raw stream.
+    "event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Relational.events(s, dir)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type", "next_type")
+    }),
+
+    // time-RANGE window frame: rolling 7-DAY revenue per customer — the
+    // frame is bounded by the day-index VALUE (rangeBetween), not a row
+    // count, so sparse/bursty order histories aggregate correctly.
+    // DECIMAL inside the frame sum keeps it order-independent.
+    "window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("d")
+        .rangeBetween(-6, 0)
+      t(s, dir, "orders")
+        .withColumn("d", expr("datediff(to_date(o_orderdate), date'1995-01-01')"))
+        .select(col("o_orderkey"), col("o_custkey"), col("d"),
+          sum(money("o_totalprice")).over(w).cast("double").as("roll7"))
+        .orderBy("o_orderkey")
+    }),
+
+    // deterministic second-moment family (stddev / covariance /
+    // correlation) per group: Σx, Σy, Σx², Σy², Σxy accumulate as exact
+    // DECIMAL (order-independent — Spark's built-in stddev/corr use
+    // per-partition float recurrences whose merge order varies run to
+    // run), and only the final scalars enter a fixed IEEE chain the
+    // oracle mirrors token for token.
+    "stats_moments" -> ((s, dir) => {
+      val x = money("l_quantity")
+      val y = money("l_extendedprice")
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          bround(col("sx") / col("n"), 6).as("mean_x"),
+          bround(col("sy") / col("n"), 6).as("mean_y"),
+          bround(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)), 6).as("sd_x"),
+          bround(sqrt((col("syy") - col("sy") * col("sy") / col("n")) /
+            (col("n") - 1)), 6).as("sd_y"),
+          bround((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("n") - 1), 6).as("cov_xy"),
+          bround(((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("n") - 1)) /
+            (sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+              (col("n") - 1)) *
+              sqrt((col("syy") - col("sy") * col("sy") / col("n")) /
+                (col("n") - 1))), 6).as("corr_xy"))
+        .orderBy("l_returnflag")
+    }),
+
+    // value-window family: first_value / last_value / nth_value over the
+    // full partition (explicit unbounded ROWS frame — last_value under
+    // the default frame is the famous footgun) + lag/lead neighbors.
+    // One hash partitioning serves all five functions.
+    "window_frame_values" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("d"), col("o_orderkey"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .withColumn("d", expr("datediff(to_date(o_orderdate), date'1995-01-01')"))
+        .select(col("o_orderkey"), col("o_custkey"), col("d"),
+          first(col("o_orderkey")).over(wAll).as("first_order"),
+          last(col("o_orderkey")).over(wAll).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(wAll).as("second_order"),
+          lag(money("o_totalprice"), 1).over(w).cast("double").as("prev_price"),
+          lead(money("o_totalprice"), 1).over(w).cast("double").as("next_price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ratio-to-report: per-segment share of total balance. The grand
+    // total is a window over the ALREADY-AGGREGATED five-row frame —
+    // the raw table never sees the single-partition window.
+    "percent_of_total" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(sum(money("c_acctbal")).as("seg_bal"), count(lit(1)).as("custs"))
+        .withColumn("total_bal", sum(col("seg_bal")).over(Window.partitionBy()))
+        .select(col("c_mktsegment"), col("custs"),
+          col("seg_bal").cast("double").as("seg_bal"),
+          bround(col("seg_bal").cast("double") /
+            col("total_bal").cast("double") * 100.0, 6).as("pct"))
+        .orderBy("c_mktsegment")),
+
+    // exact median (interpolated, both engines lower+(upper-lower)*frac)
+    // + DETERMINISTIC mode: Spark's and DuckDB's native mode() break
+    // count ties arbitrarily, so the mode is spelled as rank-1 of
+    // (count DESC, value ASC) — a total order both engines share.
+    "median_mode" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val med = o.groupBy("o_orderpriority").agg(
+        bround(expr("median(o_totalprice)"), 6).as("median_price"),
+        count(lit(1)).as("n"))
+      val wm = Window.partitionBy("o_orderpriority")
+        .orderBy(col("c").desc, col("o_orderstatus").asc)
+      val mode = o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wm))
+        .filter(col("rn") === 1)
+        .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"),
+          col("c").as("mode_cnt"))
+      med.join(mode, "o_orderpriority").orderBy("o_orderpriority")
+    }),
+
+    // sketch-accuracy gate: approx_percentile (the 100 TB path — a
+    // mergeable KLL-style sketch, no global sort) must land within
+    // 5% + 0.05 of the exact quantile. Rows FILTER on agreement and the
+    // oracle carries the exact values — if the sketch ever drifts, rows
+    // vanish and the driver's row-count compare flags it.
+    "quantile_gate" -> ((s, dir) => {
+      val ps = "array(0.25D, 0.5D, 0.75D)"
+      def ok(i: Int) =
+        abs(element_at(col("ap"), i) - element_at(col("ex"), i)) <=
+          abs(element_at(col("ex"), i)) * 0.05 + 0.05
+      Relational.events(s, dir).groupBy("event_type").agg(
+        expr(s"percentile(value, $ps)").as("ex"),
+        expr(s"approx_percentile(value, $ps, 10000)").as("ap"))
+        .filter(ok(1) && ok(2) && ok(3))
+        .select(col("event_type"),
+          bround(element_at(col("ex"), 1), 6).as("p25"),
+          bround(element_at(col("ex"), 2), 6).as("p50"),
+          bround(element_at(col("ex"), 3), 6).as("p75"))
+        .orderBy("event_type")
+    }),
+
+    // bipartite degree distribution of the part–supplier graph: distinct
+    // edges, per-node degree on each side, then a histogram. Integer
+    // counts end to end. The edge dedup is the one corpus-sized shuffle;
+    // each degree aggregate re-keys the (already tiny) edge list.
+    "graph_degree" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+      def hist(side: String, key: String) =
+        e.groupBy(key).agg(count(lit(1)).as("deg"))
+          .groupBy("deg").agg(count(lit(1)).as("nodes"))
+          .select(lit(side).as("side"), col("deg"), col("nodes"))
+      hist("part", "l_partkey").unionByName(hist("supp", "l_suppkey"))
+        .orderBy("side", "deg")
+    }),
+
+    // overlapping token-window chunking (context-window prep) — map-only
+    "chunk_docs" -> ((s, dir) =>
+      TextAnalysis.chunkWithStride(t(s, dir, "documents"), 64, 48)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // GPT-3-style n-gram-overlap decontamination: doc_id%20==0 plays the
+    // held-out set; every train doc sharing an 8-gram with it is dropped
+    "decontaminate_ngram" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val test = d.filter(col("doc_id") % 20 === 0)
+      val train = d.filter(col("doc_id") % 20 =!= 0)
+      Dedup.decontaminateNgrams(train, test, 8)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+        |SELECT f.cohort_wk, ev.wk - f.cohort_wk AS age_wk,
+        |  count(DISTINCT ev.user_id) AS users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "event_transitions" ->
+      """WITH nx AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, count(*) AS cnt
+        |FROM nx WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_custkey, d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY d
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll7
+        |FROM (SELECT *,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM (SELECT l_returnflag,
+        |      CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |    FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(sx / n, 6) AS mean_x,
+        |  round(sy / n, 6) AS mean_y,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS sd_x,
+        |  round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS sd_y,
+        |  round((sxy - sx * sy / n) / (n - 1), 6) AS cov_xy,
+        |  round(((sxy - sx * sy / n) / (n - 1)) /
+        |    (sqrt((sxx - sx * sx / n) / (n - 1)) *
+        |     sqrt((syy - sy * sy / n) / (n - 1))), 6) AS corr_xy
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "window_frame_values" ->
+      """SELECT o_orderkey, o_custkey, d,
+        |  first_value(o_orderkey) OVER wall AS first_order,
+        |  last_value(o_orderkey) OVER wall AS last_order,
+        |  nth_value(o_orderkey, 2) OVER wall AS second_order,
+        |  CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w
+        |    AS DOUBLE) AS prev_price,
+        |  CAST(lead(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w
+        |    AS DOUBLE) AS next_price
+        |FROM (SELECT *,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d
+        |  FROM orders)
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey),
+        |  wall AS (PARTITION BY o_custkey ORDER BY d, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "percent_of_total" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment,
+        |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS seg_bal,
+        |    count(*) AS custs
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, custs, CAST(seg_bal AS DOUBLE) AS seg_bal,
+        |  round(CAST(seg_bal AS DOUBLE) /
+        |    CAST(sum(seg_bal) OVER () AS DOUBLE) * 100.0, 6) AS pct
+        |FROM seg ORDER BY c_mktsegment""".stripMargin,
+    "median_mode" ->
+      """WITH med AS (
+        |  SELECT o_orderpriority, round(median(o_totalprice), 6) AS median_price,
+        |    count(*) AS n
+        |  FROM orders GROUP BY o_orderpriority),
+        |c AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS c
+        |  FROM orders GROUP BY o_orderpriority, o_orderstatus),
+        |m AS (
+        |  SELECT o_orderpriority, o_orderstatus AS mode_status, c AS mode_cnt
+        |  FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY c DESC, o_orderstatus ASC) = 1)
+        |SELECT med.o_orderpriority, med.median_price, med.n,
+        |  m.mode_status, m.mode_cnt
+        |FROM med JOIN m USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
+    // the oracle is the EXACT quantile; the Spark side only keeps rows
+    // where the sketch agreed, so drift surfaces as missing rows
+    "quantile_gate" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.50), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "graph_degree" ->
+      """WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |p AS (SELECT 'part' AS side, deg, count(*) AS nodes FROM (
+        |    SELECT l_partkey, count(*) AS deg FROM e GROUP BY l_partkey)
+        |  GROUP BY deg),
+        |s AS (SELECT 'supp' AS side, deg, count(*) AS nodes FROM (
+        |    SELECT l_suppkey, count(*) AS deg FROM e GROUP BY l_suppkey)
+        |  GROUP BY deg)
+        |SELECT * FROM (SELECT * FROM p UNION ALL SELECT * FROM s)
+        |ORDER BY side, deg""".stripMargin,
+    "chunk_docs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |x AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM s)
+        |SELECT doc_id, start // 48 AS chunk_idx,
+        |  least(64, n - start) AS chunk_tokens,
+        |  md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+    "decontaminate_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(t[i + 1 : i + 8], ' ') AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+        |    FROM toks WHERE len(t) >= 8)),
+        |tg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        |bad AS (SELECT DISTINCT g.doc_id
+        |  FROM g JOIN tg USING (gram) WHERE g.doc_id % 20 <> 0)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 20 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

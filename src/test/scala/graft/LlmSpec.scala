@@ -406,4 +406,39 @@ class LlmSpec extends AnyFunSuite {
     // ascii payload -> ratio 1.0
     assert(f1.forall(_.getAs[Double]("ascii_ratio") === 1.0))
   }
+
+  test("chunkWithStride: hand-checked chunk count, sizes, and overlap") {
+    // 10 tokens, size 4, stride 3 -> starts 0,3,6,9; token counts 4,4,4,1
+    val words = (1 to 10).map(i => s"w$i")
+    val d = docs(1L -> words.mkString(" "), 2L -> "", 3L -> "solo")
+    val out = TextAnalysis.chunkWithStride(d, 4, 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    assert(doc1.map(_.getAs[Long]("chunk_idx")).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(doc1.map(_.getAs[Long]("chunk_tokens")).toSeq === Seq(4L, 4L, 4L, 1L))
+    // empty text chunks to nothing; one-token doc -> one chunk
+    assert(!out.exists(_.getLong(0) == 2L))
+    assert(out.count(_.getLong(0) == 3L) === 1)
+    // overlapping chunks starting at 0 and 3 share w4 (md5 of the
+    // expected token windows)
+    val md5Of = (ws: Seq[String]) => java.security.MessageDigest
+      .getInstance("MD5").digest(ws.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(doc1(0).getAs[String]("chunk_md5") === md5Of(words.slice(0, 4)))
+    assert(doc1(3).getAs[String]("chunk_md5") === md5Of(words.slice(9, 10)))
+  }
+
+  test("decontaminateNgrams drops exactly the train docs sharing an n-gram") {
+    val leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val d = docs(
+      1L -> s"intro text then $leak and a long tail of words here", // leaks
+      2L -> "completely unrelated content with no shared sequences at all",
+      3L -> "short", // below n tokens, can never match
+      10L -> s"benchmark question: $leak") // the held-out doc
+    val train = d.filter(col("doc_id") < 10L)
+    val test = d.filter(col("doc_id") === 10L)
+    val kept = Dedup.decontaminateNgrams(train, test, 8)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(2L, 3L))
+  }
 }
