@@ -40,6 +40,11 @@ object GraftSession {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // size shuffles to the actual core count when the caller's session
+    // kept the 200 default (builder() already does this for our mains)
+    if (spark.conf.get("spark.sql.shuffle.partitions") == "200")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        spark.sparkContext.defaultParallelism.toString)
     spark
   }
 }

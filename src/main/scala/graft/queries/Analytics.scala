@@ -209,6 +209,135 @@ object Analytics {
       Dedup.decontaminateNgrams(train, test, 8)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // MERGE / upsert semantics (the lakehouse primitive) as ONE
+    // full-outer join: matched rows take the update, unmatched base rows
+    // survive, unmatched updates insert. Both sides shuffle by key
+    // exactly once — the plan a table-format MERGE compiles to. The
+    // update/insert set derives deterministically from the base so the
+    // oracle can rebuild it.
+    "merge_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val upd = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("u_status"),
+          (money("o_totalprice") + 100).cast("double").as("u_price"))
+        .unionByName(base.filter(col("o_orderkey") % 1000 === 7)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("u_status"), lit(1.0).as("u_price")))
+      base.join(upd, Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("u_status"), col("o_orderstatus")).as("status"),
+          coalesce(col("u_price"), col("o_totalprice")).as("price"),
+          when(col("u_status").isNotNull && col("o_orderstatus").isNotNull,
+            "update")
+            .when(col("u_status").isNotNull, "insert")
+            .otherwise("keep").as("action"))
+        .orderBy("o_orderkey")
+    }),
+
+    // time-weighted average: Σ value·Δt / Σ Δt per user, Δt in integer
+    // microseconds and value in DECIMAL so both sums are exact and
+    // order-independent; one window pass shares the final groupBy's
+    // (user_id) partitioning.
+    "time_weighted_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Relational.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          money("value").as("v"))
+        .withColumn("dt_us",
+          lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+        .filter(col("dt_us").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(col("v") * col("dt_us")).as("vdt"),
+          sum("dt_us").as("t_us"),
+          count(lit(1)).as("n_intervals"))
+        .select(col("user_id"), col("n_intervals"),
+          bround(col("vdt").cast("double") / col("t_us").cast("double"), 6)
+            .as("twa"))
+        .orderBy("user_id")
+    }),
+
+    // calendar gap-fill + last-observation-carried-forward: per-user day
+    // spine (sequence over the observed span), left join the daily
+    // counts, LOCF via last(ignoreNulls) — the densification step before
+    // any day-aligned time-series model. Integer day indices and counts
+    // end to end.
+    "gap_fill" -> ((s, dir) => {
+      val daily = Relational.events(s, dir)
+        .withColumn("d", expr("datediff(to_date(ts), date'2024-01-01')"))
+        .groupBy("user_id", "d").agg(count(lit(1)).as("cnt"))
+      val spine = daily.groupBy("user_id")
+        .agg(min("d").as("d0"), max("d").as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("d"))
+      val w = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"),
+          last(col("cnt"), ignoreNulls = true).over(w).as("filled_cnt"),
+          col("cnt").isNotNull.as("present"))
+        .orderBy("user_id", "d")
+    }),
+
+    // horizon dedup: first event per (user, type) within each 6-hour
+    // bucket — the batch twin of streaming watermark dedup. Bucket is
+    // integer µs division; WindowGroupLimit prunes each input partition
+    // to its per-key head before the shuffle.
+    "dedup_horizon" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type", "bucket")
+        .orderBy(col("ts"), col("event_id"))
+      Relational.events(s, dir)
+        .withColumn("bucket", expr("unix_micros(ts) div 21600000000"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("bucket"))
+        .orderBy("event_id")
+    }),
+
+    // C4-style line-level dedup [Raffel et al., arXiv:1910.10683 §2.2]:
+    // a sentence appearing in ≥2 distinct documents is boilerplate
+    // (navigation, disclaimers); per-doc boilerplate fraction drives
+    // filtering. The shuffle carries (md5, doc_id), never the text.
+    "line_dedup" -> ((s, dir) => {
+      val lines = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(text, '[^.]+', 0)")).as("raw"))
+        .filter(length(trim(col("raw"))) > 0)
+        .select(col("doc_id"),
+          md5(trim(lower(col("raw"))).cast("binary")).as("lf"))
+      val freq = lines.groupBy("lf")
+        .agg(countDistinct("doc_id").as("nd"))
+      lines.join(freq, "lf")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          count(when(col("nd") >= 2, lit(1))).as("bp_lines"))
+        .withColumn("bp_frac",
+          col("bp_lines").cast("double") / col("n_lines").cast("double"))
+        .orderBy("doc_id")
+    }),
+
+    // unit-normalize + int8-quantize embeddings (the storage/serving
+    // format for a 100 TB vector corpus: 4× smaller, SIMD-friendly).
+    // The squared norm folds SEQUENTIALLY over the array (deterministic
+    // order, same as the native dot-product expression); quantization is
+    // floor(x/norm·127 + ½) — floor, not round, so no tie-break
+    // ambiguity across engines. Map-only, no shuffle.
+    "embed_quantize" -> ((s, dir) => {
+      GraftSession.tune(s)
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("norm", sqrt(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))))
+        .filter(col("norm") > 0)
+        .withColumn("q", transform(col("embedding"),
+          x => floor(x.cast("double") / col("norm") * 127.0 + 0.5)))
+        .select(col("vec_id"), bround(col("norm"), 6).as("norm_r"),
+          md5(concat_ws(",", transform(col("q"), _.cast("string")))
+            .cast("binary")).as("q_md5"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"))
+        .orderBy("vec_id")
     })
   )
 
@@ -348,6 +477,97 @@ object Analytics {
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 20 <> 0
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'U' AS u_status,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS DOUBLE) AS u_price
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', 1.0
+        |  FROM base WHERE o_orderkey % 1000 = 7)
+        |SELECT coalesce(base.o_orderkey, upd.o_orderkey) AS o_orderkey,
+        |  coalesce(u_status, o_orderstatus) AS status,
+        |  coalesce(u_price, o_totalprice) AS price,
+        |  CASE WHEN u_status IS NOT NULL AND o_orderstatus IS NOT NULL
+        |         THEN 'update'
+        |       WHEN u_status IS NOT NULL THEN 'insert'
+        |       ELSE 'keep' END AS action
+        |FROM base FULL OUTER JOIN upd USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "time_weighted_avg" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |    lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - epoch_us(ts) AS dt_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  round(CAST(sum(v * dt_us) AS DOUBLE) /
+        |    CAST(sum(dt_us) AS DOUBLE), 6) AS twa
+        |FROM iv WHERE dt_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(range(d0, d1 + 1)) AS d
+        |  FROM (SELECT user_id, min(d) AS d0, max(d) AS d1
+        |    FROM daily GROUP BY user_id))
+        |SELECT s.user_id, s.d,
+        |  last_value(daily.cnt IGNORE NULLS) OVER (PARTITION BY s.user_id
+        |    ORDER BY s.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cnt,
+        |  daily.cnt IS NOT NULL AS present
+        |FROM spine s LEFT JOIN daily
+        |  ON s.user_id = daily.user_id AND s.d = daily.d
+        |ORDER BY s.user_id, s.d""".stripMargin,
+    "dedup_horizon" ->
+      """SELECT event_id, user_id, event_type,
+        |  epoch_us(ts) // 21600000000 AS bucket
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, event_type, epoch_us(ts) // 21600000000
+        |  ORDER BY ts, event_id) = 1
+        |ORDER BY event_id""".stripMargin,
+    "line_dedup" ->
+      """WITH lines AS (
+        |  SELECT doc_id, md5(trim(lower(raw))) AS lf
+        |  FROM (SELECT doc_id,
+        |      unnest(regexp_extract_all(text, '[^.]+')) AS raw
+        |    FROM documents)
+        |  WHERE length(trim(raw)) > 0),
+        |freq AS (SELECT lf, count(DISTINCT doc_id) AS nd
+        |  FROM lines GROUP BY lf)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  count(CASE WHEN nd >= 2 THEN 1 END) AS bp_lines,
+        |  CAST(count(CASE WHEN nd >= 2 THEN 1 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS bp_frac
+        |FROM lines JOIN freq USING (lf)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // norm folds in index order on both sides (list_reduce is
+    // sequential, matching Spark's aggregate()); floor avoids rounding
+    // tie-breaks entirely
+    "embed_quantize" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    sqrt(list_reduce(list_prepend(0.0, embedding),
+        |      (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT e.vec_id, n.norm,
+        |    list_transform(e.embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / n.norm * 127.0 + 0.5)
+        |        AS BIGINT)) AS q
+        |  FROM embeddings e JOIN n USING (vec_id) WHERE n.norm > 0)
+        |SELECT vec_id, round(norm, 6) AS norm_r,
+        |  md5(array_to_string(q, ',')) AS q_md5,
+        |  CAST(list_reduce(list_prepend(0, q), (a, x) -> a + x) AS BIGINT)
+        |    AS q_sum
+        |FROM q ORDER BY vec_id""".stripMargin
   )
 }
