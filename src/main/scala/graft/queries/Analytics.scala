@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -26,6 +26,27 @@ object Analytics {
   }
 
   private def money(c: String) = col(c).cast(DecimalType(18, 2))
+
+  /** Bit-interleaving (Morton/Z-order) of two 16-bit values as a single
+    * SQL expression — generated once and shared verbatim with the DuckDB
+    * oracle (the [[graft.llm.TextAnalysis.langIdCaseSql]] trick), so the
+    * engine and the oracle compute the identical integer. BIGINT casts
+    * keep every shift in 64-bit space.
+    */
+  private[queries] def interleave16Sql(xc: String, yc: String): String =
+    (0 until 16).map { i =>
+      s"(((CAST($xc AS BIGINT) >> $i) & 1) << ${2 * i}) | " +
+        s"(((CAST($yc AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+
+  /** Portable per-mille hash bucket (28-bit md5 prefix), same recipe as
+    * the split/mixture samplers, with its own salt.
+    */
+  private def bucket1000(salt: String, idCol: Column): Column =
+    pmod(
+      conv(substring(md5(concat(lit(salt), idCol.cast("string"))
+        .cast("binary")), 1, 7), 16, 10).cast("long"),
+      lit(1000L))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // weekly cohort retention: each user joins the cohort of their first
@@ -338,6 +359,43 @@ object Analytics {
             .cast("binary")).as("q_md5"),
           aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"))
         .orderBy("vec_id")
+    }),
+
+    // Z-order (Morton) layout metric: interleave customer key and day
+    // index, bucket the curve, and measure per-bucket min/max width on
+    // BOTH dimensions — the quantity parquet row-group skipping depends
+    // on. A lexicographic (custkey, day) sort gives narrow custkey
+    // ranges but full-width day ranges; the Z-curve bounds both, so
+    // EITHER predicate prunes. The interleave expression is one shared
+    // SQL string, so engine and oracle compute identical integers.
+    "zorder_layout" -> ((s, dir) => {
+      val z = Analytics.interleave16Sql("o_custkey % 65536", "d")
+      t(s, dir, "orders")
+        .withColumn("d", expr("datediff(to_date(o_orderdate), date'1995-01-01')"))
+        .withColumn("zb", expr(s"$z >> 12"))
+        .groupBy("zb").agg(
+          count(lit(1)).as("n_rows"),
+          (max("o_custkey") - min("o_custkey")).as("cust_width"),
+          (max("d") - min("d")).as("day_width"))
+        .orderBy("zb")
+    }),
+
+    // quality-weighted deterministic sampling: keep probability scales
+    // with token count (capped at 1), decided by the portable md5
+    // per-mille bucket — so the compare is pure INTEGER
+    // (bucket < min(1000, 2·n_tokens)), no float thresholds, and the
+    // sample is reproducible across runs, engines, and partitionings.
+    "quality_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("keep",
+          bucket1000("qs", col("doc_id")) <
+            least(lit(1000L), col("n_tokens") * 2L))
+      d.groupBy("lang").agg(
+        count(lit(1)).as("total"),
+        count(when(col("keep"), lit(1))).as("kept"),
+        sum(when(col("keep"), col("n_chars"))).as("kept_chars"))
+        .orderBy("lang")
     })
   )
 
@@ -568,6 +626,28 @@ object Analytics {
         |  md5(array_to_string(q, ',')) AS q_md5,
         |  CAST(list_reduce(list_prepend(0, q), (a, x) -> a + x) AS BIGINT)
         |    AS q_sum
-        |FROM q ORDER BY vec_id""".stripMargin
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "zorder_layout" ->
+      s"""WITH o AS (SELECT o_custkey,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d
+        |  FROM orders)
+        |SELECT ${interleave16Sql("o_custkey % 65536", "d")} >> 12 AS zb,
+        |  count(*) AS n_rows,
+        |  max(o_custkey) - min(o_custkey) AS cust_width,
+        |  max(d) - min(d) AS day_width
+        |FROM o GROUP BY 1 ORDER BY zb""".stripMargin,
+    "quality_sample" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    CAST('0x' || substr(md5('qs' || CAST(doc_id AS VARCHAR)), 1, 7)
+        |      AS BIGINT) % 1000 AS bucket
+        |  FROM documents)
+        |SELECT lang, count(*) AS total,
+        |  count(CASE WHEN bucket < least(1000, 2 * n_tokens) THEN 1 END)
+        |    AS kept,
+        |  sum(CASE WHEN bucket < least(1000, 2 * n_tokens) THEN n_chars END)
+        |    AS kept_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
