@@ -78,4 +78,31 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(q("groupby_count"))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
   }
+
+  test("decontaminate_ngram: held-out grams and matched ids broadcast, corpus never shuffles") {
+    val p = plan(q("decontaminate_ngram"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("chunk_docs: map-only until the output sort (no hash exchange)") {
+    val p = plan(q("chunk_docs"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle\n${p.take(600)}")
+  }
+
+  test("embed_quantize: no shuffle at all before the output sort") {
+    val p = plan(q("embed_quantize"))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(600))
+  }
+
+  test("cohort_retention: first-touch aggregate broadcasts back onto events") {
+    val p = plan(q("cohort_retention"))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("dedup_horizon / cdc-style rank filters prune partition-locally (WindowGroupLimit)") {
+    val p = plan(q("dedup_horizon"))
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+  }
 }
