@@ -48,6 +48,13 @@ object Analytics {
         .cast("binary")), 1, 7), 16, 10).cast("long"),
       lit(1000L))
 
+  /** Identifier-safe tag of an sf dir for per-scale scratch paths (same
+    * rule as [[Relational]]'s — concurrent runs at different SFs must
+    * not share sinks).
+    */
+  private def sfTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // weekly cohort retention: each user joins the cohort of their first
     // active week; cell (cohort, age) counts users still active `age`
@@ -396,7 +403,74 @@ object Analytics {
         count(when(col("keep"), lit(1))).as("kept"),
         sum(when(col("keep"), col("n_chars"))).as("kept_chars"))
         .orderBy("lang")
-    })
+    }),
+
+    // strict-order funnel with a per-step conversion window (signup →
+    // view → click → purchase, each step within 6 h of the previous):
+    // ONE scan, ONE shuffle — each user's events collect and sort
+    // locally, then a sequential fold walks the timeline carrying
+    // (stage, stage_time). The chained-join spelling (the oracle) scans
+    // the fact table four times; at 100 TB the fold wins outright, and
+    // per-user sequences are session-sized so collect_list stays
+    // bounded.
+    "funnel_ordered" -> ((s, dir) => {
+      val winUs = 21600000000L // 6 h
+      val zero = struct(lit(0).as("stage"), lit(0L).as("t"))
+      val stage = aggregate(col("seq"), zero, (acc, e) => {
+        val st = acc.getField("stage")
+        val t = acc.getField("t")
+        val ty = e.getField("event_type")
+        val ts = e.getField("ts_us")
+        val adv = (st === 0 && ty === "signup") ||
+          (st === 1 && ty === "view" && ts - t <= winUs) ||
+          (st === 2 && ty === "click" && ts - t <= winUs) ||
+          (st === 3 && ty === "purchase" && ts - t <= winUs)
+        when(adv, struct((st + 1).as("stage"), ts.as("t"))).otherwise(acc)
+      }, _.getField("stage"))
+      Relational.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(
+          struct(col("ts_us"), col("event_id"), col("event_type"))))
+          .as("seq"))
+        .select(col("user_id"), stage.as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("users"))
+        .orderBy("stage")
+    }),
+
+    // incremental materialization: daily rollups land in a
+    // date-partitioned table in two increments (backfill + refresh);
+    // reading the table back must equal the one-shot full aggregation —
+    // the correctness contract of every incremental pipeline. Disjoint
+    // partition appends never rewrite old data.
+    "incremental_agg" -> ((s, dir) => {
+      val path = s"/root/repo/target/incremental/daily_${sfTag(dir)}"
+      val ev = Relational.events(s, dir)
+        .withColumn("d", expr("datediff(to_date(ts), date'2024-01-01')"))
+      def daily(f: Column) = ev.filter(f).groupBy("d", "event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(money("value")).cast("double").as("val_sum"))
+      daily(col("d") <= 14).write.mode("overwrite").partitionBy("d")
+        .parquet(path)
+      daily(col("d") > 14).write.mode("append").partitionBy("d")
+        .parquet(path)
+      s.read.parquet(path)
+        .select("d", "event_type", "cnt", "val_sum")
+        .orderBy("d", "event_type")
+    }),
+
+    // approx_count_distinct (HLL++, mergeable — no key shuffle at
+    // 100 TB) gated against the exact count: rows where the sketch
+    // drifts past 10% vanish and the driver's row compare flags it.
+    "distinct_gate" -> ((s, dir) =>
+      Relational.events(s, dir).groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"),
+          approx_count_distinct("user_id", 0.01).as("approx_users"))
+        .filter(abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.1))
+        .select("event_type", "exact_users")
+        .orderBy("event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -648,6 +722,45 @@ object Analytics {
         |    AS kept,
         |  sum(CASE WHEN bucket < least(1000, 2 * n_tokens) THEN n_chars END)
         |    AS kept_chars
-        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    // the oracle spells the funnel as chained first-occurrence joins
+    // (each step strictly after, and within 6 h of, the previous) — an
+    // independent derivation of the same greedy first-touch semantics
+    "funnel_ordered" ->
+      """WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > t1.t
+        |    AND epoch_us(e.ts) - t1.t <= 21600000000
+        |  GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t2.t
+        |    AND epoch_us(e.ts) - t2.t <= 21600000000
+        |  GROUP BY e.user_id),
+        |t4 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN t3 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t3.t
+        |    AND epoch_us(e.ts) - t3.t <= 21600000000
+        |  GROUP BY e.user_id),
+        |st AS (SELECT u.user_id,
+        |    CASE WHEN t4.user_id IS NOT NULL THEN 4
+        |         WHEN t3.user_id IS NOT NULL THEN 3
+        |         WHEN t2.user_id IS NOT NULL THEN 2
+        |         WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |  LEFT JOIN t3 USING (user_id) LEFT JOIN t4 USING (user_id))
+        |SELECT stage, count(*) AS users FROM st
+        |GROUP BY stage ORDER BY stage""".stripMargin,
+    "incremental_agg" ->
+      """SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+        |  event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin,
+    "distinct_gate" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
