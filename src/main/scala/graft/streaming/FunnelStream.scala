@@ -46,6 +46,24 @@ object FunnelStream {
       .select(col("day.start").as("day_start"), col("fetch_status"), col("Count"))
   }
 
+  /** Stream-static enrichment: join the event stream against a STATIC
+    * dimension (per-user segment) and aggregate per (day, segment).
+    * The static side broadcasts into every micro-batch — no stream
+    * state beyond the windowed aggregate itself, and no watermark
+    * requirement on the dimension (it has no event time). This is the
+    * canonical "enrich the firehose with a profile table" shape: at
+    * 100 TB/day the stream never shuffles for the join, only for the
+    * windowed rollup.
+    */
+  def enrichedDailyCounts(events: DataFrame, userDim: DataFrame,
+      lateness: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .join(broadcast(userDim), "user_id")
+      .groupBy(window(col("ts"), "1 day").as("day"), col("segment"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("day.start").as("day_start"), col("segment"), col("cnt"))
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class UserFunnelState(events: Long, purchases: Long)
   final case class UserFunnelUpdate(user_id: Long, events: Long, purchases: Long,

@@ -69,6 +69,27 @@ class FunnelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dim and equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("user_id", "ts", "event_type")
+    val dim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "segment")
+
+    val q = FunnelStream.enrichedDailyCounts(events, dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(Seq(
+        (1L, ts(1, 1), "view"), (1L, ts(1, 2), "purchase"),
+        (2L, ts(1, 3), "view"), (3L, ts(1, 4), "view"))) // 3 has no profile
+      q.processAllAvailable()
+      val got = spark.table("enriched").select("segment", "cnt")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === Map("gold" -> 2L, "free" -> 1L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed events across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
