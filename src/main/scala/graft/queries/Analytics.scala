@@ -470,7 +470,69 @@ object Analytics {
         .filter(abs(col("approx_users") - col("exact_users")) <=
           col("exact_users") * lit(0.1))
         .select("event_type", "exact_users")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // pivot with MULTIPLE aggregates per cell (count + DECIMAL sum):
+    // one shuffle produces the whole grid; Spark suffixes the column
+    // names, the oracle spells the same cells as conditional aggregates
+    "pivot_multi" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(money("o_totalprice")).cast("double").as("total"))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")),
+
+    // conditional aggregate over a ROWS frame: purchases among each
+    // user's last-5 events — frame + predicate compose inside one
+    // window pass
+    "conditional_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      Relational.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w).as("purchases_last5"))
+        .orderBy("event_id")
+    }),
+
+    // daily new vs returning actives + cumulative reach: first-seen day
+    // per user (a users-sized aggregate, broadcast back), then pure
+    // integer arithmetic — the growth-analytics staple, with no
+    // cumulative-DISTINCT shuffle anywhere.
+    "new_vs_returning" -> ((s, dir) => {
+      val ev = Relational.events(s, dir)
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
+      val firstSeen = ev.groupBy("user_id").agg(min("d").as("d0"))
+      val daily = ev.join(broadcast(firstSeen), "user_id")
+        .groupBy("d").agg(
+          countDistinct("user_id").as("active_users"),
+          countDistinct(when(col("d") === col("d0"), col("user_id")))
+            .as("new_users"))
+      daily
+        .withColumn("returning_users",
+          col("active_users") - col("new_users"))
+        .withColumn("cumulative_users",
+          sum("new_users").over(Window.orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("d")
+    }),
+
+    // hopping (sliding) windows in BATCH via the same window() used by
+    // the streaming surface: 2-day windows hopping daily — each event
+    // lands in exactly two windows; the oracle derives the same pair of
+    // window starts arithmetically
+    "sliding_window_agg" -> ((s, dir) =>
+      Relational.events(s, dir)
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          expr("datediff(to_date(w.start), date'2024-01-01')").as("w_start_d"),
+          col("event_type"), col("cnt"))
+        .orderBy("w_start_d", "event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -761,6 +823,55 @@ object Analytics {
         |FROM events GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin,
     "distinct_gate" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "pivot_multi" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_cnt,
+        |  coalesce(CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0)
+        |    AS F_total,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_cnt,
+        |  coalesce(CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0)
+        |    AS O_total,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_cnt,
+        |  coalesce(CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0)
+        |    AS P_total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "conditional_window" ->
+      """SELECT event_id, user_id,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS purchases_last5
+        |FROM events ORDER BY event_id""".stripMargin,
+    "new_vs_returning" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |f AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id),
+        |daily AS (
+        |  SELECT d, count(DISTINCT ev.user_id) AS active_users,
+        |    count(DISTINCT CASE WHEN d = d0 THEN ev.user_id END) AS new_users
+        |  FROM ev JOIN f USING (user_id) GROUP BY d)
+        |SELECT d, active_users, new_users,
+        |  active_users - new_users AS returning_users,
+        |  sum(new_users) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cumulative_users
+        |FROM daily ORDER BY d""".stripMargin,
+    // 2-day windows hopping daily: an event on day d lands in the
+    // windows starting d-1 and d (window() aligns to epoch, which is
+    // day-aligned)
+    "sliding_window_agg" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |x AS (SELECT event_type, d, unnest([d - 1, d]) AS w_start_d FROM ev)
+        |SELECT w_start_d, event_type, count(*) AS cnt
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
