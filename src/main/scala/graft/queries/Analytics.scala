@@ -520,6 +520,33 @@ object Analytics {
         .orderBy("d")
     }),
 
+    // TPC-H Q3-shaped composite: selective dimension filter → 3-way
+    // join → DECIMAL revenue rollup → top-10. The plan to want at
+    // 100 TB: filters reach every scan (PushedFilters), the filtered
+    // customer side broadcasts, lineitem⋈orders shuffles once on the
+    // key both sides already aggregate on, and the top-10 is a
+    // TakeOrderedAndProject (no global sort materialization).
+    "tpch_q3_like" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-01-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val revenue = sum(money("l_extendedprice") *
+        (lit(1).cast(DecimalType(18, 2)) - money("l_discount")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(revenue.cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
     // hopping (sliding) windows in BATCH via the same window() used by
     // the streaming surface: 2-day windows hopping daily — each event
     // lands in exactly two windows; the oracle derives the same pair of
@@ -862,6 +889,20 @@ object Analytics {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS cumulative_users
         |FROM daily ORDER BY d""".stripMargin,
+    "tpch_q3_like" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-01-15'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
     // 2-day windows hopping daily: an event on day d lands in the
     // windows starting d-1 and d (window() aligns to epoch, which is
     // day-aligned)
