@@ -33,7 +33,7 @@ object Analytics {
     * engine and the oracle compute the identical integer. BIGINT casts
     * keep every shift in 64-bit space.
     */
-  private[queries] def interleave16Sql(xc: String, yc: String): String =
+  private[graft] def interleave16Sql(xc: String, yc: String): String =
     (0 until 16).map { i =>
       s"(((CAST($xc AS BIGINT) >> $i) & 1) << ${2 * i}) | " +
         s"(((CAST($yc AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
