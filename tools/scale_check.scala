@@ -1,5 +1,7 @@
 // 10x scale spot-check for the round-7 heavy operators.
-// Run: spark-shell --driver-class-path target/scala-2.13/classes -i tools/scale_check.scala
+// Run: spark-shell --driver-memory 16g --driver-class-path target/scala-2.13/classes -i tools/scale_check.scala
+// (size the heap: local-mode executors share the driver JVM; the default
+//  1g starves the persisted-edges dedup pipelines and reports GC, not plan cost)
 // Replicates documents/embeddings/events (sf0.1) 10x with shifted ids into
 // /tmp/graft_scale10, then times the registered queries through their real
 // entry points (SparkEntry.queries) against that dir. Every text is
@@ -43,5 +45,9 @@ def time(name: String): Unit = {
 time("dedup_exact")
 for (q <- Seq("dedup_cluster", "dedup_keep_best", "repetition_filter",
               "shard_assign", "sessionize", "kmeans_step", "dq_checks",
-              "cdc_latest", "dedup_minhash", "token_count_bpe")) time(q)
+              "cdc_latest", "dedup_minhash", "token_count_bpe",
+              // round-7 analytics batch heavies
+              "decontaminate_ngram", "funnel_ordered", "line_dedup",
+              "chunk_docs", "embed_quantize", "time_weighted_avg",
+              "cohort_retention", "distinct_gate")) time(q)
 System.exit(0)
