@@ -41,13 +41,19 @@ object Dedup {
     * guard `sequence(0, size-3)` on size<3 produces a descending sequence
     * whose `slice(_, 0, _)` throws unconditionally.
     */
-  def shingles(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3), i =>
-        concat_ws(" ", slice(toks, i + 1, lit(3)))))
+  def shingles(text: Column): Column = tokenNgrams(TextAnalysis.tokens(text), 3)
+
+  /** The ONE n-gram-over-tokens construction (shingles, repetition
+    * bigrams, and decontamination grams all delegate here): space-joined
+    * windows of `n` consecutive tokens, EMPTY below `n` tokens — without
+    * the guard, `sequence(0, size-n)` on size<n produces a descending
+    * sequence whose `slice(_, 0, _)` throws unconditionally.
+    */
+  private[graft] def tokenNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Universal-hash family over a 28-bit base hash: `h_i(x) =
     * (a_i·x + b_i) mod p`, p = 2^31−1. One md5 per shingle (the only
@@ -336,13 +342,8 @@ object Dedup {
     * 13-grams]. Same slice-of-token-sequence shape as
     * [[TextAnalysis.repetitionStats]]'s bigrams.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordNgrams(text: Column, n: Int): Column =
+    tokenNgrams(TextAnalysis.tokens(lower(text)), n)
 
   /** N-gram-overlap decontamination: drop every training document that
     * shares ANY word `n`-gram with the held-out set — the standard
@@ -374,9 +375,9 @@ object Dedup {
     * and mixture sampling derive from it with different salts so their
     * decisions stay independent.
     */
-  private def hashBucket1000(idCol: String, salt: String): Column =
+  private[graft] def hashBucket1000(id: Column, salt: String): Column =
     pmod(
-      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))
+      conv(substring(md5(concat(lit(salt), id.cast("string"))
         .cast("binary")), 1, 7), 16, 10).cast("long"),
       lit(1000L))
 
@@ -388,7 +389,7 @@ object Dedup {
     */
   def assignSplit(df: DataFrame, idCol: String,
       trainPerMille: Int = 800, valPerMille: Int = 100): Column = {
-    val bucket = hashBucket1000(idCol, salt = "")
+    val bucket = hashBucket1000(col(idCol), salt = "")
     when(bucket < trainPerMille, "train")
       .when(bucket < trainPerMille + valPerMille, "val")
       .otherwise("test")
@@ -406,7 +407,7 @@ object Dedup {
       ratesPerMille: Seq[(String, Int)],
       defaultPerMille: Int = 1000,
       sourceCol: String = "source"): DataFrame = {
-    val bucket = hashBucket1000(idCol, salt = "mix:")
+    val bucket = hashBucket1000(col(idCol), salt = "mix:")
     // reversed fold so the FIRST matching entry wins — the same
     // precedence as the oracle's generated CASE arms (foldLeft wraps
     // later entries outermost, which would flip priority on duplicates)

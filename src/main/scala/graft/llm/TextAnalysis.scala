@@ -180,12 +180,8 @@ object TextAnalysis {
     * single IEEE divisions, bit-identical across engines.
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    val toks = tokens(lower(col("text")))
-    // word bigrams; <2 tokens -> empty (same guard shape as Dedup.shingles)
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2), i =>
-        concat_ws(" ", slice(toks, i + 1, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    // word bigrams; <2 tokens -> empty (shared guard in Dedup.tokenNgrams)
+    val bigrams = Dedup.tokenNgrams(tokens(lower(col("text"))), 2)
     val perGram = docs
       .select(col("doc_id"), explode(bigrams).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))

@@ -39,21 +39,14 @@ object Analytics {
         s"(((CAST($yc AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " | ", ")")
 
-  /** Portable per-mille hash bucket (28-bit md5 prefix), same recipe as
-    * the split/mixture samplers, with its own salt.
+  /** The canonical per-mille md5 bucket, shared with split/mixture
+    * sampling ([[graft.llm.Dedup.hashBucket1000]]) under this query's
+    * own salt.
     */
   private def bucket1000(salt: String, idCol: Column): Column =
-    pmod(
-      conv(substring(md5(concat(lit(salt), idCol.cast("string"))
-        .cast("binary")), 1, 7), 16, 10).cast("long"),
-      lit(1000L))
+    Dedup.hashBucket1000(idCol, salt)
 
-  /** Identifier-safe tag of an sf dir for per-scale scratch paths (same
-    * rule as [[Relational]]'s — concurrent runs at different SFs must
-    * not share sinks).
-    */
-  private def sfTag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+  private def sfTag(dir: String): String = Relational.sfTag(dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // weekly cohort retention: each user joins the cohort of their first
@@ -252,7 +245,10 @@ object Analytics {
         .select(col("o_orderkey"), lit("U").as("u_status"),
           (money("o_totalprice") + 100).cast("double").as("u_price"))
         .unionByName(base.filter(col("o_orderkey") % 1000 === 7)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          // negated keys can never collide with real (positive)
+          // orderkeys at ANY scale factor; a fixed positive offset would
+          // alias into the base key space once keys exceed it
+          .select((-col("o_orderkey") - 1L).as("o_orderkey"),
             lit("N").as("u_status"), lit(1.0).as("u_price")))
       base.join(upd, Seq("o_orderkey"), "full_outer")
         .select(col("o_orderkey"),
@@ -276,7 +272,10 @@ object Analytics {
           money("value").as("v"))
         .withColumn("dt_us",
           lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
-        .filter(col("dt_us").isNotNull)
+        // dt > 0, not just NOT NULL: zero-length intervals carry no
+        // weight, and an all-zero user would hit 0/0 — NaN in Spark but
+        // NULL in the oracle's engine
+        .filter(col("dt_us") > 0)
         .groupBy("user_id")
         .agg(sum(col("v") * col("dt_us")).as("vdt"),
           sum("dt_us").as("t_us"),
@@ -375,6 +374,10 @@ object Analytics {
     // ranges but full-width day ranges; the Z-curve bounds both, so
     // EITHER predicate prunes. The interleave expression is one shared
     // SQL string, so engine and oracle compute identical integers.
+    // NOTE the 16-bit inputs assume pre-quantized keys (true for this
+    // data: custkey < 65536, d ∈ [0, 2404]); a production layout pass
+    // would first range-quantize each dimension into 2^16 rank buckets
+    // so arbitrary key domains can't alias/wrap on the curve.
     "zorder_layout" -> ((s, dir) => {
       val z = Analytics.interleave16Sql("o_custkey % 65536", "d")
       t(s, dir, "orders")
@@ -421,10 +424,13 @@ object Analytics {
         val t = acc.getField("t")
         val ty = e.getField("event_type")
         val ts = e.getField("ts_us")
+        // STRICTLY later (ts > t), mirroring the oracle's `>` — after
+        // the ns→µs truncation two distinct events can share a µs, and
+        // `ts - t <= winUs` alone would advance where the oracle doesn't
         val adv = (st === 0 && ty === "signup") ||
-          (st === 1 && ty === "view" && ts - t <= winUs) ||
-          (st === 2 && ty === "click" && ts - t <= winUs) ||
-          (st === 3 && ty === "purchase" && ts - t <= winUs)
+          (st === 1 && ty === "view" && ts > t && ts - t <= winUs) ||
+          (st === 2 && ty === "click" && ts > t && ts - t <= winUs) ||
+          (st === 3 && ty === "purchase" && ts > t && ts - t <= winUs)
         when(adv, struct((st + 1).as("stage"), ts.as("t"))).otherwise(acc)
       }, _.getField("stage"))
       Relational.events(s, dir)
@@ -707,7 +713,7 @@ object Analytics {
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS DOUBLE) AS u_price
         |  FROM base WHERE o_orderkey % 10 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'N', 1.0
+        |  SELECT -o_orderkey - 1, 'N', 1.0
         |  FROM base WHERE o_orderkey % 1000 = 7)
         |SELECT coalesce(base.o_orderkey, upd.o_orderkey) AS o_orderkey,
         |  coalesce(u_status, o_orderstatus) AS status,

@@ -46,7 +46,7 @@ object Relational {
     * table names (concurrent Verify/Bench runs at different SFs must not
     * share them).
     */
-  private def sfTag(dir: String): String =
+  private[queries] def sfTag(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
