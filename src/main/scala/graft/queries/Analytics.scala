@@ -466,6 +466,62 @@ object Analytics {
         .orderBy("d", "event_type")
     }),
 
+    // collection aggregation: sorted distinct-set per group as a real
+    // ARRAY column, pushed through parquet — collect_set shuffles one
+    // small set per group (map-side partial merge), sort_array pins the
+    // element order the oracle mirrors
+    "collections_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+          countDistinct("o_orderstatus").as("n_statuses"))
+        .orderBy("o_orderpriority")),
+
+    // correlated EXISTS / NOT EXISTS through the SQL front end: Catalyst
+    // rewrites the pair into one semi- and one anti-join — no per-row
+    // subquery execution ever happens
+    "exists_correlated" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment FROM customer_v c
+          |WHERE EXISTS (SELECT 1 FROM orders_v o
+          |    WHERE o.o_custkey = c.c_custkey
+          |      AND o.o_orderpriority = '1-URGENT')
+          |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+          |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // NULL-semantics corner: a nullable key GROUPs as its own bucket,
+    // sorts NULLS FIRST, and counts null-safely — the semantics a
+    // SQL-on-anything engine must pin down, spelled identically in both
+    // engines
+    "null_semantics" -> ((s, dir) =>
+      Relational.events(s, dir)
+        .select(col("event_id"),
+          nullif(col("event_type"), lit("error")).as("t"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("cnt"), count(col("t")).as("cnt_nonnull"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy(col("t").asc_nulls_first)),
+
+    // native session_window() in BATCH: per-user sessions with a 6 h
+    // inactivity gap, straight from the same function the streaming
+    // surface uses. The oracle derives identical sessions via
+    // gaps-and-islands (lag + running flag-sum) — an independent
+    // spelling of the merge semantics.
+    "session_window_native" -> ((s, dir) =>
+      Relational.events(s, dir)
+        .groupBy(session_window(col("ts"), "6 hours").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")),
+
     // approx_count_distinct (HLL++, mergeable — no key shuffle at
     // 100 TB) gated against the exact count: rows where the sketch
     // drifts past 10% vanish and the driver's row compare flags it.
@@ -857,6 +913,40 @@ object Analytics {
     "distinct_gate" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "collections_agg" ->
+      """SELECT o_orderpriority, list(s ORDER BY s) AS statuses,
+        |  count(*) AS n_statuses
+        |FROM (SELECT DISTINCT o_orderpriority, o_orderstatus AS s
+        |  FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "exists_correlated" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "null_semantics" ->
+      """SELECT nullif(event_type, 'error') AS t, count(*) AS cnt,
+        |  count(nullif(event_type, 'error')) AS cnt_nonnull,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1 ORDER BY t NULLS FIRST""".stripMargin,
+    "session_window_native" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+        |m AS (SELECT user_id, tu,
+        |    CASE WHEN lag(tu) OVER w IS NULL
+        |         OR tu - lag(tu) OVER w >= 21600000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        |s AS (SELECT user_id, tu,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tu
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, min(tu) AS start_us,
+        |  max(tu) + 21600000000 AS end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
     "pivot_multi" ->
       """SELECT o_orderpriority,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_cnt,
