@@ -466,6 +466,57 @@ object Analytics {
         .orderBy("d", "event_type")
     }),
 
+    // dynamic partition overwrite: a stale-partition REWRITE must
+    // replace ONLY the partitions present in the incoming frame and
+    // leave every other partition untouched — the refresh primitive of
+    // a partitioned lake. The first write plants wrong values for days
+    // ≥ 15; the dynamic overwrite repairs exactly those; the read-back
+    // must equal the full recompute (the oracle). If Spark fell back to
+    // static overwrite the early days would vanish; if the repair
+    // missed, the zeros would surface — either way the gate trips.
+    "dynamic_overwrite" -> ((s, dir) => {
+      val path = s"/root/repo/target/incremental/dyn_${sfTag(dir)}"
+      val daily = Relational.events(s, dir)
+        .withColumn("d", expr("datediff(to_date(ts), date'2024-01-01')"))
+        .groupBy("d", "event_type").agg(count(lit(1)).as("cnt"))
+      daily.withColumn("cnt",
+        when(col("d") >= 15, lit(0L)).otherwise(col("cnt")))
+        .write.mode("overwrite").partitionBy("d").parquet(path)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try daily.filter(col("d") >= 15)
+        .write.mode("overwrite").partitionBy("d").parquet(path)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.read.parquet(path)
+        .select("d", "event_type", "cnt").orderBy("d", "event_type")
+    }),
+
+    // schema evolution: two parquet batches with DIFFERENT column sets
+    // land in one table; mergeSchema unions the schemas and nulls the
+    // absent columns — the contract that lets a 100 TB table add
+    // columns without rewriting history
+    "schema_merge" -> ((s, dir) => {
+      val path = s"/root/repo/target/roundtrip/evolve_${sfTag(dir)}"
+      val d = t(s, dir, "documents")
+      org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+      d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), lit(1).as("batch"))
+        .write.mode("append").partitionBy("batch").parquet(path)
+      d.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("n_chars"), lit(2).as("batch"))
+        .write.mode("append").partitionBy("batch").parquet(path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("batch").agg(
+          count(lit(1)).as("n"),
+          count(col("lang")).as("n_lang"),
+          count(col("n_chars")).as("n_chars_cnt"))
+        .select(col("batch").cast("int").as("batch"), col("n"),
+          col("n_lang"), col("n_chars_cnt"))
+        .orderBy("batch")
+    }),
+
     // collection aggregation: sorted distinct-set per group as a real
     // ARRAY column, pushed through parquet — collect_set shuffles one
     // small set per group (map-side partial merge), sort_array pins the
@@ -913,6 +964,19 @@ object Analytics {
     "distinct_gate" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // final state after the dynamic-partition repair = full recompute
+    "dynamic_overwrite" ->
+      """SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+        |  event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin,
+    "schema_merge" ->
+      """SELECT CAST(1 AS INT) AS batch, count(*) AS n,
+        |  count(*) AS n_lang, CAST(0 AS BIGINT) AS n_chars_cnt
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS INT), count(*), CAST(0 AS BIGINT), count(*)
+        |FROM documents WHERE doc_id % 2 <> 0
+        |ORDER BY batch""".stripMargin,
     "collections_agg" ->
       """SELECT o_orderpriority, list(s ORDER BY s) AS statuses,
         |  count(*) AS n_statuses
