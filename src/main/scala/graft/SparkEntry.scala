@@ -5,11 +5,13 @@ import graft.queries.{Analytics, CsvFunnelReport, FunnelOverEvents, LlmQueries, 
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every implemented operator family registers here: a Spark query over the
-  * harness's parquet tables plus (where SQL-expressible) a value-identical
-  * DuckDB oracle. Engine-only paths (LSH, SimHash — hash functions differ
-  * across engines) register the query without an oracle and get the
-  * driver's weaker rows-only check.
+  * Every implemented operator family registers here: a Spark query over
+  * the harness's parquet tables plus a value-identical DuckDB oracle —
+  * EVERY query carries one. Paths DuckDB cannot replay directly (seeded
+  * MLlib projections) register through a recall gate ([[graft.llm
+  * .Similarity]]): they emit the exact, oracle-expressible result only
+  * when the approximate path recovers enough of it, so recall drift
+  * trips the driver's row compare.
   */
 object SparkEntry {
   /** Flagship: the full funnel pipeline over sf0.001 events (18-row report

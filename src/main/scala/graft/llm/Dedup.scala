@@ -354,9 +354,13 @@ object Dedup {
     * Shape at 100 TB: the held-out side is benchmark-sized (millions of
     * grams, not billions), so its distinct gram set BROADCASTS and the
     * training side's explode → semi-join probe is map-side — the corpus
-    * text itself never shuffles; only the matched doc_ids (a tiny set)
-    * reach the final anti-join, which broadcasts back. Two corpus scans
-    * (gram probe + row fetch), zero corpus-sized shuffles.
+    * text itself never shuffles; only the matched doc_ids reach the
+    * final anti-join. Two corpus scans (gram probe + row fetch), zero
+    * corpus-sized shuffles. The matched-id side is usually tiny but is
+    * NOT forced to broadcast — a degenerate held-out set (or a heavily
+    * contaminated corpus) can make it arbitrarily large, and a forced
+    * broadcast would then blow the 8 GB limit instead of degrading to a
+    * shuffle; AQE picks broadcast whenever it actually fits.
     */
   def decontaminateNgrams(train: DataFrame, test: DataFrame,
       n: Int = 8): DataFrame = {
@@ -367,7 +371,7 @@ object Dedup {
       .select(col("doc_id"), explode(wordNgrams(col("text"), n)).as("__gram"))
       .join(broadcast(testGrams), Seq("__gram"), "left_semi")
       .select("doc_id").distinct()
-    train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    train.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
   /** Per-mille hash bucket of `salt ++ id` via the portable 28-bit md5

