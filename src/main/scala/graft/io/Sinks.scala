@@ -106,21 +106,35 @@ object Sinks {
     } finally zos.close()
   }
 
-  /** Email delivery stub — the reference skips cleanly when SMTP config
-    * is absent (`run_reports.py:132-140`); no SMTP client exists in this
-    * environment, so this ALWAYS skips (returning false = not sent, as
-    * the reference's send_report_mail returns True only on a real send)
-    * and logs which branch it took. A real implementation would
-    * MIME-attach `attachment` and STARTTLS-send in the configured case.
+  /** Email delivery — mirrors the reference's contract
+    * (`run_reports.py:132-166`): skip cleanly (false) when SMTP is not
+    * configured, otherwise STARTTLS-send a MIME multipart with the
+    * report attached via [[Smtp]] and return whether the send
+    * completed. Config from env: SMTP_HOST, SMTP_USER, SMTP_PASS
+    * (all three required to attempt a send), optional SMTP_PORT
+    * (default 587), SMTP_FROM (default user), SMTP_TLS=false to
+    * disable STARTTLS (e.g. a local relay). Never throws — a failed
+    * send logs and returns false, exactly like the reference.
     */
   def emailOrSkip(to: Seq[String], cc: Seq[String], subject: String,
       attachment: String): Boolean = {
-    val configured = sys.env.contains("SMTP_HOST") && sys.env.contains("SMTP_USER")
-    if (configured)
-      println(s"[email] SMTP configured but no client ships in this build; " +
-        s"NOT sent: to=${to.mkString(",")} subject=$subject")
-    else
-      println(s"[email] skipped (no SMTP config): to=${to.mkString(",")} subject=$subject")
-    false
+    val env = sys.env
+    (env.get("SMTP_HOST"), env.get("SMTP_USER"), env.get("SMTP_PASS")) match {
+      case (Some(host), Some(user), Some(pass)) =>
+        val cfg = Smtp.Config(host,
+          env.get("SMTP_PORT").map(_.toInt).getOrElse(587),
+          user, pass,
+          from = env.getOrElse("SMTP_FROM", user),
+          startTls = !env.get("SMTP_TLS").contains("false"))
+        val body = s"<b>Funnel report</b><br>Attached: $subject"
+        val sent = Smtp.send(cfg, to, cc, subject, body, Seq(attachment))
+        println(s"[email] ${if (sent) "sent" else "send FAILED"}: " +
+          s"to=${to.mkString(",")} subject=$subject")
+        sent
+      case _ =>
+        println(s"[email] skipped (no SMTP config): " +
+          s"to=${to.mkString(",")} subject=$subject")
+        false
+    }
   }
 }

@@ -101,4 +101,68 @@ class RenderSinksSpec extends AnyFunSuite {
   test("email sink skips cleanly without SMTP config") {
     assert(!Sinks.emailOrSkip(Seq("a@e.com"), Nil, "subject", "/tmp/x.xlsx"))
   }
+
+  test("SMTP client: full dialogue against an in-process server, MIME intact") {
+    import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+    import java.net.ServerSocket
+    import graft.io.Smtp
+
+    val attach = Files.createTempFile("report", ".xlsx")
+    val payloadBytes = Array[Byte](80, 75, 3, 4, 0, -1, 42) // zip-ish bytes
+    Files.write(attach, payloadBytes)
+
+    val server = new ServerSocket(0)
+    val data = new StringBuilder
+    val rcpts = scala.collection.mutable.ArrayBuffer[String]()
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(new InputStreamReader(s.getInputStream))
+      val out = new OutputStreamWriter(s.getOutputStream)
+      def w(l: String): Unit = { out.write(l + "\r\n"); out.flush() }
+      w("220 test ESMTP")
+      var line = in.readLine()
+      var inData = false
+      var authStep = 0 // 0 none, 1 expect username, 2 expect password
+      while (line != null) {
+        if (inData) {
+          if (line == ".") { inData = false; w("250 ok") }
+          else data.append(
+            (if (line.startsWith("..")) line.substring(1) else line) + "\r\n")
+        } else if (authStep == 1) { authStep = 2; w("334 UGFzc3dvcmQ6") }
+        else if (authStep == 2) { authStep = 0; w("235 ok") }
+        else line.split(" ", 2)(0).toUpperCase match {
+          case "EHLO" => w("250-test"); w("250 AUTH LOGIN")
+          case "AUTH" => authStep = 1; w("334 VXNlcm5hbWU6")
+          case "MAIL" => w("250 ok")
+          case "RCPT" => rcpts += line; w("250 ok")
+          case "DATA" => inData = true; w("354 go")
+          case "QUIT" => w("221 bye"); line = null
+          case _ => w("250 ok")
+        }
+        if (line != null) line = in.readLine()
+      }
+      s.close()
+    })
+    t.start()
+
+    val cfg = Smtp.Config("127.0.0.1", server.getLocalPort, "u", "p",
+      from = "from@e.com", startTls = false)
+    val sent = Smtp.send(cfg, Seq("to@e.com"), Seq("cc@e.com"),
+      "Funnel 01-01-2024", "<b>hi</b><br>line", Seq(attach.toString))
+    t.join(10000)
+    server.close()
+    assert(sent, "send must complete against the stub server")
+    assert(rcpts.toList === List("RCPT TO:<to@e.com>", "RCPT TO:<cc@e.com>"))
+    val msg = data.toString
+    assert(msg.contains("Subject: Funnel 01-01-2024"))
+    assert(msg.contains("To: to@e.com") && msg.contains("Cc: cc@e.com"))
+    assert(msg.contains("multipart/mixed") && msg.contains("text/html"))
+    // the base64 attachment round-trips to the exact file bytes
+    val b64 = msg.split("\r\n").dropWhile(!_.contains("octet-stream"))
+      .dropWhile(_.nonEmpty).drop(1).takeWhile(l => l.nonEmpty && !l.startsWith("--"))
+      .mkString
+    assert(java.util.Base64.getDecoder.decode(b64).toSeq === payloadBytes.toSeq)
+    // plain body derives from html the way the reference strips tags
+    assert(Smtp.plainOf("<b>hi</b><br>line") === "hi\nline")
+  }
 }
