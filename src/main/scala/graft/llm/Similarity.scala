@@ -327,17 +327,40 @@ object Similarity {
       .limit(k)
   }
 
-  /** Exact near-dup pair set: EVERY pair with fused cosine ≥
-    * `minCosine` — the ground truth the LSH candidate generators
-    * approximate. O(n²), so this is the sf-scale VERIFICATION side of a
-    * recall gate (at 100 TB you run it on a deterministic sample, never
-    * the full corpus); the production path stays the bucketed LSH join.
+  /** Exact near-dup pair set: EVERY pair with cosine ≥ `minCosine` —
+    * the ground truth the LSH candidate generators approximate. O(n²),
+    * so this is the sf-scale VERIFICATION side of a recall gate (at
+    * 100 TB you run it on a deterministic sample, never the full
+    * corpus); the production path stays the bucketed LSH join.
+    *
+    * Each vector is normalized ONCE (n rows), so the n² inner loop is a
+    * single fused dot per pair instead of dot + two norms — 3× less
+    * arithmetic where it actually multiplies. Zero-norm vectors have no
+    * cosine and are dropped up front (the un-normalized spelling drops
+    * them too: NaN never clears the threshold).
     */
   def exactCosinePairs(emb: DataFrame, minCosine: Double): DataFrame = {
-    val v = emb.select(col("vec_id"), dbl(col("embedding")).as("vec"))
+    // materialize the normalized vectors BEFORE the pair join:
+    // `transform` is a higher-order function (CodegenFallback), and
+    // left in the plan Catalyst collapses it into the join projection —
+    // interpreted normalization per PAIR (n²) instead of per vector (n).
+    // After the checkpoint the n² inner loop is only the codegen'd dot.
+    val v = emb
+      .select(col("vec_id"), dbl(col("embedding")).as("vec"))
+      .withColumn("__n", sqrt(dot(col("vec"), col("vec"))))
+      .filter(col("__n") > 0)
+      .select(col("vec_id"), transform(col("vec"), _ / col("__n")).as("vec"))
+      .localCheckpoint()
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        bround(cosine(col("a.vec"), col("b.vec")), 6).as("cos"))
+        dot(col("a.vec"), col("b.vec")).as("__raw"))
+      // bround allocates a BigDecimal PER ROW (measured 3.7 s of this
+      // query's 5.2 s at sf0.1) — pre-filter on the raw dot with a
+      // half-ulp-at-scale-6 margin (any value whose round-6 clears
+      // minCosine is ≥ minCosine − 5e-7), so the exact rounded
+      // threshold only evaluates on the ~0.05% of pairs that survive
+      .filter(col("__raw") >= minCosine - 1e-6)
+      .select(col("vec_a"), col("vec_b"), bround(col("__raw"), 6).as("cos"))
       .filter(col("cos") >= minCosine)
       .orderBy("vec_a", "vec_b")
   }
@@ -355,12 +378,17 @@ object Similarity {
     */
   private def recallGated(exact: DataFrame, approx: DataFrame,
       keys: Seq[String], minRecall: Double, order: Seq[Column]): DataFrame = {
+    // the gate reads `exact` three times (emitted rows + both scalar
+    // aggregates) — materialize the (tiny: top-k / threshold pair list)
+    // result ONCE so the expensive plan behind it (an O(n²) pair scan
+    // for the near-dup gate) does not re-execute per read
+    val e = exact.localCheckpoint()
     val keyCols = keys.map(col)
-    val nExact = exact.agg(count(lit(1)).as("__n_exact"))
-    val nOverlap = exact.select(keyCols: _*)
+    val nExact = e.agg(count(lit(1)).as("__n_exact"))
+    val nOverlap = e.select(keyCols: _*)
       .join(approx.select(keyCols: _*).dropDuplicates(keys), keys, "left_semi")
       .agg(count(lit(1)).as("__n_overlap"))
-    exact.crossJoin(broadcast(nExact)).crossJoin(broadcast(nOverlap))
+    e.crossJoin(broadcast(nExact)).crossJoin(broadcast(nOverlap))
       .filter(col("__n_overlap") >= ceil(col("__n_exact") * lit(minRecall)))
       .drop("__n_exact", "__n_overlap")
       .orderBy(order: _*)

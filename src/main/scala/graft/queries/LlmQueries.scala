@@ -814,17 +814,23 @@ object LlmQueries {
         |WHERE e.vec_id <> 0 GROUP BY e.vec_id)
         |SELECT vec_id, round(sqrt(d2), 6) AS dist
         |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // same normalize-once spelling as Similarity.exactCosinePairs:
+    // per-vector norm, unit vectors, one dot per pair
     "cosine_neardup" ->
-      """WITH p AS (
+      """WITH n AS (
+        |  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE)
+        |    * CAST(embedding[i] AS DOUBLE))) AS nrm
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY vec_id),
+        |v AS (
+        |  SELECT e.vec_id,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE) / n.nrm) AS vec
+        |  FROM embeddings e JOIN n USING (vec_id) WHERE n.nrm > 0),
+        |p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
-        |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na2,
-        |    sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb2
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
-        |    range(1, 65) t(i)
+        |    sum(a.vec[i] * b.vec[i]) AS dot
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id, range(1, 65) t(i)
         |  GROUP BY 1, 2),
-        |c AS (SELECT vec_a, vec_b,
-        |  round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cos FROM p)
+        |c AS (SELECT vec_a, vec_b, round(dot, 6) AS cos FROM p)
         |SELECT vec_a, vec_b, cos FROM c WHERE cos >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
     // the multimodal stub's features are all SQL-recomputable by
