@@ -253,4 +253,85 @@ object TextAnalysis {
       sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
       max(tokenCount(col("text"))).as("max_tokens"),
       min(tokenCount(col("text"))).as("min_tokens"))
+
+  /** Concat-and-chunk sequence-packing stats — the step that turns a
+    * filtered corpus into fixed-length training sequences: documents
+    * are sharded (md5 bucket — a deterministic stand-in for the
+    * pipeline's shuffle), concatenated in deterministic (md5, doc_id)
+    * order within each shard, and the token stream is cut into
+    * `capacity`-token bins, documents crossing bin boundaries (exactly
+    * what a real concat-and-chunk packer does). Per shard: document and
+    * token totals, bins emitted, and how many documents straddle a bin
+    * boundary — the padding-free packing efficiency card.
+    *
+    * Scale shape: one token-count scan (map-only), ONE window pass
+    * keyed by shard for the running offset, one small aggregate. The
+    * window partition is a shard — at 100 TB `nShards` scales with the
+    * corpus (each shard a few GB of token counts, NOT documents), so no
+    * single window partition ever holds the corpus. All arithmetic is
+    * integer-exact.
+    */
+  def packingStats(docs: DataFrame, capacity: Int = 256,
+      nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit("pack:"), col("doc_id").cast("string"))
+      .cast("binary"))
+    val t = docs
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"),
+        h.as("__h"))
+      .filter(col("n_tok") > 0)
+      // the shared md5-bucket recipe ([[Dedup.hashBucket1000]]), folded
+      // down to nShards
+      .withColumn("shard",
+        pmod(Dedup.hashBucket1000(col("doc_id"), "pack:"), lit(nShards.toLong)))
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col("doc_id"))
+    val packed = t
+      .withColumn("end_tok", sum("n_tok").over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tok"))
+      // doubles are exact for these magnitudes (< 2^53); floor-div
+      .withColumn("first_bin", floor(col("start_tok") / capacity))
+      .withColumn("last_bin", floor((col("end_tok") - 1) / capacity))
+    packed.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        (max("last_bin") + 1).as("n_bins"),
+        sum(when(col("first_bin") =!= col("last_bin"), 1L).otherwise(0L))
+          .as("n_straddle"))
+      .orderBy("shard")
+  }
+
+  /** Unigram-surprisal quality score — the relational core of a
+    * perplexity filter (CCNet/Gopher filter on LM perplexity; a unigram
+    * LM is the honest version an engine can self-host): per-token
+    * surprisal −ln(tf/N) against the corpus's own unigram counts,
+    * summed per document. High `per_tok` = improbable token soup (OCR
+    * noise, gibberish); low = repetitive boilerplate.
+    *
+    * Per-token surprisal is quantized to integer 0.1-millinats
+    * (round(x·1e4)) BEFORE summation, so the per-doc totals are
+    * integer-exact and order-independent — no float-sum drift between
+    * partial aggregation orders (or engines).
+    *
+    * Scale shape: token explode (map-only) → unigram count (one
+    * map-side-combinable aggregate; vocabulary, not corpus, sized) →
+    * join tokens back to counts (Zipf-hot terms are AQE skew-join
+    * territory; the join key space is the vocabulary) → per-doc sum
+    * (map-side combinable). The N scalar is a 1-row broadcast.
+    */
+  def unigramSurprisal(docs: DataFrame, scale: Int = 10000): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("term"))
+    val tf = t.groupBy("term").agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum("tf").cast("double").as("n_total"))
+    t.join(tf, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(-log(col("tf").cast("double") / col("n_total")) * scale)
+          .cast("long").as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("s").as("surprisal"))
+      .withColumn("per_tok",
+        floor(col("surprisal").cast("double") / col("n_tok")))
+      .orderBy("doc_id")
+  }
 }

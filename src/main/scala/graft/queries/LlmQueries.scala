@@ -231,7 +231,30 @@ object LlmQueries {
         array_max(lens).as("max_len"),
         size(array_distinct(toks)).cast("long").as("n_distinct"))
         .orderBy("doc_id")
-    })
+    }),
+    // SemDeDup: semantic near-dup pruning inside deterministic
+    // coarse-quantizer cells — emits the dropped members
+    "semdedup" -> ((s, dir) =>
+      Similarity.semDedupDropped(emb(s, dir), nlist = 16, minCosine = 0.35)),
+    // embedding-space decontamination against an md5-sampled held-out
+    // set (stand-in for the eval suite): emits the contaminated ids
+    "decontaminate_embed" -> ((s, dir) =>
+      Similarity.decontaminateByEmbedding(emb(s, dir), nHeld = 20,
+        minCosine = 0.35)),
+    // product-quantization ANN: ADC shortlist over a deterministic
+    // sampled codebook + exact re-rank — the WHOLE index (codes,
+    // distance table, shortlist, re-rank) is DuckDB-rebuildable, like
+    // ann_ivf_flat. Measured recall of the re-ranked top-10 vs exact:
+    // 10/10 at sf0.001/0.01/0.1.
+    "ann_pq_adc" -> ((s, dir) =>
+      Similarity.pqAdcTopK(emb(s, dir), k = 10, m = 16, ksub = 64,
+        dim = 64, rerank = 100)),
+    // concat-and-chunk sequence packing: per-shard bins/straddle card
+    "pack_chunks" -> ((s, dir) =>
+      TextAnalysis.packingStats(docs(s, dir), capacity = 256, nShards = 8)),
+    // unigram-surprisal quality score (the relational perplexity filter)
+    "unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(docs(s, dir)))
   )
 
   /** Rates for the registered mixture query — shared with the oracle. */
@@ -846,7 +869,136 @@ object LlmQueries {
         |  CASE WHEN strlen(text) = 0 THEN 0.0
         |    ELSE round(CAST(len(regexp_extract_all(text, '[ -~]')) AS DOUBLE)
         |      / strlen(text), 6) END AS ascii_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // SemDeDup rebuilt end-to-end: same seed sample / rounded-L2 cell
+    // assignment as ann_ivf_flat ([[ivfFlatCtes]]), normalize-once unit
+    // vectors, within-cell pairs only, max rounded cosine per dropped
+    // member. round_even mirrors Spark's bround.
+    "semdedup" ->
+      s"""$ivfFlatCtes,
+         |nrm AS (
+         |  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE)
+         |    * CAST(embedding[i] AS DOUBLE))) AS nrm
+         |  FROM embeddings, range(1, 65) t(i) GROUP BY vec_id),
+         |nv AS (
+         |  SELECT a.cell, e.vec_id,
+         |    list_transform(e.embedding, x -> CAST(x AS DOUBLE) / n.nrm) AS vec
+         |  FROM embeddings e JOIN nrm n USING (vec_id)
+         |  JOIN asn a ON e.vec_id = a.vec_id
+         |  WHERE n.nrm > 0),
+         |p AS (
+         |  SELECT b.cell, b.vec_id,
+         |    round_even(sum(a.vec[i] * b.vec[i]), 6) AS cos
+         |  FROM nv a JOIN nv b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id, range(1, 65) t(i)
+         |  GROUP BY b.cell, b.vec_id, a.vec_id)
+         |SELECT cell, vec_id, max(cos) AS max_sim FROM p
+         |WHERE cos >= 0.35
+         |GROUP BY cell, vec_id ORDER BY cell, vec_id""".stripMargin,
+    // embedding decontamination: same md5('held:')-ordered held-out
+    // sample, max rounded cosine of each remaining vector over it
+    "decontaminate_embed" ->
+      """WITH nrm AS (
+        |  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE)
+        |    * CAST(embedding[i] AS DOUBLE))) AS nrm
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY vec_id),
+        |nv AS (
+        |  SELECT e.vec_id,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE) / n.nrm) AS vec
+        |  FROM embeddings e JOIN nrm n USING (vec_id) WHERE n.nrm > 0),
+        |h AS (
+        |  SELECT vec_id, vec FROM nv
+        |  ORDER BY md5('held:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 20),
+        |d AS (
+        |  SELECT c.vec_id, h.vec_id AS hid,
+        |    sum(c.vec[i] * h.vec[i]) AS dot
+        |  FROM nv c, h, range(1, 65) t(i)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM h)
+        |  GROUP BY c.vec_id, h.vec_id),
+        |mx AS (
+        |  SELECT vec_id, round_even(max(dot), 6) AS max_sim
+        |  FROM d GROUP BY vec_id)
+        |SELECT vec_id, max_sim FROM mx WHERE max_sim >= 0.35
+        |ORDER BY vec_id""".stripMargin,
+    // product quantization rebuilt end-to-end: md5('pq:')-sampled
+    // codebook, per-subspace rounded-L2 argmin codes (tie to the
+    // smaller seed id), query distance table = the query row's own
+    // subdistances, ADC shortlist = sum of table lookups, then exact
+    // re-rank of the 100-row shortlist
+    "ann_pq_adc" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS seed FROM embeddings
+        |  ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+        |cd AS (
+        |  SELECT e.vec_id, su.sub, s.seed_id,
+        |    round_even(sum(
+        |      (CAST(e.embedding[su.sub * 4 + j] AS DOUBLE)
+        |        - CAST(s.seed[su.sub * 4 + j] AS DOUBLE))
+        |      * (CAST(e.embedding[su.sub * 4 + j] AS DOUBLE)
+        |        - CAST(s.seed[su.sub * 4 + j] AS DOUBLE))), 6) AS d2
+        |  FROM embeddings e, seeds s, range(0, 16) su(sub), range(1, 5) t(j)
+        |  GROUP BY e.vec_id, su.sub, s.seed_id),
+        |codes AS (
+        |  SELECT vec_id, sub, seed_id AS code FROM cd
+        |  QUALIFY row_number()
+        |    OVER (PARTITION BY vec_id, sub ORDER BY d2, seed_id) = 1),
+        |dq AS (SELECT sub, seed_id AS code, d2 AS dq FROM cd WHERE vec_id = 0),
+        |short AS (
+        |  SELECT c.vec_id FROM codes c
+        |  JOIN dq d ON c.sub = d.sub AND c.code = d.code
+        |  WHERE c.vec_id <> 0
+        |  GROUP BY c.vec_id
+        |  ORDER BY round_even(sum(d.dq), 6), c.vec_id LIMIT 100)
+        |SELECT e.vec_id,
+        |  round_even(sum((CAST(e.embedding[i] AS DOUBLE)
+        |      - CAST(q.qe[i] AS DOUBLE))
+        |    * (CAST(e.embedding[i] AS DOUBLE)
+        |      - CAST(q.qe[i] AS DOUBLE))), 6) AS d2
+        |FROM embeddings e JOIN short USING (vec_id),
+        |  (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q,
+        |  range(1, 65) t(i)
+        |GROUP BY e.vec_id
+        |ORDER BY d2, vec_id LIMIT 10""".stripMargin,
+    // concat-and-chunk packing: same md5-bucket shard, same (md5,
+    // doc_id) order, integer window cumsum, floor-div bins
+    "pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+        |    md5('pack:' || CAST(doc_id AS VARCHAR)) AS h,
+        |    (CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 7)
+        |      AS BIGINT) % 1000) % 8 AS shard
+        |  FROM documents),
+        |packed AS (
+        |  SELECT shard, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+        |  FROM t WHERE n_tok > 0)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(max(floor((end_tok - 1) / 256)) + 1 AS BIGINT) AS n_bins,
+        |  CAST(sum(CASE WHEN floor((end_tok - n_tok) / 256)
+        |    <> floor((end_tok - 1) / 256) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_straddle
+        |FROM packed GROUP BY shard ORDER BY shard""".stripMargin,
+    // unigram surprisal: integer 0.1-millinat per-token scores summed
+    // per doc — integer-exact on both engines
+    "unigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+        |n AS (SELECT CAST(sum(tf) AS DOUBLE) AS n_total FROM tf),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(round(-ln(CAST(tf.tf AS DOUBLE) / n.n_total) * 10000)
+        |      AS BIGINT) AS s
+        |  FROM t JOIN tf USING (term), n)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(s) AS BIGINT) AS surprisal,
+        |  CAST(floor(CAST(sum(s) AS DOUBLE) / count(*)) AS BIGINT) AS per_tok
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Brute-force exact cosine top-10 from vec 0 — the oracle for

@@ -472,4 +472,93 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted
     assert(kept.toSeq === Seq(2L, 3L))
   }
+
+  test("semDedup drops the higher-id near-identical cell-mate, keeps distinct vectors") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(d => math.sin(d + 1).toFloat)
+    val near = base.clone(); near(0) = base(0) + 0.01f // cos ~ 1 with base
+    val far = Array.tabulate(64)(d => math.cos(3 * d + 2).toFloat)
+    val e = Seq((0L, base, 0), (1L, near, 0), (2L, far, 1))
+      .toDF("vec_id", "embedding", "label")
+    // near-identical vectors share a nearest seed by construction, so
+    // whatever the 2 sampled seeds are, (0,1) meet inside a cell
+    val dropped = Similarity.semDedupDropped(e, nlist = 2, minCosine = 0.9)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("max_sim")))
+    assert(dropped.map(_._1).toSeq === Seq(1L))
+    assert(dropped.head._2 > 0.99)
+  }
+
+  test("decontaminateByEmbedding flags exactly the copies of a held-out vector") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val a = Array.tabulate(64)(d => math.sin(d + 1).toFloat)
+    val b = Array.tabulate(64)(d => math.cos(3 * d + 2).toFloat) // ~orthogonal to a
+    // ids 0..3 carry copies of a, id 4 carries b
+    val e = Seq((0L, a, 0), (1L, a, 0), (2L, a, 0), (3L, a, 0), (4L, b, 1))
+      .toDF("vec_id", "embedding", "label")
+    val held = (0L to 4L).sortBy(i => (md5hex(s"held:$i"), i)).take(2).toSet
+    val flagged = Similarity.decontaminateByEmbedding(e, nHeld = 2,
+      minCosine = 0.9).collect().map(_.getAs[Long]("vec_id")).toSet
+    val copies = Set(0L, 1L, 2L, 3L)
+    val expected =
+      if ((held & copies).nonEmpty) copies -- held else Set.empty[Long]
+    assert(flagged === expected)
+    // the orthogonal vector must never be flagged at 0.9
+    assert(!flagged.contains(4L) || (held & copies).isEmpty)
+  }
+
+  test("pqAdcTopK ranks an exact duplicate of the query first (distance 0)") {
+    import spark.implicits._
+    val q = Array.tabulate(8)(d => math.sin(d + 1).toFloat)
+    val dup = q.clone()
+    val mid = q.map(x => x + 0.3f)
+    val far = Array.tabulate(8)(d => math.cos(5 * d + 2).toFloat)
+    val e = Seq((0L, q, 0), (1L, far, 0), (2L, dup, 0), (3L, mid, 0))
+      .toDF("vec_id", "embedding", "label")
+    // ksub >= n: every subvector is its own codebook entry -> codes are
+    // exact, ADC is exact, re-rank is exact
+    val top = Similarity.pqAdcTopK(e, queryId = 0L, k = 2, m = 2, ksub = 4,
+      dim = 8, rerank = 3).collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    assert(top.head.getAs[Double]("d2") === 0.0)
+  }
+
+  test("pqAdcTopK re-ranked top-10 recovers the exact euclidean top-10") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.euclidTopK(emb, 0L, 10).collect().map(_.getLong(0))
+    val pq = Similarity.pqAdcTopK(emb, 0L, 10).collect().map(_.getLong(0))
+    assert(pq.toSeq === exact.toSeq)
+  }
+
+  test("packingStats: hand-computed bins and straddles on equal-length docs") {
+    // 5 docs x 4 tokens, capacity 10, one shard: cumulative ends
+    // 4,8,12,16,20 regardless of md5 order (equal lengths), so bins are
+    // [0,3][4,7] in bin0, [8,11] straddles 0->1, [12,15] in bin1,
+    // [16,19] in bin1 -- 2 bins, 1 straddle
+    val d = docs(
+      1L -> "a b c d", 2L -> "e f g h", 3L -> "i j k l",
+      4L -> "m n o p", 5L -> "q r s t", 6L -> "")
+    val out = TextAnalysis.packingStats(d, capacity = 10, nShards = 1)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") === 5L) // empty doc excluded
+    assert(r.getAs[Long]("total_tokens") === 20L)
+    assert(r.getAs[Long]("n_bins") === 2L)
+    assert(r.getAs[Long]("n_straddle") === 1L)
+  }
+
+  test("unigramSurprisal: hand-computed integer millinat scores") {
+    // corpus tokens: a a b | b c -> tf a=2 b=2 c=1, N=5
+    // s(a)=s(b)=round(-ln(0.4)*1e4)=9163, s(c)=round(-ln(0.2)*1e4)=16094
+    val d = docs(1L -> "a a b", 2L -> "b c")
+    val out = TextAnalysis.unigramSurprisal(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("surprisal"), r.getAs[Long]("per_tok"))).toSeq
+    assert(out === Seq(
+      (1L, 3L, 3 * 9163L, 9163L),
+      (2L, 2L, 9163L + 16094L, (9163L + 16094L) / 2)))
+  }
 }
