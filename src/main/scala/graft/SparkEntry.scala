@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Analytics, CsvFunnelReport, FunnelOverEvents, LlmQueries, Relational}
+import graft.queries.{Analytics, CsvFunnelReport, FunnelOverEvents, LlmQueries, Relational, Scoring}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ LlmQueries.queries ++ Analytics.queries +
+    Relational.queries ++ LlmQueries.queries ++ Analytics.queries ++
+      Scoring.queries +
       ("funnel_table" -> (FunnelOverEvents.query(_, _))) +
       // CSV source layer end-to-end (path templating, month glob, range
       // post-filter, entity pushdown) over a generated on-disk fixture
@@ -33,7 +34,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ LlmQueries.oracles ++ Analytics.oracles +
+    Relational.oracles ++ LlmQueries.oracles ++ Analytics.oracles ++
+      Scoring.oracles +
       ("funnel_table" -> FunnelOverEvents.oracle) +
       ("csv_funnel_report" -> CsvFunnelReport.oracle)
 }

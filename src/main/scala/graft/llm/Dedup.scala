@@ -541,4 +541,58 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Exact-substring near-dup detection via stride-sampled character
+    * k-gram fingerprints (the relational stand-in for the suffix-array
+    * pass of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": docs sharing a long verbatim run share a
+    * sampled k-gram once the run exceeds k + stride − 1 chars).
+    *
+    * Scale shape: each doc emits ≤ len/stride 16-byte md5 fingerprints
+    * (bounded, unlike all-positions suffix indexing), the candidate
+    * join is an equi-join on the fingerprint (hash-partitioned — a
+    * boilerplate gram shared by millions of docs is the skew-join /
+    * stop-gram-filter case, same playbook as the LSH band joins), and
+    * the pair aggregate counts shared grams map-side.
+    */
+  def substringPairs(docs: DataFrame, k: Int = 40, stride: Int = 10): DataFrame = {
+    val nIdx = floor((length(col("text")) - lit(k)) / lit(stride.toDouble))
+      .cast("int")
+    val g = docs.filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nIdx),
+          i => md5(col("text").substr(i * lit(stride) + lit(1), lit(k))
+            .cast("binary"))))
+          .as("gh"))
+      .distinct()
+    g.as("a").join(g.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Rendezvous (highest-random-weight) shard assignment: every id
+    * hashes against every shard, the max hash wins. The property that
+    * matters at fleet scale: adding a shard moves ONLY the ids the new
+    * shard now wins (~1/(n+1) of them) — no mass resharding, unlike
+    * `id mod n`. Returns one row per id with the winning shard.
+    *
+    * Scale shape: a bounded nShards-way explode (map-only) and one
+    * window pass partitioned by id — embarrassingly parallel; no
+    * global state, so assignment is stable under any cluster topology.
+    * md5 keeps the weights engine-portable like every hash here.
+    */
+  def rendezvousShard(df: DataFrame, idCol: String, nShards: Int,
+      shardCol: String = "shard"): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("h").desc, col("s"))
+    df.select(col(idCol),
+        explode(sequence(lit(0), lit(nShards - 1))).as("s"))
+      .withColumn("h",
+        md5(concat(col("s").cast("string"), lit(":"),
+          col(idCol).cast("string")).cast("binary")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("s").as(shardCol))
+  }
 }

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level ranking and association scoring: BM25 document ranking
+  * and PMI bigram collocations — the retrieval/statistics layer a
+  * training-data pipeline runs on top of its token counts (data
+  * selection by query relevance; collocation mining for tokenizer and
+  * phrase vocabularies).
+  *
+  * Determinism contract (same as [[TextAnalysis.unigramSurprisal]]):
+  * every per-item score is ONE fixed IEEE expression chain mirrored
+  * verbatim in the DuckDB oracle, and anything summed across rows is
+  * quantized to integer micro-units FIRST, so totals are
+  * order-independent across partial-aggregation orders and engines.
+  */
+object Ranking {
+
+  /** BM25 (Robertson/Lucene `+1` idf, so scores are always positive)
+    * top-k documents for a fixed query term set.
+    *
+    * Scale shape: one token explode (map-only), doc-length aggregate
+    * (map-side combinable, doc-count sized), the tf aggregate only over
+    * tokens IN the query set (the `isin` filter prunes the explode
+    * before the shuffle — tf traffic is query-matched tokens, not the
+    * corpus), df and the corpus stats are tiny broadcasts, and the
+    * final top-k is a TakeOrdered, not a global sort.
+    *
+    * Per-(doc, term) scores are quantized to integer micro-units before
+    * the per-doc sum, so the total is exact and order-independent.
+    */
+  def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = t.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val tfD = col("tf").cast("double")
+    // ONE expression chain, mirrored in the oracle: idf * saturated-tf.
+    val score = log((col("n_docs") - col("df") + lit(0.5))
+        / (col("df") + lit(0.5)) + lit(1.0)) *
+      (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double")
+        / col("avgdl"))) * lit(1000000.0)
+    tf.join(dl, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), bround(score).cast("long").as("s"))
+      .groupBy("doc_id").agg(sum("s").as("score_micros"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Pointwise mutual information of adjacent-token bigrams over the
+    * whole corpus: PMI = ln(p(xy) / (p(x)·p(y))), keeping pairs seen at
+    * least `minCount` times, top-k by PMI.
+    *
+    * Scale shape: the bigram and unigram counts are each ONE
+    * map-side-combinable aggregate keyed by vocabulary (not corpus)
+    * terms; the two scalar totals broadcast; the unigram joins onto the
+    * bigram table are vocabulary-sized (Zipf-hot heads are AQE
+    * skew-join territory). PMI itself is a single IEEE chain per
+    * surviving bigram — no cross-row float summation anywhere.
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5, k: Int = 20): DataFrame = {
+    val tk = docs.select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
+    val uc = tk.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nu = uc.agg(sum("c").cast("double").as("nu"))
+    val bc = tk.filter(size(col("tk")) >= 2)
+      .select(explode(Dedup.tokenNgrams(col("tk"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("pc"))
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+    val nb = bc.agg(sum("pc").cast("double").as("nb"))
+    val pmi = bround(
+      log((col("pc").cast("double") / col("nb"))
+        / ((col("c1") / col("nu")) * (col("c2") / col("nu")))), 6)
+    bc.filter(col("pc") >= minCount)
+      .join(uc.select(col("w").as("w1"), col("c").cast("double").as("c1")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").cast("double").as("c2")), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("gram"), col("pc").as("pair_cnt"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("gram"))
+      .limit(k)
+  }
+}

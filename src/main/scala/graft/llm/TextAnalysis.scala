@@ -318,6 +318,36 @@ object TextAnalysis {
     * territory; the join key space is the vocabulary) → per-doc sum
     * (map-side combinable). The N scalar is a 1-row broadcast.
     */
+  /** Character-level Shannon entropy per document, in integer
+    * micro-nats — the classic gibberish/boilerplate detector (natural
+    * prose sits near the language's ~2.8–3.2 nat char entropy; OCR
+    * noise runs high, repeated padding runs low). Counts non-whitespace
+    * chars only (`\S` — identical in Java regex and RE2).
+    *
+    * Each distinct char's −p·ln(p) term is quantized to integer
+    * micro-nats BEFORE the per-doc sum (the [[unigramSurprisal]]
+    * contract), so totals are order-independent. Scale shape: char
+    * explode (map-only) → per-(doc, char) count (map-side combinable,
+    * ≤ alphabet×docs rows) → per-doc sum.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val cc = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("\\S"), lit(0))).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+    val n = cc.groupBy("doc_id")
+      .agg(sum("cnt").as("n"), count(lit(1)).as("n_distinct"))
+    val p = col("cnt").cast("double") / col("n")
+    cc.join(n, "doc_id")
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        bround(-p * log(p) * lit(1000000.0)).cast("long").as("s"))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_chars_nonws"),
+        max("n_distinct").as("distinct_chars"),
+        sum("s").as("entropy_micronats"))
+      .orderBy("doc_id")
+  }
+
   def unigramSurprisal(docs: DataFrame, scale: Int = 10000): DataFrame = {
     val t = docs.select(col("doc_id"),
       explode(tokens(lower(col("text")))).as("term"))

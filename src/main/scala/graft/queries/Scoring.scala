@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GraftSession
+import graft.llm.{Dedup, Ranking, TextAnalysis}
+
+/** Round-8 batch: corpus ranking and scoring (BM25, PMI collocations,
+  * char entropy), exact-substring near-dup fingerprints, rendezvous
+  * sharding, a link-analysis (PageRank) iteration, rolling distinct
+  * reach, and equi-depth binning.
+  *
+  * Same determinism contract as [[Relational]]/[[Analytics]]: integer
+  * quantization before any cross-row float sum, DECIMAL for money,
+  * fixed IEEE chains mirrored verbatim in the oracle, total ORDER BY.
+  */
+object Scoring {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Query terms for the registered BM25 ranking — shared with the
+    * oracle so the two can't drift.
+    */
+  private val bm25Terms = Seq("data", "model")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_rank" -> ((s, dir) =>
+      Ranking.bm25TopDocs(t(s, dir, "documents"), bm25Terms, k = 20)),
+    "pmi_bigrams" -> ((s, dir) =>
+      Ranking.pmiBigrams(t(s, dir, "documents"), minCount = 5, k = 20)),
+    "entropy_score" -> ((s, dir) =>
+      TextAnalysis.charEntropy(t(s, dir, "documents"))),
+    "substring_dedup" -> ((s, dir) =>
+      Dedup.substringPairs(t(s, dir, "documents"), k = 40, stride = 10)),
+    // 8-way rendezvous assignment, plus the property that makes HRW
+    // worth having: per shard, how many ids a 9th shard would steal
+    // (~1/9 overall; everything else stays put)
+    "rendezvous_shard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a8 = Dedup.rendezvousShard(d, "doc_id", 8)
+      val a9 = Dedup.rendezvousShard(d, "doc_id", 9, shardCol = "shard9")
+      a8.join(a9, "doc_id")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("shard") =!= col("shard9"), 1L).otherwise(0L))
+            .as("moved"))
+        .orderBy("shard")
+    }),
+    // one PageRank iteration (d = 0.85) over the part↔supplier
+    // bipartite graph, from a uniform start. Per-edge contributions are
+    // quantized to integer micro-units before the in-neighbor sum, so
+    // the iteration is order-independent — the honest relational core
+    // of an iterative link-analysis job (dedup_cluster already covers
+    // the loop-to-fixpoint machinery; this covers the degree-normalized
+    // weighted propagation step). Scale shape: distinct edges (one
+    // hash-agg), out-degree aggregate, one equi-join, one sum — all
+    // keyed shuffles, no driver-side state.
+    "pagerank_iter" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = e0.select(
+          concat(lit("s"), col("sk").cast("string")).as("src"),
+          concat(lit("p"), col("pk").cast("string")).as("dst"))
+        .unionByName(e0.select(
+          concat(lit("p"), col("pk").cast("string")).as("src"),
+          concat(lit("s"), col("sk").cast("string")).as("dst")))
+      val outd = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val contrib = edges.join(outd, "src")
+        .select(col("dst"),
+          bround(lit(1000000.0) / col("deg")).cast("long").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) + bround(lit(0.85) *
+            coalesce(col("sc"), lit(0L)).cast("double")).cast("long"))
+            .as("pr_micros"))
+        .orderBy(col("pr_micros").desc, col("node"))
+        .limit(20)
+    }),
+    // rolling 7-day distinct-user reach per day. COUNT DISTINCT has no
+    // window form in either engine; the scalable relational spelling is
+    // a bounded 7-way explode of the distinct (user, day) pairs — the
+    // shuffled data is distinct pairs × window, never raw events. Days
+    // are integer offsets (the [[Analytics]] convention: no date-dtype
+    // drift in the driver compare), and the days-present restriction is
+    // a USING-column semi-join (self-lineage-safe, unlike a raw
+    // Column === Column condition between two frames sharing a parent).
+    "rolling_distinct" -> ((s, dir) => {
+      val ud = Relational.events(s, dir)
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
+        .distinct()
+      val counts = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("o"), col("d"))
+        .select(col("user_id"), (col("d") + col("o")).as("od"))
+        .distinct()
+        .groupBy("od")
+        .agg(count_distinct(col("user_id")).as("active_7d"))
+      counts
+        .join(ud.select(col("d").as("od")).distinct(), Seq("od"), "left_semi")
+        .select(col("od").as("d"), col("active_7d"))
+        .orderBy("d")
+    }),
+    // equi-depth deciles of order value: ntile over a total order. The
+    // global window is the honest exact form (single-partition sort —
+    // fine for a report-sized output; at 100 TB the production path is
+    // approx_percentile boundaries + a broadcast bin join, which
+    // histogram_bins/quantile_gate already cover); sums stay DECIMAL.
+    "bucketize_depth" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_totalprice"), ntile(10).over(w).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          min("o_totalprice").as("lo"),
+          max("o_totalprice").as("hi"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).as("total"))
+        .orderBy("bucket")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // parameters mirror the registered queries above; round_even ≙
+    // Spark bround (half-even)
+    "bm25_rank" -> {
+      val terms = bm25Terms.map(q => s"'$q'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |  CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+         |qt AS (SELECT unnest([$terms]) AS term),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM t JOIN qt USING (term) GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round_even(ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+         |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf.tf AS DOUBLE)
+         |         + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl))
+         |      * 1000000.0, 0) AS BIGINT) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), stats)
+         |SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micros FROM sc
+         |GROUP BY 1 ORDER BY score_micros DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "pmi_bigrams" ->
+      """WITH t AS (SELECT regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+        |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uc),
+        |bc AS (SELECT gram, CAST(count(*) AS BIGINT) AS pc FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |    FROM t WHERE len(tk) >= 2) GROUP BY 1),
+        |nb AS (SELECT CAST(sum(pc) AS DOUBLE) AS nb FROM bc),
+        |sp AS (SELECT gram, pc, split_part(gram, ' ', 1) AS w1,
+        |    split_part(gram, ' ', 2) AS w2
+        |  FROM bc WHERE pc >= 5)
+        |SELECT gram, pc AS pair_cnt,
+        |  round_even(ln((CAST(pc AS DOUBLE) / nb.nb)
+        |    / ((CAST(u1.c AS DOUBLE) / nu.nu) * (CAST(u2.c AS DOUBLE) / nu.nu))),
+        |    6) AS pmi
+        |FROM sp JOIN uc u1 ON sp.w1 = u1.w JOIN uc u2 ON sp.w2 = u2.w, nu, nb
+        |ORDER BY pmi DESC, gram LIMIT 20""".stripMargin,
+    "entropy_score" ->
+      """WITH cc AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S')) AS c
+        |  FROM documents),
+        |pc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM cc GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+        |  count(*) AS n_distinct FROM pc GROUP BY 1)
+        |SELECT pc.doc_id,
+        |  max(n.n) AS n_chars_nonws,
+        |  max(n.n_distinct) AS distinct_chars,
+        |  CAST(sum(CAST(round_even(-(CAST(cnt AS DOUBLE) / n.n)
+        |    * ln(CAST(cnt AS DOUBLE) / n.n) * 1000000.0, 0) AS BIGINT))
+        |    AS BIGINT) AS entropy_micronats
+        |FROM pc JOIN n USING (doc_id)
+        |GROUP BY pc.doc_id ORDER BY pc.doc_id""".stripMargin,
+    "substring_dedup" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(
+        |      range(0, CAST(floor((length(text) - 40) / 10.0) AS BIGINT) + 1),
+        |      i -> md5(substr(text, CAST(1 + i * 10 AS INT), 40)))) AS gh
+        |  FROM documents WHERE length(text) >= 40)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+    "rendezvous_shard" ->
+      """WITH cand AS (
+        |  SELECT doc_id, CAST(s AS INT) AS s,
+        |    md5(CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents, range(0, 9) t(s)),
+        |a8 AS (SELECT doc_id, s AS shard FROM cand WHERE s < 8
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) = 1),
+        |a9 AS (SELECT doc_id, s AS shard9 FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) = 1)
+        |SELECT shard, count(*) AS docs,
+        |  CAST(sum(CASE WHEN a8.shard <> a9.shard9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS moved
+        |FROM a8 JOIN a9 USING (doc_id) GROUP BY shard ORDER BY shard""".stripMargin,
+    "pagerank_iter" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem),
+        |edges AS (
+        |  SELECT 's' || CAST(sk AS VARCHAR) AS src,
+        |         'p' || CAST(pk AS VARCHAR) AS dst FROM e0
+        |  UNION ALL
+        |  SELECT 'p' || CAST(pk AS VARCHAR), 's' || CAST(sk AS VARCHAR) FROM e0),
+        |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY 1),
+        |contrib AS (SELECT dst, CAST(sum(c) AS BIGINT) AS sc FROM (
+        |    SELECT e.dst,
+        |      CAST(round_even(1000000.0 / o.deg, 0) AS BIGINT) AS c
+        |    FROM edges e JOIN outd o USING (src))
+        |  GROUP BY dst),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges)
+        |SELECT node,
+        |  CAST(150000 + CAST(round_even(0.85 * coalesce(sc, 0), 0) AS BIGINT)
+        |    AS BIGINT) AS pr_micros
+        |FROM nodes LEFT JOIN contrib ON node = contrib.dst
+        |ORDER BY pr_micros DESC, node LIMIT 20""".stripMargin,
+    "rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |obs AS (SELECT DISTINCT user_id, d + o AS od FROM ud, range(0, 7) t(o)),
+        |days AS (SELECT DISTINCT d FROM ud)
+        |SELECT days.d, CAST(count(DISTINCT obs.user_id) AS BIGINT) AS active_7d
+        |FROM days JOIN obs ON days.d = obs.od
+        |GROUP BY days.d ORDER BY days.d""".stripMargin,
+    "bucketize_depth" ->
+      """WITH b AS (SELECT o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |  FROM orders)
+        |SELECT bucket, count(*) AS cnt,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS total
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  )
+}

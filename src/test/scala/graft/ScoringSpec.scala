@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Ranking, TextAnalysis}
+
+/** Round-8 operator tests on hand-computable fixtures: BM25 ordering,
+  * PMI of a planted collocation, char-entropy closed forms, substring
+  * fingerprint pairing, rendezvous-shard stability, and the PageRank
+  * contribution arithmetic.
+  */
+class ScoringSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("bm25 ranks the term-dense short doc above a diluted long one") {
+    // doc 1: 2 hits in 4 tokens; doc 2: 2 hits in 12 tokens (same tf,
+    // longer doc → length normalization must rank it lower); doc 3: no
+    // hits → absent from the ranking entirely.
+    val d = docs(
+      1L -> "data model data model",
+      2L -> "data and model words words words words words words words words pad",
+      3L -> "nothing relevant at all in here")
+    val out = Ranking.bm25TopDocs(d, Seq("data", "model"), k = 10).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out.forall(_.getLong(1) > 0), "+1 idf keeps scores positive")
+  }
+
+  test("pmi is ln(1/p(x)) for a bigram that always follows its head") {
+    // "zig zag" occurs 6 times; zig and zag occur only in that bigram.
+    // With U unigrams total and B bigrams total: pmi = ln((6/B)/((6/U)^2)).
+    val text = Seq.fill(6)("zig zag").mkString(" filler ")
+      .split(" ").mkString(" ") // 6 bigram hits, filler separates pairs
+    val d = docs(1L -> text)
+    val toks = text.split(" ")
+    val u = toks.length.toDouble
+    val b = (toks.length - 1).toDouble
+    val expected = math.log((6.0 / b) / ((6.0 / u) * (6.0 / u)))
+    val row = Ranking.pmiBigrams(d, minCount = 5, k = 5)
+      .filter(col("gram") === "zig zag").collect()
+    assert(row.length === 1)
+    assert(math.abs(row(0).getDouble(2) - expected) < 1e-5)
+  }
+
+  test("char entropy: uniform two-symbol text is ln(2), one-symbol is 0") {
+    val d = docs(1L -> "abab abab", 2L -> "aaaa aaaa")
+    val out = TextAnalysis.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // per-char terms quantize BEFORE the sum: 2 × round(½·ln2·1e6)
+    assert(out(1L) === 2L * math.round(0.5 * math.log(2) * 1e6))
+    assert(out(2L) === 0L)
+  }
+
+  test("substring fingerprints pair docs sharing an aligned 40-char run") {
+    // 81 aperiodic chars (a stride-periodic run would collapse to ONE
+    // distinct gram): offsets 0..40 give 5 distinct shared grams
+    val shared =
+      "the quick brown fox jumps over the lazy dog while seventeen wild geese fly south"
+    val d = docs(
+      1L -> (shared + " tail one of document"),
+      2L -> (shared + " entirely different continuation text"),
+      3L -> ("Z" * 90))
+    val out = Dedup.substringPairs(d, k = 40, stride = 10).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(out(0).getLong(2) >= 4, "several aligned grams shared")
+  }
+
+  test("rendezvous: adding a shard only moves ids won by the new shard") {
+    val d = docs((0L until 64L).map(i => i -> s"doc number $i text"): _*)
+    val a8 = Dedup.rendezvousShard(d, "doc_id", 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a9 = Dedup.rendezvousShard(d, "doc_id", 9).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a8.keySet === (0L until 64L).toSet, "every id assigned")
+    assert(a8.values.forall(s => s >= 0 && s < 8))
+    val moved = a8.keys.filter(id => a8(id) != a9(id))
+    assert(moved.forall(id => a9(id) == 8),
+      "HRW invariant: a changed assignment can only be the new shard winning")
+    assert(moved.size < 24, "~1/9 expected to move, not a reshuffle")
+  }
+
+  test("pagerank contribution: hub with d out-edges sends 1e6/d each") {
+    import spark.implicits._
+    // star: supplier 1 supplies parts 1..4; part 1 also from supplier 2.
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L))
+      .toDF("l_suppkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("pr").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.queries.Scoring.queries("pagerank_iter")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // p1 receives 1e6/4 from s1 and 1e6/1 from s2: 150000 + .85*1250000
+    assert(out("p1") === 150000L + math.round(0.85 * 1250000.0))
+    // s1 receives 1e6 from each single-source part p2..p4 and 1e6/2 from p1
+    assert(out("s1") === 150000L + math.round(0.85 * 3500000.0))
+    assert(out("p2") === 150000L + math.round(0.85 * 250000.0))
+  }
+
+  test("rolling 7-day distinct counts a user once across the window") {
+    import spark.implicits._
+    // user 1 active days 0 and 3 (one distinct in any 7-day window
+    // covering both); user 2 active day 10 only.
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L), (2L, "2024-01-04 10:00:00", 1L),
+      (3L, "2024-01-11 10:00:00", 2L))
+      .toDF("event_id", "ts_s", "user_id")
+      .select(col("event_id"),
+        (unix_timestamp(col("ts_s")) * lit(1000000000L)).as("ts"),
+        col("user_id"),
+        lit("view").as("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("rd").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Scoring.queries("rolling_distinct")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // observed days are 0, 3, 10; windows ending at each:
+    assert(out === Map(0 -> 1L, 3 -> 1L, 10 -> 1L))
+  }
+
+  test("equi-depth deciles are balanced and ordered") {
+    import spark.implicits._
+    val od = (1L to 100L).map(i => (i, i.toDouble * 10, "O"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+    val dir = java.nio.file.Files.createTempDirectory("bd").toString
+    od.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.queries.Scoring.queries("bucketize_depth")(spark, dir)
+      .collect()
+    assert(out.length === 10)
+    assert(out.forall(_.getLong(1) === 10L), "100 rows → 10 per decile")
+    val his = out.map(_.getDouble(3))
+    assert(his.sorted.toSeq === his.toSeq, "bucket maxima ascend")
+  }
+}
