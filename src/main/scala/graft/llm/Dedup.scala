@@ -572,6 +572,31 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Temperature-scaled mixture weights over a grouping column: the
+    * multilingual/multi-source resampling rule w_i ∝ p_i^α (α = 0.5
+    * here via sqrt — the unbalanced-data temperature sampling of
+    * mBERT/XLM-R; α < 1 upweights the tail). Per-group masses are
+    * quantized to integer nano-units before the normalizing sum (the
+    * module's order-independence contract; sqrt, unlike pow, is
+    * IEEE-correctly-rounded in every engine). One group-count
+    * aggregate and two scalar broadcasts — group-cardinality-sized, so
+    * corpus scale is irrelevant.
+    */
+  def mixtureWeights(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").cast("double").as("nt"))
+    val mass = counts.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n"),
+        bround(sqrt(col("n").cast("double") / col("nt")) * lit(1000000000.0))
+          .cast("long").as("a_nano"))
+    val z = mass.agg(sum("a_nano").as("z"))
+    mass.crossJoin(broadcast(z))
+      .select(col(groupCol), col("n"), col("a_nano"),
+        bround(col("a_nano").cast("double") / col("z").cast("double"), 6)
+          .as("weight"))
+      .orderBy(groupCol)
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: every id
     * hashes against every shard, the max hash wins. The property that
     * matters at fleet scale: adding a shard moves ONLY the ids the new

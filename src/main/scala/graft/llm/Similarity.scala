@@ -737,4 +737,47 @@ object Similarity {
       .orderBy(col("d2").asc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** SQ8 (int8 scalar quantization) ANN: score the whole corpus with
+    * INTEGER dot products over unit-normalized int8 codes (the same
+    * floor-quantization as `embed_quantize` — 4 bytes/dim → 1), take a
+    * shortlist, re-rank it with exact float cosine. The ScaNN-style
+    * bandwidth play: the scan touches 1/4 the bytes and does integer
+    * MACs; floats touch only `shortlist` rows.
+    *
+    * Unlike the seeded ANN paths this needs NO recall gate — the codes
+    * are deterministic and integer dots are exact in any engine, so the
+    * shortlist (and therefore the output) is bit-reproducible by the
+    * DuckDB oracle end to end.
+    */
+  def sq8TopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
+      shortlist: Int = 100): DataFrame = {
+    // same sequential-fold norm + floor(x/norm*127 + 0.5) as
+    // embed_quantize, so the codes are the ones that query verifies
+    val codes = emb
+      .withColumn("norm", sqrt(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double"))))
+      .filter(col("norm") > 0)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") / col("norm") * lit(127.0) + lit(0.5))
+            .cast("long")).as("q"))
+    val qc = codes.filter(col("vec_id") === queryId)
+      .select(col("q").as("qq"))
+    val short = codes.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qc))
+      .select(col("vec_id"), col("embedding"),
+        aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b), lit(0L),
+          (s, x) => s + x).as("idot"))
+      .orderBy(col("idot").desc, col("vec_id").asc)
+      .limit(shortlist)
+    val qvec = emb.filter(col("vec_id") === queryId)
+      .select(transform(col("embedding"), _.cast("double")).as("qvec"))
+    short.crossJoin(broadcast(qvec))
+      .select(col("vec_id"), col("idot"),
+        bround(cosine(transform(col("embedding"), _.cast("double")),
+          col("qvec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

@@ -318,6 +318,32 @@ object TextAnalysis {
     * territory; the join key space is the vocabulary) → per-doc sum
     * (map-side combinable). The N scalar is a 1-row broadcast.
     */
+  /** One byte-pair-encoder training step, relationally: the frequency
+    * of every adjacent character pair inside lowercase alpha words,
+    * weighted by word frequency — the inner loop of Sennrich et al.'s
+    * BPE vocabulary induction (the top pair IS the next merge). A full
+    * trainer iterates this with a merge applied per round; the
+    * per-round counting is the part that has to scale to the corpus.
+    *
+    * Scale shape: word explode (map-only) → word-frequency aggregate
+    * (vocabulary-sized, map-side combinable) → pair explode over the
+    * VOCABULARY (not the corpus — frequencies ride along, so a word
+    * occurring a million times is counted once) → pair aggregate.
+    */
+  def bpeMergeStep(docs: DataFrame, k: Int = 20): DataFrame = {
+    val w = docs
+      .select(explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    w.filter(length(col("word")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"), col("wc"))
+      .groupBy("pair").agg(sum("wc").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Character-level Shannon entropy per document, in integer
     * micro-nats — the classic gibberish/boilerplate detector (natural
     * prose sits near the language's ~2.8–3.2 nat char entropy; OCR

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.GraftSession
-import graft.llm.{Dedup, Ranking, TextAnalysis}
+import graft.llm.{Dedup, Ranking, Similarity, TextAnalysis}
 
 /** Round-8 batch: corpus ranking and scoring (BM25, PMI collocations,
   * char entropy), exact-substring near-dup fingerprints, rendezvous
@@ -38,6 +38,15 @@ object Scoring {
       TextAnalysis.charEntropy(t(s, dir, "documents"))),
     "substring_dedup" -> ((s, dir) =>
       Dedup.substringPairs(t(s, dir, "documents"), k = 40, stride = 10)),
+    "bpe_merge_step" -> ((s, dir) =>
+      TextAnalysis.bpeMergeStep(t(s, dir, "documents"), k = 20)),
+    "mixture_weights" -> ((s, dir) =>
+      Dedup.mixtureWeights(t(s, dir, "documents"), "source")),
+    // int8-code shortlist + exact re-rank; deterministic end to end, so
+    // unlike the seeded ANN paths it carries a FULL value oracle (the
+    // DuckDB twin rebuilds codes, integer dots, shortlist, and re-rank)
+    "ann_sq8" -> ((s, dir) =>
+      Similarity.sq8TopK(t(s, dir, "embeddings"), k = 10, shortlist = 100)),
     // 8-way rendezvous assignment, plus the property that makes HRW
     // worth having: per shard, how many ids a 9th shard would steal
     // (~1/9 overall; everything else stays put)
@@ -62,26 +71,30 @@ object Scoring {
     // hash-agg), out-degree aggregate, one equi-join, one sum — all
     // keyed shuffles, no driver-side state.
     "pagerank_iter" -> ((s, dir) => {
+      // Bipartite structure exploited for the plan: the symmetrized
+      // edge list never materializes (string node ids would double the
+      // shuffle payload vs integer keys); each direction is one
+      // integer-keyed degree aggregate + join + in-neighbor sum, and
+      // since symmetrization gives every node an in-edge, no
+      // dangling-node left join is needed. Node labels appear only in
+      // the final projection. Same quantized arithmetic as the oracle.
       val e0 = t(s, dir, "lineitem")
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
         .distinct()
-      val edges = e0.select(
-          concat(lit("s"), col("sk").cast("string")).as("src"),
-          concat(lit("p"), col("pk").cast("string")).as("dst"))
-        .unionByName(e0.select(
-          concat(lit("p"), col("pk").cast("string")).as("src"),
-          concat(lit("s"), col("sk").cast("string")).as("dst")))
-      val outd = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val contrib = edges.join(outd, "src")
-        .select(col("dst"),
-          bround(lit(1000000.0) / col("deg")).cast("long").as("c"))
-        .groupBy("dst").agg(sum("c").as("sc"))
-      val nodes = edges.select(col("src").as("node")).distinct()
-      nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (lit(150000L) + bround(lit(0.85) *
-            coalesce(col("sc"), lit(0L)).cast("double")).cast("long"))
-            .as("pr_micros"))
+      def pr(sc: org.apache.spark.sql.Column) =
+        (lit(150000L) + bround(lit(0.85) * sc.cast("double")).cast("long"))
+          .as("pr_micros")
+      val degS = e0.groupBy("sk").agg(count(lit(1)).as("deg"))
+      val degP = e0.groupBy("pk").agg(count(lit(1)).as("deg"))
+      val intoP = e0.join(degS, "sk")
+        .select(col("pk"), bround(lit(1000000.0) / col("deg")).cast("long").as("c"))
+        .groupBy("pk").agg(sum("c").as("sc"))
+        .select(concat(lit("p"), col("pk").cast("string")).as("node"), pr(col("sc")))
+      val intoS = e0.join(degP, "pk")
+        .select(col("sk"), bround(lit(1000000.0) / col("deg")).cast("long").as("c"))
+        .groupBy("sk").agg(sum("c").as("sc"))
+        .select(concat(lit("s"), col("sk").cast("string")).as("node"), pr(col("sc")))
+      intoP.unionByName(intoS)
         .orderBy(col("pr_micros").desc, col("node"))
         .limit(20)
     }),
@@ -201,6 +214,59 @@ object Scoring {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
         |FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+    "bpe_merge_step" ->
+      """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |    FROM documents) GROUP BY 1)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_transform(range(1, length(word)),
+        |      i -> substr(word, CAST(i AS INT), 2))) AS pair, wc
+        |    FROM w WHERE length(word) >= 2)
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "mixture_weights" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM s),
+        |a AS (SELECT source, n,
+        |  CAST(round_even(sqrt(CAST(n AS DOUBLE) / tot.nt) * 1000000000.0, 0)
+        |    AS BIGINT) AS a_nano
+        |  FROM s, tot),
+        |z AS (SELECT CAST(sum(a_nano) AS BIGINT) AS z FROM a)
+        |SELECT source, n, a_nano,
+        |  round_even(CAST(a_nano AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS weight
+        |FROM a, z ORDER BY source""".stripMargin,
+    // codes via the embed_quantize fold (sequential list_reduce norm),
+    // INTEGER dot shortlist (exact in both engines), float re-rank with
+    // the cosineTopKOracle spelling
+    "ann_sq8" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    sqrt(list_reduce(list_prepend(0.0, embedding),
+        |      (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT e.vec_id,
+        |    list_transform(e.embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / n.norm * 127.0 + 0.5)
+        |        AS BIGINT)) AS q
+        |  FROM embeddings e JOIN n USING (vec_id) WHERE n.norm > 0),
+        |qq AS (SELECT q FROM c WHERE vec_id = 0),
+        |idots AS (
+        |  SELECT c.vec_id, CAST(sum(c.q[i] * qq.q[i]) AS BIGINT) AS idot
+        |  FROM c, qq, range(1, 65) t(i)
+        |  WHERE c.vec_id <> 0 GROUP BY c.vec_id),
+        |short AS (SELECT vec_id, idot FROM idots
+        |  ORDER BY idot DESC, vec_id LIMIT 100),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |rer AS (
+        |  SELECT s.vec_id, s.idot,
+        |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na2,
+        |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nb2
+        |  FROM short s JOIN embeddings e USING (vec_id), qv q, range(1, 65) t(i)
+        |  GROUP BY s.vec_id, s.idot)
+        |SELECT vec_id, idot, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim
+        |FROM rer ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "rendezvous_shard" ->
       """WITH cand AS (
         |  SELECT doc_id, CAST(s AS INT) AS s,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.llm.{Dedup, Ranking, TextAnalysis}
+import graft.llm.{Dedup, Ranking, Similarity, TextAnalysis}
 
 /** Round-8 operator tests on hand-computable fixtures: BM25 ordering,
   * PMI of a planted collocation, char-entropy closed forms, substring
@@ -124,6 +124,49 @@ class ScoringSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     // observed days are 0, 3, 10; windows ending at each:
     assert(out === Map(0 -> 1L, 3 -> 1L, 10 -> 1L))
+  }
+
+  test("bpe merge step counts pairs weighted by word frequency, not corpus") {
+    // "ab" appears in words "abc" (×3 docs) and "cab" (×1): the pair
+    // count weights by WORD frequency — "abc" occurring 3 times
+    // contributes 3, giving ab=4, bc=3, ca=1.
+    val d = docs(1L -> "abc", 2L -> "abc cab", 3L -> "abc")
+    val out = TextAnalysis.bpeMergeStep(d, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("ab" -> 4L, "bc" -> 3L, "ca" -> 1L))
+  }
+
+  test("mixture weights follow sqrt-temperature and sum to ~1") {
+    // sources with 1, 4, 16 docs: sqrt shares ∝ 1:2:4 → weights 1/7, 2/7, 4/7
+    val rows = Seq.fill(1)("a") ++ Seq.fill(4)("b") ++ Seq.fill(16)("c")
+    import spark.implicits._
+    val d = rows.zipWithIndex
+      .map { case (src, i) => (i.toLong, s"doc $i", src) }
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.mixtureWeights(d, "source").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(out("a") - 1.0 / 7) < 1e-4)
+    assert(math.abs(out("b") - 2.0 / 7) < 1e-4)
+    assert(math.abs(out("c") - 4.0 / 7) < 1e-4)
+    assert(math.abs(out.values.sum - 1.0) < 1e-5)
+  }
+
+  test("sq8 shortlist+rerank finds the planted nearest neighbor") {
+    import spark.implicits._
+    // query 0 along e1; vec 1 nearly parallel (nearest), vec 2
+    // orthogonal, vec 3 anti-parallel; + filler off-axis vectors
+    def v(main: Int, mag: Float): Seq[Float] =
+      (0 until 64).map(i => if (i == main) mag else 0.01f * ((i % 3) - 1))
+    val rows = Seq(
+      (0L, v(0, 1.0f)), (1L, v(0, 0.9f)), (2L, v(1, 1.0f)), (3L, v(0, -1.0f))) ++
+      (4L to 40L).map(i => (i, v((i % 32).toInt + 16, 0.5f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.sq8TopK(emb, k = 3).collect()
+    assert(out.head.getLong(0) === 1L, "planted near-parallel vector wins")
+    assert(out.map(_.getLong(0)).toSeq.take(3).forall(_ != 3L),
+      "anti-parallel vector is not in the top 3")
+    val sims = out.map(_.getDouble(2))
+    assert(sims.sorted.reverse.toSeq === sims.toSeq, "descending by sim")
   }
 
   test("equi-depth deciles are balanced and ordered") {
