@@ -32,14 +32,29 @@ object Ranking {
     */
   def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val t = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
-    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // ONE corpus pass: non-query terms collapse into a null bucket, so
+    // the (doc, bucket) aggregate carries BOTH the per-(doc, term) tf
+    // (non-null buckets) and the doc length (sum over all buckets).
+    // The bucket aggregate's exchange is shared by the dl and tf
+    // branches (ReusedExchange) — the naive spelling re-scanned and
+    // re-exploded the corpus four times (dl, tf, df, stats).
+    // the explicit isNotNull makes every consumer branch's scan
+    // predicate identical — without it, join branches push
+    // IsNotNull(doc_id) and aggregate-only branches don't, the g
+    // subtrees stop canonicalizing equal, and ReusedExchange can't fire
+    val g = docs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"),
+        when(col("term").isin(queryTerms: _*), col("term")).as("qterm"))
+      .agg(count(lit(1)).as("cnt"))
+    val dl = g.groupBy("doc_id").agg(sum("cnt").as("dl"))
     val stats = dl.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val tf = t.filter(col("term").isin(queryTerms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = g.filter(col("qterm").isNotNull)
+      .select(col("doc_id"), col("qterm").as("term"), col("cnt").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val tfD = col("tf").cast("double")
     // ONE expression chain, mirrored in the oracle: idf * saturated-tf.
