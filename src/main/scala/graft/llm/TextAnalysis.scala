@@ -318,6 +318,61 @@ object TextAnalysis {
     * territory; the join key space is the vocabulary) → per-doc sum
     * (map-side combinable). The N scalar is a 1-row broadcast.
     */
+  /** Build a persisted inverted index: one row per term with its df and
+    * SORTED posting list, written as parquet partitioned by a portable
+    * md5 term bucket. The 100 TB retrieval layout: a term lookup reads
+    * ONLY its bucket's partition (PruneFileSourcePartitions — asserted
+    * in ScoringSpec), so probe I/O is vocabulary/nBuckets-sized, never
+    * corpus-sized. Postings are (doc, term)-distinct and sort_array'd,
+    * so the stored list is deterministic despite collect_list's
+    * shuffle-order nondeterminism.
+    */
+  def invertedIndexWrite(docs: DataFrame, dir: String,
+      nBuckets: Int = 16): Unit =
+    docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .withColumn("bucket", termBucket(col("term"), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+
+  /** The engine-portable term→partition mapping (28-bit md5 prefix mod
+    * nBuckets) — same family as [[Dedup.hashBucket1000]]; DuckDB spells
+    * it `CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % n`.
+    */
+  def termBucket(term: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(term.cast("binary")), 1, 7), 16, 10)
+      .cast("long"), lit(nBuckets.toLong))
+
+  /** Driver-side twin of [[termBucket]], for building the probe's
+    * partition IN-list without touching the cluster.
+    */
+  def termBucketLocal(term: String, nBuckets: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 7)
+    java.lang.Long.parseLong(hex, 16) % nBuckets
+  }
+
+  /** Probe the persisted index for `terms`: the bucket IN-list prunes
+    * partitions at planning time, the term filter cuts within the
+    * bucket. Postings emit as a comma-joined string (driver-hashable
+    * canonical form, the collections_agg precedent).
+    */
+  def invertedIndexProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, terms: Seq[String], nBuckets: Int = 16): DataFrame = {
+    val buckets = terms.map(termBucketLocal(_, nBuckets)).distinct
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("term"), col("df"), col("bucket").cast("long").as("bucket"),
+        concat_ws(",", transform(col("postings"), _.cast("string")))
+          .as("postings_csv"))
+      .orderBy("term")
+  }
+
   /** One byte-pair-encoder training step, relationally: the frequency
     * of every adjacent character pair inside lowercase alpha words,
     * weighted by word frequency — the inner loop of Sennrich et al.'s

@@ -24,10 +24,12 @@ object Scoring {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Query terms for the registered BM25 ranking — shared with the
-    * oracle so the two can't drift.
+  /** Query terms for the registered BM25 ranking and the inverted-index
+    * probe — shared with the oracles so the two sides can't drift. Both
+    * terms occur as exact tokens at every scale factor ("model" does
+    * not — a probe for it would emit nothing and weaken the check).
     */
-  private val bm25Terms = Seq("data", "model")
+  private val bm25Terms = Seq("data", "filter")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_rank" -> ((s, dir) =>
@@ -42,6 +44,15 @@ object Scoring {
       TextAnalysis.bpeMergeStep(t(s, dir, "documents"), k = 20)),
     "mixture_weights" -> ((s, dir) =>
       Dedup.mixtureWeights(t(s, dir, "documents"), "source")),
+    // persisted inverted index: write posting lists partitioned by the
+    // portable term bucket, probe the query terms through partition
+    // pruning — the retrieval-index layout under the hard value oracle
+    // (the oracle rebuilds df + sorted postings straight from documents)
+    "inverted_probe" -> ((s, dir) => {
+      val idx = s"/root/repo/target/inv_index_${Relational.sfTag(dir)}"
+      TextAnalysis.invertedIndexWrite(t(s, dir, "documents"), idx)
+      TextAnalysis.invertedIndexProbe(s, idx, bm25Terms)
+    }),
     // int8-code shortlist + exact re-rank; deterministic end to end, so
     // unlike the seeded ANN paths it carries a FULL value oracle (the
     // DuckDB twin rebuilds codes, integer dots, shortlist, and re-rank)
@@ -235,6 +246,18 @@ object Scoring {
         |SELECT source, n, a_nano,
         |  round_even(CAST(a_nano AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS weight
         |FROM a, z ORDER BY source""".stripMargin,
+    "inverted_probe" -> {
+      val terms = bm25Terms.map(q => s"'$q'").mkString(", ")
+      s"""WITH t AS (SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+         |    FROM documents))
+         |SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |  CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % 16 AS bucket,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         |    AS postings_csv
+         |FROM t WHERE term IN ($terms)
+         |GROUP BY term ORDER BY term""".stripMargin
+    },
     // codes via the embed_quantize fold (sequential list_reduce norm),
     // INTEGER dot shortlist (exact in both engines), float re-rank with
     // the cosineTopKOracle spelling

@@ -169,6 +169,26 @@ class ScoringSpec extends AnyFunSuite {
     assert(sims.sorted.reverse.toSeq === sims.toSeq, "descending by sim")
   }
 
+  test("inverted index probe prunes term-bucket partitions") {
+    val d = docs(
+      1L -> "alpha beta gamma", 2L -> "alpha beta", 3L -> "beta delta")
+    val dir = java.nio.file.Files.createTempDirectory("inv").toString
+    TextAnalysis.invertedIndexWrite(d, dir, nBuckets = 8)
+    val probe = TextAnalysis.invertedIndexProbe(spark, dir,
+      Seq("alpha", "delta"), nBuckets = 8)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(400))
+    assert(plan.contains("bucket#") && plan.contains(" IN "),
+      s"probe must prune bucket partitions\n${plan.take(600)}")
+    val out = probe.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSeq
+    assert(out === Seq(("alpha", 2L, "1,2"), ("delta", 1L, "3")))
+    // driver-side bucket function agrees with the Catalyst one
+    val sparkBuckets = d.select(
+      TextAnalysis.termBucket(lit("alpha"), 8)).head().getLong(0)
+    assert(sparkBuckets === TextAnalysis.termBucketLocal("alpha", 8))
+  }
+
   test("equi-depth deciles are balanced and ordered") {
     import spark.implicits._
     val od = (1L to 100L).map(i => (i, i.toDouble * 10, "O"))
