@@ -89,9 +89,15 @@ object Scoring {
       // since symmetrization gives every node an in-edge, no
       // dangling-node left join is needed. Node labels appear only in
       // the final projection. Same quantized arithmetic as the oracle.
+      // localCheckpoint materializes the distinct edge set ONCE — four
+      // consumers (two degree aggregates, two joins) otherwise re-run
+      // the full-table distinct each (measured at 10× sf0.1: 11 s →
+      // <2 s). Any multi-pass graph algorithm materializes its edge
+      // list; same precedent as dupClusters' iteration state.
       val e0 = t(s, dir, "lineitem")
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
         .distinct()
+        .localCheckpoint()
       def pr(sc: org.apache.spark.sql.Column) =
         (lit(150000L) + bround(lit(0.85) * sc.cast("double")).cast("long"))
           .as("pr_micros")
