@@ -49,5 +49,12 @@ for (q <- Seq("dedup_cluster", "dedup_keep_best", "repetition_filter",
               // round-7 analytics batch heavies
               "decontaminate_ngram", "funnel_ordered", "line_dedup",
               "chunk_docs", "embed_quantize", "time_weighted_avg",
-              "cohort_retention", "distinct_gate")) time(q)
+              "cohort_retention", "distinct_gate",
+              // round-8 batch (lineitem also needs replication for
+              // pagerank_iter to see 10x input rows)
+              "bm25_rank", "pmi_bigrams", "entropy_score",
+              "substring_dedup", "rendezvous_shard", "pagerank_iter",
+              "rolling_distinct", "bpe_merge_step", "mixture_weights",
+              "ann_sq8", "inverted_probe", "unigram_logprob", "semdedup",
+              "ann_pq_adc", "pack_chunks", "decontaminate_embed")) time(q)
 System.exit(0)
