@@ -26,8 +26,9 @@ def rep(name: String, idCols: Map[String, Long]): Unit = {
 rep("documents", Map("doc_id" -> 1000000L))
 rep("embeddings", Map("vec_id" -> 1000000L))
 rep("events", Map("event_id" -> 10000000L, "user_id" -> 100000L))
+rep("lineitem", Map("l_orderkey" -> 10000000L))
 // small dims pass through unchanged for dq_checks etc.
-for (t <- Seq("orders", "lineitem", "customer", "supplier", "part",
+for (t <- Seq("orders", "customer", "supplier", "part",
               "nation", "region")) {
   s.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
     .parquet(s"$out/$t.parquet")
