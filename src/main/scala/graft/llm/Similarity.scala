@@ -298,9 +298,9 @@ object Similarity {
       val d2 = c.zip(queryVec).map { case (x, q) => val t = x - q; t * t }.sum
       (cell, d2)
     }.sortBy { case (cell, d2) => (d2, cell) }.take(nprobe).map(_._1)
-    val q = array(queryVec.map(lit(_)): _*)
+    val q = array(queryVec.toIndexedSeq.map(lit(_)): _*)
     spark.read.parquet(s"$dir/vectors")
-      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= excludeId)
+      .filter(col("cell").isin(probed.toIndexedSeq: _*) && col("vec_id") =!= excludeId)
       .select(col("vec_id"),
         bround(cosine(dbl(col("embedding")), q), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -462,7 +462,8 @@ object Similarity {
     val projs = signProjections(nBits, dim)
     val v = dbl(col("embedding"))
     val bitCols = projs.zipWithIndex.map { case (r, i) =>
-      when(dot(v, array(r.map(lit(_)): _*)) > 0, 1).otherwise(0).as(s"bit$i")
+      when(dot(v, array(r.toIndexedSeq.map(lit(_)): _*)) > 0, 1)
+        .otherwise(0).as(s"bit$i")
     }
     emb.select((col("vec_id") +: v.as("vec") +: bitCols): _*)
       .select(col("vec_id"), col("vec"),

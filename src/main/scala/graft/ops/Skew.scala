@@ -20,7 +20,8 @@ object Skew {
     * retries (rand() would break speculative-execution determinism).
     */
   private def salt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts.toLong))
+    pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)),
+      lit(salts.toLong))
 
   /** Salted `groupBy(key).agg(sum(value))`. */
   def saltedSum(df: DataFrame, key: String, value: String,
