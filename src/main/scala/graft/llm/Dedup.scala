@@ -379,11 +379,19 @@ object Dedup {
     * and mixture sampling derive from it with different salts so their
     * decisions stay independent.
     */
-  private[graft] def hashBucket1000(id: Column, salt: String): Column =
+  /** THE portable hash-bucket recipe (28-bit md5 prefix mod `modulus`)
+    * — every bucket derivation (splits, mixture sampling, the
+    * inverted-index partition key) delegates here so the Spark, DuckDB
+    * (`CAST('0x' || substr(md5(k), 1, 7) AS BIGINT) % m`), and
+    * driver-side spellings cannot drift independently.
+    */
+  private[graft] def hashBucket(key: Column, modulus: Long): Column =
     pmod(
-      conv(substring(md5(concat(lit(salt), id.cast("string"))
-        .cast("binary")), 1, 7), 16, 10).cast("long"),
-      lit(1000L))
+      conv(substring(md5(key.cast("binary")), 1, 7), 16, 10).cast("long"),
+      lit(modulus))
+
+  private[graft] def hashBucket1000(id: Column, salt: String): Column =
+    hashBucket(concat(lit(salt), id.cast("string")), 1000L)
 
   /** Deterministic train/val/test assignment: bucket = a 28-bit
     * md5-derived hash of the id, mod 1000; thresholds carve the split.

@@ -20,11 +20,11 @@ object Ranking {
   /** BM25 (Robertson/Lucene `+1` idf, so scores are always positive)
     * top-k documents for a fixed query term set.
     *
-    * Scale shape: one token explode (map-only), doc-length aggregate
-    * (map-side combinable, doc-count sized), the tf aggregate only over
-    * tokens IN the query set (the `isin` filter prunes the explode
-    * before the shuffle — tf traffic is query-matched tokens, not the
-    * corpus), df and the corpus stats are tiny broadcasts, and the
+    * Scale shape: ONE token explode feeding one (doc, bucket)
+    * aggregate — non-query terms collapse into a null bucket map-side,
+    * so the shuffle carries ≤ |queryTerms|+1 rows per doc per
+    * partition; tf, doc length, df, and the corpus stats all derive
+    * from that aggregate (df and stats as tiny broadcasts), and the
     * final top-k is a TakeOrdered, not a global sort.
     *
     * Per-(doc, term) scores are quantized to integer micro-units before

@@ -773,11 +773,10 @@ object Similarity {
       .orderBy(col("idot").desc, col("vec_id").asc)
       .limit(shortlist)
     val qvec = emb.filter(col("vec_id") === queryId)
-      .select(transform(col("embedding"), _.cast("double")).as("qvec"))
+      .select(dbl(col("embedding")).as("qvec"))
     short.crossJoin(broadcast(qvec))
       .select(col("vec_id"), col("idot"),
-        bround(cosine(transform(col("embedding"), _.cast("double")),
-          col("qvec")), 6).as("sim"))
+        bround(cosine(dbl(col("embedding")), col("qvec")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -300,24 +300,6 @@ object TextAnalysis {
       .orderBy("shard")
   }
 
-  /** Unigram-surprisal quality score — the relational core of a
-    * perplexity filter (CCNet/Gopher filter on LM perplexity; a unigram
-    * LM is the honest version an engine can self-host): per-token
-    * surprisal −ln(tf/N) against the corpus's own unigram counts,
-    * summed per document. High `per_tok` = improbable token soup (OCR
-    * noise, gibberish); low = repetitive boilerplate.
-    *
-    * Per-token surprisal is quantized to integer 0.1-millinats
-    * (round(x·1e4)) BEFORE summation, so the per-doc totals are
-    * integer-exact and order-independent — no float-sum drift between
-    * partial aggregation orders (or engines).
-    *
-    * Scale shape: token explode (map-only) → unigram count (one
-    * map-side-combinable aggregate; vocabulary, not corpus, sized) →
-    * join tokens back to counts (Zipf-hot terms are AQE skew-join
-    * territory; the join key space is the vocabulary) → per-doc sum
-    * (map-side combinable). The N scalar is a 1-row broadcast.
-    */
   /** Build a persisted inverted index: one row per term with its df and
     * SORTED posting list, written as parquet partitioned by a portable
     * md5 term bucket. The 100 TB retrieval layout: a term lookup reads
@@ -339,13 +321,11 @@ object TextAnalysis {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
 
-  /** The engine-portable term→partition mapping (28-bit md5 prefix mod
-    * nBuckets) — same family as [[Dedup.hashBucket1000]]; DuckDB spells
-    * it `CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % n`.
+  /** The engine-portable term→partition mapping — [[Dedup.hashBucket]]
+    * (the ONE bucket recipe) at modulus nBuckets.
     */
   def termBucket(term: Column, nBuckets: Int): Column =
-    pmod(conv(substring(md5(term.cast("binary")), 1, 7), 16, 10)
-      .cast("long"), lit(nBuckets.toLong))
+    Dedup.hashBucket(term, nBuckets.toLong)
 
   /** Driver-side twin of [[termBucket]], for building the probe's
     * partition IN-list without touching the cluster.
@@ -435,6 +415,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Unigram-surprisal quality score — the relational core of a
+    * perplexity filter (CCNet/Gopher filter on LM perplexity; a unigram
+    * LM is the honest version an engine can self-host): per-token
+    * surprisal −ln(tf/N) against the corpus's own unigram counts,
+    * summed per document. High `per_tok` = improbable token soup (OCR
+    * noise, gibberish); low = repetitive boilerplate.
+    *
+    * Per-token surprisal is quantized to integer 0.1-millinats
+    * (round(x·1e4)) BEFORE summation, so the per-doc totals are
+    * integer-exact and order-independent — no float-sum drift between
+    * partial aggregation orders (or engines).
+    *
+    * Scale shape: token explode (map-only) → unigram count (one
+    * map-side-combinable aggregate; vocabulary, not corpus, sized) →
+    * join tokens back to counts (Zipf-hot terms are AQE skew-join
+    * territory; the join key space is the vocabulary) → per-doc sum
+    * (map-side combinable). The N scalar is a 1-row broadcast.
+    */
   def unigramSurprisal(docs: DataFrame, scale: Int = 10000): DataFrame = {
     val t = docs.select(col("doc_id"),
       explode(tokens(lower(col("text")))).as("term"))

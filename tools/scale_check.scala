@@ -26,10 +26,17 @@ def rep(name: String, idCols: Map[String, Long]): Unit = {
 rep("documents", Map("doc_id" -> 1000000L))
 rep("embeddings", Map("vec_id" -> 1000000L))
 rep("events", Map("event_id" -> 10000000L, "user_id" -> 100000L))
-rep("lineitem", Map("l_orderkey" -> 10000000L))
-// small dims pass through unchanged for dq_checks etc.
-for (t <- Seq("orders", "customer", "supplier", "part",
-              "nation", "region")) {
+// orders and lineitem shift o_orderkey/l_orderkey by the SAME stride so
+// dq_checks' orphan-FK join stays violation-free at 10x; l_suppkey and
+// l_partkey shift too so the pagerank/graph edge SET actually grows 10x
+// (otherwise distinct() collapses the replicas back to the 1x graph).
+// customer/supplier/part dims stay 1x — none of the timed queries join
+// the shifted keys against them.
+rep("orders", Map("o_orderkey" -> 10000000L))
+rep("lineitem", Map("l_orderkey" -> 10000000L,
+                    "l_suppkey" -> 100000L, "l_partkey" -> 1000000L))
+// small dims pass through unchanged
+for (t <- Seq("customer", "supplier", "part", "nation", "region")) {
   s.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
     .parquet(s"$out/$t.parquet")
 }
