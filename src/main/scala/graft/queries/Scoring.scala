@@ -140,6 +140,31 @@ object Scoring {
         .select(col("od").as("d"), col("active_7d"))
         .orderBy("d")
     }),
+    // robust per-group outlier detection: median + MAD (median absolute
+    // deviation), the estimator that survives the contamination that
+    // wrecks mean/stddev (outlier_zscore's moments move WITH the
+    // outliers; the 50% breakdown point here does not) — what
+    // percentile-threshold quality filtering actually wants. Exact
+    // grouped percentile both times; deviations of integer inputs
+    // against a .5-quantized median are FP-exact, so the 3·1.4826·MAD
+    // cut compares identical doubles in both engines.
+    "mad_outliers" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("lang", "n_chars")
+      val med = d.groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val mad = d.join(broadcast(med), "lang")
+        .groupBy("lang")
+        .agg(max("med").as("med"),
+          expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+      d.join(broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          max("med").as("med"), max("mad").as("mad"),
+          sum(when(abs(col("n_chars") - col("med"))
+            > lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+            .as("outliers"))
+        .orderBy("lang")
+    }),
     // equi-depth deciles of order value: ntile over a total order. The
     // global window is the honest exact form (single-partition sort —
     // fine for a report-sized output; at 100 TB the production path is
@@ -339,6 +364,20 @@ object Scoring {
         |SELECT days.d, CAST(count(DISTINCT obs.user_id) AS BIGINT) AS active_7d
         |FROM days JOIN obs ON days.d = obs.od
         |GROUP BY days.d ORDER BY days.d""".stripMargin,
+    "mad_outliers" ->
+      """WITH med AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY lang),
+        |mad AS (
+        |  SELECT d.lang, max(med.med) AS med,
+        |    quantile_cont(abs(d.n_chars - med.med), 0.5) AS mad
+        |  FROM documents d JOIN med USING (lang) GROUP BY d.lang)
+        |SELECT d.lang, count(*) AS n, max(mad.med) AS med,
+        |  max(mad.mad) AS mad,
+        |  CAST(sum(CASE WHEN abs(d.n_chars - mad.med)
+        |    > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS outliers
+        |FROM documents d JOIN mad USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "bucketize_depth" ->
       """WITH b AS (SELECT o_totalprice,
         |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket

@@ -189,6 +189,24 @@ class ScoringSpec extends AnyFunSuite {
     assert(sparkBuckets === TextAnalysis.termBucketLocal("alpha", 8))
   }
 
+  test("MAD outliers: the cut survives the outlier that moves the mean") {
+    import spark.implicits._
+    // nine values near 100 plus one at 10000: median 100, MAD 2 — the
+    // planted point is the ONLY outlier (a 3-sigma z-score cut on these
+    // numbers would move its own threshold by the outlier's presence)
+    val lens = Seq(96L, 97L, 98L, 99L, 100L, 100L, 101L, 102L, 104L, 10000L)
+    val d = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, "x", "en", n) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("mad").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Scoring.queries("mad_outliers")(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getDouble(2) === 100.0) // median
+    assert(r(0).getDouble(3) === 2.0)   // MAD
+    assert(r(0).getLong(4) === 1L)      // exactly the planted point
+  }
+
   test("equi-depth deciles are balanced and ordered") {
     import spark.implicits._
     val od = (1L to 100L).map(i => (i, i.toDouble * 10, "O"))
