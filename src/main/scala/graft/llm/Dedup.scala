@@ -563,16 +563,28 @@ object Dedup {
     * stop-gram-filter case, same playbook as the LSH band joins), and
     * the pair aggregate counts shared grams map-side.
     */
-  def substringPairs(docs: DataFrame, k: Int = 40, stride: Int = 10): DataFrame = {
+  def substringPairs(docs: DataFrame, k: Int = 40, stride: Int = 10,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     val nIdx = floor((length(col("text")) - lit(k)) / lit(stride.toDouble))
       .cast("int")
-    val g = docs.filter(length(col("text")) >= k)
+    val g0 = docs.filter(length(col("text")) >= k)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), nIdx),
           i => md5(col("text").substr(i * lit(stride) + lit(1), lit(k))
             .cast("binary"))))
           .as("gh"))
       .distinct()
+    // stop-gram guard — the boilerplate defense at scale: a gram shared
+    // by f docs costs f² join rows, so license headers / templated
+    // pages turn the bucket join quadratic. The window counts on the
+    // SAME gh partitioning the join needs (no extra shuffle beyond it)
+    // and drops grams above maxDf; near-dup recall only suffers for
+    // pairs whose EVERY shared gram is corpus-boilerplate.
+    val g = if (maxDf == Int.MaxValue) g0
+      else g0
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("gh")))
+        .filter(col("df") <= maxDf)
+        .drop("df")
     g.as("a").join(g.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -75,6 +75,26 @@ class ScoringSpec extends AnyFunSuite {
     assert(out(0).getLong(2) >= 4, "several aligned grams shared")
   }
 
+  test("substring stop-gram guard drops corpus-boilerplate fingerprints") {
+    val boiler =
+      "standard license header appears identically at the top of every file"
+    // docs 1-3 share ONLY the boilerplate; 4+5 also share a unique run
+    val unique =
+      " the unusual continuation shared by exactly two documents here only"
+    val d = docs(
+      1L -> (boiler + " one"), 2L -> (boiler + " two"),
+      3L -> (boiler + " three"),
+      4L -> (boiler + unique), 5L -> (boiler + unique + " tail"))
+    val all = Dedup.substringPairs(d, k = 40, stride = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.contains((1L, 2L)) && all.contains((4L, 5L)))
+    // boilerplate grams hit all 5 docs; maxDf=2 keeps only the pair
+    // whose shared content is genuinely rare
+    val guarded = Dedup.substringPairs(d, k = 40, stride = 10, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === Set((4L, 5L)))
+  }
+
   test("rendezvous: adding a shard only moves ids won by the new shard") {
     val d = docs((0L until 64L).map(i => i -> s"doc number $i text"): _*)
     val a8 = Dedup.rendezvousShard(d, "doc_id", 8).collect()
