@@ -592,6 +592,61 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Prefix-filtered set-similarity join (the PPJoin family, Xiao et
+    * al. 2008) over 3-token shingle sets: EXACT Jaccard ≥ `threshold`
+    * pairs, without LSH's recall loss and without the all-pairs join.
+    *
+    * The prefix lemma: order every doc's shingle set by a single global
+    * order (document frequency ascending — rarest first — tiebroken by
+    * the shingle itself); two sets with Jaccard ≥ t MUST share at least
+    * one shingle among each one's first `|S| − ⌈t·|S|⌉ + 1` shingles.
+    * So candidates = the equi-join of PREFIXES only, and the exact
+    * Jaccard runs only on candidates — same verify-on-candidates shape
+    * as [[ngramJaccard]], but the candidate stage is lossless.
+    *
+    * Scale shape: df is one vocabulary-sized aggregate; the rank is a
+    * per-doc window; the candidate join keys on the rare end of the df
+    * distribution (rarest-first ordering is exactly what keeps hot
+    * boilerplate shingles OUT of short prefixes — a doc pays a hot gram
+    * only when its whole prefix is boilerplate); the verify join
+    * carries the two shingle arrays for candidates only.
+    */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sets = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(shingles(lower(col("text")))).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("sz"))
+    val tok = sets.select(col("doc_id"), col("sz"),
+      explode(col("grams")).as("gram"))
+    val df = tok.groupBy("gram").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
+    val prefix = tok.join(df, Seq("gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("doc_id", "gram")
+    val cand = prefix.withColumnRenamed("doc_id", "doc_a")
+      .join(prefix.withColumnRenamed("doc_id", "doc_b"), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val jac = col("inter").cast("double") /
+      (col("sz_a") + col("sz_b") - col("inter")).cast("double")
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("g_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("g_b"),
+        col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("g_a"), col("g_b"))).cast("long").as("inter"),
+        col("sz_a"), col("sz_b"))
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(jac, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Temperature-scaled mixture weights over a grouping column: the
     * multilingual/multi-source resampling rule w_i ∝ p_i^α (α = 0.5
     * here via sqrt — the unbalanced-data temperature sampling of

@@ -72,6 +72,59 @@ object Ranking {
       .limit(k)
   }
 
+  /** Interpolated bigram language-model scoring of every document
+    * against a LM trained on the corpus itself — the relational core of
+    * a CCNet-style perplexity quality filter (Wenzek et al. 2020):
+    * documents whose token transitions are atypical for the corpus
+    * (gibberish, boilerplate soup, wrong-language fragments) surface at
+    * the bottom of the average-log-probability ranking.
+    *
+    * `p(w2|w1) = λ·c(w1 w2)/c(w1) + (1−λ)·c(w2)/N` — Jelinek-Mercer
+    * interpolation with the unigram model, so no transition has zero
+    * probability and ln() is total. The LM is self-trained, so every
+    * document bigram is present in the count table (no OOV branch).
+    *
+    * Scale shape: unigram and bigram count tables are vocabulary-sized
+    * map-side-combinable aggregates; per-distinct-bigram log-probs are
+    * computed once on the count table (vocabulary-sized joins), and the
+    * corpus-sized work is ONE equi-join of document bigrams against
+    * that table (AQE broadcasts it when the vocabulary is small).
+    * Per-bigram log-probs quantize to integer micro-nats before the
+    * per-doc sum, so totals are order-independent across engines.
+    */
+  def bigramDocLogprob(docs: DataFrame, lambda: Double = 0.9,
+      k: Int = 20): DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      TextAnalysis.tokens(lower(col("text"))).as("tk"))
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").cast("double").as("n"))
+    val db = tk.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(Dedup.tokenNgrams(col("tk"), 2)).as("gram"))
+    val bc = db.groupBy("gram").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+    // ONE fixed IEEE chain per distinct bigram, mirrored in the oracle,
+    // then quantized — identical inputs (exact integer counts) make the
+    // chain bit-deterministic across engines.
+    val lp = bc
+      .join(uni.select(col("w").as("w1"), col("c").cast("double").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").cast("double").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("gram"),
+        bround(log(lit(lambda) * (col("c12").cast("double") / col("c1"))
+          + lit(1.0 - lambda) * (col("c2") / col("n"))) * lit(1000000.0))
+          .cast("long").as("lp_micros"))
+    db.join(lp, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp_micros").as("sum_lp_micros"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_lp_micros"),
+        round(col("sum_lp_micros").cast("double") / col("n_bigrams")
+          / lit(1000000.0), 6).as("avg_logprob"))
+      .orderBy(col("avg_logprob"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Pointwise mutual information of adjacent-token bigrams over the
     * whole corpus: PMI = ln(p(xy) / (p(x)·p(y))), keeping pairs seen at
     * least `minCount` times, top-k by PMI.

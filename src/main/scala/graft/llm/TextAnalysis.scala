@@ -449,4 +449,32 @@ object TextAnalysis {
         floor(col("surprisal").cast("double") / col("n_tok")))
       .orderBy("doc_id")
   }
+
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    * tokens map to a fixed `dims`-bucket feature space through the
+    * portable hash recipe ([[Dedup.hashBucket]]), with a second
+    * independent hash supplying a ±1 sign so collisions cancel in
+    * expectation instead of biasing the feature upward — the standard
+    * way a training pipeline vectorizes unbounded vocabularies without
+    * a driver-side dictionary (no fit step, no broadcast vocab, works
+    * on the first pass over 100 TB).
+    *
+    * Emits the corpus-level view of the hashed space — per bucket:
+    * total occurrences, distinct terms colliding there, and the signed
+    * occurrence sum. Map-only explode + hash, then ONE `dims`-row
+    * aggregate; nothing corpus-sized ever shuffles.
+    */
+  def featureHashHistogram(docs: DataFrame, dims: Long = 64L): DataFrame = {
+    val sgn = when(
+      Dedup.hashBucket(concat(lit("sign:"), col("term")), 2L) === 0,
+      lit(1L)).otherwise(lit(-1L))
+    docs.select(explode(tokens(lower(col("text")))).as("term"))
+      .select(col("term"), Dedup.hashBucket(col("term"), dims).as("bucket"),
+        sgn.as("sgn"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("occurrences"),
+        count_distinct(col("term")).as("distinct_terms"),
+        sum("sgn").as("signed_sum"))
+      .orderBy("bucket")
+  }
 }

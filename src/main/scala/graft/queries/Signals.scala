@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.llm.{Dedup, Ranking, TextAnalysis}
+
+/** Round-8 (cont.) batch: per-entity signal smoothing and corpus
+  * vectorization/quality signals — bounded-window EWMA, the feature
+  * hashing trick, interpolated bigram LM scoring (CCNet-style
+  * perplexity filtering), and an exact prefix-filtered set-similarity
+  * join (PPJoin) as the lossless alternative to the LSH near-dup
+  * candidate generators.
+  *
+  * Same determinism contract as [[Relational]]/[[Analytics]]/[[Scoring]]:
+  * integer quantization before any cross-row float sum, fixed IEEE
+  * chains mirrored verbatim in the oracle, total ORDER BY.
+  */
+object Signals {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bounded-window EWMA per user over purchase values: weights α^o
+    // (α = 0.5) over the last ≤7 observations, normalized by the
+    // weights actually present (so early rows aren't biased toward 0).
+    // The recursive EWMA has no window-function form; the scalable
+    // spelling is the bounded 7-way explode (each observation CONTRIBUTES
+    // forward to the next 7 row positions — map-only) + one keyed
+    // aggregate, the same shape as rolling_distinct. Numerators quantize
+    // to integer micro-units before the sum; denominators are exact
+    // integers in units of 1/64 (α^o·64 = 2^(6−o)), so the final value
+    // is ONE double chain over two exact integers. Ordering uses the
+    // RAW int64 nanosecond timestamp (no µs truncation ties — the
+    // funnel_ordered lesson) + event_id.
+    "ewma_smooth" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val rn = ev.select(col("user_id"), col("event_id"),
+        row_number().over(w).as("rn"), col("value"))
+      val contrib = rn
+        .select(col("user_id"), col("rn"), col("value"),
+          explode(sequence(lit(0), lit(6))).as("o"))
+        .select(col("user_id"), (col("rn") + col("o")).as("rn2"),
+          bround(col("value") * pow(lit(0.5), col("o")) * lit(1000000.0))
+            .cast("long").as("num_u"),
+          pow(lit(2.0), lit(6) - col("o")).cast("long").as("den64"))
+        .groupBy("user_id", "rn2")
+        .agg(sum("num_u").as("num_micros"), sum("den64").as("den_64"))
+        .withColumnRenamed("rn2", "rn")
+      rn.select("user_id", "rn", "event_id")
+        .join(contrib, Seq("user_id", "rn"))
+        .select(col("user_id"), col("rn"), col("event_id"),
+          col("num_micros"), col("den_64"),
+          round(col("num_micros").cast("double") * lit(64.0) / col("den_64")
+            / lit(1000000.0), 6).as("ewma"))
+        .orderBy("user_id", "rn")
+    }),
+    "feature_hash" -> ((s, dir) =>
+      TextAnalysis.featureHashHistogram(t(s, dir, "documents"))),
+    "bigram_logprob" -> ((s, dir) =>
+      Ranking.bigramDocLogprob(t(s, dir, "documents"))),
+    "prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(t(s, dir, "documents")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ewma_smooth" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |con AS (
+        |  SELECT user_id, rn + o AS rn2,
+        |    CAST(round_even(value * pow(0.5, CAST(o AS DOUBLE))
+        |      * 1000000.0, 0) AS BIGINT) AS num_u,
+        |    CAST(pow(2.0, CAST(6 - o AS DOUBLE)) AS BIGINT) AS den64
+        |  FROM ev, range(0, 7) t(o)),
+        |agg AS (SELECT user_id, rn2,
+        |    CAST(sum(num_u) AS BIGINT) AS num_micros,
+        |    CAST(sum(den64) AS BIGINT) AS den_64
+        |  FROM con GROUP BY 1, 2)
+        |SELECT ev.user_id, ev.rn, ev.event_id, agg.num_micros, agg.den_64,
+        |  round(CAST(agg.num_micros AS DOUBLE) * 64.0 / agg.den_64
+        |    / 1000000.0, 6) AS ewma
+        |FROM ev JOIN agg ON ev.user_id = agg.user_id AND ev.rn = agg.rn2
+        |ORDER BY ev.user_id, ev.rn""".stripMargin,
+    // the shared 28-bit md5 bucket recipe (Dedup.hashBucket) for both
+    // the bucket and the sign hash
+    "feature_hash" ->
+      """WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '\S+'))
+        |    AS term FROM documents),
+        |h AS (SELECT term,
+        |    CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % 64 AS bucket,
+        |    CASE WHEN CAST('0x' || substr(md5('sign:' || term), 1, 7)
+        |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM tk)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS occurrences,
+        |  CAST(count(DISTINCT term) AS BIGINT) AS distinct_terms,
+        |  CAST(sum(sgn) AS BIGINT) AS signed_sum
+        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "bigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+')
+        |    AS tk FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(tk) AS w FROM tk) GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+        |db AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM tk WHERE len(tk) >= 2),
+        |bc AS (SELECT gram, CAST(count(*) AS BIGINT) AS c12,
+        |    split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2
+        |  FROM db GROUP BY 1),
+        |lp AS (SELECT bc.gram,
+        |    CAST(round_even(ln(0.9 * (CAST(bc.c12 AS DOUBLE) / u1.c)
+        |      + 0.1 * (CAST(u2.c AS DOUBLE) / n.n)) * 1000000.0, 0)
+        |      AS BIGINT) AS lp_micros
+        |  FROM bc JOIN uni u1 ON bc.w1 = u1.w
+        |    JOIN uni u2 ON bc.w2 = u2.w, n)
+        |SELECT db.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(lp.lp_micros) AS BIGINT) AS sum_lp_micros,
+        |  round(CAST(sum(lp.lp_micros) AS DOUBLE) / count(*) / 1000000.0, 6)
+        |    AS avg_logprob
+        |FROM db JOIN lp USING (gram)
+        |GROUP BY db.doc_id ORDER BY avg_logprob, doc_id LIMIT 20""".stripMargin,
+    "prefix_jaccard" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+')
+        |    AS tk FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        |    FROM tk WHERE len(tk) >= 3)),
+        |df AS (SELECT gram, count(*) AS df FROM tok GROUP BY 1),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+        |rk AS (SELECT tok.doc_id, tok.gram, sz.sz,
+        |    row_number() OVER (PARTITION BY tok.doc_id
+        |      ORDER BY df.df, tok.gram) AS rn
+        |  FROM tok JOIN df USING (gram) JOIN sz USING (doc_id)),
+        |pre AS (SELECT doc_id, gram FROM rk
+        |  WHERE rn <= sz - ceil(0.5 * sz) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pre a JOIN pre b
+        |  ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cand c JOIN tok ta ON ta.doc_id = c.doc_a
+        |    JOIN tok tb ON tb.doc_id = c.doc_b AND ta.gram = tb.gram
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, CAST(inter AS BIGINT) AS inter,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+        |    AS jaccard
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+        |  JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Ranking, TextAnalysis}
+import graft.queries.Signals
+
+/** Round-8 (cont.) operator tests on hand-computable fixtures: EWMA
+  * weight arithmetic, feature-hash invariants, bigram-LM closed forms,
+  * and — the one that matters — prefix-filter LOSSLESSNESS against a
+  * brute-force all-pairs Jaccard on a planted near-dup corpus.
+  */
+class SignalsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("ewma: third observation weights 4:2:1 over values 8, 4, 2") {
+    import spark.implicits._
+    // one user, three purchases in ts order; α=0.5 ⇒ weights at row 3
+    // are 1, ½, ¼ over (newest→oldest) = values 2, 4, 8:
+    // ewma = (1·2 + ½·4 + ¼·8) / (1 + ½ + ¼) = 6/1.75
+    val ev = Seq(
+      (1L, 101L, 1000L, 8.0, "purchase"),
+      (1L, 102L, 2000L, 4.0, "purchase"),
+      (1L, 103L, 3000L, 2.0, "purchase"),
+      (1L, 104L, 4000L, 99.0, "view"))
+      .toDF("user_id", "event_id", "ts", "value", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("sig_ewma").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Signals.queries("ewma_smooth")(spark, dir).collect()
+    assert(out.length === 3, "view events are excluded")
+    val r3 = out.find(_.getAs[Int]("rn") == 3).get
+    assert(math.abs(r3.getAs[Double]("ewma") - 6.0 / 1.75) < 1e-5)
+    // den_64 at row 3: 64 + 32 + 16 (offsets 0,1,2 present)
+    assert(r3.getAs[Long]("den_64") === 112L)
+    // row 1 sees only itself: ewma = value exactly
+    val r1 = out.find(_.getAs[Int]("rn") == 1).get
+    assert(math.abs(r1.getAs[Double]("ewma") - 8.0) < 1e-5)
+    assert(r1.getAs[Long]("den_64") === 64L)
+  }
+
+  test("feature hash: occurrences total the token count; buckets follow the recipe") {
+    val d = docs(1L -> "alpha beta alpha", 2L -> "beta gamma")
+    val out = TextAnalysis.featureHashHistogram(d, dims = 64L).collect()
+    assert(out.map(_.getAs[Long]("occurrences")).sum === 5L)
+    assert(out.map(_.getAs[Long]("distinct_terms")).sum >= 3L)
+    // every bucket matches the shared md5 recipe recomputed in the JVM
+    val bucketOf = (term: String) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val byBucket = out.map(r =>
+      r.getAs[Long]("bucket") -> r.getAs[Long]("occurrences")).toMap
+    val expected = Seq("alpha", "alpha", "beta", "beta", "gamma")
+      .groupBy(bucketOf).map { case (b, ts) => b -> ts.size.toLong }
+    assert(byBucket === expected)
+    // signs are ±1: |signed_sum| ≤ occurrences, same parity
+    out.foreach { r =>
+      val (o, s) = (r.getAs[Long]("occurrences"), r.getAs[Long]("signed_sum"))
+      assert(math.abs(s) <= o && (o - s) % 2 == 0)
+    }
+  }
+
+  test("bigram LM: deterministic transition scores a doc by ln of its chain") {
+    // corpus: "a b" ×3 and "a c" ×1 as separate docs.
+    // c(a)=4, c(b)=3, c(c)=1, N=8; c(ab)=3, c(ac)=1.
+    // lp(ab) = ln(0.9·3/4 + 0.1·3/8); lp(ac) = ln(0.9·1/4 + 0.1·1/8)
+    val d = docs(1L -> "a b", 2L -> "a b", 3L -> "a b", 4L -> "a c")
+    val out = Ranking.bigramDocLogprob(d, lambda = 0.9, k = 10).collect()
+    val lpAb = math.log(0.9 * 3.0 / 4.0 + 0.1 * 3.0 / 8.0)
+    val lpAc = math.log(0.9 * 1.0 / 4.0 + 0.1 * 1.0 / 8.0)
+    val byDoc = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
+    assert(math.abs(byDoc(1L) - lpAb) < 1e-5)
+    assert(math.abs(byDoc(4L) - lpAc) < 1e-5)
+    // the rare transition ranks as MORE surprising (lower logprob, first)
+    assert(out.head.getAs[Long]("doc_id") === 4L)
+  }
+
+  test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
+    // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
+    // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
+    // with everyone (stresses the rarest-first ordering).
+    val boiler = "click here to subscribe to our newsletter today"
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "the quick brown fox jumps over the lazy dog near the river bend",
+      3L -> s"wholly identical text about spark physical plans $boiler",
+      4L -> s"wholly identical text about spark physical plans $boiler",
+      5L -> s"completely different content concerning parquet row groups $boiler",
+      6L -> "nothing in common with anything else whatsoever here at all",
+      7L -> "short doc",
+      8L -> "another short doc",
+      9L -> boiler)
+    val fast = Dedup.prefixJaccardPairs(d, threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same shingle sets
+    val sets = d.select(col("doc_id"),
+      array_distinct(Dedup.shingles(lower(col("text")))).as("g"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty)
+    val brute = (for {
+      (a, ga) <- sets; (b, gb) <- sets if a < b
+      j = (ga & gb).size.toDouble / (ga | gb).size
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "fixture must plant at least one true pair")
+    assert(fast === brute)
+  }
+}
