@@ -96,12 +96,25 @@ object Ranking {
       k: Int = 20): DataFrame = {
     val tk = docs.select(col("doc_id"),
       TextAnalysis.tokens(lower(col("text"))).as("tk"))
+    // The two LM count tables materialize ONCE (localCheckpoint — the
+    // pagerank_iter precedent): lazily, the unigram table is a consumer
+    // of THREE branches (c1, c2, N) and the bigram explode of two, and
+    // subtree canonicalization does not reuse any of them — the naive
+    // plan scanned the corpus five times. Materialized counts are what
+    // a production LM job persists anyway; everything downstream is
+    // count-table-sized except the one corpus-sized scoring join.
     val uni = tk.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val n = uni.agg(sum("c").cast("double").as("n"))
-    val db = tk.filter(size(col("tk")) >= 2)
+    // per-(doc, bigram) counts, not raw bigram instances: the corpus
+    // explode collapses map-side and the scoring join below carries one
+    // row per DISTINCT doc bigram, weighted by k at the final sum.
+    val dg = tk.filter(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(Dedup.tokenNgrams(col("tk"), 2)).as("gram"))
-    val bc = db.groupBy("gram").agg(count(lit(1)).as("c12"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val bc = dg.groupBy("gram").agg(sum("k").as("c12"))
       .withColumn("w1", split(col("gram"), " ").getItem(0))
       .withColumn("w2", split(col("gram"), " ").getItem(1))
     // ONE fixed IEEE chain per distinct bigram, mirrored in the oracle,
@@ -115,9 +128,10 @@ object Ranking {
         bround(log(lit(lambda) * (col("c12").cast("double") / col("c1"))
           + lit(1.0 - lambda) * (col("c2") / col("n"))) * lit(1000000.0))
           .cast("long").as("lp_micros"))
-    db.join(lp, Seq("gram"))
+    dg.join(lp, Seq("gram"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("lp_micros").as("sum_lp_micros"))
+      .agg(sum("k").as("n_bigrams"),
+        sum(col("k") * col("lp_micros")).as("sum_lp_micros"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_lp_micros"),
         round(col("sum_lp_micros").cast("double") / col("n_bigrams")
           / lit(1000000.0), 6).as("avg_logprob"))

@@ -131,10 +131,17 @@ object Signals {
         |    AS avg_logprob
         |FROM db JOIN lp USING (gram)
         |GROUP BY db.doc_id ORDER BY avg_logprob, doc_id LIMIT 20""".stripMargin,
+    // shingles carry as the shared 60-bit md5-prefix fingerprint (the
+    // multimodal checksum recipe) in BOTH engines — see
+    // Dedup.prefixJaccardPairs; the positional filter is Spark-side
+    // only (it prunes candidates, never results, so the output is
+    // identical without it)
     "prefix_jaccard" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+')
         |    AS tk FROM documents),
-        |tok AS (SELECT DISTINCT doc_id, gram FROM (
+        |tok AS (SELECT DISTINCT doc_id,
+        |    CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gram
+        |  FROM (
         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
         |    FROM tk WHERE len(tk) >= 3)),
