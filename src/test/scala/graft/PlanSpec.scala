@@ -105,4 +105,39 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(q("dedup_horizon"))
     assert(p.contains("WindowGroupLimit"), p.take(600))
   }
+
+  test("runtime bloom-filter pruning injects into a selective shuffle join") {
+    // The 100 TB lever behind Catalyst's InjectRuntimeFilter: when a
+    // shuffle join's small side carries a selective filter, a bloom
+    // filter built from it prunes the big side's rows BEFORE the
+    // shuffle. Thresholds exist for production sizes; at fixture scale
+    // the application side must be allowed to qualify and the join must
+    // actually shuffle, or the rule correctly declines — so this pins
+    // both the configs that arm it and the plan shape it produces.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val urgent = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = li.join(urgent, li("l_orderkey") === urgent("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      val p = plan(joined)
+      assert(p.contains("bloom_filter") || p.contains("BloomFilterMightContain"),
+        s"no runtime bloom filter injected\n${p.take(1200)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
