@@ -68,7 +68,99 @@ object Signals {
     "bigram_logprob" -> ((s, dir) =>
       Ranking.bigramDocLogprob(t(s, dir, "documents"))),
     "prefix_jaccard" -> ((s, dir) =>
-      Dedup.prefixJaccardPairs(t(s, dir, "documents")))
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"))),
+    // Winsorized per-group mean: clip to the exact [p05, p95] quantiles
+    // before averaging — the robust-scaling complement to mad_outliers
+    // (winsorizing bounds influence instead of discarding rows). Exact
+    // grouped percentiles both times; clipped values quantize to
+    // integer micro-units before the sum (order-independence contract).
+    "winsorize" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("lang", "n_chars")
+      // bounds round to 4 dp on BOTH sides before any use: the two
+      // engines' linear-interpolation chains can differ by 1 ulp, and
+      // interpolated values of integer data carry ≤2 decimals, so the
+      // 4-dp round is a fixpoint that absorbs the ulp
+      val bounds = d.groupBy("lang")
+        .agg(bround(expr("percentile(n_chars, 0.05)"), 4).as("lo"),
+          bround(expr("percentile(n_chars, 0.95)"), 4).as("hi"))
+      val x = col("n_chars").cast("double")
+      d.join(broadcast(bounds), "lang")
+        .select(col("lang"), col("lo"), col("hi"),
+          bround(least(greatest(x, col("lo")), col("hi")) * lit(1000000.0))
+            .cast("long").as("c_micros"),
+          when(x < col("lo"), 1L).otherwise(0L).as("clip_lo"),
+          when(x > col("hi"), 1L).otherwise(0L).as("clip_hi"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          max("lo").as("lo"), max("hi").as("hi"),
+          sum("clip_lo").as("clipped_low"),
+          sum("clip_hi").as("clipped_high"),
+          sum("c_micros").as("sum_micros"))
+        .select(col("lang"), col("n"), col("lo"), col("hi"),
+          col("clipped_low"), col("clipped_high"),
+          round(col("sum_micros").cast("double") / col("n") / lit(1000000.0),
+            6).as("winsorized_mean"))
+        .orderBy("lang")
+    }),
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-res):
+    // each item draws u ∈ (0,1) and ranks by u^(1/w) — top-k is a
+    // weighted sample; here u derives from the portable 28-bit md5
+    // recipe (never rand() — reproducible across runs, engines, and
+    // cluster layouts) and the rank key ln(u)/w is quantized to
+    // nano-units so both engines sort identical integers. One map-only
+    // pass + TakeOrdered: the canonical "sample 10k docs by quality
+    // weight from 100 TB" one-shot.
+    "weighted_sample" -> ((s, dir) => {
+      val h = conv(substring(md5(concat(lit("ws:"),
+        col("doc_id").cast("string")).cast("binary")), 1, 7), 16, 10)
+        .cast("long")
+      val u = (h.cast("double") + lit(0.5)) / lit(268435456.0)
+      val key = bround(log(u) / col("n_chars").cast("double")
+        * lit(1000000000.0)).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").as("weight"),
+          key.as("key_nano"))
+        .orderBy(col("key_nano").desc, col("doc_id"))
+        .limit(20)
+    }),
+    // Triangle census of the co-purchase graph: parts sharing an order,
+    // kept only at support ≥ 2 (the market-basket frequency threshold
+    // that keeps the projected graph sparse — 1.2M → 3.6k edges at
+    // sf0.1). Edges orient p1 < p2, so each triangle a<b<c closes
+    // exactly once via (a,b)(b,c)+(a,c); wedges come from the degree
+    // aggregate Σ C(deg,2) and the global clustering coefficient
+    // 3·tri/wedges is micro-quantized. The oriented closure join is the
+    // standard distributed triangle shape (two keyed equi-joins, no
+    // per-node neighbor lists).
+    "triangle_count" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = op.select(col("o"), col("p").as("p1"))
+        .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint() // three consumers: two closure sides + degrees
+      val deg = e.select(col("p1").as("v")).unionByName(
+          e.select(col("p2").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val wedges = deg.agg(
+        sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("wedges"))
+      val tri = e.select(col("p1").as("a"), col("p2").as("b"))
+        .join(e.select(col("p1").as("b"), col("p2").as("c")), Seq("b"))
+        .join(e.select(col("p1").as("a"), col("p2").as("c")),
+          Seq("a", "c"), "left_semi")
+        .agg(count(lit(1)).as("triangles"))
+      val edges = e.agg(count(lit(1)).as("edges"))
+      edges.crossJoin(wedges).crossJoin(tri)
+        .select(col("edges"), col("wedges"), col("triangles"),
+          when(col("wedges") > 0,
+            bround(lit(3.0) * col("triangles").cast("double")
+              / col("wedges").cast("double") * lit(1000000.0)).cast("long"))
+            .otherwise(0L).as("clustering_micros"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,6 +258,52 @@ object Signals {
         |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
         |  JOIN sz sb ON sb.doc_id = i.doc_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "winsorize" ->
+      """WITH b AS (SELECT lang,
+        |    round_even(quantile_cont(n_chars, 0.05), 4) AS lo,
+        |    round_even(quantile_cont(n_chars, 0.95), 4) AS hi
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, count(*) AS n, max(b.lo) AS lo, max(b.hi) AS hi,
+        |  CAST(sum(CASE WHEN d.n_chars < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS clipped_low,
+        |  CAST(sum(CASE WHEN d.n_chars > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS clipped_high,
+        |  round(CAST(sum(CAST(round_even(
+        |      least(greatest(CAST(d.n_chars AS DOUBLE), b.lo), b.hi)
+        |      * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0,
+        |    6) AS winsorized_mean
+        |FROM documents d JOIN b USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "weighted_sample" ->
+      """WITH k AS (SELECT doc_id, n_chars AS weight,
+        |    CAST(round_even(ln((CAST('0x' || substr(
+        |        md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+        |        + 0.5) / 268435456.0)
+        |      / n_chars * 1000000000.0, 0) AS BIGINT) AS key_nano
+        |  FROM documents)
+        |SELECT doc_id, weight, key_nano FROM k
+        |ORDER BY key_nano DESC, doc_id LIMIT 20""".stripMargin,
+    "triangle_count" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS p1, b.p AS p2
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT v, count(*) AS deg FROM (
+        |    SELECT p1 AS v FROM e UNION ALL SELECT p2 FROM e) GROUP BY 1),
+        |w AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS wedges
+        |  FROM deg),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS triangles
+        |  FROM e e1 JOIN e e2 ON e2.p1 = e1.p2
+        |  WHERE EXISTS (SELECT 1 FROM e e3
+        |    WHERE e3.p1 = e1.p1 AND e3.p2 = e2.p2)),
+        |ed AS (SELECT CAST(count(*) AS BIGINT) AS edges FROM e)
+        |SELECT ed.edges, w.wedges, tri.triangles,
+        |  CASE WHEN w.wedges > 0 THEN
+        |    CAST(round_even(3.0 * tri.triangles / w.wedges * 1000000.0, 0)
+        |      AS BIGINT) ELSE 0 END AS clustering_micros
+        |FROM ed, w, tri""".stripMargin
   )
 }

@@ -89,6 +89,61 @@ class SignalsSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("doc_id") === 4L)
   }
 
+  test("winsorize: clipping bounds the outlier's influence exactly") {
+    import spark.implicits._
+    // 21 values: 1..20 and one outlier 1000. p05 = 2.0, p95 = 20.0
+    // (pos = .05·20 = 1 / .95·20 = 19, both integral — no interp).
+    // clipped: 1→2, 1000→20 ⇒ mean = (2 + 2..20 sum + 20)/21
+    val d = ((1L to 20L) :+ 1000L).zipWithIndex
+      .map { case (v, i) => (i.toLong, "en", v) }
+      .toDF("doc_id", "lang", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("sig_win").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Signals.queries("winsorize")(spark, dir).collect()(0)
+    assert(r.getAs[Double]("lo") === 2.0 && r.getAs[Double]("hi") === 20.0)
+    assert(r.getAs[Long]("clipped_low") === 1L)
+    assert(r.getAs[Long]("clipped_high") === 1L)
+    val expected = (2.0 + (2 to 20).sum + 20.0) / 21.0
+    assert(math.abs(r.getAs[Double]("winsorized_mean") - expected) < 1e-5)
+  }
+
+  test("weighted sample: ranks match the A-res key recomputed in the JVM") {
+    val d = docs((1L to 50L).map(i => i -> s"doc number $i body"): _*)
+      .withColumn("n_chars", col("doc_id") * 10) // weights 10..500
+    val dir = java.nio.file.Files.createTempDirectory("sig_ws").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Signals.queries("weighted_sample")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    def key(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws:$id".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(7), 16)
+      val u = (h + 0.5) / 268435456.0
+      math.rint(math.log(u) / (id * 10.0) * 1e9).toLong
+    }
+    val expected = (1L to 50L).sortBy(id => (-key(id), id)).take(20)
+    assert(out === expected)
+  }
+
+  test("triangle count: a planted 3-clique with support-2 edges closes once") {
+    import spark.implicits._
+    // parts 1,2,3 pairwise co-occur in TWO orders each; part 9 pairs
+    // with 1 in only one order (support 1 → edge dropped)
+    val rows = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L), (100L, 9L),
+      (200L, 1L), (200L, 2L), (200L, 3L))
+    val li = rows.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("sig_tri").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.Signals.queries("triangle_count")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("edges") === 3L)     // (1,2)(1,3)(2,3)
+    assert(r.getAs[Long]("wedges") === 3L)    // C(2,2)·3 vertices
+    assert(r.getAs[Long]("triangles") === 1L)
+    assert(r.getAs[Long]("clustering_micros") === 1000000L) // 3·1/3
+  }
+
   test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
     // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
     // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
