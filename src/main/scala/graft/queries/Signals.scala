@@ -123,6 +123,45 @@ object Signals {
         .orderBy(col("key_nano").desc, col("doc_id"))
         .limit(20)
     }),
+    // Order-independent table fingerprint: row count + SUM of per-row
+    // 60-bit md5 fingerprints over a canonical column serialization —
+    // the cross-engine/cross-copy validation primitive (does the
+    // migrated/replicated/recomputed table hold the SAME ROWS?) that a
+    // 100 TB pipeline runs after every backfill. Map-only + one scalar
+    // aggregate; integer sum is order- and partitioning-independent by
+    // construction, which is the whole point.
+    "table_checksum" -> ((s, dir) => {
+      val row = concat_ws("|", col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"), col("o_orderstatus"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .cast("string"),
+        col("o_orderpriority"))
+      // 60-bit fingerprints accumulate in DECIMAL(38,0): exact 128-bit
+      // arithmetic in both engines, so the checksum never wraps — at
+      // 2^40 rows the sum still has 28 bits of headroom
+      t(s, dir, "orders")
+        .select(conv(substring(md5(row.cast("binary")), 1, 15), 16, 10)
+          .cast("long")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("fp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("fp").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .as("checksum"))
+    }),
+    // K-anonymity audit over the (lang, source) quasi-identifier pair:
+    // the distribution of equivalence-class sizes and the smallest
+    // class (= the k in k-anonymity). The re-identification-risk
+    // counterpart to pii_scrub's content scrubbing: classes of size 1
+    // are singled-out individuals. Two tiny keyed aggregates.
+    "kanonymity" -> ((s, dir) => {
+      val cls = t(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("k"))
+      cls.agg(
+        count(lit(1)).as("classes"),
+        min("k").as("k_anonymity"),
+        sum(when(col("k") === 1, 1L).otherwise(0L)).as("singletons"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L))
+          .as("rows_below_k5"))
+    }),
     // Triangle census of the co-purchase graph: parts sharing an order,
     // kept only at support ≥ 2 (the market-basket frequency threshold
     // that keeps the projected graph sparse — 1.2M → 3.6k edges at
@@ -259,6 +298,27 @@ object Signals {
         |  JOIN sz sb ON sb.doc_id = i.doc_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "table_checksum" ->
+      """WITH f AS (SELECT CAST('0x' || substr(md5(
+        |      CAST(o_orderkey AS VARCHAR) || '|' ||
+        |      CAST(o_custkey AS VARCHAR) || '|' ||
+        |      o_orderstatus || '|' ||
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+        |      o_orderpriority), 1, 15) AS BIGINT) AS fp
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(fp AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+        |FROM f""".stripMargin,
+    "kanonymity" ->
+      """WITH cls AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS k
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS classes,
+        |  CAST(min(k) AS BIGINT) AS k_anonymity,
+        |  CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS singletons,
+        |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |    AS rows_below_k5
+        |FROM cls""".stripMargin,
     "winsorize" ->
       """WITH b AS (SELECT lang,
         |    round_even(quantile_cont(n_chars, 0.05), 4) AS lo,

@@ -144,6 +144,44 @@ class SignalsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("clustering_micros") === 1000000L) // 3·1/3
   }
 
+  test("table checksum: invariant to row order and partitioning, sensitive to one row") {
+    import spark.implicits._
+    def orders(rows: Seq[(Long, Long, String, Double, String)],
+        parts: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("sig_ck").toString
+      rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority").repartition(parts)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    val base = (1L to 100L).map(i =>
+      (i, i % 7, "O", i * 1.5, "3-MEDIUM"))
+    val ck = (dir: String) => graft.queries.Signals
+      .queries("table_checksum")(spark, dir).collect()(0)
+      .getAs[java.math.BigDecimal]("checksum")
+    val a = ck(orders(base, 1))
+    val b = ck(orders(scala.util.Random.shuffle(base), 8))
+    assert(a === b, "checksum must not depend on order or partitioning")
+    val c = ck(orders(base.updated(42, (43L, 1L, "F", 64.5, "1-URGENT")), 4))
+    assert(a !== c, "a changed row must change the checksum")
+  }
+
+  test("k-anonymity: smallest class and singleton counts are exact") {
+    // classes: (en,a)×5, (en,b)×1, (de,a)×3 → k=1, 1 singleton,
+    // rows below k5 = 1 + 3
+    val d = docs((1L to 9L).map(i => i -> s"body $i"): _*)
+      .withColumn("lang", when(col("doc_id") <= 6, "en").otherwise("de"))
+      .withColumn("source", when(col("doc_id") === 6, "b").otherwise("a"))
+    val dir = java.nio.file.Files.createTempDirectory("sig_ka").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Signals.queries("kanonymity")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("classes") === 3L)
+    assert(r.getAs[Long]("k_anonymity") === 1L)
+    assert(r.getAs[Long]("singletons") === 1L)
+    assert(r.getAs[Long]("rows_below_k5") === 4L)
+  }
+
   test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
     // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
     // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
