@@ -45,19 +45,23 @@ object Signals {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val rn = ev.select(col("user_id"), col("event_id"),
         row_number().over(w).as("rn"), col("value"))
-      val contrib = rn
-        .select(col("user_id"), col("rn"), col("value"),
+      // each row's o=0 contribution carries its event_id, which both
+      // tags the output row and marks rn2 positions that actually exist
+      // (positions past a user's last row get only o>0 contributions) —
+      // so ONE scan + ONE window + ONE aggregate, no join back against
+      // a second window pass
+      rn.select(col("user_id"), col("rn"), col("value"), col("event_id"),
           explode(sequence(lit(0), lit(6))).as("o"))
         .select(col("user_id"), (col("rn") + col("o")).as("rn2"),
+          when(col("o") === 0, col("event_id")).as("eid"),
           bround(col("value") * pow(lit(0.5), col("o")) * lit(1000000.0))
             .cast("long").as("num_u"),
           pow(lit(2.0), lit(6) - col("o")).cast("long").as("den64"))
         .groupBy("user_id", "rn2")
-        .agg(sum("num_u").as("num_micros"), sum("den64").as("den_64"))
-        .withColumnRenamed("rn2", "rn")
-      rn.select("user_id", "rn", "event_id")
-        .join(contrib, Seq("user_id", "rn"))
-        .select(col("user_id"), col("rn"), col("event_id"),
+        .agg(max("eid").as("event_id"),
+          sum("num_u").as("num_micros"), sum("den64").as("den_64"))
+        .filter(col("event_id").isNotNull)
+        .select(col("user_id"), col("rn2").as("rn"), col("event_id"),
           col("num_micros"), col("den_64"),
           round(col("num_micros").cast("double") * lit(64.0) / col("den_64")
             / lit(1000000.0), 6).as("ewma"))
