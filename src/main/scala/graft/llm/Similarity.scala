@@ -713,17 +713,27 @@ object Similarity {
       .select(col("vec_id"), explode(subsCol).as("s"), col("vec"))
       .select(col("vec_id"), col("s.sub").as("sub"),
         slice(col("vec"), col("s.start"), lit(subLen)).as("pvec"))
-    val codes = parts.join(cb, "sub")
+    // the assignment join evaluates |corpus|·ksub distances — the hot
+    // loop. ‖p‖² + ‖c‖² − 2·p·c with norms precomputed per side turns
+    // the per-pair work into ONE native codegen'd dot (ArrayDotProduct)
+    // instead of an interpreted (x−y)² HOF fold; the 6-dp round that
+    // every distance already carries absorbs the chain difference (the
+    // oracle mirrors the same three-sum spelling).
+    val pN = parts.withColumn("p2", dot(col("pvec"), col("pvec")))
+    val cbN = broadcast(cb.withColumn("c2", dot(col("cvec"), col("cvec"))))
+    def d2n(p2: Column, c2: Column, a: Column, b: Column): Column =
+      bround(p2 + c2 - lit(2.0) * dot(a, b), 6)
+    val codes = pN.join(cbN, "sub")
       .select(col("vec_id"), col("sub"),
-        struct(d2(col("pvec"), col("cvec")).as("d"),
+        struct(d2n(col("p2"), col("c2"), col("pvec"), col("cvec")).as("d"),
           col("seed_id").as("c")).as("dc"))
       .groupBy("vec_id", "sub")
       .agg(min("dc").getField("c").as("code"))
-    val dtab = broadcast(parts.filter(col("vec_id") === queryId)
-      .select(col("sub").as("qsub"), col("pvec").as("qp"))
-      .join(cb, col("qsub") === col("sub"))
+    val dtab = broadcast(pN.filter(col("vec_id") === queryId)
+      .select(col("sub").as("qsub"), col("pvec").as("qp"), col("p2").as("q2"))
+      .join(cbN, col("qsub") === col("sub"))
       .select(col("sub"), col("seed_id").as("code"),
-        d2(col("qp"), col("cvec")).as("dq")))
+        d2n(col("q2"), col("c2"), col("qp"), col("cvec")).as("dq")))
     val shortlist = codes.filter(col("vec_id") =!= queryId)
       .join(dtab, Seq("sub", "code"))
       .groupBy("vec_id")

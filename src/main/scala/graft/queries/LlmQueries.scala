@@ -931,11 +931,13 @@ object LlmQueries {
         |  ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
         |cd AS (
         |  SELECT e.vec_id, su.sub, s.seed_id,
-        |    round_even(sum(
-        |      (CAST(e.embedding[su.sub * 4 + j] AS DOUBLE)
-        |        - CAST(s.seed[su.sub * 4 + j] AS DOUBLE))
-        |      * (CAST(e.embedding[su.sub * 4 + j] AS DOUBLE)
-        |        - CAST(s.seed[su.sub * 4 + j] AS DOUBLE))), 6) AS d2
+        |    round_even(
+        |      sum(CAST(e.embedding[su.sub * 4 + j] AS DOUBLE)
+        |        * CAST(e.embedding[su.sub * 4 + j] AS DOUBLE))
+        |      + sum(CAST(s.seed[su.sub * 4 + j] AS DOUBLE)
+        |        * CAST(s.seed[su.sub * 4 + j] AS DOUBLE))
+        |      - 2.0 * sum(CAST(e.embedding[su.sub * 4 + j] AS DOUBLE)
+        |        * CAST(s.seed[su.sub * 4 + j] AS DOUBLE)), 6) AS d2
         |  FROM embeddings e, seeds s, range(0, 16) su(sub), range(1, 5) t(j)
         |  GROUP BY e.vec_id, su.sub, s.seed_id),
         |codes AS (
