@@ -127,6 +127,77 @@ object Signals {
         .orderBy(col("key_nano").desc, col("doc_id"))
         .limit(20)
     }),
+    // Bounded k-hop BFS from a seed over the supplier↔part bipartite
+    // graph: the level-synchronous frontier iteration (join frontier to
+    // edges, anti-join the visited set, checkpoint, repeat) that every
+    // distributed traversal (reachability, shortest unweighted path,
+    // neighborhood sampling) reduces to. Complements dedup_cluster's
+    // fixpoint CC and pagerank's weighted propagation: this is the
+    // FRONTIER shape, where per-round state is (node, level) and the
+    // watermark against re-expansion is the visited anti-join. Levels
+    // are exact min-hop distances; DuckDB mirrors with a recursive CTE.
+    "bfs_levels" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e0 = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+        .select(concat(lit("s"), col("sk").cast("string")).as("src"),
+          concat(lit("p"), col("pk").cast("string")).as("dst"))
+      val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val seed = "s" + li.agg(min("l_suppkey")).head().getLong(0)
+      var visited = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(seed, 0)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("lvl",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+      var frontier = visited
+      for (l <- 1 to 4) {
+        val next = frontier
+          .join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .select(col("node"), lit(l).as("lvl"))
+          .localCheckpoint()
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+      visited.groupBy("lvl").agg(count(lit(1)).as("n")).orderBy("lvl")
+    }),
+    // 2-D skyline (Pareto frontier) of orders: points not dominated in
+    // (max price, min order day). Distributive, so the plan is the
+    // scalable two-phase shape — a bucket-local skyline (parallel
+    // windows over md5 buckets) prunes dominated points partition-side,
+    // then the global pass runs on the tiny survivor set. Local
+    // pruning cannot change the answer (dominance within any subset
+    // implies global dominance), which is why the oracle may use the
+    // plain one-pass spelling. Dominance is evaluated on DISTINCT
+    // (price, day) points (ties collapse with a count), making the
+    // running-min window test exactly Pareto.
+    "skyline" -> ((s, dir) => {
+      val pts = t(s, dir, "orders")
+        .select(col("o_totalprice").as("price"),
+          expr("datediff(to_date(o_orderdate), date'2024-01-01')").as("d"))
+        .groupBy("price", "d").agg(count(lit(1)).as("n_orders"))
+      val bucket = graft.llm.Dedup.hashBucket(
+        concat(col("price").cast("string"), lit(":"), col("d").cast("string")),
+        32L)
+      val local = Window.partitionBy("bucket")
+        .orderBy(col("price").desc, col("d").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val survivors = pts.withColumn("bucket", bucket)
+        .withColumn("bp", min("d").over(local))
+        .filter(col("bp").isNull || col("d") < col("bp"))
+        .drop("bucket", "bp")
+      val global = Window.orderBy(col("price").desc, col("d").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      survivors.withColumn("bp", min("d").over(global))
+        .filter(col("bp").isNull || col("d") < col("bp"))
+        .select(col("price"), col("d"), col("n_orders"))
+        .orderBy(col("price").desc)
+    }),
     // Order-independent table fingerprint: row count + SUM of per-row
     // 60-bit md5 fingerprints over a canonical column serialization —
     // the cross-engine/cross-copy validation primitive (does the
@@ -302,6 +373,37 @@ object Signals {
         |  JOIN sz sb ON sb.doc_id = i.doc_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "bfs_levels" ->
+      """WITH RECURSIVE lv(node, lvl) AS (
+        |  SELECT 's' || CAST((SELECT min(l_suppkey) FROM lineitem)
+        |    AS VARCHAR), 0
+        |  UNION
+        |  SELECT nxt, lvl + 1 FROM (
+        |    SELECT CASE WHEN lv.node = 's' || CAST(e.sk AS VARCHAR)
+        |        THEN 'p' || CAST(e.pk AS VARCHAR)
+        |        ELSE 's' || CAST(e.sk AS VARCHAR) END AS nxt, lv.lvl AS lvl
+        |    FROM lv JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |      FROM lineitem) e
+        |      ON lv.node = 's' || CAST(e.sk AS VARCHAR)
+        |      OR lv.node = 'p' || CAST(e.pk AS VARCHAR)
+        |    WHERE lv.lvl < 4))
+        |SELECT lvl, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT node, CAST(min(lvl) AS INT) AS lvl FROM lv GROUP BY node)
+        |GROUP BY lvl ORDER BY lvl""".stripMargin,
+    "skyline" ->
+      """WITH pts AS (
+        |  SELECT o_totalprice AS price,
+        |    date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))
+        |      AS d,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT price, d, n_orders,
+        |    min(d) OVER (ORDER BY price DESC, d ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bp
+        |  FROM pts)
+        |SELECT price, d, n_orders FROM r
+        |WHERE bp IS NULL OR d < bp
+        |ORDER BY price DESC""".stripMargin,
     "table_checksum" ->
       """WITH f AS (SELECT CAST('0x' || substr(md5(
         |      CAST(o_orderkey AS VARCHAR) || '|' ||

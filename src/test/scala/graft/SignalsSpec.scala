@@ -144,6 +144,36 @@ class SignalsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("clustering_micros") === 1000000L) // 3·1/3
   }
 
+  test("bfs levels: a planted path graph yields exact hop counts") {
+    import spark.implicits._
+    // chain: s1 - p10 - s2 - p20 - s3  (seed = s1, min suppkey)
+    // levels: 0:{s1} 1:{p10} 2:{s2} 3:{p20} 4:{s3}
+    val li = Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L))
+      .toDF("l_suppkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("sig_bfs").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.queries.Signals.queries("bfs_levels")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out === Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L, 4 -> 1L))
+  }
+
+  test("skyline: dominated points drop, Pareto ties collapse with counts") {
+    import spark.implicits._
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(d: Int) = new java.sql.Timestamp(day0.getTime + d * 86400000L)
+    // points (price, day): (100,5) and (90,3) and (80,1) are Pareto;
+    // (95,7) dominated by (100,5); (90,3) occurs twice → n_orders 2
+    val rows = Seq((1L, 100.0, 5), (2L, 95.0, 7), (3L, 90.0, 3),
+      (4L, 90.0, 3), (5L, 80.0, 1))
+    val o = rows.map { case (k, p, d) => (k, p, ts(d)) }
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val dir = java.nio.file.Files.createTempDirectory("sig_sky").toString
+    o.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.queries.Signals.queries("skyline")(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(out === Seq((100.0, 5, 1L), (90.0, 3, 2L), (80.0, 1, 1L)))
+  }
+
   test("table checksum: invariant to row order and partitioning, sensitive to one row") {
     import spark.implicits._
     def orders(rows: Seq[(Long, Long, String, Double, String)],
