@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{ArrayCosineSimilarity, ArrayDotProduct}
+import graft.functions.{ArrayCosineSimilarity, ArrayDotProduct, JaroWinkler}
 
 /** Session extension point: injects the engine's native expressions so
   * `array_dot` / `array_cosine` are callable from SQL and
@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "array_cosine takes exactly 2 arguments")
         ArrayCosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      JaroWinkler.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "jaro_winkler takes exactly 2 arguments")
+        JaroWinkler(children.head, children(1))
       }))
   }
 }
