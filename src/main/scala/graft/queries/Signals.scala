@@ -127,6 +127,29 @@ object Signals {
         .orderBy(col("key_nano").desc, col("doc_id"))
         .limit(20)
     }),
+    // Deterministic negative sampling for contrastive training
+    // (word2vec/CLIP-style): each doc draws 3 pseudo-random partners
+    // via the portable md5 recipe mod the id-space size — never
+    // rand(), so the pairing is reproducible across runs, engines, and
+    // cluster layouts. Self-collisions drop; partners that miss (sparse
+    // id space) drop at the inner join. The registered surface is the
+    // (lang, partner-lang) pair matrix — it verifies both the hash
+    // recipe and the partner join end to end. Map-only explode + one
+    // keyed join + a tiny matrix aggregate.
+    "negative_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val n = d.agg(max("doc_id")).head().getLong(0) + 1
+      d.select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0), lit(2))).as("i"))
+        .withColumn("partner", graft.llm.Dedup.hashBucket(
+          concat(lit("neg:"), col("i").cast("string"), lit(":"),
+            col("doc_id").cast("string")), n))
+        .filter(col("partner") =!= col("doc_id"))
+        .join(d.select(col("doc_id").as("partner"),
+          col("lang").as("p_lang")), Seq("partner"))
+        .groupBy("lang", "p_lang").agg(count(lit(1)).as("pairs"))
+        .orderBy("lang", "p_lang")
+    }),
     // Bounded k-hop BFS from a seed over the supplier↔part bipartite
     // graph: the level-synchronous frontier iteration (join frontier to
     // edges, anti-join the visited set, checkpoint, repeat) that every
@@ -373,6 +396,18 @@ object Signals {
         |  JOIN sz sb ON sb.doc_id = i.doc_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "negative_sample" ->
+      """WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |neg AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST('0x' || substr(md5('neg:' || CAST(i AS VARCHAR) || ':'
+        |      || CAST(d.doc_id AS VARCHAR)), 1, 7) AS BIGINT) % n.n
+        |      AS partner
+        |  FROM documents d, range(0, 3) t(i), n)
+        |SELECT a.lang, p.lang AS p_lang, CAST(count(*) AS BIGINT) AS pairs
+        |FROM neg a JOIN documents p ON a.partner = p.doc_id
+        |WHERE a.partner <> a.doc_id
+        |GROUP BY 1, 2 ORDER BY a.lang, p_lang""".stripMargin,
     "bfs_levels" ->
       """WITH RECURSIVE lv(node, lvl) AS (
         |  SELECT 's' || CAST((SELECT min(l_suppkey) FROM lineitem)

@@ -144,6 +144,30 @@ class SignalsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("clustering_micros") === 1000000L) // 3·1/3
   }
 
+  test("negative sampling: pair totals and recipe parity on a dense id space") {
+    val d = docs((0L to 19L).map(i => i -> s"doc $i"): _*)
+    val dir = java.nio.file.Files.createTempDirectory("sig_ns").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Signals.queries("negative_sample")(spark, dir)
+      .collect()
+    // single lang ("en") fixture → one matrix cell; total pairs =
+    // 20 docs × 3 slots − self-collisions, recomputed with the recipe
+    def partner(i: Int, id: Long): Long = {
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"neg:$i:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(7), 16)
+      h % 20
+    }
+    val expected = (for { id <- 0L to 19L; i <- 0 to 2 }
+      yield partner(i, id)).zip(
+        for { id <- 0L to 19L; i <- 0 to 2 } yield id)
+      .count { case (p, id) => p != id }
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("lang") === "en")
+    assert(out(0).getAs[Long]("pairs") === expected.toLong)
+  }
+
   test("bfs levels: a planted path graph yields exact hop counts") {
     import spark.implicits._
     // chain: s1 - p10 - s2 - p20 - s3  (seed = s1, min suppkey)
