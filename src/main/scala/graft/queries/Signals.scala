@@ -127,6 +127,29 @@ object Signals {
         .orderBy(col("key_nano").desc, col("doc_id"))
         .limit(20)
     }),
+    // Half-life decayed engagement score: Σ value·2^(−age_days/7) per
+    // user, anchored to the corpus max day (broadcast 1-row) — the
+    // time-decay counter behind trending/engagement ranking, distinct
+    // from ewma_smooth's row-offset decay (age-based, irregular gaps
+    // decay naturally). Per-event terms quantize to integer micro-units
+    // before the per-user sum; the 2^(−Δ/7) chain is fixed and the 1e6
+    // quantization absorbs cross-engine pow ulps (the ln precedent).
+    "decayed_sum" -> ((s, dir) => {
+      val ev = Relational.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
+      val ref = ev.agg(max("d").as("ref"))
+      ev.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          bround(col("value") * pow(lit(2.0),
+            (col("d") - col("ref")).cast("double") / lit(7.0))
+            * lit(1000000.0)).cast("long").as("m"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("m").as("decayed_micros"))
+        .orderBy(col("decayed_micros").desc, col("user_id"))
+        .limit(20)
+    }),
     // Deterministic negative sampling for contrastive training
     // (word2vec/CLIP-style): each doc draws 3 pseudo-random partners
     // via the portable md5 recipe mod the id-space size — never
@@ -396,6 +419,17 @@ object Signals {
         |  JOIN sz sb ON sb.doc_id = i.doc_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "decayed_sum" ->
+      """WITH ev AS (SELECT user_id, value,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT max(d) AS ref FROM ev)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round_even(value
+        |    * pow(2.0, CAST(d - r.ref AS DOUBLE) / 7.0)
+        |    * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS decayed_micros
+        |FROM ev, r GROUP BY user_id
+        |ORDER BY decayed_micros DESC, user_id LIMIT 20""".stripMargin,
     "negative_sample" ->
       """WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
         |neg AS (

@@ -144,6 +144,24 @@ class SignalsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("clustering_micros") === 1000000L) // 3·1/3
   }
 
+  test("decayed sum: half-life weights are exact powers of two of event age") {
+    import spark.implicits._
+    // one user, purchases of value 64 at days 0, 7, 14; ref = day 14
+    // decayed = 64·2^-2 + 64·2^-1 + 64·2^0 = 16 + 32 + 64 = 112
+    def ts(d: Int) = (d * 86400L + 1) * 1000000000L // ns, inside day d
+    val ev = Seq((1L, 101L, ts(0), 64.0, "purchase"),
+      (1L, 102L, ts(7), 64.0, "purchase"),
+      (1L, 103L, ts(14), 64.0, "purchase"),
+      (2L, 104L, ts(14), 1.0, "view"))
+      .toDF("user_id", "event_id", "ts", "value", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("sig_ds").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.Signals.queries("decayed_sum")(spark, dir).collect()
+    assert(r.length === 1 && r(0).getAs[Long]("user_id") === 1L)
+    assert(r(0).getAs[Long]("n_events") === 3L)
+    assert(r(0).getAs[Long]("decayed_micros") === 112L * 1000000L)
+  }
+
   test("negative sampling: pair totals and recipe parity on a dense id space") {
     val d = docs((0L to 19L).map(i => i -> s"doc $i"): _*)
     val dir = java.nio.file.Files.createTempDirectory("sig_ns").toString

@@ -30,7 +30,7 @@ rep("events", Map("event_id" -> 10000000L, "user_id" -> 100000L))
 // dq_checks' orphan-FK join stays violation-free at 10x; l_suppkey and
 // l_partkey shift too so the pagerank/graph edge SET actually grows 10x
 // (otherwise distinct() collapses the replicas back to the 1x graph).
-// customer/supplier/part dims stay 1x — none of the timed queries join
+// customer/supplier/part dims stay 1x -- none of the timed queries join
 // the shifted keys against them.
 rep("orders", Map("o_orderkey" -> 10000000L))
 rep("lineitem", Map("l_orderkey" -> 10000000L,
@@ -64,5 +64,10 @@ for (q <- Seq("dedup_cluster", "dedup_keep_best", "repetition_filter",
               "substring_dedup", "rendezvous_shard", "pagerank_iter",
               "rolling_distinct", "bpe_merge_step", "mixture_weights",
               "ann_sq8", "inverted_probe", "unigram_logprob", "semdedup",
-              "ann_pq_adc", "pack_chunks", "decontaminate_embed")) time(q)
+              "ann_pq_adc", "pack_chunks", "decontaminate_embed",
+              // round-8 Signals batch
+              "prefix_jaccard", "bigram_logprob", "ewma_smooth",
+              "feature_hash", "weighted_sample", "winsorize",
+              "triangle_count", "bfs_levels", "skyline", "table_checksum",
+              "kanonymity", "negative_sample", "jaro_winkler")) time(q)
 System.exit(0)
