@@ -69,5 +69,6 @@ for (q <- Seq("dedup_cluster", "dedup_keep_best", "repetition_filter",
               "prefix_jaccard", "bigram_logprob", "ewma_smooth",
               "feature_hash", "weighted_sample", "winsorize",
               "triangle_count", "bfs_levels", "skyline", "table_checksum",
-              "kanonymity", "negative_sample", "jaro_winkler")) time(q)
+              "kanonymity", "negative_sample", "jaro_winkler",
+              "decayed_sum")) time(q)
 System.exit(0)
