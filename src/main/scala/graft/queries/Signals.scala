@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -126,6 +126,65 @@ object Signals {
           key.as("key_nano"))
         .orderBy(col("key_nano").desc, col("doc_id"))
         .limit(20)
+    }),
+    // Top user journeys: the most common opening event-type sequences
+    // (first 3 events per user, in raw-ns time order — the ewma_smooth
+    // tie lesson) — the path-analysis staple behind "how do users
+    // actually start". One window pass, rank-pruned BEFORE the shuffle
+    // (WindowGroupLimit), then a path-cardinality-sized count.
+    // collect_list is order-nondeterministic, so the path string sorts
+    // by rank inside the aggregate (array_sort on (rn, event_type)
+    // structs), never by arrival order.
+    "top_journeys" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("users"))
+        .orderBy(col("users").desc, col("path"))
+        .limit(20)
+    }),
+    // Per-column data profile of a table (the discovery counterpart to
+    // dq_checks' constraint suite): null count, exact distinct count,
+    // and canonical min/max per column, in ONE scan — a single
+    // multi-distinct aggregate row unpivoted to (column, ...) rows.
+    // Doubles canonicalize through DECIMAL(18,2)→string and timestamps
+    // through integer day offsets so both engines print identical text.
+    "profile_table" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      // min/max compute on the NATIVE type (string min would be
+      // lexicographic), then canonicalize the scalar for display
+      def prof(c: String, canon: Column => Column) = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        count_distinct(col(c)).as(s"${c}_distinct"),
+        canon(min(col(c))).as(s"${c}_min"),
+        canon(max(col(c))).as(s"${c}_max"))
+      val asStr = (x: Column) => x.cast("string")
+      val money = (x: Column) =>
+        x.cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("string")
+      val day = (x: Column) =>
+        datediff(to_date(x), lit("2024-01-01").cast("date")).cast("string")
+      val aggs =
+        prof("o_orderkey", asStr) ++
+        prof("o_custkey", asStr) ++
+        prof("o_orderstatus", asStr) ++
+        prof("o_totalprice", money) ++
+        prof("o_orderpriority", asStr) ++
+        prof("o_orderdate", day)
+      val row = o.agg(aggs.head, aggs.tail: _*)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority", "o_orderdate")
+      val stack = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+        .mkString(", ")
+      row.selectExpr(s"stack(${cols.length}, $stack) " +
+        "AS (column_name, n_nulls, n_distinct, min_val, max_val)")
+        .orderBy("column_name")
     }),
     // Half-life decayed engagement score: Σ value·2^(−age_days/7) per
     // user, anchored to the corpus max day (broadcast 1-row) — the
@@ -424,6 +483,46 @@ object Signals {
         |  JOIN sz sb ON sb.doc_id = i.doc_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "top_journeys" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+        |    AS path
+        |  FROM e WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS users FROM p
+        |GROUP BY path ORDER BY users DESC, path LIMIT 20""".stripMargin,
+    "profile_table" ->
+      """WITH s AS (SELECT
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_n,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS k_d,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS k_lo, CAST(max(o_orderkey) AS VARCHAR) AS k_hi,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_n,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS c_d,
+        |  CAST(min(o_custkey) AS VARCHAR) AS c_lo, CAST(max(o_custkey) AS VARCHAR) AS c_hi,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_n,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS s_d,
+        |  min(o_orderstatus) AS s_lo, max(o_orderstatus) AS s_hi,
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_n,
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT) AS t_d,
+        |  CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS t_lo,
+        |  CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS t_hi,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_n,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS p_d,
+        |  min(o_orderpriority) AS p_lo, max(o_orderpriority) AS p_hi,
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_n,
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT) AS d_d,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(min(o_orderdate) AS DATE)) AS VARCHAR) AS d_lo,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(max(o_orderdate) AS DATE)) AS VARCHAR) AS d_hi
+        |  FROM orders)
+        |SELECT 'o_custkey' AS column_name, c_n AS n_nulls, c_d AS n_distinct, c_lo AS min_val, c_hi AS max_val FROM s
+        |UNION ALL SELECT 'o_orderdate', d_n, d_d, d_lo, d_hi FROM s
+        |UNION ALL SELECT 'o_orderkey', k_n, k_d, k_lo, k_hi FROM s
+        |UNION ALL SELECT 'o_orderpriority', p_n, p_d, p_lo, p_hi FROM s
+        |UNION ALL SELECT 'o_orderstatus', s_n, s_d, s_lo, s_hi FROM s
+        |UNION ALL SELECT 'o_totalprice', t_n, t_d, t_lo, t_hi FROM s
+        |ORDER BY column_name""".stripMargin,
     "decayed_sum" ->
       """WITH ev AS (SELECT user_id, value,
         |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d

@@ -144,6 +144,46 @@ class SignalsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("clustering_micros") === 1000000L) // 3·1/3
   }
 
+  test("top journeys: opening sequences count users, order is by event time") {
+    import spark.implicits._
+    // user 1: view>click>purchase; user 2: view>click>purchase (same
+    // path); user 3: error only (1-event path); later events ignored
+    val ev = Seq(
+      (1L, 1L, 1000L, "view"), (1L, 2L, 2000L, "click"),
+      (1L, 3L, 3000L, "purchase"), (1L, 4L, 4000L, "view"),
+      (2L, 5L, 1000L, "view"), (2L, 6L, 2000L, "click"),
+      (2L, 7L, 3000L, "purchase"),
+      (3L, 8L, 1000L, "error"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .withColumn("value", lit(1.0))
+    val dir = java.nio.file.Files.createTempDirectory("sig_tj").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Signals.queries("top_journeys")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out === Seq("view>click>purchase" -> 2L, "error" -> 1L))
+  }
+
+  test("profile table: nulls, distincts, and canonical bounds per column") {
+    import spark.implicits._
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(d: Int) = new java.sql.Timestamp(day0.getTime + d * 86400000L)
+    val o = Seq(
+      (1L, Some(10L), "O", 10.5, "1-URGENT", ts(0)),
+      (2L, None, "F", 99.99, "3-MEDIUM", ts(5)),
+      (3L, Some(20L), "O", 5.0, "3-MEDIUM", ts(2)))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority", "o_orderdate")
+    val dir = java.nio.file.Files.createTempDirectory("sig_pt").toString
+    o.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = graft.queries.Signals.queries("profile_table")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(rows("o_custkey") === ((1L, 2L, "10", "20")))
+    assert(rows("o_totalprice") === ((0L, 3L, "5.00", "99.99")))
+    assert(rows("o_orderdate") === ((0L, 3L, "0", "5")))
+    assert(rows("o_orderstatus") === ((0L, 2L, "F", "O")))
+  }
+
   test("decayed sum: half-life weights are exact powers of two of event age") {
     import spark.implicits._
     // one user, purchases of value 64 at days 0, 7, 14; ref = day 14
