@@ -172,4 +172,67 @@ object Ranking {
       .orderBy(col("pmi").desc, col("gram"))
       .limit(k)
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every RAW-pool document by its hashed-n-gram importance
+    * weight against a target domain, ln w(d) = Σ_b c_d(b)·(ln p̂(b) −
+    * ln q̂(b)), where b ranges over `m` hash buckets of the doc's
+    * unigrams+bigrams, p̂/q̂ are add-one-smoothed bucket distributions
+    * of the target (`source = targetSource`) and raw (everything else)
+    * pools, and c_d are the doc's bucket counts. Top-k by weight is
+    * the deterministic analog of the paper's Gumbel resampling.
+    *
+    * Scale shape: ONE feature explode feeds both the m-bucket
+    * pool-count aggregate (m rows total — a broadcast) and the
+    * per-(doc, bucket) count aggregate (≤ m rows per doc, map-side
+    * combined); the log-ratio join onto per-doc counts is a broadcast
+    * of the m-row table, and the final score is one keyed sum of exact
+    * long products. Nothing corpus-sized crosses the wire twice, and
+    * the top-k is a TakeOrdered.
+    *
+    * Determinism: bucket ids are md5-derived (the shared 28-bit-prefix
+    * recipe), counts are exact integers, and each bucket's log-ratio
+    * quantizes to integer micro-nats (one fixed IEEE chain, mirrored
+    * verbatim in the oracle) before the per-doc sum — so the sum is
+    * order-independent and engine-exact.
+    */
+  def dsirWeights(docs: DataFrame, targetSource: String = "src0",
+      m: Int = 1024, k: Int = 50): DataFrame = {
+    // project the token array FIRST so the regexp runs once per doc,
+    // not once per reference inside the feature construction
+    val tk = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.tokens(lower(col("text"))).as("tk"))
+    val feats = tk.select(col("doc_id"), col("source"),
+        explode(concat(col("tk"), Dedup.tokenNgrams(col("tk"), 2)))
+          .as("gram"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("gram").cast("binary")), 1, 7), 16, 10)
+          .cast("long") % m).as("b"))
+    val isTarget = col("source") === targetSource
+    val bc = feats.groupBy("b").agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+      sum(when(isTarget, 0L).otherwise(1L)).as("cr"))
+    val tot = bc.agg(sum("ct").cast("double").as("nt"),
+      sum("cr").cast("double").as("nr"))
+    // add-one smoothing over the m buckets; ln p̂ − ln q̂ in micro-nats
+    val lr = bc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        bround((log((col("ct").cast("double") + lit(1.0))
+            / (col("nt") + lit(m.toDouble)))
+          - log((col("cr").cast("double") + lit(1.0))
+            / (col("nr") + lit(m.toDouble)))) * lit(1000000.0))
+          .cast("long").as("lr_micros"))
+    val dc = feats.filter(!isTarget)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    dc.join(broadcast(lr), "b")
+      .groupBy("doc_id").agg(
+        sum("c").as("n_feats"),
+        sum(col("c") * col("lr_micros")).as("logw_micros"))
+      .select(col("doc_id"), col("n_feats"), col("logw_micros"),
+        round(col("logw_micros").cast("double") / lit(1000000.0), 6)
+          .as("logw"))
+      .orderBy(col("logw_micros").desc, col("doc_id"))
+      .limit(k)
+  }
 }

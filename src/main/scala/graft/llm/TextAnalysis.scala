@@ -477,4 +477,48 @@ object TextAnalysis {
         sum("sgn").as("signed_sum"))
       .orderBy("bucket")
   }
+
+  /** Corpus drift: KL(slice ‖ corpus) of unigram distributions, one
+    * row per value of `sliceCol` (language, source, time bucket …) —
+    * the monitoring stat a pipeline watches to catch a slice drifting
+    * from the mixture it was sampled for. Slice distributions are
+    * add-one smoothed over the FULL corpus vocabulary (so terms the
+    * slice never says still contribute mass); the corpus side needs no
+    * smoothing (every vocab term has count ≥ 1 by construction).
+    *
+    * Scale shape: token counts are vocabulary-keyed aggregates
+    * (map-side combined); the slice×vocab grid is |slices|·|V| rows —
+    * vocabulary- not corpus-scale, with the slice list a broadcast
+    * (slices are enumerable: languages, sources; for a web-scale open
+    * vocabulary, restrict V to the top-V terms first). Per-term
+    * contributions quantize to integer pico-nats before the per-slice
+    * sum, so the aggregate is order-independent and engine-exact.
+    */
+  def unigramKlDrift(docs: DataFrame, sliceCol: String = "lang"): DataFrame = {
+    val tok = docs.select(col(sliceCol).as("slice"),
+        explode(tokens(lower(col("text")))).as("w"))
+    val v = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = v.agg(sum("c").cast("double").as("n"),
+      count(lit(1)).as("vsz"))
+    val lc = tok.groupBy("slice", "w").agg(count(lit(1)).as("cl"))
+    val nl = tok.groupBy("slice").agg(count(lit(1)).as("nl"))
+    val grid = broadcast(nl).crossJoin(v)
+      .join(lc, Seq("slice", "w"), "left")
+      .na.fill(0L, Seq("cl"))
+      .crossJoin(broadcast(n))
+    val p = (col("cl").cast("double") + lit(1.0)) /
+      (col("nl").cast("double") + col("vsz").cast("double"))
+    val q = col("c").cast("double") / col("n")
+    grid.select(col("slice"), col("nl"), col("vsz"),
+        bround(p * log(p / q) * lit(1000000000000.0)).cast("long")
+          .as("k_picos"))
+      .groupBy("slice").agg(
+        min("nl").as("n_tokens"), min("vsz").as("vocab_size"),
+        sum("k_picos").as("kl_picos"))
+      .select(col("slice"), col("n_tokens"), col("vocab_size"),
+        col("kl_picos"),
+        round(col("kl_picos").cast("double") / lit(1000000000000.0), 6)
+          .as("kl_nats"))
+      .orderBy("slice")
+  }
 }

@@ -384,7 +384,20 @@ object Signals {
             bround(lit(3.0) * col("triangles").cast("double")
               / col("wedges").cast("double") * lit(1000000.0)).cast("long"))
             .otherwise(0L).as("clustering_micros"))
-    })
+    }),
+
+    // DSIR data selection (Xie et al. 2023): importance weights of the
+    // raw pool (source != src0) against the src0 target domain, hashed
+    // unigram+bigram features in 1024 md5 buckets, top-50 by weight.
+    // See llm/Ranking.dsirWeights for the scale/determinism story.
+    "dsir_select" -> ((s, dir) =>
+      Ranking.dsirWeights(t(s, dir, "documents"))),
+
+    // Corpus drift: per-language KL(slice || corpus) of unigram
+    // distributions, add-one smoothed over the corpus vocabulary.
+    // See llm/TextAnalysis.unigramKlDrift.
+    "kl_drift" -> ((s, dir) =>
+      TextAnalysis.unigramKlDrift(t(s, dir, "documents")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -643,6 +656,71 @@ object Signals {
         |  CASE WHEN w.wedges > 0 THEN
         |    CAST(round_even(3.0 * tri.triangles / w.wedges * 1000000.0, 0)
         |      AS BIGINT) ELSE 0 END AS clustering_micros
-        |FROM ed, w, tri""".stripMargin
+        |FROM ed, w, tri""".stripMargin,
+
+    "dsir_select" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+        |f0 AS (
+        |  SELECT doc_id, source, unnest(tk) AS gram FROM tk
+        |  UNION ALL
+        |  SELECT doc_id, source, unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM tk WHERE len(tk) >= 2),
+        |f AS (SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(gram), 1, 7) AS BIGINT) % 1024 AS b
+        |  FROM f0),
+        |bc AS (SELECT b,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cr
+        |  FROM f GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt,
+        |    CAST(sum(cr) AS DOUBLE) AS nr FROM bc),
+        |lr AS (SELECT b, CAST(round_even(
+        |    (ln((CAST(ct AS DOUBLE) + 1.0) / (nt + 1024.0))
+        |     - ln((CAST(cr AS DOUBLE) + 1.0) / (nr + 1024.0)))
+        |    * 1000000.0, 0) AS BIGINT) AS lr_micros
+        |  FROM bc, tot),
+        |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM f WHERE source <> 'src0' GROUP BY 1, 2)
+        |SELECT dc.doc_id,
+        |  CAST(sum(dc.c) AS BIGINT) AS n_feats,
+        |  CAST(sum(dc.c * lr.lr_micros) AS BIGINT) AS logw_micros,
+        |  round(CAST(sum(dc.c * lr.lr_micros) AS DOUBLE) / 1000000.0, 6)
+        |    AS logw
+        |FROM dc JOIN lr USING (b)
+        |GROUP BY 1 ORDER BY logw_micros DESC, doc_id LIMIT 50""".stripMargin,
+
+    "kl_drift" ->
+      """WITH tok AS (SELECT lang AS slice,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS w
+        |  FROM documents),
+        |v AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+        |    CAST(count(*) AS BIGINT) AS vsz FROM v),
+        |lc AS (SELECT slice, w, CAST(count(*) AS BIGINT) AS cl
+        |  FROM tok GROUP BY 1, 2),
+        |nl AS (SELECT slice, CAST(count(*) AS BIGINT) AS nl
+        |  FROM tok GROUP BY 1),
+        |grid AS (SELECT nl.slice, v.w, v.c, coalesce(lc.cl, 0) AS cl,
+        |    nl.nl, n.n, n.vsz
+        |  FROM nl CROSS JOIN v
+        |  LEFT JOIN lc ON lc.slice = nl.slice AND lc.w = v.w, n),
+        |contrib AS (SELECT slice, nl, vsz, CAST(round_even(
+        |    ((CAST(cl AS DOUBLE) + 1.0)
+        |      / (CAST(nl AS DOUBLE) + CAST(vsz AS DOUBLE)))
+        |    * ln(((CAST(cl AS DOUBLE) + 1.0)
+        |        / (CAST(nl AS DOUBLE) + CAST(vsz AS DOUBLE)))
+        |      / (CAST(c AS DOUBLE) / n)) * 1000000000000.0, 0)
+        |    AS BIGINT) AS k_picos
+        |  FROM grid)
+        |SELECT slice, CAST(min(nl) AS BIGINT) AS n_tokens,
+        |  CAST(min(vsz) AS BIGINT) AS vocab_size,
+        |  CAST(sum(k_picos) AS BIGINT) AS kl_picos,
+        |  round(CAST(sum(k_picos) AS DOUBLE) / 1000000000000.0, 6)
+        |    AS kl_nats
+        |FROM contrib GROUP BY 1 ORDER BY slice""".stripMargin
   )
 }

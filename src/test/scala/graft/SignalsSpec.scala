@@ -294,6 +294,78 @@ class SignalsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("rows_below_k5") === 4L)
   }
 
+  test("dsir: importance weights match a JVM recompute of the recipe") {
+    import spark.implicits._
+    // target domain (src0): "spark shuffle"; raw pool: one doc equal
+    // to the target, one disjoint, one half-overlapping
+    val rows = Seq(
+      (1L, "src0", "spark shuffle"), (2L, "src0", "spark shuffle"),
+      (10L, "web", "spark shuffle"), (11L, "web", "pandas loop"),
+      (12L, "web", "spark loop"))
+    val d = rows.toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Ranking.dsirWeights(d, targetSource = "src0", m = 1024, k = 50)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("logw_micros"))).toMap
+    // recompute with the shared md5 recipe in the JVM
+    def feats(text: String): Seq[String] = {
+      val tk = text.toLowerCase.split("\\s+").toSeq
+      tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(g: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(7), 16) % 1024
+    val target = rows.filter(_._2 == "src0").flatMap(r => feats(r._3))
+    val raw = rows.filter(_._2 != "src0")
+      .map(r => r._1 -> feats(r._3).map(bucket))
+    val ct = target.map(bucket).groupBy(identity).view.mapValues(_.size)
+    val cr = raw.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val (nt, nr) = (target.size.toDouble, raw.map(_._2.size).sum.toDouble)
+    def lrMicros(b: Long): Long = math.rint(
+      (math.log((ct.getOrElse(b, 0) + 1.0) / (nt + 1024.0))
+        - math.log((cr.getOrElse(b, 0) + 1.0) / (nr + 1024.0)))
+        * 1e6).toLong
+    val expected = raw.map { case (id, bs) =>
+      id -> (bs.size.toLong, bs.map(lrMicros).sum) }.toMap
+    assert(out === expected)
+    // the doc equal to the target domain must outrank the disjoint one
+    assert(out(10L)._2 > out(12L)._2)
+    assert(out(12L)._2 > out(11L)._2)
+  }
+
+  test("kl drift: per-slice KL matches a JVM recompute on a tiny vocab") {
+    import spark.implicits._
+    val d = Seq((1L, "en", "a a b"), (2L, "de", "b b b"))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("sig_kl").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Signals.queries("kl_drift")(spark, dir).collect()
+      .map(r => r.getAs[String]("slice") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab_size"),
+          r.getAs[Long]("kl_picos"))).toMap
+    // corpus: a→2, b→4, n=6, |V|=2; slices: en = {a:2, b:1}, de = {b:3}
+    def kl(counts: Map[String, Int]): Long = {
+      val v = Map("a" -> 2, "b" -> 4); val n = 6.0; val vsz = 2.0
+      val nl = counts.values.sum.toDouble
+      v.keys.toSeq.sorted.map { w =>
+        val p = (counts.getOrElse(w, 0) + 1.0) / (nl + vsz)
+        val q = v(w) / n
+        math.rint(p * math.log(p / q) * 1e12).toLong
+      }.sum
+    }
+    assert(out === Map(
+      "en" -> ((3L, 2L, kl(Map("a" -> 2, "b" -> 1)))),
+      "de" -> ((3L, 2L, kl(Map("b" -> 3))))))
+    // the corpus mixture is b-heavy (4 of 6), so the a-heavy "en"
+    // slice is the drifted one
+    assert(out("en")._3 > out("de")._3)
+  }
+
   test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
     // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
     // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
