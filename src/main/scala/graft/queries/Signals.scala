@@ -397,7 +397,106 @@ object Signals {
     // distributions, add-one smoothed over the corpus vocabulary.
     // See llm/TextAnalysis.unigramKlDrift.
     "kl_drift" -> ((s, dir) =>
-      TextAnalysis.unigramKlDrift(t(s, dir, "documents")))
+      TextAnalysis.unigramKlDrift(t(s, dir, "documents"))),
+
+    // Poisson bootstrap CIs (Chamandy et al. 2012, "Estimating
+    // Uncertainty for Massive Data Streams"): per-priority mean order
+    // value with a ~95% resampling interval. The classic bootstrap
+    // resamples n rows WITH replacement R times — impossible
+    // distributed (each replicate needs global coordination); the
+    // Poisson approximation gives every (row, replicate) an
+    // INDEPENDENT Poisson(1) multiplicity, so the whole thing is one
+    // map-side explode (×R) + one (grp, r)-keyed aggregate that
+    // partial-combines to |groups|·R rows before the shuffle — THE
+    // uncertainty method at 100 TB, where a second pass over the data
+    // costs more than the analysis. Multiplicities come from the
+    // shared 28-bit md5 recipe compared against integer thresholds
+    // floor(cdf_k·2^28) (identical literals in the oracle), so both
+    // engines draw the same replicates. Replicate means quantize to
+    // micro-units; the interval is an EXACT order statistic (ranks 2
+    // and R−1 of R=48, ties broken by replicate id) — no engine-
+    // specific quantile interpolation. Replicate sums run in
+    // DECIMAL(18,2)·w, exact and order-independent.
+    "bootstrap_ci" -> ((s, dir) => {
+      val R = 48
+      // Poisson(1) CDF thresholds at 28 bits: floor(e^{-1}·Σ 1/k!·2^28)
+      val thr = Seq(98751885L, 197503771L, 246879713L, 263338361L,
+        267453023L, 268275955L, 268413111L, 268432704L, 268435153L)
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority").as("grp"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("x"))
+      val h = Dedup.hashBucket(concat(lit("boot:"), col("r").cast("string"),
+        lit(":"), col("o_orderkey").cast("string")), 1L << 28)
+      val w = thr.tail.zipWithIndex.foldLeft(when(h < lit(thr.head), 0)) {
+        case (acc, (tk, k)) => acc.when(h < lit(tk), k + 1)
+      }.otherwise(9)
+      val means = o
+        .select(col("grp"), col("o_orderkey"), col("x"),
+          explode(sequence(lit(0), lit(R - 1))).as("r"))
+        .select(col("grp"), col("r"), w.as("w"), col("x"))
+        .groupBy("grp", "r")
+        .agg(sum("w").as("sw"), sum(col("w") * col("x")).as("swx"))
+        .filter(col("sw") > 0)
+        .select(col("grp"), col("r"),
+          bround(col("swx").cast("double") / col("sw").cast("double")
+            * lit(1000000.0)).cast("long").as("m"))
+      val rk = Window.partitionBy("grp").orderBy(col("m"), col("r"))
+      val ci = means.select(col("grp"), col("m"),
+          row_number().over(rk).as("rn"))
+        .groupBy("grp").agg(
+          max(when(col("rn") === 2, col("m"))).as("lo_micros"),
+          max(when(col("rn") === R - 1, col("m"))).as("hi_micros"))
+      val pt = o.groupBy("grp")
+        .agg(count(lit(1)).as("n_orders"), sum("x").as("sx"))
+        .select(col("grp"), col("n_orders"),
+          bround(col("sx").cast("double") / col("n_orders").cast("double")
+            * lit(1000000.0)).cast("long").as("mean_micros"))
+      pt.join(ci, "grp")
+        .select(col("grp"), col("n_orders"), col("mean_micros"),
+          col("lo_micros"), col("hi_micros"))
+        .orderBy("grp")
+    }),
+
+    // Population Stability Index per year vs the earliest year — the
+    // numeric-feature drift twin of kl_drift (PSI is the industry
+    // monitoring stat; ≥0.25 conventionally means "shifted"). Fixed
+    // 50k-wide bins over o_totalprice (10 bins, literal edges — no
+    // data-dependent quantile edges to drift between engines),
+    // add-one smoothing over the bins on BOTH sides so empty bins
+    // stay finite. Scale shape: two bin-keyed aggregates (map-side
+    // combined), a 10-row broadcast bin spine, and a |years|×10 grid
+    // — nothing corpus-sized past the first aggregate. Per-bin terms
+    // (p−q)·ln(p/q) quantize to integer pico-nats before the per-year
+    // sum; the base-year row reports exactly 0.
+    "psi_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        year(col("o_orderdate")).as("yr"),
+        least(greatest(floor(col("o_totalprice") / lit(50000.0)), lit(0L)),
+          lit(9L)).cast("int").as("bin"))
+      val counts = o.groupBy("yr", "bin").agg(count(lit(1)).as("c"))
+      val totals = o.groupBy("yr").agg(count(lit(1)).as("n"))
+      val bins = s.range(0, 10).select(col("id").cast("int").as("bin"))
+      val p = (col("c").cast("double") + lit(1.0)) /
+        (col("n").cast("double") + lit(10.0))
+      val grid = totals.crossJoin(broadcast(bins))
+        .join(counts, Seq("yr", "bin"), "left")
+        .na.fill(0L, Seq("c"))
+        .select(col("yr"), col("bin"), col("n"), p.as("p"))
+      val baseYr = grid.groupBy().agg(min("yr").as("base_yr"))
+      val base = grid.join(broadcast(baseYr),
+          col("yr") === col("base_yr"))
+        .select(col("bin"), col("p").as("q"))
+      grid.join(broadcast(base), "bin")
+        .select(col("yr"), col("n"),
+          bround((col("p") - col("q")) * log(col("p") / col("q"))
+            * lit(1000000000000.0)).cast("long").as("term_picos"))
+        .groupBy("yr").agg(
+          min("n").as("n_orders"), sum("term_picos").as("psi_picos"))
+        .select(col("yr"), col("n_orders"), col("psi_picos"),
+          round(col("psi_picos").cast("double") / lit(1000000000000.0), 6)
+            .as("psi"))
+        .orderBy("yr")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -721,6 +820,68 @@ object Signals {
         |  CAST(sum(k_picos) AS BIGINT) AS kl_picos,
         |  round(CAST(sum(k_picos) AS DOUBLE) / 1000000000000.0, 6)
         |    AS kl_nats
-        |FROM contrib GROUP BY 1 ORDER BY slice""".stripMargin
+        |FROM contrib GROUP BY 1 ORDER BY slice""".stripMargin,
+
+    "bootstrap_ci" ->
+      """WITH rep AS (
+        |  SELECT o_orderpriority AS grp, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS x, t.r AS r
+        |  FROM orders CROSS JOIN range(0, 48) t(r)),
+        |h AS (SELECT grp, r, x,
+        |    CAST('0x' || substr(md5('boot:' || r || ':' || o_orderkey),
+        |      1, 7) AS BIGINT) AS h28 FROM rep),
+        |w AS (SELECT grp, r, x,
+        |    CASE WHEN h28 < 98751885 THEN 0 WHEN h28 < 197503771 THEN 1
+        |      WHEN h28 < 246879713 THEN 2 WHEN h28 < 263338361 THEN 3
+        |      WHEN h28 < 267453023 THEN 4 WHEN h28 < 268275955 THEN 5
+        |      WHEN h28 < 268413111 THEN 6 WHEN h28 < 268432704 THEN 7
+        |      WHEN h28 < 268435153 THEN 8 ELSE 9 END AS w FROM h),
+        |agg AS (SELECT grp, r, CAST(sum(w) AS BIGINT) AS sw,
+        |    sum(w * x) AS swx FROM w GROUP BY 1, 2),
+        |means AS (SELECT grp, r, CAST(round_even(CAST(swx AS DOUBLE)
+        |      / CAST(sw AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS m
+        |  FROM agg WHERE sw > 0),
+        |rk AS (SELECT grp, m,
+        |    row_number() OVER (PARTITION BY grp ORDER BY m, r) AS rn
+        |  FROM means),
+        |ci AS (SELECT grp,
+        |    max(CASE WHEN rn = 2 THEN m END) AS lo_micros,
+        |    max(CASE WHEN rn = 47 THEN m END) AS hi_micros
+        |  FROM rk GROUP BY 1),
+        |pt AS (SELECT o_orderpriority AS grp,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(round_even(
+        |      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*) * 1000000.0, 0) AS BIGINT) AS mean_micros
+        |  FROM orders GROUP BY 1)
+        |SELECT pt.grp AS grp, n_orders, mean_micros, lo_micros, hi_micros
+        |FROM pt JOIN ci ON pt.grp = ci.grp ORDER BY grp""".stripMargin,
+
+    "psi_drift" ->
+      """WITH o AS (SELECT year(o_orderdate) AS yr,
+        |    CAST(least(greatest(floor(o_totalprice / 50000.0), 0), 9)
+        |      AS INT) AS bin FROM orders),
+        |counts AS (SELECT yr, bin, CAST(count(*) AS BIGINT) AS c
+        |  FROM o GROUP BY 1, 2),
+        |totals AS (SELECT yr, CAST(count(*) AS BIGINT) AS n
+        |  FROM o GROUP BY 1),
+        |bins AS (SELECT CAST(t.b AS INT) AS bin FROM range(0, 10) t(b)),
+        |grid AS (SELECT totals.yr, bins.bin, totals.n,
+        |    (CAST(coalesce(counts.c, 0) AS DOUBLE) + 1.0)
+        |      / (CAST(totals.n AS DOUBLE) + 10.0) AS p
+        |  FROM totals CROSS JOIN bins
+        |  LEFT JOIN counts ON counts.yr = totals.yr
+        |    AND counts.bin = bins.bin),
+        |base AS (SELECT bin, p AS q FROM grid
+        |  WHERE yr = (SELECT min(yr) FROM grid)),
+        |terms AS (SELECT grid.yr, grid.n, CAST(round_even(
+        |    (grid.p - base.q) * ln(grid.p / base.q)
+        |    * 1000000000000.0, 0) AS BIGINT) AS term_picos
+        |  FROM grid JOIN base ON grid.bin = base.bin)
+        |SELECT yr, CAST(min(n) AS BIGINT) AS n_orders,
+        |  CAST(sum(term_picos) AS BIGINT) AS psi_picos,
+        |  round(CAST(sum(term_picos) AS DOUBLE) / 1000000000000.0, 6)
+        |    AS psi
+        |FROM terms GROUP BY 1 ORDER BY yr""".stripMargin
   )
 }

@@ -366,6 +366,81 @@ class SignalsSpec extends AnyFunSuite {
     assert(out("en")._3 > out("de")._3)
   }
 
+  test("poisson bootstrap: CI order statistics match a JVM recompute") {
+    import spark.implicits._
+    // two groups, 30 orders each, exact 2-dp prices
+    val rows = (1L to 60L).map { k =>
+      val grp = if (k <= 30) "A" else "B"
+      (k, grp, (k * 7 % 100) * 10 + 0.25)
+    }
+    val o = rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("sig_boot").toString
+    o.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Signals.queries("bootstrap_ci")(spark, dir).collect()
+      .map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("mean_micros"),
+          r.getAs[Long]("lo_micros"), r.getAs[Long]("hi_micros"))).toMap
+    // JVM recompute of the full recipe
+    val thr = Seq(98751885L, 197503771L, 246879713L, 263338361L,
+      267453023L, 268275955L, 268413111L, 268432704L, 268435153L)
+    def h28(r: Int, id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"boot:$r:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7), 16)
+    def pois(h: Long): Long = thr.indexWhere(h < _) match {
+      case -1 => 9L; case k => k.toLong
+    }
+    val expected = rows.groupBy(_._2).map { case (grp, rs) =>
+      val cents = rs.map(t => t._1 -> math.round(t._3 * 100))
+      val means = (0 until 48).flatMap { r =>
+        val ws = cents.map { case (id, c) => (pois(h28(r, id)), c) }
+        val sw = ws.map(_._1).sum
+        if (sw == 0) None
+        else Some((math.rint(ws.map { case (w, c) => w * c }.sum
+          / 100.0 / sw * 1e6).toLong, r))
+      }.sorted
+      val mean = math.rint(
+        cents.map(_._2).sum / 100.0 / cents.size * 1e6).toLong
+      grp -> ((cents.size.toLong, mean,
+        means(1)._1, means(46)._1))
+    }
+    assert(out === expected)
+    // the interval must bracket the point estimate
+    out.values.foreach { case (_, m, lo, hi) =>
+      assert(lo <= m && m <= hi)
+    }
+  }
+
+  test("psi drift: identical distribution scores 0; a shift matches recompute") {
+    import spark.implicits._
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    // 1995 (base): 6 orders in bin 0, 4 in bin 1; 1996: identical
+    // counts -> p == q bin-for-bin -> psi exactly 0; 1997: all 10 in
+    // bin 2 -> recomputed positive psi
+    def year(y: Int, b0: Int, b1: Int, b2: Int) =
+      (Seq.fill(b0)(25000.0) ++ Seq.fill(b1)(75000.0) ++
+        Seq.fill(b2)(125000.0)).map(v => (ts(y), v))
+    val rows = (year(1995, 6, 4, 0) ++ year(1996, 6, 4, 0) ++
+      year(1997, 0, 0, 10)).zipWithIndex
+      .map { case ((d, v), i) => (i.toLong, d, v) }
+    val o = rows.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("sig_psi").toString
+    o.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Signals.queries("psi_drift")(spark, dir).collect()
+      .map(r => r.getAs[Int]("yr") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("psi_picos"))).toMap
+    assert(out(1995) === ((10L, 0L)))
+    assert(out(1996) === ((10L, 0L)))
+    // JVM recompute for 1997: p over bins with add-one smoothing
+    def p(c: Int) = (c + 1.0) / 20.0
+    val q = Seq(p(6), p(4)) ++ Seq.fill(8)(p(0))
+    val p97 = Seq(p(0), p(0), p(10)) ++ Seq.fill(7)(p(0))
+    val psi = p97.zip(q).map { case (a, b) =>
+      math.rint((a - b) * math.log(a / b) * 1e12).toLong }.sum
+    assert(out(1997) === ((10L, psi)))
+    assert(psi > 250000000000L, "a full shift must clear the 0.25 alarm")
+  }
+
   test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
     // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
     // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
