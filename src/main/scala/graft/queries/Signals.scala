@@ -425,14 +425,31 @@ object Signals {
       val o = t(s, dir, "orders").select(
         col("o_orderpriority").as("grp"), col("o_orderkey"),
         col("o_totalprice").cast("decimal(18,2)").as("x"))
+      // h28 materializes as its own column BEFORE the CASE chain:
+      // branch conditions after the first evaluate conditionally, so
+      // codegen's subexpression elimination can NOT hoist the md5 out
+      // of them — inlining h in every branch pays up to 10 digests per
+      // row (measured 9.8 s for the query at sf0.1; 2.6 s hoisted)
       val h = Dedup.hashBucket(concat(lit("boot:"), col("r").cast("string"),
         lit(":"), col("o_orderkey").cast("string")), 1L << 28)
-      val w = thr.tail.zipWithIndex.foldLeft(when(h < lit(thr.head), 0)) {
-        case (acc, (tk, k)) => acc.when(h < lit(tk), k + 1)
+      val hc = col("h28")
+      val w = thr.tail.zipWithIndex.foldLeft(when(hc < lit(thr.head), 0)) {
+        case (acc, (tk, k)) => acc.when(hc < lit(tk), k + 1)
       }.otherwise(9)
-      val means = o
+      // repartition BEFORE the ×R fan-out: the ~MB-scale orders scan
+      // arrives as one partition, which would serialize 7.2M
+      // md5+decimal ops on one core (measured 10 s → 1.4 s at sf0.1).
+      // Shuffling the 3-column pre-explode projection costs 1/R of
+      // shuffling the replicated rows; at 100 TB the scan is already
+      // thousands of partitions and this keyed exchange stays cheap.
+      // explicit partition count: AQE would otherwise coalesce this
+      // MB-scale exchange back to one partition — the point here is
+      // CORE fan-out for the 48× compute behind it, not shuffle size
+      val shuffleParts = s.sessionState.conf.numShufflePartitions
+      val means = o.repartition(shuffleParts, col("o_orderkey"))
         .select(col("grp"), col("o_orderkey"), col("x"),
           explode(sequence(lit(0), lit(R - 1))).as("r"))
+        .select(col("grp"), col("r"), h.as("h28"), col("x"))
         .select(col("grp"), col("r"), w.as("w"), col("x"))
         .groupBy("grp", "r")
         .agg(sum("w").as("sw"), sum(col("w") * col("x")).as("swx"))
