@@ -279,7 +279,8 @@ object Analytics {
     // GPT-3-style n-gram-overlap decontamination: doc_id%20==0 plays the
     // held-out set; every train doc sharing an 8-gram with it is dropped
     "decontaminate_ngram" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      // fanout: gram-explode-heavy (see GraftSession.fanout; 2.0 -> 1.2 s)
+      val d = GraftSession.fanout(t(s, dir, "documents"))
       val test = d.filter(col("doc_id") % 20 === 0)
       val train = d.filter(col("doc_id") % 20 =!= 0)
       Dedup.decontaminateNgrams(train, test, 8)

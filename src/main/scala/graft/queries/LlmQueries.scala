@@ -33,6 +33,19 @@ object LlmQueries {
     s.read.parquet(s"$dir/embeddings.parquet")
   }
 
+  // fanout (adaptive multi-core spread of an unsplittable local scan —
+  // see GraftSession.fanout) is applied PER QUERY, not in the loaders:
+  // the extra exchange costs ~0.3-0.5 s, which only the explode/
+  // hash-heavy pipelines win back (measured at sf0.1: repetition_filter
+  // 2.1→1.6, cosine_neardup 4.6→3.6, decontaminate_ngram 2.0→1.2,
+  // ann_pq_adc 2.8→2.3; but light scans regressed ~2x fleet-wide when
+  // it was blanket-applied, 140 s → 186 s suite total)
+  private def docsFan(s: SparkSession, dir: String): DataFrame =
+    GraftSession.fanout(docs(s, dir))
+
+  private def embFan(s: SparkSession, dir: String): DataFrame =
+    GraftSession.fanout(emb(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_exact_window" -> ((s, dir) => Dedup.exactWindow(docs(s, dir))),
@@ -48,7 +61,7 @@ object LlmQueries {
     "quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")),
     "repetition_filter" -> ((s, dir) =>
-      TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")),
+      TextAnalysis.repetitionStats(docsFan(s, dir)).orderBy("doc_id")),
     "text_stats" -> ((s, dir) =>
       TextAnalysis.stats(docs(s, dir)).orderBy("lang")),
     "doc_fingerprint" -> ((s, dir) =>
@@ -95,7 +108,7 @@ object LlmQueries {
     // runs on a sampled slice, the LSH path alone is the production
     // candidate generator.
     "cosine_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupGated(emb(s, dir),
+      Similarity.cosineNearDupGated(embFan(s, dir),
         maxDistance = 1.1, minCosine = 0.4, minRecall = 0.8)),
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, docs(s, dir))),
@@ -266,7 +279,7 @@ object LlmQueries {
     // ann_ivf_flat. Measured recall of the re-ranked top-10 vs exact:
     // 10/10 at sf0.001/0.01/0.1.
     "ann_pq_adc" -> ((s, dir) =>
-      Similarity.pqAdcTopK(emb(s, dir), k = 10, m = 16, ksub = 64,
+      Similarity.pqAdcTopK(embFan(s, dir), k = 10, m = 16, ksub = 64,
         dim = 64, rerank = 100)),
     // concat-and-chunk sequence packing: per-shard bins/straddle card
     "pack_chunks" -> ((s, dir) =>

@@ -156,7 +156,9 @@ object Signals {
     // Doubles canonicalize through DECIMAL(18,2)→string and timestamps
     // through integer day offsets so both engines print identical text.
     "profile_table" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
+      // fanout: 6 per-column distinct aggregates over one unsplittable
+      // scan partition (see GraftSession.fanout; 4.0 -> 2.7 s at sf0.1)
+      val o = GraftSession.fanout(t(s, dir, "orders"))
       // min/max compute on the NATIVE type (string min would be
       // lexicographic), then canonicalize the scalar for display
       def prof(c: String, canon: Column => Column) = Seq(
@@ -391,13 +393,14 @@ object Signals {
     // unigram+bigram features in 1024 md5 buckets, top-50 by weight.
     // See llm/Ranking.dsirWeights for the scale/determinism story.
     "dsir_select" -> ((s, dir) =>
-      Ranking.dsirWeights(t(s, dir, "documents"))),
+      Ranking.dsirWeights(GraftSession.fanout(t(s, dir, "documents")))),
 
     // Corpus drift: per-language KL(slice || corpus) of unigram
     // distributions, add-one smoothed over the corpus vocabulary.
     // See llm/TextAnalysis.unigramKlDrift.
     "kl_drift" -> ((s, dir) =>
-      TextAnalysis.unigramKlDrift(t(s, dir, "documents"))),
+      TextAnalysis.unigramKlDrift(
+        GraftSession.fanout(t(s, dir, "documents")))),
 
     // Poisson bootstrap CIs (Chamandy et al. 2012, "Estimating
     // Uncertainty for Massive Data Streams"): per-priority mean order
@@ -422,7 +425,10 @@ object Signals {
       // Poisson(1) CDF thresholds at 28 bits: floor(e^{-1}·Σ 1/k!·2^28)
       val thr = Seq(98751885L, 197503771L, 246879713L, 263338361L,
         267453023L, 268275955L, 268413111L, 268432704L, 268435153L)
-      val o = t(s, dir, "orders").select(
+      // fanout: the ×R fan-out would otherwise serialize 7.2M
+      // md5+decimal ops on one unsplittable scan partition (measured
+      // 10.2 s vs 1.6 s at sf0.1 — see GraftSession.fanout)
+      val o = GraftSession.fanout(t(s, dir, "orders")).select(
         col("o_orderpriority").as("grp"), col("o_orderkey"),
         col("o_totalprice").cast("decimal(18,2)").as("x"))
       // h28 materializes as its own column BEFORE the CASE chain:
@@ -436,17 +442,7 @@ object Signals {
       val w = thr.tail.zipWithIndex.foldLeft(when(hc < lit(thr.head), 0)) {
         case (acc, (tk, k)) => acc.when(hc < lit(tk), k + 1)
       }.otherwise(9)
-      // repartition BEFORE the ×R fan-out: the ~MB-scale orders scan
-      // arrives as one partition, which would serialize 7.2M
-      // md5+decimal ops on one core (measured 10 s → 1.4 s at sf0.1).
-      // Shuffling the 3-column pre-explode projection costs 1/R of
-      // shuffling the replicated rows; at 100 TB the scan is already
-      // thousands of partitions and this keyed exchange stays cheap.
-      // explicit partition count: AQE would otherwise coalesce this
-      // MB-scale exchange back to one partition — the point here is
-      // CORE fan-out for the 48× compute behind it, not shuffle size
-      val shuffleParts = s.sessionState.conf.numShufflePartitions
-      val means = o.repartition(shuffleParts, col("o_orderkey"))
+      val means = o
         .select(col("grp"), col("o_orderkey"), col("x"),
           explode(sequence(lit(0), lit(R - 1))).as("r"))
         .select(col("grp"), col("r"), h.as("h28"), col("x"))
