@@ -509,6 +509,90 @@ object Signals {
           round(col("psi_picos").cast("double") / lit(1000000000000.0), 6)
             .as("psi"))
         .orderBy("yr")
+    }),
+
+    // Welch two-sample t-test per event type between two deterministic
+    // 50/50 experiment arms (md5 of "ab:"+user_id — the shared bucket
+    // recipe, so arm assignment is reproducible across runs, engines,
+    // and cluster layouts; never rand()). The A/B readout is ONE pass:
+    // values quantize to exact integer micros, each arm reduces to the
+    // exact moments (n, Σv as int64, Σv² in DECIMAL(38,0) — v² alone
+    // fits int64 but the SUM overflows it), and the t statistic and
+    // Welch–Satterthwaite df are a fixed IEEE chain over those exact
+    // integers, mirrored verbatim in the oracle. Map-side combine
+    // collapses everything to |types|×2 rows before the shuffle — the
+    // same shape at 100 TB.
+    "welch_ttest" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        bround(col("value") * lit(1000000.0)).cast("long").as("v"),
+        Dedup.hashBucket(concat(lit("ab:"), col("user_id").cast("string")),
+          2L).cast("int").as("arm"))
+      val one = ev.groupBy("event_type", "arm").agg(
+          count(lit(1)).as("n"), sum("v").as("sv"),
+          sum(col("v").cast("decimal(38,0)") * col("v")).as("svv"))
+        .groupBy("event_type").agg(
+          max(when(col("arm") === 0, col("n"))).as("n0"),
+          max(when(col("arm") === 0, col("sv"))).as("sv0"),
+          max(when(col("arm") === 0, col("svv"))).as("svv0"),
+          max(when(col("arm") === 1, col("n"))).as("n1"),
+          max(when(col("arm") === 1, col("sv"))).as("sv1"),
+          max(when(col("arm") === 1, col("svv"))).as("svv1"))
+      def mean(sv: Column, n: Column) = sv.cast("double") / n.cast("double")
+      // unbiased per-arm variance of the mean: s²/n off exact moments
+      def vm(svv: Column, sv: Column, n: Column) =
+        (svv.cast("double")
+          - sv.cast("double") * sv.cast("double") / n.cast("double")) /
+          (n.cast("double") - lit(1.0)) / n.cast("double")
+      val m0 = mean(col("sv0"), col("n0"))
+      val m1 = mean(col("sv1"), col("n1"))
+      val va = vm(col("svv0"), col("sv0"), col("n0"))
+      val vb = vm(col("svv1"), col("sv1"), col("n1"))
+      val tstat = (m0 - m1) / sqrt(va + vb)
+      val dfW = (va + vb) * (va + vb) /
+        (va * va / (col("n0").cast("double") - lit(1.0))
+          + vb * vb / (col("n1").cast("double") - lit(1.0)))
+      one.select(col("event_type"), col("n0"), col("n1"),
+          round(m0 / lit(1000000.0), 4).as("mean0"),
+          round(m1 / lit(1000000.0), 4).as("mean1"),
+          bround(tstat, 6).as("t_stat"),
+          bround(dfW, 2).as("df"),
+          (abs(tstat) > lit(1.959964)).cast("int").as("significant"))
+        .orderBy("event_type")
+    }),
+
+    // l-diversity audit (Machanavajjhala et al. 2007) — the
+    // k-anonymity companion: every equivalence class (event_type, day)
+    // must carry at least l DISTINCT sensitive values (user_id), and
+    // distinct-count alone can still be skewed, so the entropy variant
+    // is reported too. Per-class user counts map-side combine; entropy
+    // terms p·ln(p)·(−1e12) quantize to integer pico-nats before the
+    // per-class sum (order-independence), and the per-type minima are
+    // exact integer folds.
+    "ldiversity" -> ((s, dir) => {
+      val ev = Relational.events(s, dir).select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("d"),
+        col("user_id"))
+      val cu = ev.groupBy("event_type", "d", "user_id")
+        .agg(count(lit(1)).as("cu"))
+      val cls = cu.groupBy("event_type", "d").agg(
+        sum("cu").as("n"), count(lit(1)).as("l_distinct"))
+      val p = col("cu").cast("double") / col("n").cast("double")
+      val ent = cu
+        .join(broadcast(cls.select("event_type", "d", "n")),
+          Seq("event_type", "d"))
+        .select(col("event_type"), col("d"),
+          bround(p * log(p) * lit(-1000000000000.0)).cast("long")
+            .as("h_picos"))
+        .groupBy("event_type", "d").agg(sum("h_picos").as("ent_picos"))
+      cls.join(ent, Seq("event_type", "d"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("classes"),
+          min("l_distinct").as("min_l"),
+          sum(when(col("l_distinct") < 3, 1L).otherwise(0L))
+            .as("classes_below_l3"),
+          min("ent_picos").as("min_entropy_picos"))
+        .orderBy("event_type")
     })
   )
 
@@ -895,6 +979,77 @@ object Signals {
         |  CAST(sum(term_picos) AS BIGINT) AS psi_picos,
         |  round(CAST(sum(term_picos) AS DOUBLE) / 1000000000000.0, 6)
         |    AS psi
-        |FROM terms GROUP BY 1 ORDER BY yr""".stripMargin
+        |FROM terms GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "welch_ttest" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v,
+        |    CAST(CAST('0x' || substr(md5('ab:' || user_id), 1, 7)
+        |      AS BIGINT) % 2 AS INT) AS arm
+        |  FROM events),
+        |st AS (SELECT event_type, arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sv,
+        |    CAST(sum(CAST(v AS HUGEINT) * v) AS DECIMAL(38,0)) AS svv
+        |  FROM ev GROUP BY 1, 2),
+        |one AS (SELECT event_type,
+        |    max(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    max(CASE WHEN arm = 0 THEN sv END) AS sv0,
+        |    max(CASE WHEN arm = 0 THEN svv END) AS svv0,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    max(CASE WHEN arm = 1 THEN sv END) AS sv1,
+        |    max(CASE WHEN arm = 1 THEN svv END) AS svv1
+        |  FROM st GROUP BY 1),
+        |c1 AS (SELECT event_type, n0, n1,
+        |    CAST(sv0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+        |    CAST(sv1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    (CAST(svv0 AS DOUBLE) - CAST(sv0 AS DOUBLE)
+        |        * CAST(sv0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |      / (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE) AS va,
+        |    (CAST(svv1 AS DOUBLE) - CAST(sv1 AS DOUBLE)
+        |        * CAST(sv1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE) AS vb
+        |  FROM one),
+        |c2 AS (SELECT event_type, n0, n1, m0, m1, va, vb,
+        |    (m0 - m1) / sqrt(va + vb) AS t
+        |  FROM c1)
+        |SELECT event_type, n0, n1,
+        |  round(m0 / 1000000.0, 4) AS mean0,
+        |  round(m1 / 1000000.0, 4) AS mean1,
+        |  CAST(round_even(t, 6) AS DOUBLE) AS t_stat,
+        |  CAST(round_even((va + vb) * (va + vb)
+        |    / (va * va / (CAST(n0 AS DOUBLE) - 1.0)
+        |      + vb * vb / (CAST(n1 AS DOUBLE) - 1.0)), 2) AS DOUBLE)
+        |    AS df,
+        |  CAST(CASE WHEN abs(t) > 1.959964 THEN 1 ELSE 0 END AS INT)
+        |    AS significant
+        |FROM c2 ORDER BY event_type""".stripMargin,
+
+    "ldiversity" ->
+      """WITH ev AS (SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+        |    user_id
+        |  FROM events),
+        |cu AS (SELECT event_type, d, user_id,
+        |    CAST(count(*) AS BIGINT) AS cu FROM ev GROUP BY 1, 2, 3),
+        |cls AS (SELECT event_type, d, CAST(sum(cu) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS l_distinct
+        |  FROM cu GROUP BY 1, 2),
+        |ent AS (SELECT cu.event_type, cu.d,
+        |    CAST(sum(CAST(round_even(
+        |      (CAST(cu AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(cu AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * -1000000000000.0, 0) AS BIGINT)) AS BIGINT) AS ent_picos
+        |  FROM cu JOIN cls ON cu.event_type = cls.event_type
+        |    AND cu.d = cls.d
+        |  GROUP BY 1, 2)
+        |SELECT cls.event_type AS event_type,
+        |  CAST(count(*) AS BIGINT) AS classes,
+        |  CAST(min(l_distinct) AS BIGINT) AS min_l,
+        |  CAST(sum(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS classes_below_l3,
+        |  CAST(min(ent_picos) AS BIGINT) AS min_entropy_picos
+        |FROM cls JOIN ent ON cls.event_type = ent.event_type
+        |  AND cls.d = ent.d
+        |GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -441,6 +441,76 @@ class SignalsSpec extends AnyFunSuite {
     assert(psi > 250000000000L, "a full shift must clear the 0.25 alarm")
   }
 
+  test("welch t-test: statistic matches a JVM recompute of the exact-moment chain") {
+    import spark.implicits._
+    // md5 arms for uids 1..12 (precomputed): arm0 = {2,3,4,5,6,8,12},
+    // arm1 = {1,7,9,10,11}; values uid*1.5 so the arms differ
+    val rows = (1L to 12L).map(u => (u, "purchase", u * 1.5))
+    val ev = rows.toDF("user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("sig_tt").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Signals.queries("welch_ttest")(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    def arm(u: Long): Int = (java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$u".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(7), 16) % 2).toInt
+    val byArm = rows.groupBy(t => arm(t._1)).view
+      .mapValues(_.map(t => math.rint(t._3 * 1e6).toLong))
+    def mom(a: Int) = {
+      val vs = byArm(a)
+      (vs.size.toLong, vs.sum, vs.map(v => BigInt(v) * v).sum)
+    }
+    val (n0, sv0, svv0) = mom(0); val (n1, sv1, svv1) = mom(1)
+    val m0 = sv0.toDouble / n0; val m1 = sv1.toDouble / n1
+    def vm(svv: BigInt, sv: Long, n: Long) =
+      (svv.toDouble - sv.toDouble * sv.toDouble / n) / (n - 1.0) / n
+    val va = vm(svv0, sv0, n0); val vb = vm(svv1, sv1, n1)
+    val tExp = (m0 - m1) / math.sqrt(va + vb)
+    def hev(x: Double, s: Int) = new java.math.BigDecimal(x)
+      .setScale(s, java.math.RoundingMode.HALF_EVEN).doubleValue
+    assert(r.getAs[Long]("n0") === n0)
+    assert(r.getAs[Long]("n1") === n1)
+    assert(r.getAs[Double]("t_stat") === hev(tExp, 6))
+    val dfExp = (va + vb) * (va + vb) /
+      (va * va / (n0 - 1.0) + vb * vb / (n1 - 1.0))
+    assert(r.getAs[Double]("df") === hev(dfExp, 2))
+    assert(r.getAs[Int]("significant") ===
+      (if (math.abs(tExp) > 1.959964) 1 else 0))
+  }
+
+  test("l-diversity: planted classes yield exact min-l and entropy floor") {
+    import spark.implicits._
+    // 2024-01-01 00:00 UTC in nanos; day d at noon
+    def ns(d: Int) = (1704067200L + d * 86400L + 43200L) * 1000000000L
+    // class (click, day0): 1 user x 3 events -> l=1, entropy 0
+    // class (click, day1): users 1,2 with counts 1 and 3 -> l=2
+    // class (view,  day0): users 1,2,3 once each -> l=3, max entropy
+    val rows = Seq(
+      (1L, 10L, "click", ns(0)), (2L, 10L, "click", ns(0)),
+      (3L, 10L, "click", ns(0)),
+      (4L, 1L, "click", ns(1)), (5L, 2L, "click", ns(1)),
+      (6L, 2L, "click", ns(1)), (7L, 2L, "click", ns(1)),
+      (8L, 1L, "view", ns(0)), (9L, 2L, "view", ns(0)),
+      (10L, 3L, "view", ns(0)))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("sig_ld").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Signals.queries("ldiversity")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("classes"), r.getAs[Long]("min_l"),
+          r.getAs[Long]("classes_below_l3"),
+          r.getAs[Long]("min_entropy_picos"))).toMap
+    def term(c: Long, n: Long) = math.rint(
+      (c.toDouble / n) * math.log(c.toDouble / n) * -1e12).toLong
+    // click worst class is the singleton-user one: entropy 0
+    assert(out("click") === ((2L, 1L, 2L, 0L)))
+    // view: one class of 3 singleton users -> entropy = ln(3)
+    val entView = 3 * term(1, 3)
+    assert(out("view") === ((1L, 3L, 0L, entView)))
+  }
+
   test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
     // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
     // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
