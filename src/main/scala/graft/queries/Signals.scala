@@ -593,6 +593,48 @@ object Signals {
             .as("classes_below_l3"),
           min("ent_picos").as("min_entropy_picos"))
         .orderBy("event_type")
+    }),
+
+    // Mergeable quantile sketch: per-type p50/p90/p99 of event value
+    // from a FIXED 512-bin grid. The bin-count aggregate IS the sketch
+    // state — 512 longs per group, map-side combined, trivially
+    // mergeable across partitions/days/clusters (sum the grids), with
+    // a hard error bound of one bin width (400/512 ≈ 0.78). That is
+    // the one-pass fixed-memory shape percentile_approx's GK sketch
+    // also has, but with engine-portable state the DuckDB twin
+    // recomputes bit-for-bit (GK/t-digest internals are not portable).
+    // Readout: cumulative counts over the ≤512-row grid + linear
+    // interpolation inside the target bin — integer counts, literal
+    // edges, one mirrored IEEE chain.
+    "sketch_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val W = 400.0 / 512.0 // exact binary literal (0.78125)
+      val ev = t(s, dir, "events").select(col("event_type"),
+        least(floor(col("value") / lit(W)), lit(511L)).cast("int")
+          .as("bin"))
+      val bc = ev.groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      val wspec = Window.partitionBy("event_type").orderBy("bin")
+      val cum = bc.select(col("event_type"), col("bin"), col("c"),
+        sum("c").over(wspec).as("cum"))
+      val tot = bc.groupBy("event_type").agg(sum("c").as("n"))
+      val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+        .toDF("p", "pname")
+      val rank = ceil(col("p") * col("n").cast("double"))
+      val v = col("bin").cast("double") * lit(W) +
+        lit(W) * (rank - (col("cum") - col("c")).cast("double")) /
+          col("c").cast("double")
+      cum.join(broadcast(tot), "event_type")
+        .crossJoin(broadcast(ps))
+        .filter(col("cum").cast("double") >= rank &&
+          (col("cum") - col("c")).cast("double") < rank)
+        .select(col("event_type"), col("n"), col("pname"),
+          round(v, 6).as("v"))
+        .groupBy("event_type").agg(
+          min("n").as("n"),
+          max(when(col("pname") === "p50", col("v"))).as("p50"),
+          max(when(col("pname") === "p90", col("v"))).as("p90"),
+          max(when(col("pname") === "p99", col("v"))).as("p99"))
+        .orderBy("event_type")
     })
   )
 
@@ -1050,6 +1092,37 @@ object Signals {
         |  CAST(min(ent_picos) AS BIGINT) AS min_entropy_picos
         |FROM cls JOIN ent ON cls.event_type = ent.event_type
         |  AND cls.d = ent.d
-        |GROUP BY 1 ORDER BY event_type""".stripMargin
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "sketch_quantiles" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(least(floor(value / 0.78125), 511) AS INT) AS bin
+        |  FROM events),
+        |bc AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bin, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin)
+        |      AS BIGINT) AS cum
+        |  FROM bc),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+        |  FROM bc GROUP BY 1),
+        |ps(p, pname) AS (VALUES (0.5, 'p50'), (0.9, 'p90'),
+        |  (0.99, 'p99')),
+        |hit AS (SELECT cum.event_type, tot.n, ps.pname,
+        |    round(CAST(cum.bin AS DOUBLE) * 0.78125
+        |      + 0.78125 * (ceil(ps.p * CAST(tot.n AS DOUBLE))
+        |          - CAST(cum.cum - cum.c AS DOUBLE))
+        |        / CAST(cum.c AS DOUBLE), 6) AS v
+        |  FROM cum JOIN tot ON cum.event_type = tot.event_type
+        |  CROSS JOIN ps
+        |  WHERE CAST(cum.cum AS DOUBLE)
+        |      >= ceil(ps.p * CAST(tot.n AS DOUBLE))
+        |    AND CAST(cum.cum - cum.c AS DOUBLE)
+        |      < ceil(ps.p * CAST(tot.n AS DOUBLE)))
+        |SELECT event_type, CAST(min(n) AS BIGINT) AS n,
+        |  max(CASE WHEN pname = 'p50' THEN v END) AS p50,
+        |  max(CASE WHEN pname = 'p90' THEN v END) AS p90,
+        |  max(CASE WHEN pname = 'p99' THEN v END) AS p99
+        |FROM hit GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -511,6 +511,40 @@ class SignalsSpec extends AnyFunSuite {
     assert(out("view") === ((1L, 3L, 0L, entView)))
   }
 
+  test("sketch quantiles: readout matches a JVM recompute and honors the bin-width error bound") {
+    import spark.implicits._
+    val vals = (1 to 200).map(i => i % 97 * 1.37 + 0.2)
+    val ev = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "click", v) }
+      .toDF("event_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("sig_sq").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Signals.queries("sketch_quantiles")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n") === 200L)
+    // JVM recompute of the grid readout
+    val W = 400.0 / 512.0
+    val grid = vals.map(v => math.min(math.floor(v / W).toLong, 511L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val cums = grid.scanLeft(0L)(_ + _._2).tail.zip(grid)
+    def readout(p: Double): Double = {
+      val rank = math.ceil(p * 200.0)
+      val (cum, (bin, c)) = cums
+        .find { case (cm, (_, cc)) => cm >= rank && cm - cc < rank }.get
+      val v = bin.toDouble * W + W * (rank - (cum - c)) / c
+      new java.math.BigDecimal(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    val sorted = vals.sorted
+    for ((p, cname) <- Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")) {
+      val got = r.getAs[Double](cname)
+      assert(got === readout(p), cname)
+      // the sketch's contract: within one bin width of the exact
+      // rank statistic
+      val exact = sorted(math.ceil(p * 200.0).toInt - 1)
+      assert(math.abs(got - exact) <= W + 1e-9, s"$cname error bound")
+    }
+  }
+
   test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
     // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
     // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
