@@ -70,5 +70,9 @@ for (q <- Seq("dedup_cluster", "dedup_keep_best", "repetition_filter",
               "feature_hash", "weighted_sample", "winsorize",
               "triangle_count", "bfs_levels", "skyline", "table_checksum",
               "kanonymity", "negative_sample", "jaro_winkler",
-              "decayed_sum")) time(q)
+              "decayed_sum",
+              // round-8 uncertainty/drift/privacy batch
+              "bootstrap_ci", "psi_drift", "welch_ttest", "ldiversity",
+              "sketch_quantiles", "dsir_select", "kl_drift",
+              "top_journeys", "profile_table")) time(q)
 System.exit(0)
