@@ -635,6 +635,44 @@ object Signals {
           max(when(col("pname") === "p90", col("v"))).as("p90"),
           max(when(col("pname") === "p99", col("v"))).as("p99"))
         .orderBy("event_type")
+    }),
+
+    // Last-touch attribution: every purchase credits the LAST
+    // click/view by the same user within a 3-day lookback; purchases
+    // with no qualifying touch report as channel "none". ONE window
+    // pass over user-partitioned events (the as-of-join shape without
+    // a join): two `last(..., ignoreNulls)` over the same
+    // rows-preceding frame necessarily pick the same touch row, which
+    // keeps the oracle struct-free. Values quantize to exact micros
+    // before the per-channel sum. Scale: the window shuffles once on
+    // user_id; output is |channels| rows.
+    "attribution" -> ((s, dir) => {
+      val lookbackUs = 259200000000L // 3 days in µs
+      val ev = Relational.events(s, dir).select(col("user_id"),
+        col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"),
+        bround(col("value") * lit(1000000.0)).cast("long").as("v"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isTouch = col("event_type").isin("click", "view")
+      ev
+        .withColumn("lt_ts",
+          last(when(isTouch, col("ts_us")), ignoreNulls = true).over(w))
+        .withColumn("lt_ch",
+          last(when(isTouch, col("event_type")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("v"),
+          when(col("lt_ts").isNotNull &&
+            col("ts_us") - col("lt_ts") <= lit(lookbackUs),
+            col("lt_ch")).otherwise(lit("none")).as("channel"))
+        .groupBy("channel").agg(
+          count(lit(1)).as("purchases"), sum("v").as("value_micros"))
+        .select(col("channel"), col("purchases"), col("value_micros"),
+          round(col("value_micros").cast("double") / lit(1000000.0), 6)
+            .as("value"))
+        .orderBy("channel")
     })
   )
 
@@ -1123,6 +1161,32 @@ object Signals {
         |  max(CASE WHEN pname = 'p50' THEN v END) AS p50,
         |  max(CASE WHEN pname = 'p90' THEN v END) AS p90,
         |  max(CASE WHEN pname = 'p99' THEN v END) AS p99
-        |FROM hit GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM hit GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    event_type,
+        |    CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+        |  FROM events),
+        |lt AS (SELECT *,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN ts_us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS lt_ts,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS lt_ch
+        |  FROM ev),
+        |att AS (SELECT v,
+        |    CASE WHEN lt_ts IS NOT NULL AND ts_us - lt_ts <= 259200000000
+        |      THEN lt_ch ELSE 'none' END AS channel
+        |  FROM lt WHERE event_type = 'purchase')
+        |SELECT channel, CAST(count(*) AS BIGINT) AS purchases,
+        |  CAST(sum(v) AS BIGINT) AS value_micros,
+        |  round(CAST(sum(v) AS DOUBLE) / 1000000.0, 6) AS value
+        |FROM att GROUP BY 1 ORDER BY channel""".stripMargin
   )
 }

@@ -545,6 +545,30 @@ class SignalsSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution: last qualifying touch wins; stale and missing touches report none") {
+    import spark.implicits._
+    def ns(hours: Long) = (1704067200L + hours * 3600L) * 1000000000L
+    // user 1: view @0h, click @1h, purchase @2h -> click (last touch)
+    // user 2: view @0h, purchase @73h (3d+1h later) -> none (stale)
+    // user 3: purchase @0h, click @1h (touch AFTER) -> none
+    // user 4: click @0h, purchase @72h (exactly 3d) -> click (boundary)
+    val rows = Seq(
+      (1L, 1L, "view", ns(0), 0.0), (2L, 1L, "click", ns(1), 0.0),
+      (3L, 1L, "purchase", ns(2), 10.5),
+      (4L, 2L, "view", ns(0), 0.0), (5L, 2L, "purchase", ns(73), 3.25),
+      (6L, 3L, "purchase", ns(0), 7.0), (7L, 3L, "click", ns(1), 0.0),
+      (8L, 4L, "click", ns(0), 0.0), (9L, 4L, "purchase", ns(72), 2.0))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("sig_att").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Signals.queries("attribution")(spark, dir).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("purchases"), r.getAs[Long]("value_micros"))).toMap
+    assert(out === Map(
+      "click" -> ((2L, 12500000L)), // users 1 (10.5) and 4 (2.0)
+      "none" -> ((2L, 10250000L)))) // users 2 (3.25) and 3 (7.0)
+  }
+
   test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
     // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
     // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
