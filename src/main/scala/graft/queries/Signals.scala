@@ -673,6 +673,37 @@ object Signals {
           round(col("value_micros").cast("double") / lit(1000000.0), 6)
             .as("value"))
         .orderBy("channel")
+    }),
+
+    // Per-dimension embedding diagnostics — the collapsed/dead-dim
+    // check an embedding pipeline runs before trusting ANN recall
+    // (a dimension whose variance ≈ 0 carries no signal; a high
+    // zero-fraction flags sparsity/ReLU death). One posexplode +
+    // ONE dim-keyed aggregate: map-side combine collapses to 64 rows
+    // per partition regardless of corpus size. float32 components
+    // quantize to exact integer micros (float→double is exact);
+    // Σx² runs in DECIMAL(38,0) (micros² sums past int64 at corpus
+    // scale); mean/variance are one mirrored IEEE chain off the
+    // exact moments.
+    "embed_dim_stats" -> ((s, dir) => {
+      val q = t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")))
+        .select(col("pos").as("dim"),
+          bround(col("col").cast("double") * lit(1000000.0)).cast("long")
+            .as("xm"))
+      q.groupBy("dim").agg(
+          count(lit(1)).as("n"), sum("xm").as("sv"),
+          sum(col("xm").cast("decimal(38,0)") * col("xm")).as("svv"),
+          sum(when(col("xm") === 0L, 1L).otherwise(0L)).as("zeros"))
+        .select(col("dim"), col("n"), col("zeros"),
+          round(col("sv").cast("double") / col("n").cast("double")
+            / lit(1000000.0), 6).as("mean"),
+          round((col("svv").cast("double")
+            - col("sv").cast("double") * col("sv").cast("double")
+              / col("n").cast("double"))
+            / col("n").cast("double") / lit(1000000000000.0), 6)
+            .as("variance"))
+        .orderBy("dim")
     })
   )
 
@@ -1187,6 +1218,27 @@ object Signals {
         |SELECT channel, CAST(count(*) AS BIGINT) AS purchases,
         |  CAST(sum(v) AS BIGINT) AS value_micros,
         |  round(CAST(sum(v) AS DOUBLE) / 1000000.0, 6) AS value
-        |FROM att GROUP BY 1 ORDER BY channel""".stripMargin
+        |FROM att GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "embed_dim_stats" ->
+      """WITH e AS (SELECT generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding) AS x FROM embeddings),
+        |q AS (SELECT CAST(i - 1 AS INT) AS dim,
+        |    CAST(round_even(CAST(x AS DOUBLE) * 1000000.0, 0)
+        |      AS BIGINT) AS xm FROM e),
+        |m AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xm) AS BIGINT) AS sv,
+        |    CAST(sum(CAST(xm AS HUGEINT) * xm) AS DECIMAL(38,0)) AS svv,
+        |    CAST(sum(CASE WHEN xm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zeros
+        |  FROM q GROUP BY 1)
+        |SELECT dim, n, zeros,
+        |  round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+        |    AS mean,
+        |  round((CAST(svv AS DOUBLE)
+        |    - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 1000000000000.0, 6) AS variance
+        |FROM m ORDER BY dim""".stripMargin
   )
 }

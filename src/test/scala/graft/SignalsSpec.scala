@@ -569,6 +569,24 @@ class SignalsSpec extends AnyFunSuite {
       "none" -> ((2L, 10250000L)))) // users 2 (3.25) and 3 (7.0)
   }
 
+  test("embed dim stats: dead dim, zero fraction, and variance are exact") {
+    import spark.implicits._
+    // dim0 constant (dead), dim1 mostly-zero, dim2 spread 1..4
+    val vecs = Seq(
+      (1L, Array(0.5f, 0f, 1f)), (2L, Array(0.5f, 0f, 2f)),
+      (3L, Array(0.5f, 0f, 3f)), (4L, Array(0.5f, 1f, 4f)))
+    val e = vecs.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("sig_eds").toString
+    e.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Signals.queries("embed_dim_stats")(spark, dir).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("zeros"),
+          r.getAs[Double]("mean"), r.getAs[Double]("variance"))).toMap
+    assert(out(0) === ((4L, 0L, 0.5, 0.0)))
+    assert(out(1) === ((4L, 3L, 0.25, 0.1875))) // E[x²]−E[x]² = ¼−1/16
+    assert(out(2) === ((4L, 0L, 2.5, 1.25)))
+  }
+
   test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
     // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
     // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
