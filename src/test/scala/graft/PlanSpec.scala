@@ -45,6 +45,32 @@ class PlanSpec extends AnyFunSuite {
       s"funnel must read events once\n${p.take(800)}")
   }
 
+  test("attribution is join-free: the as-of credit comes from one window pass") {
+    val p = plan(q("attribution"))
+    assert(!p.contains("Join"), s"attribution must not join\n${p.take(600)}")
+    assert("Window".r.findAllIn(p).size >= 1, p.take(400))
+  }
+
+  test("bootstrap_ci: the replicate aggregate partial-combines before its exchange") {
+    val p = plan(q("bootstrap_ci"))
+    // two-phase agg: map-side partial on (grp, r) then final — the ×48
+    // explode must collapse to |groups|·R rows before shuffling
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    // the adaptive fanout is active on the single-row-group local scan
+    assert(p.contains("RoundRobinPartitioning"), p.take(600))
+  }
+
+  test("welch_ttest and embed_dim_stats reduce map-side to moment rows") {
+    Seq("welch_ttest", "embed_dim_stats").foreach { name =>
+      val p = plan(q(name))
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$name must partial-aggregate\n${p.take(500)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$name must not join\n${p.take(500)}")
+    }
+  }
+
   test("near-dup candidate generation never degenerates to a cartesian product") {
     Seq("dedup_minhash", "dedup_simhash", "cosine_neardup",
       "neardup_signlsh", "range_join_window", "asof_join").foreach { name =>
