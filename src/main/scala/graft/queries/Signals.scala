@@ -704,6 +704,34 @@ object Signals {
             / col("n").cast("double") / lit(1000000000000.0), 6)
             .as("variance"))
         .orderBy("dim")
+    }),
+
+    // Dense surrogate ids — the DataFrame answer to zipWithIndex. A
+    // naive global `row_number() OVER (ORDER BY key)` funnels 100 TB
+    // through ONE partition; `monotonically_increasing_id` is neither
+    // dense nor layout-stable. The scalable spelling is two-phase:
+    // md5-bucket every key (deterministic, the shared recipe), count
+    // per bucket (B rows), turn counts into exclusive offsets with a
+    // window over the B-row table (bounded — B is a constant, not the
+    // data), broadcast the offsets back, and rank WITHIN each bucket
+    // (partition-local window, no single-partition stage). The id is
+    // offset(bucket) + local rank − 1 ≡ the rank in the total order
+    // (bucket, key) — which is exactly what the oracle computes with
+    // the one-sort spelling, so the driver's compare verifies the
+    // two-phase ≡ global-sort theorem on every run.
+    "dense_ids" -> ((s, dir) => {
+      val B = 64L
+      val b = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("bkt", Dedup.hashBucket(
+          concat(lit("sid:"), col("doc_id").cast("string")), B))
+      val offs = b.groupBy("bkt").agg(count(lit(1)).as("c"))
+        .select(col("bkt"),
+          (sum("c").over(Window.orderBy("bkt")) - col("c")).as("off"))
+      val wb = Window.partitionBy("bkt").orderBy("doc_id")
+      b.join(broadcast(offs), "bkt")
+        .select(col("doc_id"), col("bkt"),
+          (col("off") + row_number().over(wb) - lit(1)).as("sid"))
+        .orderBy("sid")
     })
   )
 
@@ -1239,6 +1267,16 @@ object Signals {
         |    - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
         |      / CAST(n AS DOUBLE))
         |    / CAST(n AS DOUBLE) / 1000000000000.0, 6) AS variance
-        |FROM m ORDER BY dim""".stripMargin
+        |FROM m ORDER BY dim""".stripMargin,
+
+    "dense_ids" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5('sid:' || doc_id), 1, 7) AS BIGINT)
+        |      % 64 AS bkt
+        |  FROM documents)
+        |SELECT doc_id, bkt,
+        |  CAST(row_number() OVER (ORDER BY bkt, doc_id) - 1 AS BIGINT)
+        |    AS sid
+        |FROM b ORDER BY sid""".stripMargin
   )
 }

@@ -587,6 +587,24 @@ class SignalsSpec extends AnyFunSuite {
     assert(out(2) === ((4L, 0L, 2.5, 1.25)))
   }
 
+  test("dense ids: a contiguous stable bijection, invariant to input layout") {
+    import spark.implicits._
+    def write(parts: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("sig_di").toString
+      (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val a = Signals.queries("dense_ids")(spark, write(1)).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("sid"))
+    val b = Signals.queries("dense_ids")(spark, write(8)).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("sid"))
+    assert(a.toMap === b.toMap, "ids must not depend on input layout")
+    assert(a.map(_._2).sorted.toSeq === (0L until 100L),
+      "ids must be a dense bijection onto [0, N)")
+  }
+
   test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
     // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
     // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
