@@ -147,6 +147,26 @@ object LlmQueries {
         .groupBy(Dedup.assignSplit(docs(s, dir), "doc_id").as("split"), col("lang"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("split", "lang")),
+    // Cross-split near-dup leakage audit: count minhash near-dup pairs
+    // whose two docs landed in DIFFERENT train/val/test splits — the
+    // eval-contamination failure a row-hash split cannot prevent (the
+    // split hashes ids, near-dups have different ids). Reuses the
+    // banded-minhash candidate pipeline and the split recipe verbatim;
+    // split labels canonicalize with least/greatest so (train,test)
+    // and (test,train) collapse. The cross-split rows are the audit
+    // signal; same-split rows give the base rates.
+    "split_leakage" -> ((s, dir) => {
+      val sp = (c: Column) => {
+        val b = Dedup.hashBucket1000(c, salt = "")
+        when(b < 800, "train").when(b < 900, "val").otherwise("test")
+      }
+      Dedup.minhashBandedPairs(docs(s, dir))
+        .select(sp(col("doc_a")).as("sa"), sp(col("doc_b")).as("sb"))
+        .groupBy(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("split_a", "split_b")
+    }),
     // cluster -> KEEP policy: within each near-dup cluster keep the
     // longest document (ties to the smaller id) — the policy step a real
     // dedup pipeline runs after cluster resolution, where "keep the
@@ -579,6 +599,24 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     // parameters MUST mirror the registered queries above
     "dedup_minhash" -> minhashOracle(maxDistance = 0.6),
+    "split_leakage" ->
+      s"""${minhashCtes(16, 4)},
+         |fp AS (SELECT doc_a, doc_b FROM est WHERE jaccard_dist <= 0.6),
+         |lab AS (SELECT
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_a AS VARCHAR)),
+         |        1, 7) AS BIGINT) % 1000 < 800 THEN 'train'
+         |      WHEN CAST('0x' || substr(md5(CAST(doc_a AS VARCHAR)),
+         |        1, 7) AS BIGINT) % 1000 < 900 THEN 'val'
+         |      ELSE 'test' END AS sa,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_b AS VARCHAR)),
+         |        1, 7) AS BIGINT) % 1000 < 800 THEN 'train'
+         |      WHEN CAST('0x' || substr(md5(CAST(doc_b AS VARCHAR)),
+         |        1, 7) AS BIGINT) % 1000 < 900 THEN 'val'
+         |      ELSE 'test' END AS sb
+         |  FROM fp)
+         |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // exact edit distance over the SAME banded candidates
     "fuzzy_match" ->
       s"""${minhashCtes(16, 4)}

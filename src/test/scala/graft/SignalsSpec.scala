@@ -605,6 +605,27 @@ class SignalsSpec extends AnyFunSuite {
       "ids must be a dense bijection onto [0, N)")
   }
 
+  test("split leakage: planted near-dups straddling splits are counted per split pair") {
+    // md5 splits (precomputed): 1=train, 2=test, 9=val, 5=train, 6=train
+    val textA = "the identical near duplicate document body shared verbatim"
+    val textB = "a wholly different duplicate family with its own words here"
+    val d = docs(
+      1L -> textA, 2L -> textA, 9L -> textA,
+      5L -> textB, 6L -> textB,
+      7L -> "unique seven content nothing shared with anything",
+      8L -> "unique eight content also unshared entirely")
+    val dir = java.nio.file.Files.createTempDirectory("sig_slk").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.LlmQueries.queries("split_leakage")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_pairs"))
+      .toMap
+    // identical triple {1,2,9} -> (1,2) (1,9) (2,9); pair {5,6} in-split
+    assert(out === Map(
+      ("test", "train") -> 1L, ("train", "val") -> 1L,
+      ("test", "val") -> 1L, ("train", "train") -> 1L))
+  }
+
   test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
     // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
     // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
