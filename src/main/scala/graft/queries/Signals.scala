@@ -732,6 +732,59 @@ object Signals {
         .select(col("doc_id"), col("bkt"),
           (col("off") + row_number().over(wb) - lit(1)).as("sid"))
         .orderBy("sid")
+    }),
+
+    // Kaplan–Meier survival of user lifetimes in days: a user "dies"
+    // on the day of their last event unless it falls on the corpus
+    // end day (right-censored — still at risk when observation
+    // stopped, the distinction naive churn counts get wrong).
+    // S(w) = Π_{i≤w} (1 − d_i/n_i) over death days; the
+    // product runs as a cumulative SUM of per-week ln terms quantized
+    // to integer pico-nats (windows over the |weeks|-row table — the
+    // corpus-scale work is ONE per-user aggregate; everything after is
+    // weeks-sized). A week that kills every remaining user would make
+    // ln(0) = −∞, so a cumulative any-extinction flag forces survival
+    // to exactly 0 from that week on instead.
+    "survival_curve" -> ((s, dir) => {
+      val ev = Relational.events(s, dir).select(col("user_id"),
+        col("ts").cast("date").as("d"))
+      val users = ev.groupBy("user_id")
+        .agg(min("d").as("first_d"), max("d").as("last_d"))
+      val endD = ev.agg(max("d").as("end_d"))
+      val life = users.crossJoin(broadcast(endD)).select(
+        datediff(col("last_d"), col("first_d")).cast("int").as("w"),
+        (datediff(col("end_d"), col("last_d")) < 1).as("censored"))
+      val wk = life.groupBy("w").agg(
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("deaths"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("censored"))
+      // global-ordered windows over the weeks table only — bounded by
+      // max lifetime in weeks, never corpus-sized
+      val byW = Window.orderBy("w")
+      val totals = life.agg(count(lit(1)).as("total"))
+      val risk = wk.crossJoin(broadcast(totals))
+        .select(col("w"), col("deaths"), col("censored"), col("total"),
+          (sum(col("deaths") + col("censored")).over(byW)
+            - (col("deaths") + col("censored"))).as("gone"))
+      val n = (col("total") - col("gone")).as("n_risk")
+      val term = when(col("deaths") < col("n_risk"),
+        bround(log(lit(1.0) - col("deaths").cast("double")
+          / col("n_risk").cast("double")) * lit(1000000000000.0))
+          .cast("long")).otherwise(lit(0L))
+      risk.select(col("w"), n, col("deaths"), col("censored"))
+        .select(col("w"), col("n_risk"), col("deaths"), col("censored"),
+          term.as("t_picos"),
+          when(col("deaths") >= col("n_risk"), 1).otherwise(0).as("ext"))
+        .select(col("w"), col("n_risk"), col("deaths"), col("censored"),
+          round(col("deaths").cast("double") / col("n_risk").cast("double"),
+            6).as("hazard"),
+          sum("t_picos").over(byW).as("cum_picos"),
+          max("ext").over(byW).as("dead"))
+        .select(col("w"), col("n_risk"), col("deaths"), col("censored"),
+          col("hazard"),
+          when(col("dead") === 1, lit(0.0)).otherwise(
+            round(exp(col("cum_picos").cast("double") / lit(1000000000000.0)),
+              6)).as("survival"))
+        .orderBy("w")
     })
   )
 
@@ -1277,6 +1330,47 @@ object Signals {
         |SELECT doc_id, bkt,
         |  CAST(row_number() OVER (ORDER BY bkt, doc_id) - 1 AS BIGINT)
         |    AS sid
-        |FROM b ORDER BY sid""".stripMargin
+        |FROM b ORDER BY sid""".stripMargin,
+
+    "survival_curve" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |users AS (SELECT user_id, min(d) AS first_d, max(d) AS last_d
+        |  FROM ev GROUP BY 1),
+        |e AS (SELECT max(d) AS end_d FROM ev),
+        |life AS (SELECT
+        |    CAST(date_diff('day', first_d, last_d) AS INT) AS w,
+        |    date_diff('day', last_d, end_d) < 1 AS censored
+        |  FROM users, e),
+        |wk AS (SELECT w,
+        |    CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS deaths,
+        |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS censored
+        |  FROM life GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM life),
+        |risk AS (SELECT w, deaths, censored, total,
+        |    CAST(sum(deaths + censored) OVER (ORDER BY w) AS BIGINT)
+        |      - (deaths + censored) AS gone
+        |  FROM wk, t),
+        |r2 AS (SELECT w, total - gone AS n_risk, deaths, censored
+        |  FROM risk),
+        |r3 AS (SELECT w, n_risk, deaths, censored,
+        |    CASE WHEN deaths < n_risk THEN CAST(round_even(
+        |      ln(1.0 - CAST(deaths AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      * 1000000000000.0, 0) AS BIGINT) ELSE 0 END AS t_picos,
+        |    CASE WHEN deaths >= n_risk THEN 1 ELSE 0 END AS ext
+        |  FROM r2),
+        |r4 AS (SELECT w, n_risk, deaths, censored,
+        |    round(CAST(deaths AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
+        |      AS hazard,
+        |    CAST(sum(t_picos) OVER (ORDER BY w) AS BIGINT) AS cum_picos,
+        |    max(ext) OVER (ORDER BY w) AS dead
+        |  FROM r3)
+        |SELECT w, CAST(n_risk AS BIGINT) AS n_risk, deaths, censored,
+        |  hazard,
+        |  CASE WHEN dead = 1 THEN 0.0 ELSE
+        |    round(exp(CAST(cum_picos AS DOUBLE) / 1000000000000.0), 6)
+        |  END AS survival
+        |FROM r4 ORDER BY w""".stripMargin
   )
 }

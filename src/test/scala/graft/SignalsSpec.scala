@@ -626,6 +626,34 @@ class SignalsSpec extends AnyFunSuite {
       ("test", "val") -> 1L, ("train", "train") -> 1L))
   }
 
+  test("survival curve: planted lifetimes yield exact KM products with censoring") {
+    import spark.implicits._
+    def ns(d: Int) = (1704067200L + d * 86400L + 3600L) * 1000000000L
+    // u1 dies at lifetime 2; u2 dies at 0; u3 active on the end day
+    // (lifetime 5) -> censored, never a death
+    val rows = Seq(
+      (1L, 1L, ns(0)), (2L, 1L, ns(1)), (3L, 1L, ns(2)),
+      (4L, 2L, ns(0)),
+      (5L, 3L, ns(0)), (6L, 3L, ns(5)))
+    val ev = rows.map { case (e, u, t) => (e, u, "click", t) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("sig_km").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Signals.queries("survival_curve")(spark, dir).collect()
+      .map(r => r.getAs[Int]("w") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("deaths"),
+          r.getAs[Long]("censored"), r.getAs[Double]("survival"))).toMap
+    def km(terms: Seq[(Long, Long)]): Double = { // (deaths, nRisk)*
+      val picos = terms.map { case (d, n) =>
+        math.rint(math.log(1.0 - d.toDouble / n) * 1e12).toLong }.sum
+      new java.math.BigDecimal(math.exp(picos / 1e12))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    assert(out(0) === ((3L, 1L, 0L, km(Seq(1L -> 3L)))))
+    assert(out(2) === ((2L, 1L, 0L, km(Seq(1L -> 3L, 1L -> 2L)))))
+    assert(out(5) === ((1L, 0L, 1L, km(Seq(1L -> 3L, 1L -> 2L)))))
+  }
+
   test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
     // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
     // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
