@@ -785,6 +785,39 @@ object Signals {
             round(exp(col("cum_picos").cast("double") / lit(1000000000000.0)),
               6)).as("survival"))
         .orderBy("w")
+    }),
+
+    // Day-of-week seasonality decomposition: daily volume → centered
+    // 7-day trend (window SUM of exact integer counts / 7.0 — not a
+    // window AVG, whose internal accumulation order the two engines
+    // need not share) → per-day ratio-to-trend quantized to pico-units
+    // → per-DOW seasonal index. Only days with a FULL 7-day window
+    // rate a ratio (the edges have no unbiased trend). DOW is pure
+    // integer arithmetic (days-since-epoch-anchor mod 7), not a
+    // locale-dependent dayofweek(). Corpus-scale work is ONE daily
+    // aggregate; the trend/ratio windows run on the |days| table.
+    "seasonal_dow" -> ((s, dir) => {
+      val daily = Relational.events(s, dir)
+        .select(col("ts").cast("date").as("d"))
+        .groupBy("d").agg(count(lit(1)).as("cnt"))
+      val byD = Window.orderBy("d").rowsBetween(-3, 3)
+      val tr = daily.select(col("d"), col("cnt"),
+        sum("cnt").over(byD).as("sumw"),
+        count(lit(1)).over(byD).as("nwin"))
+      tr.filter(col("nwin") === 7)
+        .select(
+          pmod(datediff(col("d"), lit("2024-01-01").cast("date")), lit(7))
+            .as("dow"),
+          bround(col("cnt").cast("double")
+            / (col("sumw").cast("double") / lit(7.0))
+            * lit(1000000000000.0)).cast("long").as("r_picos"))
+        .groupBy("dow").agg(
+          count(lit(1)).as("n_days"), sum("r_picos").as("sum_picos"))
+        .select(col("dow"), col("n_days"),
+          round(col("sum_picos").cast("double")
+            / col("n_days").cast("double") / lit(1000000000000.0), 6)
+            .as("seasonal_index"))
+        .orderBy("dow")
     })
   )
 
@@ -1371,6 +1404,26 @@ object Signals {
         |  CASE WHEN dead = 1 THEN 0.0 ELSE
         |    round(exp(CAST(cum_picos AS DOUBLE) / 1000000000000.0), 6)
         |  END AS survival
-        |FROM r4 ORDER BY w""".stripMargin
+        |FROM r4 ORDER BY w""".stripMargin,
+
+    "seasonal_dow" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |tr AS (SELECT d, cnt,
+        |    CAST(sum(cnt) OVER w AS BIGINT) AS sumw,
+        |    CAST(count(*) OVER w AS BIGINT) AS nwin
+        |  FROM daily WINDOW w AS (ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |r AS (SELECT
+        |    CAST(date_diff('day', DATE '2024-01-01', d) % 7 AS INT)
+        |      AS dow,
+        |    CAST(round_even(CAST(cnt AS DOUBLE)
+        |      / (CAST(sumw AS DOUBLE) / 7.0)
+        |      * 1000000000000.0, 0) AS BIGINT) AS r_picos
+        |  FROM tr WHERE nwin = 7)
+        |SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(CAST(sum(r_picos) AS DOUBLE) / count(*)
+        |    / 1000000000000.0, 6) AS seasonal_index
+        |FROM r GROUP BY 1 ORDER BY dow""".stripMargin
   )
 }

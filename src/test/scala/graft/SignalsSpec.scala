@@ -654,6 +654,28 @@ class SignalsSpec extends AnyFunSuite {
     assert(out(5) === ((1L, 0L, 1L, km(Seq(1L -> 3L, 1L -> 2L)))))
   }
 
+  test("seasonal dow: a planted weekly spike yields exact per-dow indices") {
+    import spark.implicits._
+    def ns(d: Int, i: Int) = (1704067200L + d * 86400L + i * 60L) * 1000000000L
+    // 21 days; 14 events on dow 0, 7 otherwise -> every centered 7-day
+    // window sums to 56, trend 8, ratios 1.75 / 0.875 exactly
+    val rows = for {
+      d <- 0 until 21
+      n = if (d % 7 == 0) 14 else 7
+      i <- 0 until n
+    } yield ((d * 100 + i).toLong, 1L, "click", ns(d, i))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("sig_sdow").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Signals.queries("seasonal_dow")(spark, dir).collect()
+      .map(r => r.getAs[Int]("dow") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("seasonal_index"))).toMap
+    // full-window days 3..17: dow 3 occurs 3x, every other dow 2x
+    assert(out(0) === ((2L, 1.75)))
+    assert(out(3) === ((3L, 0.875)))
+    (1 to 6).filter(_ != 3).foreach(dw => assert(out(dw) === ((2L, 0.875))))
+  }
+
   test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
     // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
     // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
