@@ -818,6 +818,40 @@ object Signals {
             / col("n_days").cast("double") / lit(1000000000000.0), 6)
             .as("seasonal_index"))
         .orderBy("dow")
+    }),
+
+    // RFM segmentation: recency / frequency / monetary quintiles per
+    // customer, rolled up to segment counts — the canonical customer
+    // scoring. Each ntile orders by (metric, o_custkey): the explicit
+    // id tiebreak is what makes quintile membership deterministic
+    // across engines and layouts (a bare metric sort leaves ties
+    // engine-ordered). Monetary sums run in DECIMAL(18,2). The
+    // corpus-scale work is ONE per-customer aggregate; the three
+    // quintile windows run over the |customers| table and the rollup
+    // is ≤125 rows.
+    "rfm_segments" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderdate").cast("date").as("d"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val endD = o.agg(max("d").as("end_d"))
+      val cust = o.groupBy("o_custkey").agg(
+        max("d").as("last_d"), count(lit(1)).as("freq"), sum("p").as("mon"))
+        .crossJoin(broadcast(endD))
+        .select(col("o_custkey"),
+          datediff(col("end_d"), col("last_d")).as("recency"),
+          col("freq"), col("mon"))
+      // 5 = best on every axis: recency sorts DESC (stalest first, so
+      // the last tile = most recent), frequency/monetary sort ASC
+      val r5 = ntile(5).over(Window.orderBy(
+        col("recency").desc, col("o_custkey")))
+      val f5 = ntile(5).over(Window.orderBy(col("freq"), col("o_custkey")))
+      val m5 = ntile(5).over(Window.orderBy(col("mon"), col("o_custkey")))
+      cust.select(col("o_custkey"), col("mon"),
+          r5.as("r"), f5.as("f"), m5.as("m"))
+        .groupBy("r", "f", "m").agg(
+          count(lit(1)).as("n_customers"),
+          sum("mon").cast("decimal(18,2)").as("segment_value"))
+        .orderBy("r", "f", "m")
     })
   )
 
@@ -1424,6 +1458,24 @@ object Signals {
         |SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
         |  round(CAST(sum(r_picos) AS DOUBLE) / count(*)
         |    / 1000000000000.0, 6) AS seasonal_index
-        |FROM r GROUP BY 1 ORDER BY dow""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY dow""".stripMargin,
+
+    "rfm_segments" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |e AS (SELECT max(d) AS end_d FROM o),
+        |cust AS (SELECT o_custkey,
+        |    date_diff('day', max(d), (SELECT end_d FROM e)) AS recency,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    sum(p) AS mon
+        |  FROM o GROUP BY 1),
+        |sc AS (SELECT o_custkey, mon,
+        |    ntile(5) OVER (ORDER BY recency DESC, o_custkey) AS r,
+        |    ntile(5) OVER (ORDER BY freq, o_custkey) AS f,
+        |    ntile(5) OVER (ORDER BY mon, o_custkey) AS m
+        |  FROM cust)
+        |SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(mon) AS DECIMAL(18,2)) AS segment_value
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin
   )
 }

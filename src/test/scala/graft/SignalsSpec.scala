@@ -676,6 +676,26 @@ class SignalsSpec extends AnyFunSuite {
     (1 to 6).filter(_ != 3).foreach(dw => assert(out(dw) === ((2L, 0.875))))
   }
 
+  test("rfm segments: planted customers land in exact deterministic quintiles") {
+    import spark.implicits._
+    // cust k: one order on day k at k*100 -> recency desc, freq tie
+    // (custkey break), monetary asc all order customers 1..5 the same
+    // way, so cust k scores (k, k, k)
+    val rows = (1 to 5).map(k => (k.toLong * 10, k.toLong,
+      java.sql.Timestamp.valueOf(f"2024-01-0$k%d 00:00:00"), k * 100.0))
+    val o = rows.toDF("o_orderkey", "o_custkey", "o_orderdate",
+      "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("sig_rfm").toString
+    o.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Signals.queries("rfm_segments")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Int]("f"), r.getAs[Int]("m")) ->
+        (r.getAs[Long]("n_customers"),
+          r.getAs[java.math.BigDecimal]("segment_value").doubleValue))
+      .toMap
+    assert(out === (1 to 5).map(k =>
+      (k, k, k) -> ((1L, k * 100.0))).toMap)
+  }
+
   test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
     // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
     // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
