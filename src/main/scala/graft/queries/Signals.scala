@@ -852,6 +852,31 @@ object Signals {
           count(lit(1)).as("n_customers"),
           sum("mon").cast("decimal(18,2)").as("segment_value"))
         .orderBy("r", "f", "m")
+    }),
+
+    // Power-law exponent of the supplier degree distribution
+    // (Clauset–Shalizi–Newman 2009 discrete MLE approximation:
+    // α̂ = 1 + n / Σ ln(d / (dmin − ½)) over the tail d ≥ dmin) — the
+    // scale-free check behind skew planning: α near 2 means the top
+    // key carries a constant fraction of all edges (salting
+    // mandatory); α > 3 means hubs vanish at scale. Distinct-edge
+    // dedup + degree count are the only corpus-scale aggregates; the
+    // ln terms quantize to integer pico-nats so the tail sum is
+    // order-independent, and the final α is one mirrored chain.
+    "powerlaw_alpha" -> ((s, dir) => {
+      val dmin = 2.0
+      val deg = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+        .groupBy("l_suppkey").agg(count(lit(1)).as("d"))
+      deg.filter(col("d") >= dmin)
+        .select(bround(log(col("d").cast("double") / lit(dmin - 0.5))
+          * lit(1000000000000.0)).cast("long").as("l_picos"))
+        .agg(count(lit(1)).as("n_tail"), sum("l_picos").as("sum_picos"))
+        .select(col("n_tail"), lit(2).as("d_min"),
+          when(col("sum_picos") > 0, round(lit(1.0)
+            + col("n_tail").cast("double")
+              / (col("sum_picos").cast("double") / lit(1000000000000.0)),
+            6)).as("alpha_mle"))
     })
   )
 
@@ -1476,6 +1501,24 @@ object Signals {
         |  FROM cust)
         |SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers,
         |  CAST(sum(mon) AS DECIMAL(18,2)) AS segment_value
-        |FROM sc GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
+
+    "powerlaw_alpha" ->
+      """WITH edges AS (SELECT DISTINCT l_suppkey, l_partkey
+        |  FROM lineitem),
+        |deg AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS d
+        |  FROM edges GROUP BY 1),
+        |tail AS (SELECT CAST(round_even(
+        |    ln(CAST(d AS DOUBLE) / 1.5) * 1000000000000.0, 0)
+        |    AS BIGINT) AS l_picos
+        |  FROM deg WHERE d >= 2.0),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+        |    CAST(sum(l_picos) AS BIGINT) AS sum_picos FROM tail)
+        |SELECT n_tail, CAST(2 AS INT) AS d_min,
+        |  CASE WHEN sum_picos > 0 THEN round(1.0
+        |    + CAST(n_tail AS DOUBLE)
+        |      / (CAST(sum_picos AS DOUBLE) / 1000000000000.0), 6)
+        |  END AS alpha_mle
+        |FROM agg""".stripMargin
   )
 }

@@ -696,6 +696,24 @@ class SignalsSpec extends AnyFunSuite {
       (k, k, k) -> ((1L, k * 100.0))).toMap)
   }
 
+  test("power-law alpha: planted degrees reproduce the CSN discrete MLE") {
+    import spark.implicits._
+    // suppliers with degrees 1 (dropped), 2, 4, 8 -> alpha from the
+    // exact quantized-ln chain
+    val edges = Seq(1L -> Seq(1L), 2L -> (1L to 2L), 3L -> (1L to 4L),
+      4L -> (1L to 8L)).flatMap { case (sk, ps) => ps.map(p => (sk, p)) }
+    val li = edges.toDF("l_suppkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("sig_pl").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Signals.queries("powerlaw_alpha")(spark, dir).collect()(0)
+    val picos = Seq(2.0, 4.0, 8.0)
+      .map(d => math.rint(math.log(d / 1.5) * 1e12).toLong).sum
+    val exp = new java.math.BigDecimal(1.0 + 3.0 / (picos / 1e12))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(r.getAs[Long]("n_tail") === 3L)
+    assert(r.getAs[Double]("alpha_mle") === exp)
+  }
+
   test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
     // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
     // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
