@@ -877,6 +877,40 @@ object Signals {
             + col("n_tail").cast("double")
               / (col("sum_picos").cast("double") / lit(1000000000000.0)),
             6)).as("alpha_mle"))
+    }),
+
+    // Revenue concentration: Gini coefficient (rank formula over the
+    // ascending-sorted revenue vector, G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n)
+    // and Herfindahl–Hirschman index (Σ shareᵢ², share² quantized to
+    // pico-units before the sum) of per-customer revenue — the "does
+    // one whale dominate" check that decides salting and sampling
+    // strategy. Rank·revenue products stay exact (DECIMAL × int) so
+    // both Σi·xᵢ and Σx enter the final chain as exact decimals; the
+    // rank window runs over the |customers| table with an id tiebreak
+    // (deterministic across engines, same caveat as rfm_segments).
+    "concentration" -> ((s, dir) => {
+      val cust = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+      val w = Window.orderBy(col("x"), col("o_custkey"))
+      val ranked = cust.select(col("x"),
+        row_number().over(w).as("i"))
+      val agg = ranked.agg(
+        count(lit(1)).as("n"),
+        sum("x").cast("decimal(38,2)").as("total"),
+        sum(col("x") * col("i")).cast("decimal(38,2)").as("s1"))
+      val share2 = ranked.crossJoin(broadcast(agg.select("total")))
+        .select(bround(pow(col("x").cast("double")
+          / col("total").cast("double"), 2) * lit(1000000000000.0))
+          .cast("long").as("sh_picos"))
+        .agg(sum("sh_picos").as("hhi_picos"))
+      agg.crossJoin(broadcast(share2))
+        .select(col("n"), col("total").cast("decimal(18,2)").as("total"),
+          round(lit(2.0) * col("s1").cast("double")
+            / (col("n").cast("double") * col("total").cast("double"))
+            - (col("n").cast("double") + lit(1.0)) / col("n").cast("double"),
+            6).as("gini"),
+          round(col("hhi_picos").cast("double") / lit(1000000000000.0), 6)
+            .as("hhi"))
     })
   )
 
@@ -1519,6 +1553,28 @@ object Signals {
         |    + CAST(n_tail AS DOUBLE)
         |      / (CAST(sum_picos AS DOUBLE) / 1000000000000.0), 6)
         |  END AS alpha_mle
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    "concentration" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        |  FROM orders GROUP BY 1),
+        |ranked AS (SELECT x,
+        |    row_number() OVER (ORDER BY x, o_custkey) AS i FROM cust),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DECIMAL(38,2)) AS total,
+        |    CAST(sum(x * i) AS DECIMAL(38,2)) AS s1
+        |  FROM ranked),
+        |sh AS (SELECT CAST(sum(CAST(round_even(
+        |      pow(CAST(x AS DOUBLE) / CAST(
+        |        (SELECT total FROM agg) AS DOUBLE), 2)
+        |      * 1000000000000.0, 0) AS BIGINT)) AS BIGINT) AS hhi_picos
+        |  FROM ranked)
+        |SELECT n, CAST(total AS DECIMAL(18,2)) AS total,
+        |  round(2.0 * CAST(s1 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini,
+        |  round(CAST(hhi_picos AS DOUBLE) / 1000000000000.0, 6) AS hhi
+        |FROM agg, sh""".stripMargin
   )
 }

@@ -714,6 +714,20 @@ class SignalsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("alpha_mle") === exp)
   }
 
+  test("concentration: planted whale yields exact Gini and HHI") {
+    import spark.implicits._
+    // revenues 10,10,10,70 -> shares .1/.1/.1/.7:
+    // gini = 2*340/(4*100) - 5/4 = 0.45; hhi = 3*.01 + .49 = 0.52
+    val o = Seq((1L, 1L, 10.0), (2L, 2L, 10.0), (3L, 3L, 10.0),
+      (4L, 4L, 70.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("sig_cc").toString
+    o.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Signals.queries("concentration")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Double]("gini") === 0.45)
+    assert(r.getAs[Double]("hhi") === 0.52)
+  }
+
   test("prefix filter is lossless: pairs equal brute-force all-pairs Jaccard") {
     // planted corpus: near-dup pair (1,2) share most shingles; (3,4)
     // identical; 5-8 unrelated; 9 shares a COMMON boilerplate phrase
