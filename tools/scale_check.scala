@@ -74,5 +74,9 @@ for (q <- Seq("dedup_cluster", "dedup_keep_best", "repetition_filter",
               // round-8 uncertainty/drift/privacy batch
               "bootstrap_ci", "psi_drift", "welch_ttest", "ldiversity",
               "sketch_quantiles", "dsir_select", "kl_drift",
-              "top_journeys", "profile_table")) time(q)
+              "top_journeys", "profile_table",
+              // round-8 final batch
+              "attribution", "embed_dim_stats", "dense_ids",
+              "split_leakage", "survival_curve", "seasonal_dow",
+              "rfm_segments", "powerlaw_alpha", "concentration")) time(q)
 System.exit(0)
