@@ -31,10 +31,13 @@ object GraftSession {
   /** Apply graft defaults to an externally created session (e.g. the
     * driver's); runtime-settable confs only.
     *
-    * `nanosAsLong`: the harness's `events.parquet` carries
-    * TIMESTAMP(NANOS), which Spark 4 otherwise refuses to read
-    * (PARQUET_TYPE_ILLEGAL); with this on, `ts` arrives as raw Long nanos
-    * and readers normalize it (see graft.queries.Relational.events).
+    * `nanosAsLong`: kept as a compatibility guard — if a dataset carries
+    * TIMESTAMP(NANOS) (as the harness's `events.parquet` once did), Spark 4
+    * otherwise refuses to read it (PARQUET_TYPE_ILLEGAL); with this on,
+    * `ts` arrives as raw Long nanos. For TIMESTAMP(MICROS) data the conf
+    * is a no-op. Readers must branch on the OBSERVED schema, not assume a
+    * physical precision (see graft.queries.Relational.events — the
+    * round-9 outage was a fixed nanos assumption meeting µs data).
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")

@@ -178,8 +178,12 @@ object Scoring {
         .agg(count(lit(1)).as("cnt"),
           min("o_totalprice").as("lo"),
           max("o_totalprice").as("hi"),
+          // exact decimal accumulation, final scalar cast back to
+          // double (the repo-wide rule): DuckDB's pandas bridge turns
+          // DECIMAL into float64 anyway, so a decimal OUTPUT column
+          // hash-mismatches even when values agree
           sum(col("o_totalprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(18, 2)).as("total"))
+            .cast(DecimalType(18, 2)).cast("double").as("total"))
         .orderBy("bucket")
     })
   )
@@ -384,8 +388,8 @@ object Scoring {
         |  FROM orders)
         |SELECT bucket, count(*) AS cnt,
         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-        |    AS total
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

@@ -331,8 +331,13 @@ object Signals {
           .cast("long")
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("fp"))
         .agg(count(lit(1)).as("n_rows"),
+          // string, not DECIMAL(38,0): the sum exceeds 2^53, and the
+          // driver's DuckDB→pandas bridge renders DECIMAL as float64
+          // (lossy) while Spark's parquet decimal stays exact — the
+          // values agree but the hashes differ. A decimal→string cast
+          // is exact in both engines.
           sum("fp").cast(org.apache.spark.sql.types.DecimalType(38, 0))
-            .as("checksum"))
+            .cast("string").as("checksum"))
     }),
     // K-anonymity audit over the (lang, source) quasi-identifier pair:
     // the distribution of equivalence-class sizes and the smallest
@@ -850,7 +855,11 @@ object Signals {
           r5.as("r"), f5.as("f"), m5.as("m"))
         .groupBy("r", "f", "m").agg(
           count(lit(1)).as("n_customers"),
-          sum("mon").cast("decimal(18,2)").as("segment_value"))
+          // final scalar cast to double (exact decimal → IEEE once):
+          // decimal OUTPUT columns hash-mismatch vs the oracle's
+          // float64 pandas bridge even when values agree
+          sum("mon").cast("decimal(18,2)").cast("double")
+            .as("segment_value"))
         .orderBy("r", "f", "m")
     }),
 
@@ -1113,7 +1122,8 @@ object Signals {
         |      o_orderpriority), 1, 15) AS BIGINT) AS fp
         |  FROM orders)
         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(CAST(fp AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+        |  CAST(CAST(sum(CAST(fp AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS VARCHAR) AS checksum
         |FROM f""".stripMargin,
     "kanonymity" ->
       """WITH cls AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS k
@@ -1534,7 +1544,7 @@ object Signals {
         |    ntile(5) OVER (ORDER BY mon, o_custkey) AS m
         |  FROM cust)
         |SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers,
-        |  CAST(sum(mon) AS DECIMAL(18,2)) AS segment_value
+        |  CAST(CAST(sum(mon) AS DECIMAL(18,2)) AS DOUBLE) AS segment_value
         |FROM sc GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
 
     "powerlaw_alpha" ->
