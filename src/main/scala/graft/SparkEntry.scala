@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Analytics, CsvFunnelReport, FunnelOverEvents, LlmQueries, Relational, Scoring, Signals}
+import graft.queries.{Analytics, CsvFunnelReport, FunnelOverEvents, Insights, LlmQueries, Relational, Scoring, Signals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ LlmQueries.queries ++ Analytics.queries ++
-      Scoring.queries ++ Signals.queries +
+      Scoring.queries ++ Signals.queries ++ Insights.queries +
       ("funnel_table" -> (FunnelOverEvents.query(_, _))) +
       // CSV source layer end-to-end (path templating, month glob, range
       // post-filter, entity pushdown) over a generated on-disk fixture
@@ -35,7 +35,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ LlmQueries.oracles ++ Analytics.oracles ++
-      Scoring.oracles ++ Signals.oracles +
+      Scoring.oracles ++ Signals.oracles ++ Insights.oracles +
       ("funnel_table" -> FunnelOverEvents.oracle) +
       ("csv_funnel_report" -> CsvFunnelReport.oracle)
 }

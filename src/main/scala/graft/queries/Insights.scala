@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GraftSession
+
+/** Round-10 analytics batch: funnel timing, exact correlation, iterative
+  * connected components, corpus readability, and a nation-pair volume
+  * rollup. House determinism rules apply throughout (see [[Relational]]):
+  * exact integer/decimal accumulation, ONE mirrored IEEE chain at the
+  * end, `bround` ≙ DuckDB `round_even`, total ORDER BY, no raw
+  * timestamps in output.
+  */
+object Insights {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  private val D38 = DecimalType(38, 0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Time-to-convert between consecutive funnel stages (the metric the
+    // reference's funnel report implies but never computes — it counts
+    // stage survivors, this measures HOW LONG each hop takes). Per user:
+    // first occurrence of each stage event; a hop converts when the
+    // later stage's first occurrence strictly follows the earlier one's.
+    // Deltas stay exact integer µs end to end; median/p90 are DISCRETE
+    // order statistics (rank (n+1) div 2 / ceil(0.9n) via row_number),
+    // so both engines pick the same element instead of interpolating;
+    // the mean is the one IEEE division, mirrored. Scale shape: one
+    // groupBy(user) pivot-aggregate (map-side combinable), then windows
+    // over the converting-user set partitioned by 3 hop keys.
+    "funnel_conversion_time" -> ((s, dir) => {
+      def firstTs(et: String) =
+        min(when(col("event_type") === et, unix_micros(col("ts"))))
+      val f = Relational.events(s, dir)
+        .filter(col("event_type").isin("signup", "view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(firstTs("signup").as("t_signup"), firstTs("view").as("t_view"),
+          firstTs("click").as("t_click"), firstTs("purchase").as("t_purchase"))
+      val hops = Seq(
+        ("1:signup>view", "t_signup", "t_view"),
+        ("2:view>click", "t_view", "t_click"),
+        ("3:click>purchase", "t_click", "t_purchase"))
+      val d = hops.map { case (p, a, b) =>
+        f.filter(col(b) > col(a))
+          .select(lit(p).as("hop"), (col(b) - col(a)).as("dus"))
+      }.reduce(_ unionByName _)
+      val w = Window.partitionBy("hop")
+      val r = d.select(col("hop"), col("dus"),
+        row_number().over(w.orderBy("dus")).as("rn"),
+        count(lit(1)).over(w).as("n"), sum("dus").over(w).as("s"))
+      r.groupBy("hop").agg(
+          max("n").as("n_users"),
+          min("dus").as("min_us"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("dus")))
+            .as("median_us"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("dus")))
+            .as("p90_us"),
+          max("dus").as("max_us"),
+          bround(max("s").cast("double") / max("n"), 3).as("avg_us"))
+        .orderBy("hop")
+    }),
+
+    // Exact Pearson correlation matrix over lineitem's numeric columns.
+    // Inputs quantize to integer units (quantity is integral; price and
+    // discount round half-even to cents/hundredths), every moment sum is
+    // exact (BIGINT or DECIMAL(38,0) ≙ DuckDB HUGEINT), and each
+    // coefficient is one mirrored IEEE chain over those exact integers —
+    // corr(x,y) = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)).
+    // ONE map-side-combined aggregate over the table; 1 output row —
+    // the 100 TB shape is a single pass regardless of column count.
+    "correlation_matrix" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("q"),
+        bround(col("l_extendedprice") * 100).cast("long").as("p"),
+        bround(col("l_discount") * 100).cast("long").as("d"))
+      val a = li.agg(
+        count(lit(1)).cast(D38).as("n"),
+        sum("q").cast(D38).as("sq"), sum("p").cast(D38).as("sp"),
+        sum("d").cast(D38).as("sd"),
+        sum(col("q").cast(D38) * col("q")).cast(D38).as("sqq"),
+        sum(col("p").cast(D38) * col("p")).cast(D38).as("spp"),
+        sum(col("d").cast(D38) * col("d")).cast(D38).as("sdd"),
+        sum(col("q").cast(D38) * col("p")).cast(D38).as("sqp"),
+        sum(col("q").cast(D38) * col("d")).cast(D38).as("sqd"),
+        sum(col("p").cast(D38) * col("d")).cast(D38).as("spd"))
+      def corr(sxy: Column, sx: Column, sy: Column,
+          sxx: Column, syy: Column): Column = {
+        val n = col("n")
+        bround((n * sxy - sx * sy).cast("double") /
+          (sqrt((n * sxx - sx * sx).cast("double")) *
+            sqrt((n * syy - sy * sy).cast("double"))), 6)
+      }
+      a.select(
+        col("n").cast("long").as("n_rows"),
+        corr(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp"))
+          .as("corr_qty_price"),
+        corr(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd"))
+          .as("corr_qty_discount"),
+        corr(col("spd"), col("sp"), col("sd"), col("spp"), col("sdd"))
+          .as("corr_price_discount"))
+    }),
+
+    // Connected components on the supplier–part bipartite graph by k=3
+    // rounds of min-label propagation (nodes: supplier→2k, part→2k+1;
+    // label = smallest node id seen within 3 hops; deterministic whether
+    // or not propagation has converged). Each round is ONE equi-join
+    // (edges ⋈ labels on dst) + min-aggregate; localCheckpoint truncates
+    // the iterative lineage (the pagerank_iter precedent). At 100 TB
+    // both sides hash-partition on the join key and the label table
+    // keeps that partitioning across rounds — no per-round re-shuffle
+    // of the edge table beyond the first.
+    "connected_components" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+        .select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
+      val edges = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      var lbl = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to 3) {
+        val fromNb = edges.join(lbl, edges("dst") === lbl("node"))
+          .select(edges("src").as("node"), col("lbl"))
+        lbl = lbl.unionByName(fromNb)
+          .groupBy("node").agg(min("lbl").as("lbl"))
+          .localCheckpoint()
+      }
+      lbl.groupBy("lbl").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_groups"))
+        .orderBy("sz")
+    }),
+
+    // Flesch-style readability per language over the documents corpus.
+    // Per-doc word/sentence/syllable counts are exact regexp counts
+    // (words = letter runs, syllables ≈ vowel-group runs, sentences =
+    // terminal-punctuation runs, floored at 1); they aggregate as exact
+    // integers per lang and the three ratios + the Flesch chain
+    // (206.835 − 1.015·W/S − 84.6·Y/W) are the single mirrored IEEE
+    // tail. Map-only until a |langs|-row aggregate — the 100 TB shape.
+    "readability_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"),
+        expr("regexp_count(text, '[A-Za-z]+')").as("w"),
+        expr("regexp_count(lower(text), '[aeiouy]+')").as("y"),
+        greatest(expr("regexp_count(text, '[.!?]+')"), lit(1)).as("sn"))
+      val wps = col("words").cast("double") / col("sentences")
+      val spw = col("syllables").cast("double") / col("words")
+      d.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum("w").as("words"), sum("sn").as("sentences"),
+          sum("y").as("syllables"))
+        .select(col("lang"), col("n_docs"), col("words"), col("sentences"),
+          col("syllables"),
+          bround(wps, 6).as("words_per_sentence"),
+          bround(spw, 6).as("syllables_per_word"),
+          bround(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+            .as("flesch"))
+        .orderBy("lang")
+    }),
+
+    // TPC-H Q7-flavored cross-border volume: revenue between (supplier
+    // nation, customer nation) pairs by ship year. Nation (25 rows)
+    // broadcasts to both legs; lineitem⋈orders⋈customer/supplier are
+    // the shuffle joins AQE sizes at runtime. Revenue accumulates in
+    // DECIMAL(18,2) and only the final scalar casts to double.
+    "tpch_q7_like" -> ((s, dir) => {
+      def money(c: String) = col(c).cast(DecimalType(18, 2))
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("ship_year"),
+          (money("l_extendedprice") *
+            (lit(1).cast(DecimalType(18, 2)) - money("l_discount")))
+            .as("vol"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(count(lit(1)).as("n_items"),
+          sum("vol").cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "funnel_conversion_time" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type='signup' THEN epoch_us(ts) END) AS t_signup,
+        |    min(CASE WHEN event_type='view' THEN epoch_us(ts) END) AS t_view,
+        |    min(CASE WHEN event_type='click' THEN epoch_us(ts) END) AS t_click,
+        |    min(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT '1:signup>view' AS hop, t_view - t_signup AS dus
+        |    FROM f WHERE t_view > t_signup
+        |  UNION ALL SELECT '2:view>click', t_click - t_view
+        |    FROM f WHERE t_click > t_view
+        |  UNION ALL SELECT '3:click>purchase', t_purchase - t_click
+        |    FROM f WHERE t_purchase > t_click),
+        |r AS (SELECT hop, dus,
+        |    row_number() OVER (PARTITION BY hop ORDER BY dus) AS rn,
+        |    count(*) OVER (PARTITION BY hop) AS n,
+        |    sum(dus) OVER (PARTITION BY hop) AS s
+        |  FROM d)
+        |SELECT hop, CAST(max(n) AS BIGINT) AS n_users,
+        |  CAST(min(dus) AS BIGINT) AS min_us,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN dus END) AS BIGINT)
+        |    AS median_us,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN dus END) AS BIGINT)
+        |    AS p90_us,
+        |  CAST(max(dus) AS BIGINT) AS max_us,
+        |  round_even(CAST(max(s) AS DOUBLE) / max(n), 3) AS avg_us
+        |FROM r GROUP BY hop ORDER BY hop""".stripMargin,
+    "correlation_matrix" ->
+      """WITH x AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round_even(l_extendedprice * 100, 0) AS BIGINT) AS p,
+        |    CAST(round_even(l_discount * 100, 0) AS BIGINT) AS d
+        |  FROM lineitem),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(q) AS HUGEINT) AS sq, CAST(sum(p) AS HUGEINT) AS sp,
+        |    CAST(sum(d) AS HUGEINT) AS sd,
+        |    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq,
+        |    CAST(sum(CAST(p AS HUGEINT) * p) AS HUGEINT) AS spp,
+        |    CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sdd,
+        |    CAST(sum(CAST(q AS HUGEINT) * p) AS HUGEINT) AS sqp,
+        |    CAST(sum(CAST(q AS HUGEINT) * d) AS HUGEINT) AS sqd,
+        |    CAST(sum(CAST(p AS HUGEINT) * d) AS HUGEINT) AS spd
+        |  FROM x)
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        |  round_even(CAST(n * sqp - sq * sp AS DOUBLE) /
+        |    (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
+        |     sqrt(CAST(n * spp - sp * sp AS DOUBLE))), 6) AS corr_qty_price,
+        |  round_even(CAST(n * sqd - sq * sd AS DOUBLE) /
+        |    (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
+        |     sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6) AS corr_qty_discount,
+        |  round_even(CAST(n * spd - sp * sd AS DOUBLE) /
+        |    (sqrt(CAST(n * spp - sp * sp AS DOUBLE)) *
+        |     sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6) AS corr_price_discount
+        |FROM a""".stripMargin,
+    "connected_components" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
+        |    l_partkey * 2 + 1 AS dst FROM lineitem),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+        |l1 AS (SELECT node, min(lbl) AS lbl FROM (
+        |    SELECT node, lbl FROM l0
+        |    UNION ALL SELECT e.src AS node, t.lbl FROM e JOIN l0 t
+        |      ON e.dst = t.node) u GROUP BY node),
+        |l2 AS (SELECT node, min(lbl) AS lbl FROM (
+        |    SELECT node, lbl FROM l1
+        |    UNION ALL SELECT e.src AS node, t.lbl FROM e JOIN l1 t
+        |      ON e.dst = t.node) u GROUP BY node),
+        |l3 AS (SELECT node, min(lbl) AS lbl FROM (
+        |    SELECT node, lbl FROM l2
+        |    UNION ALL SELECT e.src AS node, t.lbl FROM e JOIN l2 t
+        |      ON e.dst = t.node) u GROUP BY node),
+        |c AS (SELECT lbl, CAST(count(*) AS BIGINT) AS sz FROM l3 GROUP BY lbl)
+        |SELECT sz, CAST(count(*) AS BIGINT) AS n_groups
+        |FROM c GROUP BY sz ORDER BY sz""".stripMargin,
+    "readability_score" ->
+      """WITH d AS (SELECT lang,
+        |    len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sn
+        |  FROM documents),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(w) AS BIGINT) AS words,
+        |    CAST(sum(sn) AS BIGINT) AS sentences,
+        |    CAST(sum(y) AS BIGINT) AS syllables
+        |  FROM d GROUP BY lang)
+        |SELECT lang, n_docs, words, sentences, syllables,
+        |  round_even(CAST(words AS DOUBLE) / sentences, 6)
+        |    AS words_per_sentence,
+        |  round_even(CAST(syllables AS DOUBLE) / words, 6)
+        |    AS syllables_per_word,
+        |  round_even(206.835
+        |    - 1.015 * (CAST(words AS DOUBLE) / sentences)
+        |    - 84.6 * (CAST(syllables AS DOUBLE) / words), 6) AS flesch
+        |FROM a ORDER BY lang""".stripMargin,
+    "tpch_q7_like" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS ship_year,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Insights
+
+/** Hand-computable fixtures for the Insights batch. The value-level gate
+  * is the three-SF DuckDB oracle sweep; these pin the local semantics
+  * (discrete order statistics, exact-moment correlation, k-round label
+  * propagation, regexp count definitions) a refactor could drift.
+  */
+class InsightsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  test("funnel_conversion_time: discrete median/p90 over hand-built hops") {
+    import spark.implicits._
+    val h = 3600000000L // 1 h in µs
+    // u1 converts all three hops (1h, 2h, 4h); u2 converts only
+    // signup>view (2h; its click precedes its first view); u3's view
+    // precedes signup, so no hop at all
+    val rows = Seq(
+      (1L, 1L, "signup", 0L), (1L, 2L, "view", 1 * h),
+      (1L, 3L, "click", 3 * h), (1L, 4L, "purchase", 7 * h),
+      (2L, 5L, "signup", 0L), (2L, 6L, "click", 1 * h),
+      (2L, 7L, "view", 2 * h),
+      (3L, 8L, "view", 0L), (3L, 9L, "signup", 1 * h))
+    val dir = java.nio.file.Files.createTempDirectory("ins_fct").toString
+    rows.toDF("user_id", "event_id", "event_type", "us")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Insights.queries("funnel_conversion_time")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6))).toMap
+    // hop1: {1h, 2h}: n=2, median = rank (2+1) div 2 = 1 -> 1h,
+    // p90 = rank (18+9) div 10 = 2 -> 2h, mean = 1.5h
+    assert(got("1:signup>view") ===
+      ((2L, 1 * h, 1 * h, 2 * h, 2 * h, 1.5 * h)))
+    assert(got("2:view>click") === ((1L, 2 * h, 2 * h, 2 * h, 2 * h, 2.0 * h)))
+    assert(got("3:click>purchase") ===
+      ((1L, 4 * h, 4 * h, 4 * h, 4 * h, 4.0 * h)))
+  }
+
+  test("correlation_matrix: planted perfect correlations") {
+    import spark.implicits._
+    // price = 2·qty exactly => corr +1; discount = (10−qty)/100 =>
+    // corr(qty, disc) = −1 and corr(price, disc) = −1
+    val dir = java.nio.file.Files.createTempDirectory("ins_corr").toString
+    Seq(1.0, 2.0, 3.0, 4.0).map(q => (q, 2.0 * q, (10 - q) / 100.0))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Insights.queries("correlation_matrix")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_rows") === 4L)
+    assert(r.getAs[Double]("corr_qty_price") === 1.0)
+    assert(r.getAs[Double]("corr_qty_discount") === -1.0)
+    assert(r.getAs[Double]("corr_price_discount") === -1.0)
+  }
+
+  test("connected_components: two planted components of size 3 and 2") {
+    import spark.implicits._
+    // edges (supplier, part): s1–p1–s2 is one component (3 nodes);
+    // s3–p2 is another (2 nodes); 3 propagation rounds reach both
+    val dir = java.nio.file.Files.createTempDirectory("ins_cc").toString
+    Seq((1L, 1L), (2L, 1L), (3L, 2L))
+      .toDF("l_suppkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Insights.queries("connected_components")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 1L, 3L -> 1L))
+  }
+
+  test("readability_score: regexp count definitions on a known text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ins_read").toString
+    // words=6, sentences=2, vowel-group "syllables"=6
+    Seq((1L, "The cat sat. The dog ran!", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Insights.queries("readability_score")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("words") === 6L)
+    assert(r.getAs[Long]("sentences") === 2L)
+    assert(r.getAs[Long]("syllables") === 6L)
+    assert(r.getAs[Double]("words_per_sentence") === 3.0)
+    assert(r.getAs[Double]("syllables_per_word") === 1.0)
+    // 206.835 − 1.015·3 − 84.6·1 = 119.19
+    assert(r.getAs[Double]("flesch") === 119.19)
+  }
+
+  test("tpch_q7_like: nation joins broadcast (plan shape)") {
+    val plan = Insights.queries("tpch_q7_like")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "25-row nation dims must broadcast, not shuffle")
+  }
+}
