@@ -122,6 +122,12 @@ object Insights {
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
         .distinct()
         .select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
+      // 10× fixture (tools/scale_check_r10.scala): ~4× wall for 10×
+      // edges on fixed cores — the rounds are shuffle-bound, not
+      // compute-bound (pre-partitioning edges by dst measured as noise,
+      // not a win, because the label table must re-shuffle per round
+      // regardless). At cluster scale the further lever is delta
+      // propagation: join only labels that CHANGED last round.
       val edges = e0.unionByName(
           e0.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()
