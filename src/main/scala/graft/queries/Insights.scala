@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.GraftSession
+import graft.llm.{Dedup, TextAnalysis}
 
 /** Round-10 analytics batch: funnel timing, exact correlation, iterative
   * connected components, corpus readability, and a nation-pair volume
@@ -201,6 +202,86 @@ object Insights {
         .agg(count(lit(1)).as("n_items"),
           sum("vol").cast("double").as("revenue"))
         .orderBy("supp_nation", "cust_nation", "ship_year")
+    }),
+
+    // Join-key skew audit over events.user_id — the "do I need to salt
+    // this join" planning query. ONE map-side-combinable count per key,
+    // then order statistics over the KEY table (|keys| ≪ |rows|);
+    // discrete p50/p99 ranks so both engines pick the same element.
+    // The single-partition window runs over key counts, not events —
+    // at extreme key cardinality the production path is the
+    // approx-quantile gate (quantile_gate), and the top-share/max here
+    // stay exact either way.
+    "skew_stats" -> ((s, dir) => {
+      val c = Relational.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(lit(1))
+      val r = c.select(col("c"),
+        row_number().over(w.orderBy(col("c"), col("user_id"))).as("rn"),
+        count(lit(1)).over(w).as("n"), sum("c").over(w).as("tot"))
+      r.agg(
+          max("n").as("n_keys"),
+          max("tot").as("total_rows"),
+          max("c").as("max_rows"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("c")))
+            .as("p50_rows"),
+          max(when(col("rn") === expr("(99 * n + 99) div 100"), col("c")))
+            .as("p99_rows"))
+        .select(col("n_keys"), col("total_rows"), col("max_rows"),
+          col("p50_rows"), col("p99_rows"),
+          bround(col("max_rows").cast("double") / col("p50_rows"), 6)
+            .as("skew_ratio"),
+          bround(col("max_rows").cast("double") / col("total_rows"), 6)
+            .as("top_share"))
+    }),
+
+    // Per-source duplicate inflation: rows vs distinct normalized-text
+    // fingerprints (the corpus-hygiene number that says which source is
+    // pasting the same text). Fingerprint spelling is the shared
+    // [[TextAnalysis.fingerprint]] ≙ the oracle's md5 twin (pinned by
+    // doc_fingerprint's MATCH). Hash-agg on 16-byte digests — the same
+    // shape as exact dedup at 100 TB.
+    "dup_inflation" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(TextAnalysis.fingerprint(col("text")))
+            .as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          (col("n_docs") - col("n_unique")).as("dup_rows"),
+          bround(col("n_docs").cast("double") / col("n_unique"), 6)
+            .as("inflation"))
+        .orderBy("source")
+    }),
+
+    // Corpus self-overlap (diversity) on a deterministic sample: 30
+    // docs by md5 order (the ivf seed-sample idiom), all C(30,2) pairs,
+    // exact 3-gram Jaccard each, mean/max over the pairs. Per-pair
+    // Jaccards quantize to integer pico-units before the sum (an IEEE
+    // double sum would be order-dependent); the mean is the one final
+    // IEEE chain. The pair join is a 30-row broadcast self-join — the
+    // corpus-scale work is only the sample scan, at any data size.
+    "self_overlap_sample" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(col("text"))).as("grams"))
+        .filter(size(col("grams")) >= 1)
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(30)
+      val a = g.select(col("doc_id").as("id_a"), col("grams").as("ga"))
+      val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
+      val pico = bround(
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb")))) * 1e12).cast("long")
+      val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .select(pico.as("pj"))
+      val nd = g.agg(count(lit(1)).as("n_docs"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          bround(sum("pj").cast("double") / count(lit(1)) / 1e12, 6)
+            .as("avg_jaccard"),
+          bround(max("pj").cast("double") / 1e12, 6).as("max_jaccard"))
+        .crossJoin(nd)
+        .select(col("n_docs"), col("n_pairs"), col("avg_jaccard"),
+          col("max_jaccard"))
     })
   )
 
@@ -313,6 +394,56 @@ object Insights {
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE n1.n_name <> n2.n_name
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "skew_stats" ->
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |r AS (SELECT c,
+        |    row_number() OVER (ORDER BY c, user_id) AS rn,
+        |    count(*) OVER () AS n, sum(c) OVER () AS tot
+        |  FROM c)
+        |SELECT CAST(max(n) AS BIGINT) AS n_keys,
+        |  CAST(max(tot) AS BIGINT) AS total_rows,
+        |  CAST(max(c) AS BIGINT) AS max_rows,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS BIGINT)
+        |    AS p50_rows,
+        |  CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN c END)
+        |    AS BIGINT) AS p99_rows,
+        |  round_even(CAST(max(c) AS DOUBLE)
+        |    / max(CASE WHEN rn = (n + 1) // 2 THEN c END), 6) AS skew_ratio,
+        |  round_even(CAST(max(c) AS DOUBLE) / max(tot), 6) AS top_share
+        |FROM r""".stripMargin,
+    "dup_inflation" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(trim(regexp_replace(lower(text),
+        |    '\s+', ' ', 'g')))) AS BIGINT) AS n_unique,
+        |  CAST(count(*) - count(DISTINCT md5(trim(regexp_replace(
+        |    lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS dup_rows,
+        |  round_even(CAST(count(*) AS DOUBLE)
+        |    / count(DISTINCT md5(trim(regexp_replace(lower(text),
+        |      '\s+', ' ', 'g')))), 6) AS inflation
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "self_overlap_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        |  FROM documents),
+        |gsets AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+        |  FROM toks WHERE len(t) >= 3),
+        |smp AS (SELECT doc_id, grams FROM gsets
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 30),
+        |p AS (
+        |  SELECT CAST(round_even(
+        |      (CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / len(list_distinct(a.grams || b.grams)))
+        |      * 1000000000000.0, 0) AS BIGINT) AS pj
+        |  FROM smp a JOIN smp b ON a.doc_id < b.doc_id)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM smp) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round_even(CAST(sum(pj) AS DOUBLE) / count(*)
+        |    / 1000000000000.0, 6) AS avg_jaccard,
+        |  round_even(CAST(max(pj) AS DOUBLE) / 1000000000000.0, 6)
+        |    AS max_jaccard
+        |FROM p""".stripMargin
   )
 }

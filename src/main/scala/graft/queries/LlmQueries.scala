@@ -54,6 +54,36 @@ object LlmQueries {
     // step that decides WHICH near-dups to drop
     "dedup_cluster" -> ((s, dir) =>
       Dedup.dupClusters(Dedup.minhashBandedPairs(docs(s, dir)))),
+    // Confident-learning-style label-noise detection by near-dup
+    // consensus: within each minhash cluster, the majority `lang` is
+    // the consensus label and members disagreeing with it are suspects
+    // (content that is the same text should not carry different
+    // labels). Majority is deterministic: row_number over (votes DESC,
+    // lang) — the vote-count tiebreak is lexicographic. The cluster
+    // table is pair-bounded (only docs in ≥1 near-dup pair), so the
+    // vote windows run over a set far smaller than the corpus — the
+    // 100 TB cost stays in the banded-LSH pair join it reuses.
+    "label_noise_detect" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cl = Dedup.dupClusters(Dedup.minhashBandedPairs(docs(s, dir)))
+        .select(col("doc_id"), col("cluster_id"))
+      val j = cl.join(docs(s, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      val votes = j.groupBy("cluster_id", "lang")
+        .agg(count(lit(1)).as("v"))
+      val maj = votes.select(col("cluster_id"),
+          col("lang").as("majority_lang"),
+          row_number().over(Window.partitionBy("cluster_id")
+            .orderBy(col("v").desc, col("lang"))).as("rk"),
+          sum("v").over(Window.partitionBy("cluster_id"))
+            .as("cluster_size"))
+        .filter(col("rk") === 1).drop("rk")
+      j.join(maj, Seq("cluster_id"))
+        .filter(col("lang") =!= col("majority_lang"))
+        .select(col("doc_id"), col("lang"), col("majority_lang"),
+          col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
     "lang_id" -> ((s, dir) =>
@@ -650,6 +680,25 @@ object LlmQueries {
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
         |FROM t ORDER BY doc_id""".stripMargin,
     "dedup_cluster" -> dupClusterOracle(maxDistance = 0.6),
+    "label_noise_detect" ->
+      s"""${dupClosureCtes(0.6, 16, 4)},
+         |j AS (SELECT cl.cluster_id, cl.doc_id, d.lang
+         |  FROM cl JOIN documents d USING (doc_id)),
+         |votes AS (SELECT cluster_id, lang, count(*) AS v
+         |  FROM j GROUP BY 1, 2),
+         |maj AS (SELECT cluster_id, lang AS majority_lang, cluster_size
+         |  FROM (SELECT cluster_id, lang, v,
+         |      row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY v DESC, lang) AS rk,
+         |      CAST(sum(v) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |        AS cluster_size
+         |    FROM votes)
+         |  WHERE rk = 1)
+         |SELECT j.doc_id, j.lang, maj.majority_lang, j.cluster_id,
+         |  maj.cluster_size
+         |FROM j JOIN maj USING (cluster_id)
+         |WHERE j.lang <> maj.majority_lang
+         |ORDER BY j.doc_id""".stripMargin,
     "ngram_jaccard" -> ngramJaccardOracle(minJaccard = 0.1, maxDistance = 0.8),
     "dedup_simhash" -> simhashOracle(maxHamming = 6),
     "neardup_signlsh" -> signLshOracle(minCosine = 0.4),

@@ -90,6 +90,68 @@ class InsightsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("flesch") === 119.19)
   }
 
+  test("skew_stats: planted heavy key yields exact rank statistics") {
+    import spark.implicits._
+    // 9 users with 1 event + 1 user with 11: n_keys=10, total=20,
+    // p50 = rank 5 -> 1, p99 = rank 10 -> 11
+    val rows = (1L to 9L).map(u => (u, u, "view", u * 1000000L)) ++
+      (1L to 11L).map(i => (10L, 100L + i, "view", i * 1000000L))
+    val dir = java.nio.file.Files.createTempDirectory("ins_skew").toString
+    rows.toDF("user_id", "event_id", "event_type", "us")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Insights.queries("skew_stats")(spark, dir).collect()(0)
+    assert((r.getAs[Long]("n_keys"), r.getAs[Long]("total_rows"),
+      r.getAs[Long]("max_rows"), r.getAs[Long]("p50_rows"),
+      r.getAs[Long]("p99_rows")) === ((10L, 20L, 11L, 1L, 11L)))
+    assert(r.getAs[Double]("skew_ratio") === 11.0)
+    assert(r.getAs[Double]("top_share") === 0.55)
+  }
+
+  test("dup_inflation: normalization-equal texts collapse per source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ins_dup").toString
+    Seq((1L, "Hello  world", "A"), (2L, "hello world", "A"),
+      (3L, "another doc", "A"), (4L, "doc one", "B"), (5L, "doc two", "B"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Insights.queries("dup_inflation")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got === Map("A" -> ((3L, 2L, 1L, 1.5)), "B" -> ((2L, 2L, 0L, 1.0))))
+  }
+
+  test("self_overlap_sample: three docs with one overlapping gram pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ins_ovl").toString
+    // grams: {abc,bcd} vs {abc,bce} share 1 of 3; the third is disjoint
+    Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Insights.queries("self_overlap_sample")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    // pairs: 1/3, 0, 0 -> mean 1/9 (pico-quantized), max 1/3
+    assert(r.getAs[Double]("avg_jaccard") === 0.111111)
+    assert(r.getAs[Double]("max_jaccard") === 0.333333)
+  }
+
+  test("label_noise_detect: minority lang in a near-dup cluster flagged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ins_noise").toString
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((1L, txt, "en"), (2L, txt, "en"), (3L, txt, "de"),
+      (4L, "totally unrelated content lives here by itself", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("label_noise_detect")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("majority_lang"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size")))
+    assert(got === Array((3L, "de", "en", 1L, 3L)))
+  }
+
   test("tpch_q7_like: nation joins broadcast (plan shape)") {
     val plan = Insights.queries("tpch_q7_like")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
