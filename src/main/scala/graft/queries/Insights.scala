@@ -282,6 +282,41 @@ object Insights {
         .crossJoin(nd)
         .select(col("n_docs"), col("n_pairs"), col("avg_jaccard"),
           col("max_jaccard"))
+    }),
+
+    // The reference's funnel arithmetic applied to the data-cleaning
+    // pipeline itself: survivors and drop-% through cumulative filter
+    // stages (token floor → language allowlist → exact dedup). One
+    // corpus pass computes per-doc stage flags; the dedup rank runs
+    // only over stage-2 survivors (partitioned by 16-byte fingerprint);
+    // the funnel itself is two 1-row aggregates unioned into 3 rows —
+    // at 100 TB the report costs one scan plus one survivor-set window,
+    // same as the cleaning job it audits.
+    "filter_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("toks"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val p = d.select(col("doc_id"), col("fp"),
+        (col("toks") >= 30).as("pass1"),
+        (col("toks") >= 30 && col("lang").isin("en", "de", "fr"))
+          .as("pass2"))
+      val a = p.agg(count(lit(1)).as("n0"),
+        sum(when(col("pass1"), 1L)).as("n1"),
+        sum(when(col("pass2"), 1L)).as("n2"))
+      val b = p.filter(col("pass2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .agg(sum(when(col("rn") === 1, 1L)).as("n3"))
+      val wide = a.crossJoin(b)
+      def stage(idx: Int, name: String, in: Column, out: Column) =
+        wide.select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          in.as("n_in"), out.as("n_out"), (in - out).as("n_dropped"),
+          when(in > 0,
+            bround(lit(100.0) * (in - out) / in, 1)).as("drop_pct"))
+      stage(1, "tokens>=30", col("n0"), col("n1"))
+        .unionByName(stage(2, "lang in (en,de,fr)", col("n1"), col("n2")))
+        .unionByName(stage(3, "exact-dedup", col("n2"), col("n3")))
+        .orderBy("stage_idx")
     })
   )
 
@@ -444,6 +479,41 @@ object Insights {
         |    / 1000000000000.0, 6) AS avg_jaccard,
         |  round_even(CAST(max(pj) AS DOUBLE) / 1000000000000.0, 6)
         |    AS max_jaccard
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+    "filter_funnel" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '\S+')) AS toks,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |p AS (SELECT doc_id, fp, (toks >= 30) AS pass1,
+        |    (toks >= 30 AND lang IN ('en','de','fr')) AS pass2
+        |  FROM d),
+        |r AS (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM p WHERE pass2),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN pass1 THEN 1 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN pass2 THEN 1 END) AS BIGINT) AS n2
+        |  FROM p),
+        |b AS (SELECT CAST(sum(CASE WHEN rn = 1 THEN 1 END) AS BIGINT)
+        |    AS n3 FROM r),
+        |w AS (SELECT * FROM a, b)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_idx, 'tokens>=30' AS stage, n0 AS n_in,
+        |    n1 AS n_out, n0 - n1 AS n_dropped,
+        |    CASE WHEN n0 > 0
+        |      THEN round_even(100.0 * (n0 - n1) / n0, 1) END AS drop_pct
+        |  FROM w
+        |  UNION ALL
+        |  SELECT 2, 'lang in (en,de,fr)', n1, n2, n1 - n2,
+        |    CASE WHEN n1 > 0
+        |      THEN round_even(100.0 * (n1 - n2) / n1, 1) END
+        |  FROM w
+        |  UNION ALL
+        |  SELECT 3, 'exact-dedup', n2, n3, n2 - n3,
+        |    CASE WHEN n2 > 0
+        |      THEN round_even(100.0 * (n2 - n3) / n2, 1) END
+        |  FROM w)
+        |ORDER BY stage_idx""".stripMargin
   )
 }

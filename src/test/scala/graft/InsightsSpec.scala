@@ -152,6 +152,24 @@ class InsightsSpec extends AnyFunSuite {
     assert(got === Array((3L, "de", "en", 1L, 3L)))
   }
 
+  test("filter_funnel: cumulative stage drops with funnel percentages") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("ins_ff").toString
+    // d4 fails the token floor, d3 the lang allowlist, d2 is d1's dup
+    Seq((1L, long, "en"), (2L, long, "en"), (3L, long, "zh"),
+      (4L, "too short", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Insights.queries("filter_funnel")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(got === Array(
+      (1, 4L, 3L, 1L, 25.0),
+      (2, 3L, 2L, 1L, 33.3),
+      (3, 2L, 1L, 1L, 50.0)))
+  }
+
   test("tpch_q7_like: nation joins broadcast (plan shape)") {
     val plan = Insights.queries("tpch_q7_like")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
