@@ -261,12 +261,17 @@ object Insights {
     // IEEE chain. The pair join is a 30-row broadcast self-join — the
     // corpus-scale work is only the sample scan, at any data size.
     "self_overlap_sample" -> ((s, dir) => {
+      // sample BEFORE building gram sets: the eligibility filter is the
+      // cheap token count (≙ the oracle's len(t) >= 3), so the corpus
+      // pass is one regexp scan and the interpreted shingle HOF runs on
+      // 30 rows, not the corpus (measured 3.0 s → sub-second at sf0.1)
       val g = t(s, dir, "documents")
-        .select(col("doc_id"),
-          array_distinct(Dedup.shingles(col("text"))).as("grams"))
-        .filter(size(col("grams")) >= 1)
+        .select(col("doc_id"), col("text"))
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
         .limit(30)
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(col("text"))).as("grams"))
       val a = g.select(col("doc_id").as("id_a"), col("grams").as("ga"))
       val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
       val pico = bround(
@@ -317,6 +322,62 @@ object Insights {
         .unionByName(stage(2, "lang in (en,de,fr)", col("n1"), col("n2")))
         .unionByName(stage(3, "exact-dedup", col("n2"), col("n3")))
         .orderBy("stage_idx")
+    }),
+
+    // Position-based (U-shape) multi-touch attribution: every purchase
+    // distributes exactly 1,000,000 micro-credits over its 3-day
+    // lookback touches — 40/40 to first/last, the middle 20% split by
+    // integer division with the remainder pinned to the LAST touch, so
+    // credits are EXACT integers that always sum to 1e6 (no float
+    // shares to drift between engines). Purchases with no in-window
+    // touch credit "none" in full (anti-join leg). The touch↔purchase
+    // pairing is a per-user range join — per-user-bounded fan-out, the
+    // funnel_ordered precedent; credit-weighted value accumulates in
+    // DECIMAL(38,0) ≙ HUGEINT.
+    "attribution_ushape" -> ((s, dir) => {
+      val lookbackUs = 259200000000L // 3 days in µs
+      val ev = Relational.events(s, dir).select(col("user_id"),
+        col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"),
+        bround(col("value") * lit(1000000.0)).cast("long").as("v"))
+      val tou = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_uid"), col("event_id").as("t_eid"),
+          col("ts_us").as("t_ts"), col("event_type").as("ch"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_eid"),
+          col("ts_us").as("p_ts"), col("v"))
+      val windowCond = col("t_uid") === col("user_id") &&
+        (col("t_ts") < col("p_ts") ||
+          (col("t_ts") === col("p_ts") && col("t_eid") < col("p_eid"))) &&
+        col("t_ts") >= col("p_ts") - lit(lookbackUs)
+      val wk = Window.partitionBy("user_id", "p_eid")
+      val m = pur.join(tou, windowCond)
+        .select(col("user_id"), col("p_eid"), col("v"), col("ch"),
+          row_number().over(wk.orderBy(col("t_ts"), col("t_eid")))
+            .as("rn"),
+          count(lit(1)).over(wk).as("k"))
+      val credit = when(col("k") === 1, lit(1000000L))
+        .when(col("k") === 2, lit(500000L))
+        .otherwise(
+          when(col("rn") === 1, lit(400000L))
+            .when(col("rn") === col("k"),
+              lit(400000L) + expr("200000 % (k - 2)"))
+            .otherwise(expr("200000 div (k - 2)")))
+      val touched = m.select(col("ch").as("channel"),
+        credit.as("cr"), col("v"))
+      val untouched = pur.join(tou, windowCond, "left_anti")
+        .select(lit("none").as("channel"), lit(1000000L).as("cr"),
+          col("v"))
+      touched.unionByName(untouched)
+        .groupBy("channel").agg(
+          count(lit(1)).as("touches"),
+          sum("cr").as("credit_micros"),
+          sum(col("v").cast(D38) * col("cr")).as("wv"))
+        .select(col("channel"), col("touches"), col("credit_micros"),
+          bround(col("credit_micros").cast("double") / 1e6, 6)
+            .as("credited_purchases"),
+          bround(col("wv").cast("double") / 1e12, 6).as("credited_value"))
+        .orderBy("channel")
     })
   )
 
@@ -514,6 +575,44 @@ object Insights {
         |    CASE WHEN n2 > 0
         |      THEN round_even(100.0 * (n2 - n3) / n2, 1) END
         |  FROM w)
-        |ORDER BY stage_idx""".stripMargin
+        |ORDER BY stage_idx""".stripMargin,
+    "attribution_ushape" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    event_type,
+        |    CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+        |  FROM events),
+        |tou AS (SELECT user_id AS t_uid, event_id AS t_eid,
+        |    ts_us AS t_ts, event_type AS ch
+        |  FROM ev WHERE event_type IN ('click', 'view')),
+        |pur AS (SELECT user_id, event_id AS p_eid, ts_us AS p_ts, v
+        |  FROM ev WHERE event_type = 'purchase'),
+        |m AS (SELECT p.user_id, p.p_eid, p.v, t.ch,
+        |    row_number() OVER (PARTITION BY p.user_id, p.p_eid
+        |      ORDER BY t.t_ts, t.t_eid) AS rn,
+        |    count(*) OVER (PARTITION BY p.user_id, p.p_eid) AS k
+        |  FROM pur p JOIN tou t ON t.t_uid = p.user_id
+        |    AND (t.t_ts < p.p_ts OR (t.t_ts = p.p_ts AND t.t_eid < p.p_eid))
+        |    AND t.t_ts >= p.p_ts - 259200000000),
+        |touched AS (SELECT ch AS channel,
+        |    CASE WHEN k = 1 THEN 1000000
+        |      WHEN k = 2 THEN 500000
+        |      WHEN rn = 1 THEN 400000
+        |      WHEN rn = k THEN 400000 + 200000 % (k - 2)
+        |      ELSE 200000 // (k - 2) END AS cr, v
+        |  FROM m),
+        |untouched AS (SELECT 'none' AS channel, 1000000 AS cr, p.v
+        |  FROM pur p WHERE NOT EXISTS (SELECT 1 FROM tou t
+        |    WHERE t.t_uid = p.user_id
+        |      AND (t.t_ts < p.p_ts
+        |        OR (t.t_ts = p.p_ts AND t.t_eid < p.p_eid))
+        |      AND t.t_ts >= p.p_ts - 259200000000)),
+        |u AS (SELECT * FROM touched UNION ALL SELECT * FROM untouched)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS touches,
+        |  CAST(sum(cr) AS BIGINT) AS credit_micros,
+        |  round_even(CAST(sum(cr) AS DOUBLE) / 1000000.0, 6)
+        |    AS credited_purchases,
+        |  round_even(CAST(sum(CAST(v AS HUGEINT) * cr) AS DOUBLE)
+        |    / 1000000000000.0, 6) AS credited_value
+        |FROM u GROUP BY channel ORDER BY channel""".stripMargin
   )
 }

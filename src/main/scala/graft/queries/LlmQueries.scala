@@ -84,6 +84,43 @@ object LlmQueries {
           col("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
     }),
+    // Approximation-quality gate for the minhash path itself: over ALL
+    // banded candidates (no distance cut), compare the 16-hash Jaccard
+    // ESTIMATE against the exact 3-gram Jaccard — mean/max absolute
+    // error (pico-quantized before the sum) and the precision of the
+    // dist≤0.6 predicate against exact-Jaccard≥0.4 truth. The numbers
+    // that justify trusting banded LSH before a 100 TB dedup run.
+    // Estimates are exact binary (k/16); only the final readouts are
+    // IEEE, mirrored.
+    "near_dup_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val grams = d.select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"))).as("g"))
+      val j = Dedup.minhashBandedPairs(d, maxDistance = 1.0)
+        .join(grams.select(col("doc_id").as("doc_a"), col("g").as("ga")),
+          "doc_a")
+        .join(grams.select(col("doc_id").as("doc_b"), col("g").as("gb")),
+          "doc_b")
+        .select(col("jaccard_dist").as("dist"),
+          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            size(array_union(col("ga"), col("gb"))).cast("double"))
+            .as("jac"))
+      j.select(col("dist"), col("jac"),
+          bround(abs((lit(1.0) - col("dist")) - col("jac")) * 1e12)
+            .cast("long").as("ep"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("dist") <= 0.6, 1L)).as("n_pred_dup"),
+          sum(when(col("dist") <= 0.6 && col("jac") >= 0.4, 1L))
+            .as("n_true_dup"),
+          bround(sum("ep").cast("double") / count(lit(1)) / 1e12, 6)
+            .as("mean_abs_err"),
+          bround(max("ep").cast("double") / 1e12, 6).as("max_abs_err"))
+        .select(col("n_candidates"), col("n_pred_dup"), col("n_true_dup"),
+          when(col("n_pred_dup") > 0,
+            bround(col("n_true_dup").cast("double") / col("n_pred_dup"), 6))
+            .as("precision_dup"),
+          col("mean_abs_err"), col("max_abs_err"))
+    }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
     "lang_id" -> ((s, dir) =>
@@ -629,6 +666,34 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     // parameters MUST mirror the registered queries above
     "dedup_minhash" -> minhashOracle(maxDistance = 0.6),
+    "near_dup_eval" ->
+      s"""${minhashCtes(16, 4)},
+         |x AS (SELECT e.jaccard_dist AS dist,
+         |    CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+         |      / CAST(len(list_distinct(ga.grams || gb.grams)) AS DOUBLE)
+         |      AS jac
+         |  FROM est e
+         |  JOIN gsets ga ON e.doc_a = ga.doc_id
+         |  JOIN gsets gb ON e.doc_b = gb.doc_id),
+         |y AS (SELECT dist, jac,
+         |    CAST(round_even(abs((1.0 - dist) - jac)
+         |      * 1000000000000.0, 0) AS BIGINT) AS ep
+         |  FROM x)
+         |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         |  CAST(sum(CASE WHEN dist <= 0.6 THEN 1 END) AS BIGINT)
+         |    AS n_pred_dup,
+         |  CAST(sum(CASE WHEN dist <= 0.6 AND jac >= 0.4 THEN 1 END)
+         |    AS BIGINT) AS n_true_dup,
+         |  CASE WHEN sum(CASE WHEN dist <= 0.6 THEN 1 END) > 0 THEN
+         |    round_even(CAST(sum(CASE WHEN dist <= 0.6 AND jac >= 0.4
+         |        THEN 1 END) AS DOUBLE)
+         |      / sum(CASE WHEN dist <= 0.6 THEN 1 END), 6) END
+         |    AS precision_dup,
+         |  round_even(CAST(sum(ep) AS DOUBLE) / count(*)
+         |    / 1000000000000.0, 6) AS mean_abs_err,
+         |  round_even(CAST(max(ep) AS DOUBLE) / 1000000000000.0, 6)
+         |    AS max_abs_err
+         |FROM y""".stripMargin,
     "split_leakage" ->
       s"""${minhashCtes(16, 4)},
          |fp AS (SELECT doc_a, doc_b FROM est WHERE jaccard_dist <= 0.6),

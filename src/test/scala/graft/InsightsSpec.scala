@@ -170,6 +170,53 @@ class InsightsSpec extends AnyFunSuite {
       (3, 2L, 1L, 1L, 50.0)))
   }
 
+  test("attribution_ushape: exact micro-credits across k=1/2/3 and none") {
+    import spark.implicits._
+    val h = 3600000000L
+    // u1: view,click,view -> purchase(10): U-shape 40/20/40
+    // u2: click 100h before purchase(5): outside 72h window -> none
+    // u3: purchase(2) with no touches -> none
+    // u4: single view -> purchase(4): k=1 full credit
+    // u5: click,view -> purchase(8): k=2 50/50
+    val rows = Seq(
+      (1L, 1L, "view", 0L, 0.0), (1L, 2L, "click", 1 * h, 0.0),
+      (1L, 3L, "view", 2 * h, 0.0), (1L, 4L, "purchase", 3 * h, 10.0),
+      (2L, 5L, "click", 0L, 0.0), (2L, 6L, "purchase", 100 * h, 5.0),
+      (3L, 7L, "purchase", 0L, 2.0),
+      (4L, 8L, "view", 0L, 0.0), (4L, 9L, "purchase", 1 * h, 4.0),
+      (5L, 10L, "click", 0L, 0.0), (5L, 11L, "view", 1 * h, 0.0),
+      (5L, 12L, "purchase", 2 * h, 8.0))
+    val dir = java.nio.file.Files.createTempDirectory("ins_ush").toString
+    rows.toDF("user_id", "event_id", "event_type", "us", "value")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Insights.queries("attribution_ushape")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got === Map(
+      "click" -> ((2L, 700000L, 0.7, 2.0 + 4.0)),
+      "view" -> ((4L, 2300000L, 2.3, 12.0 + 4.0)),
+      "none" -> ((2L, 2000000L, 2.0, 7.0))))
+  }
+
+  test("near_dup_eval: identical pair estimates perfectly") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = java.nio.file.Files.createTempDirectory("ins_nde").toString
+    Seq((1L, txt), (2L, txt),
+      (3L, "completely different words occupy this other document here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("near_dup_eval")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_candidates") === 1L)
+    assert(r.getAs[Long]("n_pred_dup") === 1L)
+    assert(r.getAs[Long]("n_true_dup") === 1L)
+    assert(r.getAs[Double]("precision_dup") === 1.0)
+    assert(r.getAs[Double]("mean_abs_err") === 0.0)
+    assert(r.getAs[Double]("max_abs_err") === 0.0)
+  }
+
   test("tpch_q7_like: nation joins broadcast (plan shape)") {
     val plan = Insights.queries("tpch_q7_like")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
