@@ -378,6 +378,53 @@ object Insights {
             .as("credited_purchases"),
           bround(col("wv").cast("double") / 1e12, 6).as("credited_value"))
         .orderBy("channel")
+    }),
+
+    // Structured Streaming, driver-gated: the SAME tumbling-day
+    // aggregation the streaming module ships ([[FunnelStream
+    // .dailyEventCounts]]) actually RUNS as a stream here —
+    // readStream over the events parquet, AvailableNow trigger,
+    // complete-mode memory sink — and its final result must equal the
+    // batch oracle's GROUP BY day. Stream/batch parity stops being a
+    // claim in a spec and becomes a hash-checked gate. The ts
+    // normalization branches on the observed schema exactly like
+    // [[Relational.events]] (the round-9 lesson applies to stream
+    // sources too).
+    "stream_daily_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType,
+        TimestampType}
+      GraftSession.tune(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the harness table is a single FILE (stream the parent dir with
+      // a glob filter — the file source rejects a file basePath), but
+      // Spark-written fixtures are DIRECTORIES named events.parquet
+      // (stream them directly; a name glob would exclude their part
+      // files)
+      val tablePath = new java.io.File(s"$dir/events.parquet")
+      val raw =
+        if (tablePath.isDirectory)
+          s.readStream.schema(schema).parquet(tablePath.toString)
+        else
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
+      val tbl = "stream_daily_" + Relational.sfTag(dir)
+      val q = graft.streaming.FunnelStream.dailyEventCounts(ev)
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(tbl)
+        .select(date_format(col("day_start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("cnt"))
+        .orderBy("day", "event_type")
     })
   )
 
@@ -613,6 +660,10 @@ object Insights {
         |    AS credited_purchases,
         |  round_even(CAST(sum(CAST(v AS HUGEINT) * cr) AS DOUBLE)
         |    / 1000000000000.0, 6) AS credited_value
-        |FROM u GROUP BY channel ORDER BY channel""".stripMargin
+        |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
+    "stream_daily_counts" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -121,6 +121,32 @@ object LlmQueries {
             .as("precision_dup"),
           col("mean_abs_err"), col("max_abs_err"))
     }),
+    // Threshold-tuning curve for near-dup dedup: exact-Jaccard
+    // histogram over ALL banded candidates (0.1-wide bins) plus the
+    // cumulative pair count at-or-above each bin — the curve that says
+    // what a 0.7 vs 0.8 cutoff would actually delete, measured before
+    // committing a corpus-scale dedup pass.
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val grams = d.select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"))).as("g"))
+      val j = Dedup.minhashBandedPairs(d, maxDistance = 1.0)
+        .join(grams.select(col("doc_id").as("doc_a"), col("g").as("ga")),
+          "doc_a")
+        .join(grams.select(col("doc_id").as("doc_b"), col("g").as("gb")),
+          "doc_b")
+        .select((size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))).cast("double")).as("jac"))
+      j.select(least(floor(col("jac") * 10), lit(9)).cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+        .select(col("bin"), bround(col("bin") / lit(10.0), 1)
+            .as("jaccard_lo"),
+          col("n_pairs"),
+          sum("n_pairs").over(Window.orderBy(col("bin").desc))
+            .as("pairs_at_or_above"))
+        .orderBy("bin")
+    }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
     "lang_id" -> ((s, dir) =>
@@ -666,6 +692,23 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     // parameters MUST mirror the registered queries above
     "dedup_minhash" -> minhashOracle(maxDistance = 0.6),
+    "dedup_threshold_sweep" ->
+      s"""${minhashCtes(16, 4)},
+         |x AS (SELECT
+         |    CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+         |      / CAST(len(list_distinct(ga.grams || gb.grams)) AS DOUBLE)
+         |      AS jac
+         |  FROM est e
+         |  JOIN gsets ga ON e.doc_a = ga.doc_id
+         |  JOIN gsets gb ON e.doc_b = gb.doc_id),
+         |b AS (SELECT CAST(least(floor(jac * 10), 9) AS INT) AS bin
+         |  FROM x),
+         |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM b GROUP BY bin)
+         |SELECT bin, round_even(bin / 10.0, 1) AS jaccard_lo, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY bin DESC) AS BIGINT)
+         |    AS pairs_at_or_above
+         |FROM c ORDER BY bin""".stripMargin,
     "near_dup_eval" ->
       s"""${minhashCtes(16, 4)},
          |x AS (SELECT e.jaccard_dist AS dist,

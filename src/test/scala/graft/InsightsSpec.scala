@@ -217,6 +217,38 @@ class InsightsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("max_abs_err") === 0.0)
   }
 
+  test("stream_daily_counts: streaming run equals hand-built daily counts") {
+    import spark.implicits._
+    val day = 86400000000L
+    val rows = Seq(
+      (1L, 1L, "view", 1 * day + 5L), (2L, 2L, "view", 1 * day + 6L),
+      (3L, 3L, "click", 1 * day + 7L), (4L, 4L, "view", 2 * day + 8L))
+    val dir = java.nio.file.Files.createTempDirectory("ins_str").toString
+    rows.toDF("user_id", "event_id", "event_type", "us")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Insights.queries("stream_daily_counts")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got === Array(
+      ("1970-01-02", "click", 1L), ("1970-01-02", "view", 2L),
+      ("1970-01-03", "view", 1L)))
+  }
+
+  test("dedup_threshold_sweep: identical pair lands in the top bin") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = java.nio.file.Files.createTempDirectory("ins_sweep").toString
+    Seq((1L, txt), (2L, txt),
+      (3L, "unrelated words that share nothing with the others at all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_threshold_sweep")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got === Array((9, 0.9, 1L, 1L)))
+  }
+
   test("tpch_q7_like: nation joins broadcast (plan shape)") {
     val plan = Insights.queries("tpch_q7_like")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
