@@ -147,6 +147,47 @@ object LlmQueries {
             .as("pairs_at_or_above"))
         .orderBy("bin")
     }),
+    // False-positive-rate audit of the ACTUAL BloomFilterAgg artifact:
+    // build a deliberately small filter (2048 bits, k=4) over the odd
+    // half's fingerprints, probe every even-half doc through the real
+    // `mayContain` Column, and compare against exact set membership —
+    // measured FPR over true negatives. The oracle REBUILDS the filter
+    // relationally from the portable Kirsch–Mitzenmacher md5 pair
+    // (CountMinSketchAgg.hashPair's documented DuckDB spelling), so a
+    // drift in the JVM bit path breaks the hash compare. The sizing
+    // audit a 100 TB decontamination pass runs before trusting a
+    // broadcast filter's m/k.
+    "bloom_fpr_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      val nBits = 2048
+      val k = 4
+      val fpCol = TextAnalysis.fingerprint(col("text"))
+      val bl = docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(fpCol.as("f"))
+      val pr = docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), fpCol.as("f"))
+      val bloomAgg = udaf(new graft.functions.BloomFilterAgg(nBits, k),
+        Encoders.STRING)
+      val bloom = bl.agg(bloomAgg(col("f")).as("bits"))
+      val blSet = bl.distinct().withColumnRenamed("f", "bf")
+      val probed = pr.crossJoin(broadcast(bloom))
+        .select(col("f"),
+          graft.functions.BloomFilterAgg.mayContain(
+            col("bits"), col("f"), nBits, k).as("pass"))
+        .join(broadcast(blSet), col("f") === col("bf"), "left")
+        .select(col("pass"), col("bf").isNotNull.as("in_set"))
+      probed.agg(
+          count(lit(1)).as("n_probes"),
+          sum(when(col("in_set"), 1L).otherwise(0L)).as("n_in_set"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("pass") && !col("in_set"), 1L).otherwise(0L))
+            .as("n_fp"))
+        .select(col("n_probes"), col("n_in_set"), col("n_pass"),
+          col("n_fp"),
+          when(col("n_probes") - col("n_in_set") > 0,
+            bround(col("n_fp").cast("double") /
+              (col("n_probes") - col("n_in_set")), 6)).as("fpr"))
+    }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
     "lang_id" -> ((s, dir) =>
@@ -692,6 +733,49 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     // parameters MUST mirror the registered queries above
     "dedup_minhash" -> minhashOracle(maxDistance = 0.6),
+    // relational rebuild of the 2048-bit k=4 filter: the set-bit
+    // positions are (h1 + i·h2) mod 2048 over the portable md5 pair;
+    // a probe passes iff all 4 of its positions are set by SOME
+    // blocklist key. h2|1 keeps the stride odd (distinct positions
+    // mod a power of two), so the per-probe hit count is exact.
+    "bloom_fpr_eval" ->
+      s"""WITH fp AS (SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+         |  FROM documents),
+         |bl AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 1),
+         |pr AS (SELECT doc_id, f FROM fp WHERE doc_id % 2 = 0),
+         |blh AS (SELECT f,
+         |    CAST('0x' || substr(md5(f), 1, 7) AS BIGINT) AS h1,
+         |    CAST('0x' || substr(md5(f), 8, 7) AS BIGINT) | 1 AS h2
+         |  FROM bl),
+         |blpos AS (SELECT DISTINCT (h1 + t.i * h2) % 2048 AS pos
+         |  FROM blh, range(0, 4) t(i)),
+         |prh AS (SELECT doc_id, f,
+         |    CAST('0x' || substr(md5(f), 1, 7) AS BIGINT) AS h1,
+         |    CAST('0x' || substr(md5(f), 8, 7) AS BIGINT) | 1 AS h2
+         |  FROM pr),
+         |prpos AS (SELECT doc_id, f, (h1 + t.i * h2) % 2048 AS pos
+         |  FROM prh, range(0, 4) t(i)),
+         |hit AS (SELECT p.doc_id, p.f, count(b.pos) AS nhit
+         |  FROM prpos p LEFT JOIN blpos b USING (pos)
+         |  GROUP BY p.doc_id, p.f),
+         |x AS (SELECT nhit = 4 AS pass,
+         |    f IN (SELECT f FROM bl) AS in_set
+         |  FROM hit)
+         |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         |  CAST(sum(CASE WHEN in_set THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_in_set,
+         |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass,
+         |  CAST(sum(CASE WHEN pass AND NOT in_set THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_fp,
+         |  CASE WHEN count(*) - sum(CASE WHEN in_set THEN 1 ELSE 0 END) > 0
+         |    THEN round_even(
+         |      CAST(sum(CASE WHEN pass AND NOT in_set THEN 1 ELSE 0 END)
+         |        AS DOUBLE)
+         |      / (count(*) - sum(CASE WHEN in_set THEN 1 ELSE 0 END)), 6)
+         |    END AS fpr
+         |FROM x""".stripMargin,
     "dedup_threshold_sweep" ->
       s"""${minhashCtes(16, 4)},
          |x AS (SELECT

@@ -249,6 +249,23 @@ class InsightsSpec extends AnyFunSuite {
     assert(got === Array((9, 0.9, 1L, 1L)))
   }
 
+  test("bloom_fpr_eval: planted member passes, distinct non-member does not") {
+    import spark.implicits._
+    val a = "first blocklisted document with enough words to matter"
+    val b = "second blocklisted document thoroughly different from the first"
+    val dir = java.nio.file.Files.createTempDirectory("ins_bloom").toString
+    // odd ids form the blocklist; doc 2 duplicates a blocklisted text
+    // (true member), doc 4 is novel (true negative; with 8 of 2048 bits
+    // set its 4 probe positions are deterministically unset)
+    Seq((1L, a), (3L, b), (2L, a), (4L, "a completely novel probe text"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("bloom_fpr_eval")(spark, dir).collect()(0)
+    assert((r.getAs[Long]("n_probes"), r.getAs[Long]("n_in_set"),
+      r.getAs[Long]("n_pass"), r.getAs[Long]("n_fp"),
+      r.getAs[Double]("fpr")) === ((2L, 1L, 1L, 0L, 0.0)))
+  }
+
   test("tpch_q7_like: nation joins broadcast (plan shape)") {
     val plan = Insights.queries("tpch_q7_like")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
