@@ -266,6 +266,18 @@ class InsightsSpec extends AnyFunSuite {
       r.getAs[Double]("fpr")) === ((2L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("attribution_ushape: range join stays an equi-join on user (plan)") {
+    val plan = Insights.queries("attribution_ushape")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the touch↔purchase pairing must hash on the user equality; losing
+    // that clause would silently degrade to a nested-loop cartesian
+    assert(!plan.contains("CartesianProduct"),
+      "touch pairing must not be a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "touch pairing must not be a nested-loop join")
+  }
+
   test("tpch_q7_like: nation joins broadcast (plan shape)") {
     val plan = Insights.queries("tpch_q7_like")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
