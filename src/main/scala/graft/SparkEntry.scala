@@ -25,11 +25,19 @@ object SparkEntry {
     Relational.queries ++ LlmQueries.queries ++ Analytics.queries ++
       Scoring.queries ++ Signals.queries ++ Insights.queries +
       ("funnel_table" -> (FunnelOverEvents.query(_, _))) +
+      // the funnel aggregation run as a real Structured Streaming query
+      // (readStream → global complete-mode agg → memory sink), hash-
+      // checked against the SAME oracle as the batch funnel_table
+      ("stream_funnel_table" -> (FunnelOverEvents.streamQuery(_, _))) +
       // CSV source layer end-to-end (path templating, month glob, range
       // post-filter, entity pushdown) over a generated on-disk fixture
       // in the reference's directory layout, oracle-checked by DuckDB
       // read_csv over the same files.
-      ("csv_funnel_report" -> (CsvFunnelReport.query(_, _)))
+      ("csv_funnel_report" -> (CsvFunnelReport.query(_, _))) +
+      // same report over the at-scale layout: stages ingested once as a
+      // date=-partitioned parquet table (with a decoy out-of-range day)
+      // and pruned by a planned partition predicate, not path strings
+      ("csv_funnel_partitioned" -> (CsvFunnelReport.partitionedQuery(_, _)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +45,10 @@ object SparkEntry {
     Relational.oracles ++ LlmQueries.oracles ++ Analytics.oracles ++
       Scoring.oracles ++ Signals.oracles ++ Insights.oracles +
       ("funnel_table" -> FunnelOverEvents.oracle) +
-      ("csv_funnel_report" -> CsvFunnelReport.oracle)
+      // stream/batch parity IS the claim: one oracle serves both paths
+      ("stream_funnel_table" -> FunnelOverEvents.oracle) +
+      ("csv_funnel_report" -> CsvFunnelReport.oracle) +
+      // the partitioned layout must reproduce the CSV-path result
+      // exactly — one oracle serves both
+      ("csv_funnel_partitioned" -> CsvFunnelReport.oracle)
 }

@@ -670,8 +670,16 @@ object Dedup {
       col("rn").as("rn_a"), col("sz").as("sz_a"))
     val pb = prefix.select(col("doc_id").as("doc_b"), col("gram"),
       col("rn").as("rn_b"), col("sz").as("sz_b"))
+    // Length filter (PPJoin lemma 1): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    // so J ≥ t forces the smaller set to carry ≥ ⌈t·max⌉ elements. It
+    // prunes size-mismatched pairs the positional bound alone keeps
+    // (e.g. a rank-1 prefix hit between a 10-gram and a 100-gram doc).
+    // Cheap long comparisons on columns already in the joined row, ahead
+    // of the distinct and the array-carrying verify join.
     val cand = pa.join(pb, Seq("gram"))
       .filter(col("doc_a") < col("doc_b") &&
+        least(col("sz_a"), col("sz_b")) >=
+          ceil(lit(threshold) * greatest(col("sz_a"), col("sz_b"))) &&
         lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))
           >= ceil(lit(threshold / (1 + threshold))
             * (col("sz_a") + col("sz_b"))))

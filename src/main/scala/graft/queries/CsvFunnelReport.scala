@@ -37,6 +37,55 @@ object CsvFunnelReport {
       .orderBy("row_idx")
   }
 
+  /** Hive-partitioned variant bases: a 3-day CSV fixture (the default
+    * two days PLUS a 30_01 decoy day outside the query range) ingested
+    * once into a `date=YYYY-MM-DD/` parquet table. The decoy makes the
+    * partition pruning load-bearing: an unpruned scan would read
+    * 30_01's rows and overcount every stage sum, failing the oracle.
+    */
+  val partitionedCsvBase = "/root/repo/target/funnel-csv-fixture-3day"
+  val partitionedDir = "/root/repo/target/funnel-partitioned-stages"
+  private val decoyDay = java.time.LocalDate.of(2026, 1, 30)
+
+  private def ensurePartitioned(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    if (!Files.exists(Paths.get(partitionedDir, "_SUCCESS"))) {
+      FunnelCsvFixture.ensureDefault(partitionedCsvBase)
+      if (!Files.exists(
+          Paths.get(partitionedCsvBase, DateSpec.formatDay(decoyDay))))
+        FunnelCsvFixture.write(partitionedCsvBase, Seq(decoyDay))
+      FunnelSources.ingestPartitioned(
+        FunnelSources.stages(s, partitionedCsvBase,
+          DateSpec.parse("30_01_2026 -> 01_02_2026")),
+        partitionedDir)
+    }
+    partitionedDir
+  }
+
+  /** The partitioned-layout twin of [[query]]: the stages source reads
+    * the `date=` parquet table through [[FunnelSources
+    * .stagesPartitioned]] — partition selection is a PLANNED predicate
+    * (PruneFileSourcePartitions drops the decoy day before listing its
+    * files; plan shape asserted in FunnelSourcesSpec) — while the other
+    * three families stay on the CSV path. Same oracle as [[query]]: the
+    * decoy values equal the default 31_01 day's by construction
+    * (day-index 0 both times), so ONLY correct pruning reproduces the
+    * CSV result.
+    */
+  def partitionedQuery(s: SparkSession, ignoredSfDir: String): DataFrame = {
+    GraftSession.tune(s)
+    val base = FunnelCsvFixture.ensureDefault(fixtureBase)
+    val dir = ensurePartitioned(s)
+    val spec = DateSpec.parse(dateSpecText)
+    val e = Some(entity)
+    FunnelTable.buildFromRaw(
+      FunnelSources.stagesPartitioned(s, dir, spec, e),
+      FunnelSources.otp(s, base, spec, e),
+      FunnelSources.discovery(s, base, spec, e),
+      FunnelSources.userFunnel(s, base, spec, e))
+      .orderBy("row_idx")
+  }
+
   /** DuckDB twin over the same CSV files. Semantics mirrored per source:
     *  - stages: per-value trunc-to-long BEFORE sum (FunnelAggregates
     *    .stageTotals; `report_engine.py:225`), empty scan -> 0;

@@ -37,34 +37,72 @@ object FunnelOverEvents {
     * [[FunnelTable.buildFromRaw]] — LlmSpec-equivalent paths are covered
     * by FunnelTableSpec; the DuckDB oracle pins this one.
     */
-  def query(s: SparkSession, dir: String): DataFrame = {
-    GraftSession.tune(s)
-    val ev = Relational.events(s, dir)
-
+  /** The 21 conditional aggregates (11 stage + 3 otp + 5 discovery + 2
+    * fi) — ONE shared definition feeds the batch path, the streaming
+    * path, and (via [[oracle]]'s generated SQL) the DuckDB twin.
+    */
+  private def funnelAggs: Seq[org.apache.spark.sql.Column] = {
     def cnt(mod: Int, i: Int) =
       count(when(pmod(col("event_id"), lit(mod)) === i, lit(1)))
 
-    val aggs =
-      Schemas.stageColumns.zipWithIndex.map { case (c, i) =>
-        cnt(11, i).cast("string").cast("double").cast("long").as(c)
+    Schemas.stageColumns.zipWithIndex.map { case (c, i) =>
+      cnt(11, i).cast("string").cast("double").cast("long").as(c)
+    } ++
+      Schemas.otpColumns.zipWithIndex.map { case (c, i) =>
+        cnt(3, i).cast("string").cast("double").as("Total_" + c)
       } ++
-        Schemas.otpColumns.zipWithIndex.map { case (c, i) =>
-          cnt(3, i).cast("string").cast("double").as("Total_" + c)
-        } ++
-        Schemas.discoveryColumns.zipWithIndex.map { case (c, i) =>
-          cnt(5, i).cast("string").cast("double").as(c)
-        } ++
-        statusMap.collect {
-          case (et, "Success") =>
-            count(when(col("event_type") === et, lit(1)))
-              .cast("long").as("fi_success_cnt")
-          case (et, "Failed") =>
-            count(when(col("event_type") === et, lit(1)))
-              .cast("long").as("fi_failed_cnt")
-        }
+      Schemas.discoveryColumns.zipWithIndex.map { case (c, i) =>
+        cnt(5, i).cast("string").cast("double").as(c)
+      } ++
+      statusMap.collect {
+        case (et, "Success") =>
+          count(when(col("event_type") === et, lit(1)))
+            .cast("long").as("fi_success_cnt")
+        case (et, "Failed") =>
+          count(when(col("event_type") === et, lit(1)))
+            .cast("long").as("fi_failed_cnt")
+      }
+  }
 
+  def query(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    val ev = Relational.events(s, dir)
+    val aggs = funnelAggs
     val one = ev.agg(aggs.head, aggs.tail: _*)
     FunnelTable.rows(FunnelTable.wideFromJoined(one)).orderBy("row_idx")
+  }
+
+  /** [[query]] with the aggregation run as a STREAM: readStream over the
+    * events parquet, the same 21 conditional aggregates as a global
+    * complete-mode aggregate (state = one row of counters — the shape
+    * that stays tiny at 100 TB/day), AvailableNow trigger into a memory
+    * sink, then the identical wide→rows projection over the settled
+    * 1-row result. Same oracle as the batch path: stream/batch parity
+    * for the funnel table itself is a hash-checked gate, not a spec
+    * claim. The ts/schema normalization branches exactly like
+    * [[Insights]]' stream_daily_counts (the round-9 lesson).
+    */
+  def streamQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    GraftSession.tune(s)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val tablePath = new java.io.File(s"$dir/events.parquet")
+    val raw =
+      if (tablePath.isDirectory)
+        s.readStream.schema(schema).parquet(tablePath.toString)
+      else
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val aggs = funnelAggs
+    val tbl = "stream_funnel_" + Relational.sfTag(dir) + "_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val q = raw.agg(aggs.head, aggs.tail: _*)
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    FunnelTable.rows(FunnelTable.wideFromJoined(s.table(tbl)))
+      .orderBy("row_idx")
   }
 
   /** DuckDB twin of [[query]]: source-specific CTEs down to the wide

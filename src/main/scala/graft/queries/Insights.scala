@@ -92,12 +92,24 @@ object Insights {
         sum(col("q").cast(D38) * col("p")).cast(D38).as("sqp"),
         sum(col("q").cast(D38) * col("d")).cast(D38).as("sqd"),
         sum(col("p").cast(D38) * col("d")).cast(D38).as("spd"))
+      // Moment products are bounded by DECIMAL(38,0); with ANSI off an
+      // overflow would silently NULL where the oracle's HUGEINT raises,
+      // so surface it loudly instead of diverging. (38 digits cover
+      // ~1e38; n·Spp at cent-quantized prices ≤ ~1e9 rows stays <1e31.)
+      def chk(c: Column): Column =
+        when(col("n") > 0 && c.isNull,
+          raise_error(lit("correlation_matrix: moment product overflowed" +
+            " DECIMAL(38,0) — requantize inputs"))).otherwise(c)
+      // Zero-variance columns make the denominator 0: Spark's Divide
+      // (ANSI off) yields NULL while recent DuckDB defaults to IEEE
+      // NaN/inf; guard both sides so degenerate data agrees on NULL.
       def corr(sxy: Column, sx: Column, sy: Column,
           sxx: Column, syy: Column): Column = {
         val n = col("n")
-        bround((n * sxy - sx * sy).cast("double") /
-          (sqrt((n * sxx - sx * sx).cast("double")) *
-            sqrt((n * syy - sy * sy).cast("double"))), 6)
+        val den = sqrt(chk(n * sxx - sx * sx).cast("double")) *
+          sqrt(chk(n * syy - sy * sy).cast("double"))
+        bround(when(den =!= 0.0,
+          chk(n * sxy - sx * sy).cast("double") / den), 6)
       }
       a.select(
         col("n").cast("long").as("n_rows"),
@@ -248,7 +260,10 @@ object Insights {
             .as("n_unique"))
         .select(col("source"), col("n_docs"), col("n_unique"),
           (col("n_docs") - col("n_unique")).as("dup_rows"),
-          bround(col("n_docs").cast("double") / col("n_unique"), 6)
+          // an all-NULL-text source has n_unique = 0: Spark's Divide
+          // (ANSI off) NULLs, DuckDB IEEEs to inf — pin NULL in both
+          bround(when(col("n_unique") =!= 0,
+            col("n_docs").cast("double") / col("n_unique")), 6)
             .as("inflation"))
         .orderBy("source")
     }),
@@ -415,7 +430,10 @@ object Insights {
           raw.withColumn("ts", col("ts").cast(TimestampType))
         case _ => raw
       }
-      val tbl = "stream_daily_" + Relational.sfTag(dir)
+      // per-invocation nonce: two concurrent runs over the same dir in
+      // one JVM would otherwise collide on the active queryName
+      val tbl = "stream_daily_" + Relational.sfTag(dir) + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       val q = graft.streaming.FunnelStream.dailyEventCounts(ev)
         .writeStream.format("memory").queryName(tbl)
         .outputMode("complete").trigger(Trigger.AvailableNow())
@@ -473,15 +491,24 @@ object Insights {
         |    CAST(sum(CAST(p AS HUGEINT) * d) AS HUGEINT) AS spd
         |  FROM x)
         |SELECT CAST(n AS BIGINT) AS n_rows,
-        |  round_even(CAST(n * sqp - sq * sp AS DOUBLE) /
-        |    (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
-        |     sqrt(CAST(n * spp - sp * sp AS DOUBLE))), 6) AS corr_qty_price,
-        |  round_even(CAST(n * sqd - sq * sd AS DOUBLE) /
-        |    (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
-        |     sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6) AS corr_qty_discount,
-        |  round_even(CAST(n * spd - sp * sd AS DOUBLE) /
-        |    (sqrt(CAST(n * spp - sp * sp AS DOUBLE)) *
-        |     sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6) AS corr_price_discount
+        |  CASE WHEN sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
+        |            sqrt(CAST(n * spp - sp * sp AS DOUBLE)) <> 0 THEN
+        |    round_even(CAST(n * sqp - sq * sp AS DOUBLE) /
+        |      (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
+        |       sqrt(CAST(n * spp - sp * sp AS DOUBLE))), 6)
+        |  END AS corr_qty_price,
+        |  CASE WHEN sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
+        |            sqrt(CAST(n * sdd - sd * sd AS DOUBLE)) <> 0 THEN
+        |    round_even(CAST(n * sqd - sq * sd AS DOUBLE) /
+        |      (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
+        |       sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6)
+        |  END AS corr_qty_discount,
+        |  CASE WHEN sqrt(CAST(n * spp - sp * sp AS DOUBLE)) *
+        |            sqrt(CAST(n * sdd - sd * sd AS DOUBLE)) <> 0 THEN
+        |    round_even(CAST(n * spd - sp * sd AS DOUBLE) /
+        |      (sqrt(CAST(n * spp - sp * sp AS DOUBLE)) *
+        |       sqrt(CAST(n * sdd - sd * sd AS DOUBLE))), 6)
+        |  END AS corr_price_discount
         |FROM a""".stripMargin,
     "connected_components" ->
       """WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
@@ -561,9 +588,12 @@ object Insights {
         |    '\s+', ' ', 'g')))) AS BIGINT) AS n_unique,
         |  CAST(count(*) - count(DISTINCT md5(trim(regexp_replace(
         |    lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS dup_rows,
-        |  round_even(CAST(count(*) AS DOUBLE)
-        |    / count(DISTINCT md5(trim(regexp_replace(lower(text),
-        |      '\s+', ' ', 'g')))), 6) AS inflation
+        |  CASE WHEN count(DISTINCT md5(trim(regexp_replace(lower(text),
+        |      '\s+', ' ', 'g')))) <> 0 THEN
+        |    round_even(CAST(count(*) AS DOUBLE)
+        |      / count(DISTINCT md5(trim(regexp_replace(lower(text),
+        |        '\s+', ' ', 'g')))), 6)
+        |  END AS inflation
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "self_overlap_sample" ->
       """WITH toks AS (

@@ -162,9 +162,13 @@ object LlmQueries {
       val nBits = 2048
       val k = 4
       val fpCol = TextAnalysis.fingerprint(col("text"))
+      // NULL text → null fingerprint: the typed Aggregator would NPE in
+      // hashPair where the oracle silently drops NULL md5s — drop them
+      // symmetrically on both the build and probe sides
       val bl = docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 1)
-        .select(fpCol.as("f"))
+        .filter(col("text").isNotNull).select(fpCol.as("f"))
       val pr = docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), fpCol.as("f"))
       val bloomAgg = udaf(new graft.functions.BloomFilterAgg(nBits, k),
         Encoders.STRING)
@@ -236,11 +240,11 @@ object LlmQueries {
     "ann_ivf_flat" -> ((s, dir) =>
       Similarity.ivfFlatTopK(emb(s, dir), k = 10, nlist = 16, nprobe = 4)),
     // seeded euclidean-LSH near-dup candidates under the recall gate:
-    // emits the exact ≥-0.4 pair set only when the LSH path recovers
-    // ≥ 80% of it (measured: 85–88% across sf0.001/0.01/0.1). The exact
-    // side is the sf-scale verification harness; at 100 TB the gate
-    // runs on a sampled slice, the LSH path alone is the production
-    // candidate generator.
+    // emits the exact ≥-0.4 pair set over a deterministic 1024-vector
+    // hash-sample, only when the full-corpus LSH path recovers ≥ 80%
+    // of it. The sampled exact side bounds the ground-truth cost to
+    // one scan + ≤1024² pairs — the gate itself now scales linearly,
+    // exactly how a 100 TB run audits its candidate generator.
     "cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupGated(embFan(s, dir),
         maxDistance = 1.1, minCosine = 0.4, minRecall = 0.8)),
@@ -741,7 +745,7 @@ object LlmQueries {
     "bloom_fpr_eval" ->
       s"""WITH fp AS (SELECT doc_id,
          |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |bl AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 1),
          |pr AS (SELECT doc_id, f FROM fp WHERE doc_id % 2 = 0),
          |blh AS (SELECT f,
@@ -1156,17 +1160,21 @@ object LlmQueries {
         |WHERE e.vec_id <> 0 GROUP BY e.vec_id)
         |SELECT vec_id, round(sqrt(d2), 6) AS dist
         |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
-    // same normalize-once spelling as Similarity.exactCosinePairs:
-    // per-vector norm, unit vectors, one dot per pair
+    // same normalize-once spelling as Similarity.exactCosinePairs, over
+    // the same deterministic 512-vector md5-order hash-sample the gate
+    // bounds its exact side to (≡ the whole corpus at sf ≤ 0.01)
     "cosine_neardup" ->
-      """WITH n AS (
+      """WITH smp AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1024),
+        |n AS (
         |  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE)
         |    * CAST(embedding[i] AS DOUBLE))) AS nrm
-        |  FROM embeddings, range(1, 65) t(i) GROUP BY vec_id),
+        |  FROM smp, range(1, 65) t(i) GROUP BY vec_id),
         |v AS (
         |  SELECT e.vec_id,
         |    list_transform(e.embedding, x -> CAST(x AS DOUBLE) / n.nrm) AS vec
-        |  FROM embeddings e JOIN n USING (vec_id) WHERE n.nrm > 0),
+        |  FROM smp e JOIN n USING (vec_id) WHERE n.nrm > 0),
         |p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    sum(a.vec[i] * b.vec[i]) AS dot

@@ -119,6 +119,21 @@ class FunnelSourcesSpec extends AnyFunSuite {
     assert(table(6).getAs[Long]("drop_count") === 102L)
   }
 
+  test("registered csv_funnel_partitioned: decoy day pruned at plan time, result equals the CSV-path report") {
+    val part = graft.queries.CsvFunnelReport.partitionedQuery(spark, "")
+    // plan-level proof: the scan carries the range as PartitionFilters,
+    // so the 30_01 decoy directory is dropped before file listing
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(plan.contains(">= 2026-01-31"),
+      s"range lower bound not planned on the partition column\n${plan.take(800)}")
+    // value-level proof: the decoy shares 31_01's values, so an unpruned
+    // scan would double that day's contribution and break equality
+    val csv = graft.queries.CsvFunnelReport.query(spark, "")
+    assert(part.collect().map(_.toSeq).toSeq ===
+      csv.collect().map(_.toSeq).toSeq)
+  }
+
   test("union-of-days equals one multi-day scan (partial/final agg equivalence)") {
     val spec = DateSpec.parse("30_01_2026 -> 31_01_2026")
     val once = FunnelAggregates.otpTotals(

@@ -267,6 +267,7 @@ class InsightsSpec extends AnyFunSuite {
   }
 
   test("attribution_ushape: range join stays an equi-join on user (plan)") {
+    assume(new java.io.File("/root/testdata/sf0.001/events.parquet").exists())
     val plan = Insights.queries("attribution_ushape")(
         spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
@@ -279,6 +280,7 @@ class InsightsSpec extends AnyFunSuite {
   }
 
   test("tpch_q7_like: nation joins broadcast (plan shape)") {
+    assume(new java.io.File("/root/testdata/sf0.001/lineitem.parquet").exists())
     val plan = Insights.queries("tpch_q7_like")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
