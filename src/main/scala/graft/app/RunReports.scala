@@ -127,7 +127,7 @@ object RunReports {
     // reference's excel writer prepends one blank row above the grid
     // (run_reports.py:66-67), making the golden file 25 rows.
     val blank = org.apache.spark.sql.Row.fromSeq(Seq.fill(7)(""))
-    Sinks.xlsx(blank +: grid.drop("ord").collect().toSeq, s"$stem.xlsx")
+    Sinks.xlsxFunnel(blank +: grid.drop("ord").collect().toSeq, s"$stem.xlsx")
 
     recipients.foreach { r =>
       Sinks.emailOrSkip(

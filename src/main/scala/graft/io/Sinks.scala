@@ -97,6 +97,10 @@ object Sinks {
            |</worksheet>""".stripMargin
     )
 
+    writeZip(path, entries)
+  }
+
+  private def writeZip(path: String, entries: Seq[(String, String)]): Unit = {
     val zos = new ZipOutputStream(
       new BufferedOutputStream(new FileOutputStream(path)))
     try entries.foreach { case (name, content) =>
@@ -104,6 +108,155 @@ object Sinks {
       zos.write(content.getBytes(StandardCharsets.UTF_8))
       zos.closeEntry()
     } finally zos.close()
+  }
+
+  /** Styled funnel workbook — the reference's `write_funnel_excel`
+    * presentation (`run_reports.py:64-125`) re-authored over the same
+    * minimal SpreadsheetML writer: gray header band, green success
+    * cells, brown dropoff causes (dark for stage rows, light for the
+    * `↳` sub-causes), thin borders, left/vcenter alignment, the 7
+    * merge ranges and the 6 column widths of the golden artifact.
+    * Styling is resolved with the reference's exact cell loop —
+    * including its quirks (the `c == 4` branch resets the header row's
+    * Dropoff Cause cell to plain border; merged stage cells override
+    * the gray of column 0 with gray+wrap).
+    *
+    * Expects the 25-row presentation grid (1 blank row + 24 rendered
+    * rows, 7 columns) that [[graft.app.RunReports]] collects — row
+    * index here ≡ the reference's `out.iloc` row.
+    */
+  def xlsxFunnel(gridRows: Seq[Row], path: String,
+      sheetName: String = "Funnel Dashboard"): Unit = {
+    require(gridRows.length == 25 && gridRows.forall(_.length == 7),
+      s"funnel grid must be 25x7, got ${gridRows.length} rows")
+
+    def v(r: Int, c: Int): String =
+      Option(gridRows(r).get(c)).map(_.toString).getOrElse("")
+
+    // style indexes into cellXfs below:
+    // 1 gray, 2 gray+wrap, 3 border, 4 border+wrap, 5 green,
+    // 6 dark (#F5C8A7), 7 light (#FAE4D3)
+    val successRows = Set(7, 8, 9, 13, 18, 19, 22, 23, 24) // == drop_main
+    val dropSub = Set(10, 11, 12, 14, 15, 16, 17, 20, 21)
+    def style(r: Int, c: Int): Int = {
+      var f = 3
+      if (r == 6 || c == 0) f = 1
+      if ((c == 1 || c == 2 || c == 3) && successRows(r)) f = 5
+      if (c == 4)
+        f = if (successRows(r)) 6 else if (dropSub(r)) 7 else 3
+      if ((c == 5 || c == 6) && successRows(r)) f = 6
+      f
+    }
+
+    val cells =
+      scala.collection.mutable.LinkedHashMap[(Int, Int), (String, Int)]()
+    // the reference writes the summary corner first, the 19-row table
+    // loop second, merges last — order here only matters for overrides
+    cells((1, 0)) = (v(1, 0), 1)
+    cells((1, 1)) = (v(1, 1), 1)
+    for (r <- 2 to 3; c <- 0 to 1) cells((r, c)) = (v(r, c), 3)
+    for (r <- 6 to 24; c <- 0 to 6) cells((r, c)) = (v(r, c), style(r, c))
+    // horizontal merges: anchor carries the value, continuations carry
+    // the style (xlsxwriter's write_blank)
+    def hMerge(r: Int, c0: Int, c1: Int, s: Int): Unit = {
+      cells((r, c0)) = (v(r, c0), s)
+      for (c <- c0 + 1 to c1) cells((r, c)) = ("", s)
+    }
+    hMerge(1, 3, 4, 2); hMerge(2, 3, 4, 4)
+    hMerge(5, 2, 3, 1); hMerge(5, 5, 6, 1)
+    // vertical stage merges override column 0's gray with gray+wrap
+    def vMerge(r0: Int, r1: Int): Unit = {
+      cells((r0, 0)) = (v(r0, 0), 2)
+      for (r <- r0 + 1 to r1) cells((r, 0)) = ("", 2)
+    }
+    vMerge(9, 12); vMerge(13, 17); vMerge(19, 21)
+
+    def colRef(i: Int): String = { var n = i; var s = ""
+      while (n >= 0) { s = ('A' + n % 26).toChar.toString + s; n = n / 26 - 1 }
+      s
+    }
+    def cellXml(r: Int, c: Int, value: String, s: Int): String = {
+      val ref = s"${colRef(c)}${r + 1}"
+      if (value.isEmpty) s"""<c r="$ref" s="$s"/>"""
+      else if (numeric.matches(value)) s"""<c r="$ref" s="$s"><v>$value</v></c>"""
+      else s"""<c r="$ref" s="$s" t="inlineStr"><is><t xml:space="preserve">${xml(value)}</t></is></c>"""
+    }
+    val sheetRows = cells.keys.map(_._1).toSeq.distinct.sorted.map { r =>
+      val rowCells = (0 to 6).flatMap(c =>
+        cells.get((r, c)).map { case (value, s) => cellXml(r, c, value, s) })
+      s"""<row r="${r + 1}">${rowCells.mkString}</row>"""
+    }.mkString
+
+    // widths are the reference's set_column values + xlsxwriter's
+    // +0.7109375 padding-to-pixel correction
+    val cols =
+      """<cols><col min="1" max="2" width="45.7109375" customWidth="1"/>""" +
+        """<col min="3" max="3" width="14.7109375" customWidth="1"/>""" +
+        """<col min="4" max="4" width="15.7109375" customWidth="1"/>""" +
+        """<col min="5" max="5" width="55.7109375" customWidth="1"/>""" +
+        """<col min="6" max="6" width="14.7109375" customWidth="1"/>""" +
+        """<col min="7" max="7" width="16.7109375" customWidth="1"/></cols>"""
+    val merges = Seq("D2:E2", "D3:E3", "C6:D6", "F6:G6",
+      "A10:A13", "A14:A18", "A20:A22")
+      .map(ref => s"""<mergeCell ref="$ref"/>""")
+      .mkString(s"""<mergeCells count="7">""", "", "</mergeCells>")
+
+    // fills 2-5 = gray/green/dark/light; border 1 = thin box
+    val styles = {
+      def fill(rgb: String) =
+        s"""<fill><patternFill patternType="solid"><fgColor rgb="$rgb"/><bgColor indexed="64"/></patternFill></fill>"""
+      def xf(fillId: Int, wrap: Boolean) =
+        s"""<xf numFmtId="0" fontId="0" fillId="$fillId" borderId="1" xfId="0" applyFill="1" applyBorder="1" applyAlignment="1"><alignment horizontal="left" vertical="center"${if (wrap) """ wrapText="1"""" else ""}/></xf>"""
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        """<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>""" +
+        """<fills count="6"><fill><patternFill patternType="none"/></fill><fill><patternFill patternType="gray125"/></fill>""" +
+        Seq("FFD9D9D9", "FFAAECC6", "FFF5C8A7", "FFFAE4D3").map(fill).mkString +
+        "</fills>" +
+        """<borders count="2"><border><left/><right/><top/><bottom/><diagonal/></border>""" +
+        """<border><left style="thin"><color auto="1"/></left><right style="thin"><color auto="1"/></right><top style="thin"><color auto="1"/></top><bottom style="thin"><color auto="1"/></bottom><diagonal/></border></borders>""" +
+        """<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>""" +
+        """<cellXfs count="8"><xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>""" +
+        xf(2, wrap = false) + xf(2, wrap = true) +
+        xf(0, wrap = false) + xf(0, wrap = true) +
+        xf(3, wrap = false) + xf(4, wrap = false) + xf(5, wrap = false) +
+        "</cellXfs>" +
+        """<cellStyles count="1"><cellStyle name="Normal" xfId="0" builtinId="0"/></cellStyles>""" +
+        "</styleSheet>"
+    }
+
+    writeZip(path, Seq(
+      "[Content_Types].xml" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+          |<Default Extension="xml" ContentType="application/xml"/>
+          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
+          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |</Types>""".stripMargin,
+      "_rels/.rels" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/workbook.xml" ->
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+           |<sheets><sheet name="${xml(sheetName)}" sheetId="1" r:id="rId1"/></sheets>
+           |</workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/styles.xml" -> styles,
+      "xl/worksheets/sheet1.xml" ->
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+           |$cols<sheetData>$sheetRows</sheetData>$merges
+           |</worksheet>""".stripMargin))
   }
 
   /** Email delivery — mirrors the reference's contract

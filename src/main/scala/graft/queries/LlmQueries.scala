@@ -192,6 +192,58 @@ object LlmQueries {
             bround(col("n_fp").cast("double") /
               (col("n_probes") - col("n_in_set")), 6)).as("fpr"))
     }),
+    // The PRODUCTION sizing discipline bloom_fpr_eval's saturated
+    // 2048-bit audit motivates: estimate the build-side cardinality
+    // with the portable HLL sketch (one cheap pre-pass, the 100 TB
+    // idiom — never an exact count-distinct shuffle), derive
+    // m = 64·⌈10·n̂/64⌉ bits (10 bits/key) and k = 7 (optimal for that
+    // density), THEN build and audit. Every step — the HLL registers,
+    // the estimate, the ceil sizing, the bit probes mod m — is the
+    // engine's portable md5 arithmetic, so DuckDB re-derives the same
+    // m from the same registers and rebuilds the same filter. Measured
+    // FPR ≈ 1% at every SF where the fixed 2048-bit filter saturates
+    // to ~98% at sf0.1.
+    "bloom_autosize_fpr" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      val fpCol = TextAnalysis.fingerprint(col("text"))
+      val bl = docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 1)
+        .filter(col("text").isNotNull).select(fpCol.as("f"))
+      val pr = docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), fpCol.as("f"))
+      val hll = udaf(new graft.functions.HyperLogLogAgg(), Encoders.STRING)
+      // scalar pre-count: one bounded row to the driver, exactly like
+      // ivfProbeGated's 1-row query-vector fetch
+      val nHat = bl.agg(hll(col("f")).as("regs"))
+        .select(graft.functions.HyperLogLogAgg.estimate(col("regs")))
+        .head().getDouble(0)
+      // integer-safe sizing: n̂·10 (one shared rounding), /64 (exact
+      // power-of-two scaling), ceil — bit-identical in any IEEE engine
+      val nBits = (64L * math.max(1L, math.ceil(nHat * 10.0 / 64.0).toLong)).toInt
+      val k = 7
+      val bloomAgg = udaf(new graft.functions.BloomFilterAgg(nBits, k),
+        Encoders.STRING)
+      val bloom = bl.agg(bloomAgg(col("f")).as("bits"))
+      val blSet = bl.distinct().withColumnRenamed("f", "bf")
+      val probed = pr.crossJoin(broadcast(bloom))
+        .select(col("f"),
+          graft.functions.BloomFilterAgg.mayContain(
+            col("bits"), col("f"), nBits, k).as("pass"))
+        .join(broadcast(blSet), col("f") === col("bf"), "left")
+        .select(col("pass"), col("bf").isNotNull.as("in_set"))
+      probed.agg(
+          count(lit(1)).as("n_probes"),
+          sum(when(col("in_set"), 1L).otherwise(0L)).as("n_in_set"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("pass") && !col("in_set"), 1L).otherwise(0L))
+            .as("n_fp"))
+        .select(lit(nHat).as("est_n"),
+          lit(nBits.toLong).as("m_bits"),
+          col("n_probes"), col("n_in_set"), col("n_pass"), col("n_fp"),
+          when(col("n_probes") - col("n_in_set") > 0,
+            bround(col("n_fp").cast("double") /
+              (col("n_probes") - col("n_in_set")), 6)).as("fpr"))
+    }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
     "lang_id" -> ((s, dir) =>
@@ -767,6 +819,72 @@ object LlmQueries {
          |    f IN (SELECT f FROM bl) AS in_set
          |  FROM hit)
          |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         |  CAST(sum(CASE WHEN in_set THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_in_set,
+         |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass,
+         |  CAST(sum(CASE WHEN pass AND NOT in_set THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_fp,
+         |  CASE WHEN count(*) - sum(CASE WHEN in_set THEN 1 ELSE 0 END) > 0
+         |    THEN round_even(
+         |      CAST(sum(CASE WHEN pass AND NOT in_set THEN 1 ELSE 0 END)
+         |        AS DOUBLE)
+         |      / (count(*) - sum(CASE WHEN in_set THEN 1 ELSE 0 END)), 6)
+         |    END AS fpr
+         |FROM x""".stripMargin,
+    // HLL registers rebuilt relationally (the hll_distinct spelling,
+    // ungrouped), the same ceil sizing, then the bloom rebuild mod the
+    // DERIVED m — the whole sizing discipline is value-checked, not
+    // just the final counts
+    "bloom_autosize_fpr" ->
+      s"""WITH fp AS (SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+         |  FROM documents WHERE text IS NOT NULL),
+         |bl AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 1),
+         |pr AS (SELECT doc_id, f FROM fp WHERE doc_id % 2 = 0),
+         |hx AS (SELECT CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) AS x
+         |  FROM bl),
+         |br AS (SELECT x % 64 AS bucket,
+         |    55 - (CASE WHEN x // 64 = 0 THEN 0
+         |               ELSE length(bin(x // 64)) END) AS rho
+         |  FROM hx),
+         |regs AS (SELECT t.b AS bucket, coalesce(max(r.rho), 0) AS reg
+         |  FROM range(0, 64) t(b) LEFT JOIN br r ON r.bucket = t.b
+         |  GROUP BY t.b),
+         |agg AS (SELECT
+         |    CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS rw,
+         |    CAST(count(*) FILTER (WHERE reg = 0) AS INT) AS zr
+         |  FROM regs),
+         |sz AS (SELECT
+         |    round(CASE WHEN raw <= 160.0 AND zr > 0
+         |               THEN 64.0 * ln(64.0 / zr) ELSE raw END, 4) AS est_n
+         |  FROM (SELECT zr,
+         |      (0.709 * 4096) * pow(2.0, 55) / CAST(rw AS DOUBLE) AS raw
+         |    FROM agg)),
+         |mm AS (SELECT est_n,
+         |    64 * greatest(1, CAST(ceil(est_n * 10.0 / 64.0) AS BIGINT))
+         |      AS m FROM sz),
+         |blh AS (SELECT f,
+         |    CAST('0x' || substr(md5(f), 1, 7) AS BIGINT) AS h1,
+         |    CAST('0x' || substr(md5(f), 8, 7) AS BIGINT) | 1 AS h2
+         |  FROM bl),
+         |blpos AS (SELECT DISTINCT (b.h1 + t.i * b.h2) % m.m AS pos
+         |  FROM blh b, mm m, range(0, 7) t(i)),
+         |prh AS (SELECT doc_id, f,
+         |    CAST('0x' || substr(md5(f), 1, 7) AS BIGINT) AS h1,
+         |    CAST('0x' || substr(md5(f), 8, 7) AS BIGINT) | 1 AS h2
+         |  FROM pr),
+         |prpos AS (SELECT p.doc_id, p.f, (p.h1 + t.i * p.h2) % m.m AS pos
+         |  FROM prh p, mm m, range(0, 7) t(i)),
+         |hit AS (SELECT p.doc_id, p.f, count(b.pos) AS nhit
+         |  FROM prpos p LEFT JOIN blpos b USING (pos)
+         |  GROUP BY p.doc_id, p.f),
+         |x AS (SELECT nhit = 7 AS pass,
+         |    f IN (SELECT f FROM bl) AS in_set
+         |  FROM hit)
+         |SELECT (SELECT est_n FROM mm) AS est_n,
+         |  (SELECT CAST(m AS BIGINT) FROM mm) AS m_bits,
+         |  CAST(count(*) AS BIGINT) AS n_probes,
          |  CAST(sum(CASE WHEN in_set THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_in_set,
          |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)

@@ -166,4 +166,50 @@ class PlanSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("AQE splits the skewed partition on the unsalted twin of salted_join") {
+    // salted_join exists for plans AQE can't rescue; this pins the
+    // complementary claim — that for the rescuable shape (hot key in a
+    // shuffle join, no downstream partitioning requirement) the engine's
+    // AQE posture actually fires. One key carries ~1000x the median's
+    // rows; thresholds are scaled to fixture bytes the same way the
+    // bloom-filter test scales its scan threshold.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val big = spark.range(0, 300000).select(
+        when(col("id") < 250000, lit(0L))
+          .otherwise(pmod(col("id"), lit(64L))).as("k"),
+        col("id").as("v"),
+        // payload bytes push the hot partition across the threshold
+        lpad(lit("x"), 64, "x").as("pad"))
+      val dim = spark.range(0, 64)
+        .select(col("id").as("k"), (col("id") * 10).as("w"))
+      // global (non-keyed) aggregate downstream: OptimizeSkewedJoin
+      // declines when splitting would break a required hash
+      // partitioning — a groupBy("k") here would mask the mechanism
+      val j = big.join(dim.hint("merge"), "k")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      j.collect() // adaptive plan finalizes only on execution
+      val p = plan(j)
+      assert(p.contains("skew=true"),
+        s"AQE skew-join split did not fire\n${p.take(1200)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }

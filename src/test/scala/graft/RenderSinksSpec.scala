@@ -58,6 +58,108 @@ class RenderSinksSpec extends AnyFunSuite {
     Files.delete(Paths.get(path))
   }
 
+  // ---- styled workbook vs the reference's golden artifact ----
+
+  /** Parse a workbook into (cells: ref -> (value, resolvedStyle),
+    * merges, colWidths). Styles resolve to (fillRgb, bordered, wrap) so
+    * shared-strings vs inline-strings and xf index ordering don't
+    * matter — only the visible presentation does.
+    */
+  private def parseWorkbook(path: String) = {
+    val zf = new ZipFile(path)
+    try {
+      def read(n: String) =
+        new String(zf.getInputStream(zf.getEntry(n)).readAllBytes())
+      val sheet = read("xl/worksheets/sheet1.xml")
+      val styles = read("xl/styles.xml")
+      val shared = Option(zf.getEntry("xl/sharedStrings.xml"))
+        .map(_ => read("xl/sharedStrings.xml"))
+
+      val fillRe = "<fill>(.*?)</fill>".r
+      val fills = fillRe.findAllMatchIn(styles).map(_.group(1)).map { f =>
+        "rgb=\"([0-9A-F]+)\"".r.findFirstMatchIn(f).map(_.group(1)).getOrElse("")
+      }.toVector
+      // lazy attr match: a greedy [^>]* would swallow a self-closing
+      // xf's '/' and fuse it with the next element
+      val xfRe = "<xf ([^>]*?)(?:/>|>(.*?)</xf>)".r
+      val cellXfsBlock =
+        styles.substring(styles.indexOf("<cellXfs"), styles.indexOf("</cellXfs>"))
+      val xfs = xfRe.findAllMatchIn(cellXfsBlock).map { m =>
+        def attr(n: String) = (n + "=\"(\\d+)\"").r
+          .findFirstMatchIn(m.group(1)).map(_.group(1).toInt).getOrElse(0)
+        val wrap = Option(m.group(2)).exists(_.contains("wrapText=\"1\""))
+        (fills(attr("fillId")), attr("borderId") > 0, wrap)
+      }.toVector
+
+      val strings = shared.map { s =>
+        "<t[^>]*>(.*?)</t>".r.findAllMatchIn(s).map(_.group(1)).toVector
+      }.getOrElse(Vector.empty)
+      def unescape(s: String) = s.replace("&amp;", "&").replace("&lt;", "<")
+        .replace("&gt;", ">").replace("&quot;", "\"")
+
+      val cellRe =
+        "<c r=\"([A-Z]+\\d+)\"(?: s=\"(\\d+)\")?(?: t=\"(\\w+)\")?(?:/>|>(.*?)</c>)".r
+      val cells = cellRe.findAllMatchIn(sheet).map { m =>
+        val ref = m.group(1)
+        val s = Option(m.group(2)).map(_.toInt).getOrElse(0)
+        val t = Option(m.group(3)).getOrElse("")
+        val body = Option(m.group(4)).getOrElse("")
+        val vRe = "<v>(.*?)</v>".r
+        val raw = t match {
+          case "s" => vRe.findFirstMatchIn(body)
+            .map(v => strings(v.group(1).toInt)).getOrElse("")
+          case "inlineStr" => "<t[^>]*>(.*?)</t>".r.findFirstMatchIn(body)
+            .map(_.group(1)).getOrElse("")
+          case _ => vRe.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+        }
+        ref -> (unescape(raw), xfs(s))
+      }.toMap
+      val merges = "<mergeCell ref=\"([^\"]+)\"/>".r
+        .findAllMatchIn(sheet).map(_.group(1)).toSet
+      val widths = "<col min=\"(\\d+)\" max=\"(\\d+)\" width=\"([0-9.]+)\"".r
+        .findAllMatchIn(sheet)
+        .flatMap(m => (m.group(1).toInt to m.group(2).toInt)
+          .map(_ -> m.group(3).toDouble)).toMap
+      (cells, merges, widths)
+    } finally zf.close()
+  }
+
+  private val goldenPath =
+    "/root/reference/Funnel Report ETL Pipeline /output/" +
+      "demo_funnel_report-15_02_2026.xlsx"
+
+  test("styled workbook reproduces the golden's merges, widths, and per-cell styles") {
+    assume(Files.exists(Paths.get(goldenPath)))
+    val path = Files.createTempFile("funnel-styled", ".xlsx").toString
+    val blank = org.apache.spark.sql.Row.fromSeq(Seq.fill(7)(""))
+    Sinks.xlsxFunnel(blank +: grid.drop("ord").collect().toSeq, path)
+
+    val (gCells, gMerges, gWidths) = parseWorkbook(goldenPath)
+    val (oCells, oMerges, oWidths) = parseWorkbook(path)
+
+    assert(oMerges === gMerges)
+    assert(oWidths === gWidths)
+    // cell-for-cell: same refs, same resolved (fill, border, wrap),
+    // same value (numbers float-compared: the reference writes raw
+    // IEEE doubles where the grid renders the reference UI's string)
+    assert(oCells.keySet === gCells.keySet,
+      s"cell set diff: extra=${oCells.keySet -- gCells.keySet} " +
+        s"missing=${gCells.keySet -- oCells.keySet}")
+    gCells.foreach { case (ref, (gv, gStyle)) =>
+      val (ov, oStyle) = oCells(ref)
+      assert(oStyle === gStyle, s"style mismatch at $ref")
+      (gv.toDoubleOption, ov.toDoubleOption) match {
+        case (Some(g), Some(o)) =>
+          assert(math.abs(g - o) <= math.abs(g) * 1e-9 + 1e-9,
+            s"numeric mismatch at $ref: golden=$gv ours=$ov")
+        case _ =>
+          // the golden's one truncated-vs-full string is identical text
+          assert(ov === gv, s"value mismatch at $ref")
+      }
+    }
+    Files.delete(Paths.get(path))
+  }
+
   test("recipients.json parses to/cc maps with default-cc fallback") {
     val r = Recipients.parse(
       """{"to": {"a": ["x@e.com"], "b": ["y@e.com", "z@e.com"]},
