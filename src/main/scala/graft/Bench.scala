@@ -17,6 +17,20 @@ object Bench {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // local-iteration filter, same contract as Verify's: a subset for
+    // targeted soaks (e.g. the sf1 linearity probe); unset on the
+    // driver -> full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
     def q(s: String): String =
       "\"" + s.flatMap {
         case '"'  => "\\\""
@@ -34,7 +48,7 @@ object Bench {
     // (same reasoning as JMH warm-up iterations).
     spark.range(1 << 20).selectExpr("sum(id)").write
       .mode("overwrite").format("noop").save()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    suite.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
@@ -52,7 +66,7 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for (_ <- 1 to 2) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      suite.foreach { case (name, fn) =>
         // Trigger ContextCleaner OUTSIDE the timed slot: cleanup of
         // dropped broadcast/shuffle references is driven by driver GC,
         // which a large heap may never run across a 70-query suite —
