@@ -637,15 +637,20 @@ object Dedup {
     // pagerank_iter precedent): four consumers (df aggregate, prefix
     // rank, and both verify-join sides) would otherwise each re-run the
     // regexp explode over the corpus; a production job persists this
-    // derivative the same way. The prefix table materializes too — both
-    // candidate-join sides read it.
+    // derivative the same way. The prefix table deliberately does NOT —
+    // its two candidate-join sides dedupe through ReusedExchange.
     val fp = (g: Column) =>
       conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast("long")
+    // inner array_distinct BEFORE the fingerprint transform: the fp HOF
+    // is interpreted per element, so dropping duplicate raw grams first
+    // shrinks its input (~20% of the set-build stage at sf0.1); the
+    // outer distinct stays for the ~2^-61 collision case
     val sets = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("doc_id"))
       .select(col("doc_id"),
-        array_distinct(transform(shingles(lower(col("text"))), fp))
+        array_distinct(
+          transform(array_distinct(shingles(lower(col("text")))), fp))
           .as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), col("grams"), size(col("grams")).as("sz"))
@@ -654,11 +659,15 @@ object Dedup {
       explode(col("grams")).as("gram"))
     val df = tok.groupBy("gram").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
+    // NOT checkpointed: the candidate join's two sides are the same
+    // subplan shuffled on the same key, so the prefix pipeline runs
+    // once and the second side is a ReusedExchange — a checkpoint here
+    // only adds a materialization barrier (measured 5.7 → 4.1 s at
+    // sf0.1 removing it; plan shape pinned in SignalsSpec)
     val prefix = tok.join(df, Seq("gram"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("doc_id", "gram", "rn", "sz")
-      .localCheckpoint()
     // PPJoin's positional filter, applied per matching prefix gram: a
     // match at ranks (rn_a, rn_b) can still reach Jaccard ≥ t only if
     // the elements AFTER it could supply the required overlap
