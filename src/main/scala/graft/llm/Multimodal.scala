@@ -90,4 +90,68 @@ object Multimodal {
       .as[MediaRow]
     extractFeatures(media).toDF().orderBy("doc_id")
   }
+
+  /** One sampled-and-resized "frame" of a video payload (what a real
+    * keyframe extractor emits: frame position, timestamp, dimensions
+    * before/after resize, content digest).
+    */
+  final case class VideoFrame(
+      doc_id: Long, frame_idx: Int, frame_ts_ms: Long,
+      n_units_frame: Int, n_units_resized: Int, checksum: Long)
+
+  /** Frame-sample + resize STUB over the video-modality payloads: `k`
+    * evenly spaced windows of `window` units per payload (a keyframe
+    * sampler's shape), each "resized" by keeping every 2nd unit (a 2:1
+    * downsample's shape), digested with the engine's 60-bit md5 prefix.
+    *
+    * A real codec reads byte offsets; this stub reads CODE-POINT
+    * offsets of the UTF-8 payload instead — deliberately, because code
+    * points are the one unit both Spark's `substring`/`length` and
+    * DuckDB's agree on (neither can slice raw blobs), which puts the
+    * imperative partition loop under the driver's hard value oracle:
+    * frame boundary `⌊i·n/k⌋`, resized length `⌈len/2⌉`, and the
+    * digest of the resized window are all recomputable in plain SQL.
+    * The loop itself is the real plumbing — typed Dataset in, one
+    * iterator pass per partition, 0..k outputs per row (flatMap, like
+    * a keyframe extractor emitting a variable frame count).
+    */
+  def sampleFrames(media: Dataset[MediaRow], k: Int = 4,
+      window: Int = 64): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val text =
+          if (m.payload == null) "" else new String(m.payload, "UTF-8")
+        val cps = text.codePoints.toArray
+        val n = cps.length
+        if (n == 0) Iterator.empty
+        else (0 until k).iterator.map { i =>
+          val start = (i.toLong * n / k).toInt
+          val end = math.min(start + window, n)
+          val frame = java.util.Arrays.copyOfRange(cps, start, end)
+          val resized = Array.tabulate((frame.length + 1) / 2)(j => frame(2 * j))
+          val rs = new String(resized, 0, resized.length)
+          md.reset()
+          val hex = md.digest(rs.getBytes("UTF-8"))
+            .map(b => f"${b & 0xff}%02x").mkString
+          VideoFrame(m.doc_id, i, i * 1000L, frame.length, resized.length,
+            java.lang.Long.parseLong(hex.substring(0, 15), 16))
+        }
+      }
+    }
+  }
+
+  /** End-to-end frame sampling: route the video modality (a partition-
+    * pruning filter in a real layout), sample + resize per partition.
+    */
+  def frames(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = mediaFromDocuments(
+      docs.filter(col("text").isNotNull && length(col("text")) > 0))
+      .filter(col("modality") === "video")
+      .repartition(col("modality"))
+      .as[MediaRow]
+    sampleFrames(media).toDF().orderBy("doc_id", "frame_idx")
+  }
 }

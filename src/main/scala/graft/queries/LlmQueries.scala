@@ -302,6 +302,12 @@ object LlmQueries {
         maxDistance = 1.1, minCosine = 0.4, minRecall = 0.8)),
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, docs(s, dir))),
+    // keyframe-sample + 2:1-resize stub over the video modality: the
+    // variable-output partition loop (flatMap, codec shape) under the
+    // hard oracle — boundaries, resized lengths, and digests all
+    // recompute relationally over code points
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frames(s, docs(s, dir))),
     "token_count_bpe" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -1315,6 +1321,26 @@ object LlmQueries {
         |    ELSE round(CAST(len(regexp_extract_all(text, '[ -~]')) AS DOUBLE)
         |      / strlen(text), 6) END AS ascii_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // frame boundaries ⌊i·n/4⌋ in integer arithmetic, 64-code-point
+    // windows, every-2nd-code-point resize via RE2 pair replace (the
+    // singleton tail survives, = ceil(len/2)), 60-bit md5 digest of the
+    // resized window — each step mirrors the partition loop exactly
+    "multimodal_frames" ->
+      """WITH v AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 3 = 2),
+        |f AS (SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
+        |    CAST(t.i * 1000 AS BIGINT) AS frame_ts_ms,
+        |    substring(text, CAST(n * t.i // 4 AS BIGINT) + 1, 64) AS w
+        |  FROM v, range(0, 4) t(i)),
+        |r AS (SELECT doc_id, frame_idx, frame_ts_ms,
+        |    CAST(length(w) AS INT) AS n_units_frame,
+        |    regexp_replace(w, '([\s\S])[\s\S]', '\1', 'g') AS rz
+        |  FROM f)
+        |SELECT doc_id, frame_idx, frame_ts_ms, n_units_frame,
+        |  CAST(length(rz) AS INT) AS n_units_resized,
+        |  CAST('0x' || substr(md5(rz), 1, 15) AS BIGINT) AS checksum
+        |FROM r ORDER BY doc_id, frame_idx""".stripMargin,
     // SemDeDup rebuilt end-to-end: same seed sample / rounded-L2 cell
     // assignment as ann_ivf_flat ([[ivfFlatCtes]]), normalize-once unit
     // vectors, within-cell pairs only, max rounded cosine per dropped

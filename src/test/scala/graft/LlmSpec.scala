@@ -413,6 +413,31 @@ class LlmSpec extends AnyFunSuite {
       java.lang.Long.parseLong("900150983cd24fb", 16))
   }
 
+  test("multimodal frame sampling: code-point windows, 2:1 resize, video routing") {
+    // doc 2 is the video modality (doc_id % 3 == 2); doc 5 too. The
+    // é (2 UTF-8 bytes, 1 code point) pins the unit: a byte- or
+    // UTF-16-based slicer would shift every boundary after it.
+    val text = "é" + ('a' to 'z').mkString // 27 code points
+    val d = docs(2L -> text, 5L -> "xy", 3L -> "not video", 4L -> "nor this")
+    val out = Multimodal.frames(spark, d).collect()
+    // only video docs emit; 4 frames each
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(2L, 5L))
+    val f2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(f2.map(r => (r.getAs[Int]("frame_idx"), r.getAs[Long]("frame_ts_ms")))
+      .toSeq === Seq((0, 0L), (1, 1000L), (2, 2000L), (3, 3000L)))
+    // n=27, k=4: starts 0,6,13,20 -> window-to-end lengths 27,21,14,7
+    // (window cap 64 never binds), resize keeps ceil(len/2)
+    assert(f2.map(_.getAs[Int]("n_units_frame")).toSeq === Seq(27, 21, 14, 7))
+    assert(f2.map(_.getAs[Int]("n_units_resized")).toSeq === Seq(14, 11, 7, 4))
+    // frame 0 resized = every 2nd code point: é b d f h j l n p r t v x z
+    val expect = "ébdfhjlnprtvxz"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(expect.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(f2.head.getAs[Long]("checksum") ===
+      java.lang.Long.parseLong(hex.substring(0, 15), 16))
+  }
+
   test("recall gate: passing gate emits the exact result, impossible gate empties it") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // measured IVF recall at sf0.001 is 7/10 (deterministic: seeded
