@@ -353,6 +353,43 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // HLL sketch ROLLUP — the property the sketch exists for at 100 TB:
+    // per-(day, event_type) register arrays are built once, then merged
+    // UP a level entirely in-plan (posexplode → max per register slot →
+    // re-assemble), so a month-over-event_type distinct never re-scans
+    // or re-shuffles the raw key column. sum_day_distinct next to
+    // true_distinct witnesses the dedup the merge performed; the merged
+    // estimate is register-identical to a one-shot sketch over all days
+    // (max is associative), which is exactly what the oracle rebuilds.
+    "hll_rollup" -> ((s, dir) => {
+      val hll = udaf(new graft.functions.HyperLogLogAgg(),
+        org.apache.spark.sql.Encoders.STRING)
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(hll(col("user_id").cast("string")).as("regs"),
+          countDistinct("user_id").as("day_distinct"))
+        .localCheckpoint()
+      val sums = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum("day_distinct").as("sum_day_distinct"))
+      val merged = daily
+        .select(col("event_type"), posexplode(col("regs")).as(Seq("pos", "reg")))
+        .groupBy("event_type", "pos").agg(max("reg").as("reg"))
+        .groupBy("event_type")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("reg")))),
+          x => x.getField("reg")).as("regs"))
+      val exact = events(s, dir).groupBy("event_type")
+        .agg(countDistinct("user_id").as("true_distinct"))
+      merged.join(sums, "event_type").join(exact, "event_type")
+        .select(col("event_type"), col("n_days"), col("sum_day_distinct"),
+          graft.functions.HyperLogLogAgg.estimate(col("regs")).as("est_distinct"),
+          col("true_distinct"),
+          graft.functions.HyperLogLogAgg.regWeight(col("regs")).as("reg_weight"),
+          graft.functions.HyperLogLogAgg.zeroRegs(col("regs")).as("zero_regs"))
+        .orderBy("event_type")
+    }),
+
     // top-k per group: one window pass, never a per-group sort-limit
     // loop; the partition-local rank prunes before any global ordering
     "topk_per_group" -> ((s, dir) => {
@@ -913,6 +950,52 @@ object Relational {
         |  CAST(t.true_distinct AS BIGINT) AS true_distinct,
         |  e.reg_weight, e.zero_regs
         |FROM est e JOIN tru t USING (event_type)
+        |ORDER BY e.event_type""".stripMargin,
+    // rollup oracle: register max over days ≡ register max over all
+    // distinct keys (max is associative), so the registers rebuild from
+    // DISTINCT (event_type, user_id) exactly as in hll_distinct; the
+    // day-level witnesses (n_days, Σ per-day distinct) aggregate the
+    // calendar level the Spark side rolls up from
+    "hll_rollup" ->
+      """WITH keys AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT event_type,
+        |        CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |          AS x
+        |      FROM keys),
+        |br AS (SELECT event_type, x % 64 AS bucket,
+        |        55 - (CASE WHEN x // 64 = 0 THEN 0
+        |                   ELSE length(bin(x // 64)) END) AS rho
+        |       FROM h),
+        |regs AS (SELECT event_type, bucket, max(rho) AS reg
+        |         FROM br GROUP BY 1, 2),
+        |grid AS (SELECT e.event_type, t.b AS bucket
+        |         FROM (SELECT DISTINCT event_type FROM events) e,
+        |              range(0, 64) t(b)),
+        |full_regs AS (SELECT g.event_type, coalesce(r.reg, 0) AS reg
+        |              FROM grid g LEFT JOIN regs r
+        |                ON r.event_type = g.event_type AND r.bucket = g.bucket),
+        |agg AS (SELECT event_type,
+        |          CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS reg_weight,
+        |          CAST(count(*) FILTER (WHERE reg = 0) AS INT) AS zero_regs
+        |        FROM full_regs GROUP BY event_type),
+        |est AS (SELECT event_type, reg_weight, zero_regs,
+        |          (0.709 * 4096) * pow(2.0, 55) / CAST(reg_weight AS DOUBLE) AS raw
+        |        FROM agg),
+        |dd AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |         count(DISTINCT user_id) AS d
+        |       FROM events GROUP BY 1, 2),
+        |cal AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |          CAST(sum(d) AS BIGINT) AS sum_day_distinct
+        |        FROM dd GROUP BY 1),
+        |tru AS (SELECT event_type, count(DISTINCT user_id) AS true_distinct
+        |        FROM events GROUP BY 1)
+        |SELECT e.event_type, c.n_days, c.sum_day_distinct,
+        |  round(CASE WHEN e.raw <= 160.0 AND e.zero_regs > 0
+        |             THEN 64.0 * ln(64.0 / e.zero_regs) ELSE e.raw END, 4)
+        |    AS est_distinct,
+        |  CAST(t.true_distinct AS BIGINT) AS true_distinct,
+        |  e.reg_weight, e.zero_regs
+        |FROM est e JOIN cal c USING (event_type) JOIN tru t USING (event_type)
         |ORDER BY e.event_type""".stripMargin,
     "topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,

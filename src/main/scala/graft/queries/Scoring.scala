@@ -185,6 +185,74 @@ object Scoring {
           sum(col("o_totalprice").cast(DecimalType(18, 2)))
             .cast(DecimalType(18, 2)).cast("double").as("total"))
         .orderBy("bucket")
+    }),
+
+    // Stratified sampling with Neyman (variance-optimal) allocation:
+    // sample size per stratum ∝ N_h·σ_h, the allocation that minimizes
+    // estimator variance for a fixed budget [Neyman, JRSS 1934]. The
+    // whole derivation is ONE aggregate over the fact table (N_h·σ_h =
+    // √(n·Sxx − Sx²) over exact integer cent moments — one sqrt + one
+    // floor, then integer arithmetic only), a 3-row broadcast of the
+    // per-stratum keep thresholds back onto the facts, and a
+    // deterministic md5-bucket keep rule (never rand()) — so the same
+    // sample falls out on any cluster layout at any scale. Keep
+    // thresholds are parts-per-million of the stratum.
+    "stratified_sample" -> ((s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("stratum"),
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")).as("rk"),
+        bround(col("l_extendedprice") * 100).cast("long").as("p"))
+      val st = li.groupBy("stratum").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("p").cast(D38)).cast(D38).as("sx"),
+        sum(col("p").cast(D38) * col("p")).cast(D38).as("sxx"))
+      val stats = st.select(col("stratum"), col("n_rows"),
+        floor(sqrt((col("n_rows").cast(D38) * col("sxx") -
+          col("sx") * col("sx")).cast("double"))).cast("long").as("w"))
+      val tot = stats.agg(sum("w").as("tot_w"))
+      val alloc = stats.crossJoin(broadcast(tot))
+        .withColumn("alloc", expr("5000L * w div tot_w"))
+        .withColumn("thr", expr("alloc * 1000000L div n_rows"))
+      val kept = li
+        .join(broadcast(alloc.select("stratum", "thr")), "stratum")
+        .filter(Dedup.hashBucket(concat(lit("strat:"), col("rk")),
+          1000000L) < col("thr"))
+        .groupBy("stratum").agg(count(lit(1)).as("kept"))
+      // left join: a zero-variance stratum gets alloc = 0 and keeps
+      // nothing, but must still report its row
+      alloc.join(kept, Seq("stratum"), "left")
+        .select(col("stratum"), col("n_rows"), col("w"), col("alloc"),
+          col("thr"), coalesce(col("kept"), lit(0L)).as("kept"))
+        .orderBy("stratum")
+    }),
+
+    // Per-language n-gram NOVELTY: what fraction of a corpus slice's
+    // distinct 3-gram shingles appears there FIRST (attribution by min
+    // doc_id)? The dedup-adjacent curation metric — a slice whose
+    // shingles all occurred earlier adds nothing to training. Shapes:
+    // explode→distinct (hash-partition on the gram), one groupBy for
+    // first-occurrence, one re-join on the gram (shuffle reuse), then
+    // two cheap aggregates — every stage keyed and linear at 100 TB.
+    "ngram_novelty" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(Dedup.shingles(col("text"))).as("g"))
+        .distinct()
+      val first = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
+      val perDoc = sh.join(first, "g")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .as("novel_grams"))
+      perDoc.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_grams").as("total_grams"),
+        sum("novel_grams").as("novel_grams"),
+        bround(sum("novel_grams").cast("double") / sum("n_grams"), 6)
+          .as("novelty_rate"))
+        .orderBy("lang")
     })
   )
 
@@ -390,6 +458,59 @@ object Scoring {
         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |    AS DECIMAL(18,2)) AS DOUBLE) AS total
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // Neyman weights replayed on HUGEINT moments: w = ⌊√(n·Sxx − Sx²)⌋
+    // (both engines run the identical IEEE sqrt on the identical cast
+    // double), then integer-only allocation/threshold arithmetic and
+    // the shared 28-bit-md5 keep rule
+    "stratified_sample" ->
+      """WITH x AS (SELECT l_returnflag AS stratum,
+        |    CAST(l_orderkey AS VARCHAR) || ':' ||
+        |      CAST(l_linenumber AS VARCHAR) AS rk,
+        |    CAST(round_even(l_extendedprice * 100, 0) AS BIGINT) AS p
+        |  FROM lineitem),
+        |st AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(p AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(p AS HUGEINT) * p) AS HUGEINT) AS sxx
+        |  FROM x GROUP BY 1),
+        |ws AS (SELECT stratum, n_rows,
+        |    CAST(floor(sqrt(CAST(CAST(n_rows AS HUGEINT) * sxx - sx * sx
+        |      AS DOUBLE))) AS BIGINT) AS w
+        |  FROM st),
+        |a AS (SELECT stratum, n_rows, w,
+        |    CAST((5000 * CAST(w AS HUGEINT)) //
+        |      (SELECT CAST(sum(w) AS HUGEINT) FROM ws) AS BIGINT) AS alloc
+        |  FROM ws),
+        |thr AS (SELECT stratum, n_rows, w, alloc,
+        |    alloc * 1000000 // n_rows AS thr FROM a),
+        |kept AS (SELECT x.stratum, CAST(count(*) AS BIGINT) AS kept
+        |  FROM x JOIN thr USING (stratum)
+        |  WHERE CAST('0x' || substr(md5('strat:' || rk), 1, 7) AS BIGINT)
+        |        % 1000000 < thr
+        |  GROUP BY 1)
+        |SELECT stratum, n_rows, w, alloc, thr,
+        |  coalesce(kept, 0) AS kept
+        |FROM thr LEFT JOIN kept USING (stratum) ORDER BY stratum""".stripMargin,
+    // same 3-gram construction as the minhash oracles (raw \S+ tokens,
+    // space-joined windows, list_distinct ≙ the Spark-side distinct)
+    "ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    regexp_extract_all(text, '\S+') AS t FROM documents),
+        |gsets AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+        |  FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id, lang, unnest(grams) AS g FROM gsets),
+        |first AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |pd AS (SELECT s.doc_id, s.lang, count(*) AS n_grams,
+        |    sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+        |      AS novel
+        |  FROM sh s JOIN first f USING (g) GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_grams) AS BIGINT) AS total_grams,
+        |  CAST(sum(novel) AS BIGINT) AS novel_grams,
+        |  round_even(CAST(sum(novel) AS DOUBLE) /
+        |    CAST(sum(n_grams) AS DOUBLE), 6) AS novelty_rate
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

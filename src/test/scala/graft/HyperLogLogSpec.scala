@@ -60,4 +60,31 @@ class HyperLogLogSpec extends AnyFunSuite {
       .foldLeft(agg.zero)(agg.reduce)
     assert(once.toSeq === many.toSeq)
   }
+
+  test("hll_rollup: day-level sketches merged in-plan equal the one-shot sketch") {
+    import spark.implicits._
+    // day 1 sees users {1,2,3}, day 2 sees {2,3,4}: true distinct 4,
+    // per-day distinct sum 6 — the rollup must count the overlap once
+    // and land register-identical to the flat hll_distinct sketch.
+    val day = 86400L * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("hll_roll").toString
+    Seq((1L, 1L), (2L, 2L), (3L, 3L), (day + 1, 2L), (day + 2, 3L),
+      (day + 3, 4L))
+      .toDF("us", "user_id")
+      .select(org.apache.spark.sql.functions.timestamp_micros(col("us")).as("ts"),
+        col("user_id"),
+        org.apache.spark.sql.functions.lit("a").as("event_type"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val roll = graft.queries.Relational.queries("hll_rollup")(spark, dir)
+      .collect()(0)
+    val flat = graft.queries.Relational.queries("hll_distinct")(spark, dir)
+      .collect()(0)
+    assert(roll.getAs[Long]("n_days") === 2L)
+    assert(roll.getAs[Long]("sum_day_distinct") === 6L)
+    assert(roll.getAs[Long]("true_distinct") === 4L)
+    // register-identical to the flat sketch: same weight, zeros, estimate
+    assert(roll.getAs[Long]("reg_weight") === flat.getAs[Long]("reg_weight"))
+    assert(roll.getAs[Int]("zero_regs") === flat.getAs[Int]("zero_regs"))
+    assert(roll.getAs[Double]("est_distinct") === flat.getAs[Double]("est_distinct"))
+  }
 }

@@ -240,4 +240,42 @@ class ScoringSpec extends AnyFunSuite {
     val his = out.map(_.getDouble(3))
     assert(his.sorted.toSeq === his.toSeq, "bucket maxima ascend")
   }
+
+  test("stratified_sample: Neyman weight is N·σ; zero-variance stratum gets 0") {
+    import spark.implicits._
+    // stratum A: cents {100,100,300,300} → n·Sxx − Sx² = 4·200000 −
+    // 800² = 160000, w = √160000 = 400; stratum B: constant price →
+    // zero variance → w = 0, alloc = 0, kept = 0 (but still reported).
+    // A's threshold 5000·1e6 div 4 caps the md5 rule wide open → all
+    // 4 rows kept.
+    val dir = java.nio.file.Files.createTempDirectory("strat").toString
+    Seq(("A", 1L, 1, 1.00), ("A", 1L, 2, 1.00), ("A", 2L, 1, 3.00),
+      ("A", 2L, 2, 3.00), ("B", 3L, 1, 5.00), ("B", 3L, 2, 5.00))
+      .toDF("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.queries.Scoring.queries("stratified_sample")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(out("A") === ((4L, 400L, 5000L, 1250000000L, 4L)))
+    assert(out("B") === ((2L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("ngram_novelty: first-occurrence attribution by min doc_id") {
+    // doc1 "a b c d" → {a b c, b c d} both first here (novel 2/2);
+    // doc2 "a b c e" → {a b c (seen), b c e (new)} (novel 1/2);
+    // doc3 (fr) "a b c" → its only gram first occurred in doc1 (0/1);
+    // doc4 has 2 tokens → no grams → excluded from doc counts entirely.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("novelty").toString
+    Seq((1L, "a b c d", "en"), (2L, "a b c e", "en"), (3L, "a b c", "fr"),
+      (4L, "x y", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Scoring.queries("ngram_novelty")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("en") === ((2L, 4L, 3L, 0.75)))
+    assert(out("fr") === ((1L, 1L, 0L, 0.0)))
+  }
 }
