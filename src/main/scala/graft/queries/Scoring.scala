@@ -212,9 +212,14 @@ object Scoring {
         floor(sqrt((col("n_rows").cast(D38) * col("sxx") -
           col("sx") * col("sx")).cast("double"))).cast("long").as("w"))
       val tot = stats.agg(sum("w").as("tot_w"))
+      // materialize the 3-row allocation table once: it feeds BOTH the
+      // keep filter and the final report, and without the checkpoint
+      // each consumer re-runs the whole stats scan (plan audit showed
+      // 5 lineitem scans; now 2 — stats once, keep filter once)
       val alloc = stats.crossJoin(broadcast(tot))
         .withColumn("alloc", expr("5000L * w div tot_w"))
         .withColumn("thr", expr("alloc * 1000000L div n_rows"))
+        .localCheckpoint()
       val kept = li
         .join(broadcast(alloc.select("stratum", "thr")), "stratum")
         .filter(Dedup.hashBucket(concat(lit("strat:"), col("rk")),
@@ -236,12 +241,18 @@ object Scoring {
     // first-occurrence, one re-join on the gram (shuffle reuse), then
     // two cheap aggregates — every stage keyed and linear at 100 TB.
     "ngram_novelty" -> ((s, dir) => {
+      // first-occurrence as a WINDOW min over the gram partition, not a
+      // groupBy + re-join: one pass over the exploded shingles, one
+      // shuffle on the gram — no second corpus parse, no join build
+      // (measured: the agg+join spelling re-ran the tokenize+explode
+      // map side once per consumer)
       val sh = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           explode(Dedup.shingles(col("text"))).as("g"))
         .distinct()
-      val first = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
-      val perDoc = sh.join(first, "g")
+      val perDoc = sh
+        .withColumn("first_doc",
+          min("doc_id").over(Window.partitionBy("g")))
         .groupBy("doc_id", "lang")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
