@@ -443,6 +443,47 @@ object Insights {
         .select(date_format(col("day_start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("cnt"))
         .orderBy("day", "event_type")
+    }),
+
+    // Streaming stateful DEDUP under the value oracle: dropDuplicates
+    // state keeps first-arrival per (user_id, event_type) across
+    // micro-batches, and the downstream count per event_type must equal
+    // batch count(DISTINCT user_id). The unbounded variant is exact for
+    // any batching the AvailableNow trigger picks (state = one entry
+    // per distinct key — the same cost batch distinct pays); the
+    // production watermark-bounded eviction is
+    // [[graft.streaming.FunnelStream.dedupedEvents]], pinned in
+    // FunnelStreamSpec (its cross-batch replay-drop test).
+    "stream_dedup_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType,
+        TimestampType}
+      GraftSession.tune(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val tablePath = new java.io.File(s"$dir/events.parquet")
+      val raw =
+        if (tablePath.isDirectory)
+          s.readStream.schema(schema).parquet(tablePath.toString)
+        else
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
+      val tbl = "stream_dedup_" + Relational.sfTag(dir) + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val q = ev.select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+        .groupBy("event_type").agg(count(lit(1)).as("distinct_users"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(tbl).orderBy("event_type")
     })
   )
 
@@ -694,6 +735,10 @@ object Insights {
     "stream_daily_counts" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS cnt
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // streaming first-per-key dedup ≡ batch count distinct
+    "stream_dedup_counts" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -286,4 +286,21 @@ class InsightsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       "25-row nation dims must broadcast, not shuffle")
   }
+
+  test("stream_dedup_counts: planted duplicates collapse to one per key") {
+    import spark.implicits._
+    // user 1 fires "a" three times and "b" once; user 2 fires "a"
+    // once — streaming dropDuplicates state must collapse to
+    // a→2 users, b→1 user.
+    val dir = java.nio.file.Files.createTempDirectory("sdedup").toString
+    Seq((1L, 1L, "a"), (2L, 1L, "a"), (3L, 1L, "a"), (4L, 1L, "b"),
+      (5L, 2L, "a"))
+      .toDF("us", "user_id", "event_type")
+      .select(timestamp_micros(col("us")).as("ts"), col("user_id"),
+        col("event_type"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Insights.queries("stream_dedup_counts")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 2L, "b" -> 1L))
+  }
 }
