@@ -288,6 +288,35 @@ object Analytics {
         .orderBy("doc_id")
     }),
 
+    // Per-doc contamination SCORE, not just membership: the fraction of
+    // a train doc's distinct 8-grams that appear anywhere in the
+    // held-out set (GPT-3 §C measures overlap this way before choosing
+    // a drop threshold), reported as a decile histogram. The held-out
+    // gram set is benchmark-sized at any corpus scale, so the mark is
+    // a BROADCAST left join onto the exploded train grams — one
+    // shuffle (the per-doc count), no all-pairs anything. Integer
+    // permille bands keep the oracle FP-free.
+    "contamination_score" -> ((s, dir) => {
+      val d = GraftSession.fanout(t(s, dir, "documents"))
+      val grams = d.select(col("doc_id"),
+          explode(Dedup.wordNgrams(col("text"), 8)).as("gram"))
+        .distinct()
+      val testG = grams.filter(col("doc_id") % 20 === 0)
+        .select("gram").distinct()
+      val marked = grams.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(testG.withColumn("__hit", lit(1L))),
+          Seq("gram"), "left")
+      marked.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+        .select(expr("(hits * 1000L div n_grams) div 100L").as("band"),
+          col("n_grams"), col("hits"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"), sum("hits").as("sum_hits"),
+          sum("n_grams").as("sum_grams"))
+        .orderBy("band")
+    }),
+
     // MERGE / upsert semantics (the lakehouse primitive) as ONE
     // full-outer join: matched rows take the update, unmatched base rows
     // survive, unmatched updates insert. Both sides shuffle by key
@@ -852,6 +881,28 @@ object Analytics {
         |WHERE doc_id % 20 <> 0
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+    // same gram CTEs as decontaminate_ngram, deduped per doc, then an
+    // integer-only permille/decile banding
+    "contamination_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 8], ' ') AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+        |    FROM toks WHERE len(t) >= 8)),
+        |tg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        |pd AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits
+        |  FROM g LEFT JOIN tg USING (gram)
+        |  WHERE g.doc_id % 20 <> 0
+        |  GROUP BY 1)
+        |SELECT (hits * 1000 // n_grams) // 100 AS band,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(hits) AS BIGINT) AS sum_hits,
+        |  CAST(sum(n_grams) AS BIGINT) AS sum_grams
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

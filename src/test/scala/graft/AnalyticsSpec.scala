@@ -78,4 +78,26 @@ class AnalyticsSpec extends AnyFunSuite {
     // stall at stage 3; the 60 noise events never count against the cap
     assert(run(4) === Map(0 -> 1L, 3 -> 1L))
   }
+
+  test("contamination_score: half-, fully-, and un-contaminated docs band apart") {
+    import spark.implicits._
+    // doc 20 is held out (%20==0) with grams {t1..t8, t2..t9}; doc 1
+    // shares its first 8-gram only (1/2 → band 5), doc 2 shares none
+    // (band 0), doc 3 IS the 8-gram (1/1 → band 10).
+    val dir = java.nio.file.Files.createTempDirectory("contam").toString
+    Seq(
+      (20L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 x1"),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),
+      (3L, "t1 t2 t3 t4 t5 t6 t7 t8"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Analytics.queries("contamination_score")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      0L -> ((1L, 0L, 2L)),
+      5L -> ((1L, 1L, 2L)),
+      10L -> ((1L, 1L, 1L))))
+  }
 }
