@@ -611,6 +611,54 @@ object Signals {
     // Readout: cumulative counts over the ≤512-row grid + linear
     // interpolation inside the target bin — integer counts, literal
     // edges, one mirrored IEEE chain.
+    // [[sketch_quantiles]]' merge property as its own gated query —
+    // the quantile member of the mergeable-sketch trio (HLL registers
+    // merge by MAX → hll_rollup; CMS/grid counters merge by SUM).
+    // Per-(day, event_type) 512-bin grids — the daily sketch state
+    // table a pipeline would persist — roll up by summing counts, and
+    // the readout over the merged grid must land on exactly the
+    // quantiles the one-shot grid gives (sum is associative), which
+    // the oracle replays through the same two-level aggregation. The
+    // n_days witness pins the calendar level actually merged.
+    "sketch_quantile_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val W = 400.0 / 512.0
+      val ev = Relational.events(s, dir).select(col("event_type"),
+        to_date(col("ts")).as("day"),
+        least(floor(col("value") / lit(W)), lit(511L)).cast("int")
+          .as("bin"))
+      val daily = ev.groupBy("day", "event_type", "bin")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds the witness AND the merge
+      val days = daily.groupBy("event_type")
+        .agg(countDistinct("day").as("n_days"))
+      val bc = daily.groupBy("event_type", "bin").agg(sum("c").as("c"))
+      val wspec = Window.partitionBy("event_type").orderBy("bin")
+      val cum = bc.select(col("event_type"), col("bin"), col("c"),
+        sum("c").over(wspec).as("cum"))
+      val tot = bc.groupBy("event_type").agg(sum("c").as("n"))
+      val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+        .toDF("p", "pname")
+      val rank = ceil(col("p") * col("n").cast("double"))
+      val v = col("bin").cast("double") * lit(W) +
+        lit(W) * (rank - (col("cum") - col("c")).cast("double")) /
+          col("c").cast("double")
+      cum.join(broadcast(tot), "event_type")
+        .crossJoin(broadcast(ps))
+        .filter(col("cum").cast("double") >= rank &&
+          (col("cum") - col("c")).cast("double") < rank)
+        .select(col("event_type"), col("n"), col("pname"),
+          round(v, 6).as("v"))
+        .groupBy("event_type").agg(
+          min("n").as("n"),
+          max(when(col("pname") === "p50", col("v"))).as("p50"),
+          max(when(col("pname") === "p90", col("v"))).as("p90"),
+          max(when(col("pname") === "p99", col("v"))).as("p99"))
+        .join(days, "event_type")
+        .select("event_type", "n_days", "n", "p50", "p90", "p99")
+        .orderBy("event_type")
+    }),
+
     "sketch_quantiles" -> ((s, dir) => {
       import s.implicits._
       val W = 400.0 / 512.0 // exact binary literal (0.78125)
@@ -1380,6 +1428,45 @@ object Signals {
         |  AND cls.d = ent.d
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // the merged grid rebuilds through the SAME day level the Spark
+    // side checkpoints, then the shared readout chain
+    "sketch_quantile_rollup" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(least(floor(value / 0.78125), 511) AS INT) AS bin
+        |  FROM events),
+        |daily AS (SELECT day, event_type, bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2, 3),
+        |days AS (SELECT event_type,
+        |    CAST(count(DISTINCT day) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1),
+        |bc AS (SELECT event_type, bin, CAST(sum(c) AS BIGINT) AS c
+        |  FROM daily GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bin, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin)
+        |      AS BIGINT) AS cum
+        |  FROM bc),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+        |  FROM bc GROUP BY 1),
+        |ps(p, pname) AS (VALUES (0.5, 'p50'), (0.9, 'p90'),
+        |  (0.99, 'p99')),
+        |hit AS (SELECT cum.event_type, tot.n, ps.pname,
+        |    round(CAST(cum.bin AS DOUBLE) * 0.78125
+        |      + 0.78125 * (ceil(ps.p * CAST(tot.n AS DOUBLE))
+        |          - CAST(cum.cum - cum.c AS DOUBLE))
+        |        / CAST(cum.c AS DOUBLE), 6) AS v
+        |  FROM cum JOIN tot ON cum.event_type = tot.event_type
+        |  CROSS JOIN ps
+        |  WHERE CAST(cum.cum AS DOUBLE)
+        |      >= ceil(ps.p * CAST(tot.n AS DOUBLE))
+        |    AND CAST(cum.cum - cum.c AS DOUBLE)
+        |      < ceil(ps.p * CAST(tot.n AS DOUBLE)))
+        |SELECT h.event_type, d.n_days, CAST(min(h.n) AS BIGINT) AS n,
+        |  max(CASE WHEN h.pname = 'p50' THEN h.v END) AS p50,
+        |  max(CASE WHEN h.pname = 'p90' THEN h.v END) AS p90,
+        |  max(CASE WHEN h.pname = 'p99' THEN h.v END) AS p99
+        |FROM hit h JOIN days d ON h.event_type = d.event_type
+        |GROUP BY 1, 2 ORDER BY h.event_type""".stripMargin,
     "sketch_quantiles" ->
       """WITH ev AS (SELECT event_type,
         |    CAST(least(floor(value / 0.78125), 511) AS INT) AS bin

@@ -775,4 +775,26 @@ class SignalsSpec extends AnyFunSuite {
     val p = q.queryExecution.executedPlan.toString
     assert(p.contains("ReusedExchange"), p.take(800))
   }
+
+  test("sketch_quantile_rollup: day-grid merge lands on the one-shot quantiles") {
+    import spark.implicits._
+    // 200 values split across two days: the summed day grids must give
+    // bit-identical p50/p90/p99 to the flat sketch (sum is associative).
+    val day = 86400L * 1000000L
+    val ev = (1 to 200).map { i =>
+      (i.toLong, if (i % 2 == 0) i.toLong else day + i, "click",
+        i % 97 * 1.37 + 0.2)
+    }.toDF("event_id", "us", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_type"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("sig_sqr").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val roll = Signals.queries("sketch_quantile_rollup")(spark, dir)
+      .collect()(0)
+    val flat = Signals.queries("sketch_quantiles")(spark, dir).collect()(0)
+    assert(roll.getAs[Long]("n_days") === 2L)
+    assert(roll.getAs[Long]("n") === flat.getAs[Long]("n"))
+    for (p <- Seq("p50", "p90", "p99"))
+      assert(roll.getAs[Double](p) === flat.getAs[Double](p), p)
+  }
 }
