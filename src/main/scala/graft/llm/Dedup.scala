@@ -664,9 +664,18 @@ object Dedup {
     // once and the second side is a ReusedExchange — a checkpoint here
     // only adds a materialization barrier (measured 5.7 → 4.1 s at
     // sf0.1 removing it; plan shape pinned in SignalsSpec)
+    // df > 1 AFTER the rank (ranks must count every prefix slot): a
+    // df=1 gram sits in exactly one doc's prefix, so it can never find
+    // a candidate-join partner. Lossless by definition of df;
+    // brute-force parity pinned in SignalsSpec. On THIS fixture the cut
+    // is a no-op (207 of 134k prefix rows at sf0.1 — the synthetic
+    // vocab is dense), but on a Zipfian web corpus the singleton tail
+    // dominates rarest-first prefixes, and every dropped row is
+    // candidate-shuffle bytes that produce nothing.
     val prefix = tok.join(df, Seq("gram"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter(col("df") > 1)
       .select("doc_id", "gram", "rn", "sz")
     // PPJoin's positional filter, applied per matching prefix gram: a
     // match at ranks (rn_a, rn_b) can still reach Jaccard ≥ t only if
