@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{ArrayCosineSimilarity, ArrayDotProduct, JaroWinkler}
+import graft.functions.{ArrayCosineSimilarity, ArrayDotProduct, HashBucket, JaroWinkler}
 
 /** Session extension point: injects the engine's native expressions so
   * `array_dot` / `array_cosine` are callable from SQL and
@@ -34,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "jaro_winkler takes exactly 2 arguments")
         JaroWinkler(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hash_bucket"),
+      HashBucket.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "hash_bucket takes exactly 2 arguments")
+        HashBucket(children.head, children(1))
       }))
   }
 }

@@ -397,9 +397,16 @@ object Dedup {
     * driver-side spellings cannot drift independently.
     */
   private[graft] def hashBucket(key: Column, modulus: Long): Column =
-    pmod(
-      conv(substring(md5(key.cast("binary")), 1, 7), 16, 10).cast("long"),
-      lit(modulus))
+    // the fused native expression (graft.functions.HashBucket) —
+    // bit-parity with the composed
+    // `pmod(conv(substring(md5(key.cast("binary")),1,7),16,10).cast("long"), m)`
+    // is property-tested in PropertySpec; the composed chain paid a
+    // 32-char hex materialization + base-16 re-parse per row
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.HashBucket(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(
+          key.cast("string")),
+        org.apache.spark.sql.catalyst.expressions.Literal(modulus)))
 
   private[graft] def hashBucket1000(id: Column, salt: String): Column =
     hashBucket(concat(lit(salt), id.cast("string")), 1000L)

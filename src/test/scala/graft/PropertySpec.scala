@@ -125,4 +125,26 @@ class PropertySpec extends AnyFunSuite {
       assert(once === partial)
     }
   }
+
+  test("HashBucket expression is bit-parity with the composed md5 spelling") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // arbitrary unicode keys incl. empties and multi-byte chars; the
+    // fused expression must match pmod(conv(substring(md5(...)))) on
+    // every modulus the engine actually uses
+    val piece: Gen[String] = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf("é", "ß", "中", "🙂", " ", ":"))
+    val keys = samples(Gen.listOfN(12, piece).map(_.mkString), 300) ++
+      Seq("", "a", "mix:1", "strat:42:7")
+    for (m <- Seq(1000L, 1000000L, 1L << 28)) {
+      val df = keys.toDF("k")
+      val got = df.select(
+        graft.llm.Dedup.hashBucket(col("k"), m).as("fused"),
+        pmod(conv(substring(md5(col("k").cast("binary")), 1, 7), 16, 10)
+          .cast("long"), lit(m)).as("composed"))
+        .collect()
+      got.foreach(r => assert(r.getLong(0) === r.getLong(1), s"m=$m"))
+    }
+  }
 }
