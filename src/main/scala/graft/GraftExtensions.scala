@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{ArrayCosineSimilarity, ArrayDotProduct, HashBucket, JaroWinkler}
+import graft.functions.{ArrayCosineSimilarity, ArrayDotProduct, HashBucket, HashFingerprint, JaroWinkler}
 
 /** Session extension point: injects the engine's native expressions so
   * `array_dot` / `array_cosine` are callable from SQL and
@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "hash_bucket takes exactly 2 arguments")
         HashBucket(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hash_fp60"),
+      HashFingerprint.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "hash_fp60 takes exactly 1 argument")
+        HashFingerprint(children.head)
       }))
   }
 }

@@ -101,10 +101,10 @@ object Dedup {
         col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("text")))).as("gram"))
-      // 28-bit base hash: first 7 hex chars of md5
+      // 28-bit base hash: first 7 hex chars of md5 (fused expression;
+      // modulus 2^28 is the identity on the 28-bit value)
       .select(col("doc_id"),
-        conv(substring(md5(col("gram").cast("binary")), 1, 7), 16, 10)
-          .cast("long").as("x"))
+        hashBucket(col("gram"), 1L << 28).as("x"))
     val mins = (0 until numHashes).map(i =>
       min(pmod(lit(minhashA(i)) * col("x") + lit(minhashB(i)), lit(minhashP)))
         .as(s"h$i"))
@@ -225,9 +225,8 @@ object Dedup {
   private val bandBits = simhashBits / simhashBands // 15
   private val bandMask = (1L << bandBits) - 1
 
-  /** Per-token 60-bit portable hash. */
-  private def tokHash(tok: Column): Column =
-    conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
+  /** Per-token 60-bit portable hash (fused native expression). */
+  private def tokHash(tok: Column): Column = fingerprint60(tok)
 
   /** Documents annotated with their simhash — explode tokens, one
     * codegen'd hash-aggregate of 60 conditional bit-vote sums per doc
@@ -410,6 +409,17 @@ object Dedup {
 
   private[graft] def hashBucket1000(id: Column, salt: String): Column =
     hashBucket(concat(lit(salt), id.cast("string")), 1000L)
+
+  /** The portable 60-bit md5 fingerprint as the fused native expression
+    * (graft.functions.HashFingerprint) — bit-parity with the composed
+    * `conv(substring(md5(key.cast("binary")), 1, 15), 16, 10).cast("long")`
+    * is property-tested in PropertySpec.
+    */
+  private[graft] def fingerprint60(key: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.HashFingerprint(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(
+          key.cast("string"))))
 
   /** Deterministic train/val/test assignment: bucket = a 28-bit
     * md5-derived hash of the id, mod 1000; thresholds carve the split.
@@ -646,8 +656,7 @@ object Dedup {
     // regexp explode over the corpus; a production job persists this
     // derivative the same way. The prefix table deliberately does NOT —
     // its two candidate-join sides dedupe through ReusedExchange.
-    val fp = (g: Column) =>
-      conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast("long")
+    val fp = (g: Column) => fingerprint60(g)
     // inner array_distinct BEFORE the fingerprint transform: the fp HOF
     // is interpreted per element, so dropping duplicate raw grams first
     // shrinks its input (~20% of the set-build stage at sf0.1); the

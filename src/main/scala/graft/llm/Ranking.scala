@@ -207,8 +207,7 @@ object Ranking {
         explode(concat(col("tk"), Dedup.tokenNgrams(col("tk"), 2)))
           .as("gram"))
       .select(col("doc_id"), col("source"),
-        (conv(substring(md5(col("gram").cast("binary")), 1, 7), 16, 10)
-          .cast("long") % m).as("b"))
+        Dedup.hashBucket(col("gram"), m).as("b"))
     val isTarget = col("source") === targetSource
     val bc = feats.groupBy("b").agg(
       sum(when(isTarget, 1L).otherwise(0L)).as("ct"),

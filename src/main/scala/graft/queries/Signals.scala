@@ -115,9 +115,8 @@ object Signals {
     // pass + TakeOrdered: the canonical "sample 10k docs by quality
     // weight from 100 TB" one-shot.
     "weighted_sample" -> ((s, dir) => {
-      val h = conv(substring(md5(concat(lit("ws:"),
-        col("doc_id").cast("string")).cast("binary")), 1, 7), 16, 10)
-        .cast("long")
+      val h = Dedup.hashBucket(
+        concat(lit("ws:"), col("doc_id").cast("string")), 1L << 28)
       val u = (h.cast("double") + lit(0.5)) / lit(268435456.0)
       val key = bround(log(u) / col("n_chars").cast("double")
         * lit(1000000000.0)).cast("long")
@@ -327,8 +326,7 @@ object Signals {
       // arithmetic in both engines, so the checksum never wraps — at
       // 2^40 rows the sum still has 28 bits of headroom
       t(s, dir, "orders")
-        .select(conv(substring(md5(row.cast("binary")), 1, 15), 16, 10)
-          .cast("long")
+        .select(Dedup.fingerprint60(row)
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("fp"))
         .agg(count(lit(1)).as("n_rows"),
           // string, not DECIMAL(38,0): the sum exceeds 2^53, and the

@@ -146,5 +146,12 @@ class PropertySpec extends AnyFunSuite {
         .collect()
       got.foreach(r => assert(r.getLong(0) === r.getLong(1), s"m=$m"))
     }
+    // 60-bit fingerprint sibling, same keys
+    val fp = keys.toDF("k").select(
+      graft.llm.Dedup.fingerprint60(col("k")).as("fused"),
+      conv(substring(md5(col("k").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("composed"))
+      .collect()
+    fp.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 }
