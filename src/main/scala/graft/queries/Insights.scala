@@ -484,6 +484,52 @@ object Insights {
         .start()
       q.awaitTermination()
       s.table(tbl).orderBy("event_type")
+    }),
+
+    // Stream-STATIC broadcast enrichment under the value oracle
+    // ([[graft.streaming.FunnelStream.enrichedDailyCounts]], previously
+    // spec-only): each micro-batch joins the broadcast user dimension
+    // map-side (no stream-side shuffle before the windowed aggregate —
+    // the per-batch plan a 100 TB/day stream needs), and the settled
+    // daily per-segment counts must equal the batch GROUP BY. The
+    // segment dimension derives deterministically from user_id so the
+    // oracle can rebuild it.
+    "stream_enriched_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType,
+        TimestampType}
+      GraftSession.tune(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val tablePath = new java.io.File(s"$dir/events.parquet")
+      val raw =
+        if (tablePath.isDirectory)
+          s.readStream.schema(schema).parquet(tablePath.toString)
+        else
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
+      val dim = Relational.events(s, dir)
+        .select(col("user_id")).distinct()
+        .withColumn("segment",
+          concat(lit("seg"), pmod(col("user_id"), lit(4))))
+      val tbl = "stream_enrich_" + Relational.sfTag(dir) + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val q = graft.streaming.FunnelStream
+        .enrichedDailyCounts(ev.select("ts", "user_id"), dim)
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(tbl)
+        .select(date_format(col("day_start"), "yyyy-MM-dd").as("day"),
+          col("segment"), col("cnt"))
+        .orderBy("day", "segment")
     })
   )
 
@@ -739,6 +785,12 @@ object Insights {
     // streaming first-per-key dedup ≡ batch count distinct
     "stream_dedup_counts" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // stream-static broadcast enrichment ≡ batch join + daily GROUP BY
+    "stream_enriched_counts" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  'seg' || CAST(user_id % 4 AS VARCHAR) AS segment,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
