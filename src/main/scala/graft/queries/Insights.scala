@@ -24,6 +24,34 @@ object Insights {
 
   private val D38 = DecimalType(38, 0)
 
+  /** The events table as an unbounded source: same file, same
+    * timestamp-precision normalization as the batch reader
+    * ([[Relational.events]] — BIGINT nanos, TIMESTAMP_NTZ, and TIMESTAMP
+    * all land on µs TIMESTAMP), but planned as a streaming scan so every
+    * query built on it runs through the micro-batch engine. Handles both
+    * fixture layouts (single file and directory table).
+    */
+  private def streamEvents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType,
+      TimestampType}
+    GraftSession.tune(s)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val tablePath = new java.io.File(s"$dir/events.parquet")
+    val raw =
+      if (tablePath.isDirectory)
+        s.readStream.schema(schema).parquet(tablePath.toString)
+      else
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Time-to-convert between consecutive funnel stages (the metric the
@@ -456,24 +484,7 @@ object Insights {
     // FunnelStreamSpec (its cross-batch replay-drop test).
     "stream_dedup_counts" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType,
-        TimestampType}
-      GraftSession.tune(s)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val tablePath = new java.io.File(s"$dir/events.parquet")
-      val raw =
-        if (tablePath.isDirectory)
-          s.readStream.schema(schema).parquet(tablePath.toString)
-        else
-          s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = schema("ts").dataType match {
-        case LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _: TimestampNTZType =>
-          raw.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => raw
-      }
+      val ev = streamEvents(s, dir)
       val tbl = "stream_dedup_" + Relational.sfTag(dir) + "_" +
         java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       val q = ev.select("user_id", "event_type")
@@ -496,24 +507,7 @@ object Insights {
     // oracle can rebuild it.
     "stream_enriched_counts" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType,
-        TimestampType}
-      GraftSession.tune(s)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val tablePath = new java.io.File(s"$dir/events.parquet")
-      val raw =
-        if (tablePath.isDirectory)
-          s.readStream.schema(schema).parquet(tablePath.toString)
-        else
-          s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = schema("ts").dataType match {
-        case LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _: TimestampNTZType =>
-          raw.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => raw
-      }
+      val ev = streamEvents(s, dir)
       val dim = Relational.events(s, dir)
         .select(col("user_id")).distinct()
         .withColumn("segment",
@@ -530,6 +524,46 @@ object Insights {
         .select(date_format(col("day_start"), "yyyy-MM-dd").as("day"),
           col("segment"), col("cnt"))
         .orderBy("day", "segment")
+    }),
+
+    // STREAM-STREAM watermarked inner join under the value oracle — the
+    // last canonical Structured Streaming operator (the others: global
+    // agg, stateful dedup, stream-static enrich, session windows are
+    // already gated/spec'd). Two branches of the event stream — views
+    // and purchases — join per user with an event-time range bound
+    // (purchase within 7 days after the view). BOTH sides carry a
+    // watermark and the join predicate carries the time constraint,
+    // which is exactly what lets the engine evict join state: a view
+    // older than watermark − 7 days can never match a future purchase,
+    // so at 100 TB/day the state store holds a bounded window, not the
+    // stream's history. Matches emit in APPEND mode (no settling); the
+    // per-day rollup of the sink table runs as a batch query, so the
+    // oracle is the plain batch self-join + GROUP BY. RocksDB-backed
+    // state for this shape is pinned in FunnelStreamSpec.
+    "stream_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = streamEvents(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 day")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 day")
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 7 DAYS"))
+      val tbl = "stream_ssj_" + Relational.sfTag(dir) + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val q = joined.writeStream.format("memory").queryName(tbl)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(tbl)
+        .groupBy(date_format(col("p_ts"), "yyyy-MM-dd").as("p_day"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("p_user")).as("n_users"))
+        .orderBy("p_day")
     })
   )
 
@@ -791,6 +825,18 @@ object Insights {
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |  'seg' || CAST(user_id % 4 AS VARCHAR) AS segment,
         |  CAST(count(*) AS BIGINT) AS cnt
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // watermarked stream-stream join ≡ batch self-join with the same
+    // event-time range predicate (AvailableNow delivers every row before
+    // the watermark can drop any, so the match set is exact)
+    "stream_stream_join" ->
+      """SELECT strftime(CAST(p.ts AS DATE), '%Y-%m-%d') AS p_day,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  count(DISTINCT p.user_id) AS n_users
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

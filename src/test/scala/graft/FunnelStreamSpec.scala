@@ -245,4 +245,51 @@ class FunnelStreamSpec extends AnyFunSuite {
       assert(last(2L) === ((1L, 0L, false)))
     } finally q.stop()
   }
+
+  test("stream-stream join runs on RocksDB state and matches hand semantics") {
+    // The 100 TB posture for join state: the HDFSBackedStateStore keeps
+    // every keyed entry on-heap, so watermark-bounded join state at
+    // high key cardinality OOMs the executor; RocksDB spills to local
+    // disk. This pins (a) the provider actually engages — the progress
+    // metrics are RocksDB's — and (b) join results are unchanged.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val v = views.toDF().toDF("v_user", "v_ts").withWatermark("v_ts", "1 day")
+    val p = purchases.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "1 day")
+    val joined = v.join(p,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 7 DAYS"))
+    val q = joined.writeStream.format("memory").queryName("ssj_rocks")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData((1L, ts(1, 1)), (2L, ts(1, 2)))
+      q.processAllAvailable()
+      // across micro-batches: one purchase in-window, one 8 days out,
+      // one for a user with no view
+      purchases.addData((1L, ts(3, 1)), (2L, ts(9, 3)), (7L, ts(2, 1)))
+      q.processAllAvailable()
+      val got = spark.table("ssj_rocks")
+        .select("v_user", "p_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+      assert(got === Set((1L, "2024-01-03 01:00:00.0")))
+      val stateMetrics = q.lastProgress.stateOperators
+      assert(stateMetrics.nonEmpty)
+      val custom = stateMetrics.head.customMetrics.keySet()
+      assert(custom.stream().anyMatch(_.startsWith("rocksdb")),
+        s"state metrics are not RocksDB's: $custom")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v0) => spark.conf.set(provider, v0)
+        case None => spark.conf.unset(provider)
+      }
+    }
+  }
 }
