@@ -572,6 +572,29 @@ object Relational {
         sum(length(col("text")).cast("long")).as("text_len"))
     }),
 
+    // same round-trip through Spark 4's built-in XML source/sink — the
+    // format legacy enterprise feeds still arrive in (the reference's
+    // Drill layer advertises the same any-format-to-SQL posture,
+    // report_engine.py:48-62). rowTag scopes one <doc> element per
+    // record; ignoreSurroundingSpaces=false keeps text content
+    // byte-identical (the default trims, which would silently shrink
+    // text_len on whitespace-padded docs)
+    "xml_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val path = s"/root/repo/target/roundtrip/documents_xml_${sfTag(dir)}"
+      d.write.mode("overwrite").format("xml")
+        .option("rowTag", "doc").save(path)
+      s.read.schema(d.schema).format("xml")
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .load(path).agg(
+          count(lit(1)).as("n"),
+          sum("doc_id").as("id_sum"),
+          sum("n_chars").as("chars"),
+          countDistinct("lang").as("langs"),
+          sum(length(col("text")).cast("long")).as("text_len"))
+    }),
+
     // the date-function family over the event timeline: extraction
     // (year/quarter/month/iso-week/day-of-week/day-of-year), month-end,
     // date arithmetic, and day differences — grouped to one row per day
@@ -1089,6 +1112,7 @@ object Relational {
     // definition for both formats, so the equality claims can't desync
     "jsonl_roundtrip" -> roundtripChecksumOracle,
     "orc_roundtrip" -> roundtripChecksumOracle,
+    "xml_roundtrip" -> roundtripChecksumOracle,
     // DuckDB's week() is ISO week (= Spark weekofyear); its dayofweek is
     // 0=Sunday where Spark's is 1=Sunday, hence the +1; date - DATE is
     // an integer day count (= Spark datediff)
