@@ -563,6 +563,119 @@ object Signals {
         .orderBy("event_type")
     }),
 
+    // Simple OLS regression per event type: value against days since
+    // epoch start (the trend readout next to welch_ttest's A/B
+    // readout). Same one-pass exact-moment discipline: x (day index)
+    // and y (value micros) reduce to n, Σx, Σy, Σx², Σxy, Σy² with the
+    // cross products in DECIMAL(38,0); slope/intercept/r² are ONE
+    // IEEE chain over the exact moments, mirrored verbatim in the
+    // oracle (DuckDB accumulates the same integers in HUGEINT — same
+    // exact values in, same doubles out). regr_slope-style built-ins
+    // are deliberately NOT used on either side: their streaming-update
+    // accumulation orders differ between engines. Zero-variance
+    // denominators → NULL on both sides (ADVICE r10). Map-side combine
+    // collapses to |types| rows before the shuffle.
+    "ols_fit" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      val ev = Relational.events(s, dir).select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"),
+        bround(col("value") * lit(1000000.0)).cast("long").as("y"))
+      val m = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"),
+        sum(col("y").cast(d38) * col("y")).as("syy"))
+      val num = (col("n").cast(d38) * col("sxy")
+        - col("sx").cast(d38) * col("sy")).cast("double")
+      val denX = (col("n").cast(d38) * col("sxx")
+        - col("sx").cast(d38) * col("sx")).cast("double")
+      val denY = (col("n").cast(d38) * col("syy")
+        - col("sy").cast(d38) * col("sy")).cast("double")
+      val slope = num / denX // micros per day
+      val icept = (col("sy").cast("double") - slope * col("sx").cast("double")) /
+        col("n").cast("double")
+      m.select(col("event_type"), col("n"),
+          when(denX =!= 0.0, bround(slope / lit(1000000.0), 6)).as("slope"),
+          when(denX =!= 0.0, bround(icept / lit(1000000.0), 4)).as("intercept"),
+          when(denX =!= 0.0 && denY =!= 0.0,
+            bround(num * num / (denX * denY), 6)).as("r2"))
+        .orderBy("event_type")
+    }),
+
+    // Exact two-sample Kolmogorov–Smirnov test per event type between
+    // the same two md5 experiment arms welch_ttest reads: D = max over
+    // the pooled distinct-value grid of |F0(v) − F1(v)|. The sup runs
+    // on INTEGERS — |cum0·n1 − cum1·n0| — so tie handling and the max
+    // are exact on both engines, and D pays exactly one IEEE division
+    // at the end. Plan shape: one hash-agg to the distinct-value grid,
+    // one cumulative window per type over that grid (bounded by value
+    // cardinality, not row count — the at-scale CDF idiom), broadcast
+    // of the |types|-row margin table.
+    "ks_test" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        bround(col("value") * lit(1000000.0)).cast("long").as("v"),
+        Dedup.hashBucket(concat(lit("ab:"), col("user_id").cast("string")),
+          2L).cast("int").as("arm"))
+      val g = ev.groupBy("event_type", "v").agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+      val w = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = g.select(col("event_type"),
+        sum("c0").over(w).as("f0"), sum("c1").over(w).as("f1"))
+      val tot = g.groupBy("event_type")
+        .agg(sum("c0").as("n0"), sum("c1").as("n1"))
+      val d = cum.join(broadcast(tot), "event_type")
+        .groupBy("event_type").agg(
+          max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+          max(abs(col("f0") * col("n1") - col("f1") * col("n0")))
+            .as("dnum"))
+      val n0d = col("n0").cast("double")
+      val n1d = col("n1").cast("double")
+      val ks = col("dnum").cast("double") / (n0d * n1d)
+      val crit = lit(1.358) * sqrt((n0d + n1d) / (n0d * n1d))
+      d.select(col("event_type"), col("n0"), col("n1"),
+          bround(ks, 6).as("ks_stat"),
+          bround(crit, 6).as("crit_05"),
+          (ks > crit).cast("int").as("reject"))
+        .orderBy("event_type")
+    }),
+
+    // Chi-square independence of event_type × experiment arm over the
+    // full contingency table: observed cells and both margins are
+    // exact integers from ONE aggregate; each cell's (o−e)²/e term
+    // quantizes to integer pico-units before the cross-cell sum (the
+    // PSI/l-diversity rule — order-independent), and only the final
+    // /1e12 is IEEE. df = (r−1)(c−1) = |types|−1 with 2 arms; the
+    // exact chi2_picos integer travels alongside the rounded statistic
+    // as the drift witness.
+    "chi_square" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        Dedup.hashBucket(concat(lit("ab:"), col("user_id").cast("string")),
+          2L).cast("int").as("arm"))
+      val cell = ev.groupBy("event_type", "arm").agg(count(lit(1)).as("o"))
+      val rowm = cell.groupBy("event_type").agg(sum("o").as("rt"))
+      val colm = cell.groupBy("arm").agg(sum("o").as("ct"))
+      val nTot = cell.agg(sum("o").as("nn"))
+      val e = col("rt").cast("double") * col("ct").cast("double") /
+        col("nn").cast("double")
+      val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+      val terms = cell.join(broadcast(rowm), "event_type")
+        .join(broadcast(colm), "arm").crossJoin(broadcast(nTot))
+        .select(col("event_type"),
+          bround(term * lit(1000000000000.0)).cast("long").as("t_picos"))
+      val r = terms.agg(
+        countDistinct("event_type").as("r_levels"),
+        sum("t_picos").as("chi2_picos"))
+      r.select(col("r_levels"),
+          (col("r_levels") - 1).as("df"),
+          col("chi2_picos"),
+          bround(col("chi2_picos").cast("double") / lit(1000000000000.0), 6)
+            .as("chi2"))
+    }),
+
     // l-diversity audit (Machanavajjhala et al. 2007) — the
     // k-anonymity companion: every equivalence class (event_type, day)
     // must carry at least l DISTINCT sensitive values (user_id), and
@@ -1397,6 +1510,100 @@ object Signals {
         |  CAST(CASE WHEN abs(t) > 1.959964 THEN 1 ELSE 0 END AS INT)
         |    AS significant
         |FROM c2 ORDER BY event_type""".stripMargin,
+    "ols_fit" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+        |    CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM ev GROUP BY 1),
+        |c AS (SELECT event_type, n, sx, sy,
+        |    CAST(CAST(n AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+        |    CAST(CAST(n AS HUGEINT) * sxx
+        |      - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS den_x,
+        |    CAST(CAST(n AS HUGEINT) * syy
+        |      - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS den_y
+        |  FROM m)
+        |SELECT event_type, n,
+        |  CASE WHEN den_x <> 0 THEN CAST(round_even(
+        |    num / den_x / 1000000.0, 6) AS DOUBLE) END AS slope,
+        |  CASE WHEN den_x <> 0 THEN CAST(round_even(
+        |    (CAST(sy AS DOUBLE) - num / den_x * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) / 1000000.0, 4) AS DOUBLE) END
+        |    AS intercept,
+        |  CASE WHEN den_x <> 0 AND den_y <> 0 THEN CAST(round_even(
+        |    num * num / (den_x * den_y), 6) AS DOUBLE) END AS r2
+        |FROM c ORDER BY event_type""".stripMargin,
+    "ks_test" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v,
+        |    CAST(CAST('0x' || substr(md5('ab:' || user_id), 1, 7)
+        |      AS BIGINT) % 2 AS INT) AS arm
+        |  FROM events),
+        |g AS (SELECT event_type, v,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT event_type,
+        |    sum(c0) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f0,
+        |    sum(c1) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1
+        |  FROM g),
+        |tot AS (SELECT event_type, CAST(sum(c0) AS BIGINT) AS n0,
+        |    CAST(sum(c1) AS BIGINT) AS n1 FROM g GROUP BY 1),
+        |d AS (SELECT c.event_type, max(t.n0) AS n0, max(t.n1) AS n1,
+        |    CAST(max(abs(f0 * t.n1 - f1 * t.n0)) AS BIGINT) AS dnum
+        |  FROM cum c JOIN tot t ON c.event_type = t.event_type
+        |  GROUP BY 1)
+        |SELECT event_type, n0, n1,
+        |  CAST(round_even(CAST(dnum AS DOUBLE)
+        |    / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 6) AS DOUBLE)
+        |    AS ks_stat,
+        |  CAST(round_even(1.358 * sqrt((CAST(n0 AS DOUBLE)
+        |      + CAST(n1 AS DOUBLE))
+        |    / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))), 6) AS DOUBLE)
+        |    AS crit_05,
+        |  CAST(CASE WHEN CAST(dnum AS DOUBLE)
+        |      / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+        |    > 1.358 * sqrt((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+        |      / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+        |    THEN 1 ELSE 0 END AS INT) AS reject
+        |FROM d ORDER BY event_type""".stripMargin,
+    "chi_square" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(CAST('0x' || substr(md5('ab:' || user_id), 1, 7)
+        |      AS BIGINT) % 2 AS INT) AS arm
+        |  FROM events),
+        |cell AS (SELECT event_type, arm, CAST(count(*) AS BIGINT) AS o
+        |  FROM ev GROUP BY 1, 2),
+        |rowm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+        |  FROM cell GROUP BY 1),
+        |colm AS (SELECT arm, CAST(sum(o) AS BIGINT) AS ct
+        |  FROM cell GROUP BY 1),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cell),
+        |terms AS (SELECT c.event_type,
+        |    CAST(round_even(
+        |      (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |        / CAST(nn AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |        / CAST(nn AS DOUBLE))
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |        / CAST(nn AS DOUBLE))
+        |      * 1000000000000.0, 0) AS BIGINT) AS t_picos
+        |  FROM cell c JOIN rowm r ON c.event_type = r.event_type
+        |  JOIN colm m ON c.arm = m.arm CROSS JOIN nt)
+        |SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS r_levels,
+        |  CAST(count(DISTINCT event_type) - 1 AS BIGINT) AS df,
+        |  CAST(sum(t_picos) AS BIGINT) AS chi2_picos,
+        |  CAST(round_even(CAST(sum(t_picos) AS DOUBLE)
+        |    / 1000000000000.0, 6) AS DOUBLE) AS chi2
+        |FROM terms""".stripMargin,
 
     "ldiversity" ->
       """WITH ev AS (SELECT event_type,

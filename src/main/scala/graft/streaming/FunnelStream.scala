@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming surface of the engine (Structured Streaming).
   *
@@ -166,5 +167,56 @@ object FunnelStream {
           state.update(UserFunnelState(ev, pur))
           UserFunnelUpdate(userId, ev, pur, pur > 0)
       }
+  }
+
+  /** The same per-user funnel tracker on the arbitrary-stateful v2 API
+    * (`transformWithState`): typed ValueState behind a
+    * StatefulProcessor, RocksDB-required by design — per-key state
+    * lives off-heap and spills to local disk, the posture an unbounded
+    * user space needs. The optional TTL evicts idle users' state
+    * declaratively (the mapGroupsWithState version above keeps state
+    * until an explicit timeout callback), which is how a 100 TB/day
+    * stream keeps its state store from accreting every user ever seen.
+    * Note: TTL implies TimeMode.ProcessingTime, under which the engine
+    * self-triggers batches to advance the eviction clock — pair it
+    * with a real trigger interval in production; `processAllAvailable`
+    * never quiesces under it, so tests drive the TTL-less mode.
+    */
+  final class FunnelProcessor(ttlMillis: Long)
+      extends StatefulProcessor[Long, UserEvent, UserFunnelUpdate] {
+    @transient private var st: ValueState[UserFunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val cfg =
+        if (ttlMillis <= 0L) TTLConfig.NONE
+        else TTLConfig(java.time.Duration.ofMillis(ttlMillis))
+      st = getHandle.getValueState[UserFunnelState]("funnel",
+        org.apache.spark.sql.Encoders.product[UserFunnelState], cfg)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[UserFunnelUpdate] = {
+      val prev = if (st.exists()) st.get() else UserFunnelState(0L, 0L)
+      var ev = prev.events
+      var pur = prev.purchases
+      rows.foreach { e =>
+        ev += 1
+        if (e.event_type == "purchase") pur += 1
+      }
+      st.update(UserFunnelState(ev, pur))
+      Iterator.single(UserFunnelUpdate(userId, ev, pur, pur > 0))
+    }
+  }
+
+  def userFunnelStateV2(events: Dataset[UserEvent],
+      ttlMillis: Long = 0L): Dataset[UserFunnelUpdate] = {
+    import events.sparkSession.implicits._
+    // TTL state is clocked by processing time, so the engine rejects
+    // TTLConfig under TimeMode.None — pick the mode the TTL implies
+    val mode = if (ttlMillis > 0L) TimeMode.ProcessingTime() else TimeMode.None()
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(ttlMillis),
+        mode, OutputMode.Update())
   }
 }

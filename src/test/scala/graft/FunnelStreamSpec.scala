@@ -246,6 +246,47 @@ class FunnelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState funnel tracker matches the mapGroupsWithState semantics") {
+    // The v2 stateful API requires the RocksDB provider; same two-batch
+    // accumulation contract as the mapGroupsWithState test above.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // TimeMode.None here (ttlMillis = 0): under ProcessingTime the
+    // engine keeps running empty batches to advance the TTL clock, so
+    // processAllAvailable never quiesces in a test harness
+    val input = MemoryStream[FunnelStream.UserEvent]
+    val q = FunnelStream.userFunnelStateV2(input.toDS())
+      .writeStream.format("memory").queryName("funnel_tws")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        FunnelStream.UserEvent(1L, ts(1, 1), "view"),
+        FunnelStream.UserEvent(1L, ts(1, 2), "view"),
+        FunnelStream.UserEvent(2L, ts(1, 1), "view"))
+      q.processAllAvailable()
+      input.addData(FunnelStream.UserEvent(1L, ts(1, 3), "purchase"))
+      q.processAllAvailable()
+      val last = spark.table("funnel_tws")
+        .groupBy("user_id")
+        .agg(max("events").as("events"), max("purchases").as("purchases"),
+          max("converted").as("converted"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+      assert(last(1L) === ((3L, 1L, true)))
+      assert(last(2L) === ((1L, 0L, false)))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v0) => spark.conf.set(provider, v0)
+        case None => spark.conf.unset(provider)
+      }
+    }
+  }
+
   test("stream-stream join runs on RocksDB state and matches hand semantics") {
     // The 100 TB posture for join state: the HDFSBackedStateStore keeps
     // every keyed entry on-heap, so watermark-bounded join state at

@@ -480,6 +480,76 @@ class SignalsSpec extends AnyFunSuite {
       (if (math.abs(tExp) > 1.959964) 1 else 0))
   }
 
+  test("ols fit: a perfect line recovers slope, intercept, and r2 = 1") {
+    import spark.implicits._
+    // day d at 01:00 UTC in nanos; y = 2d + 3 exactly on the "view"
+    // series, constant 7.5 on the zero-variance "flat" series
+    def ns(d: Int) = (1704067200L + d * 86400L + 3600L) * 1000000000L
+    val rows = (0 to 4).flatMap { d =>
+      Seq((ns(d), "view", 2.0 * d + 3.0, 1L),
+        (ns(d), "view", 2.0 * d + 3.0, 2L),
+        (ns(d), "flat", 7.5, 3L))
+    }
+    val ev = rows.toDF("ts", "event_type", "value", "user_id")
+    val dir = java.nio.file.Files.createTempDirectory("sig_ols").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Signals.queries("ols_fit")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val line = out("view")
+    assert(line.getAs[Double]("slope") === 2.0)
+    assert(line.getAs[Double]("intercept") === 3.0)
+    assert(line.getAs[Double]("r2") === 1.0)
+    val flat = out("flat")
+    assert(flat.getAs[Double]("slope") === 0.0)
+    assert(flat.getAs[Double]("intercept") === 7.5)
+    assert(flat.isNullAt(flat.fieldIndex("r2")), "zero y-variance -> NULL r2")
+  }
+
+  test("ks test: separated arms hit D = 1, identical arms D = 0") {
+    import spark.implicits._
+    // md5 arms for uids 1..12 (same split welch_ttest pins):
+    // arm0 = {2,3,4,5,6,8,12}, arm1 = {1,7,9,10,11}
+    val arm0 = Set(2L, 3L, 4L, 5L, 6L, 8L, 12L)
+    val rows = (1L to 12L).map(u =>
+        (u, "sep", if (arm0(u)) 1.0 else 2.0)) ++
+      (1L to 12L).map(u => (u, "same", 5.0))
+    val ev = rows.toDF("user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("sig_ks").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Signals.queries("ks_test")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val sep = out("sep")
+    assert(sep.getAs[Long]("n0") === 7L)
+    assert(sep.getAs[Long]("n1") === 5L)
+    assert(sep.getAs[Double]("ks_stat") === 1.0)
+    assert(sep.getAs[Int]("reject") === 1)
+    val same = out("same")
+    assert(same.getAs[Double]("ks_stat") === 0.0)
+    assert(same.getAs[Int]("reject") === 0)
+    // crit = 1.358·sqrt((n0+n1)/(n0·n1)), half-even to 6
+    def hev(x: Double, s: Int) = new java.math.BigDecimal(x)
+      .setScale(s, java.math.RoundingMode.HALF_EVEN).doubleValue
+    assert(sep.getAs[Double]("crit_05") ===
+      hev(1.358 * math.sqrt(12.0 / 35.0), 6))
+  }
+
+  test("chi square: a perfectly independent table scores exactly zero") {
+    import spark.implicits._
+    // every user contributes one event of each type, so each cell is
+    // exactly its margins' product / N -> every pico term is 0
+    val rows = (1L to 12L).flatMap(u => Seq((u, "a"), (u, "b")))
+    val ev = rows.toDF("user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("sig_chi").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Signals.queries("chi_square")(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Long]("r_levels") === 2L)
+    assert(r.getAs[Long]("df") === 1L)
+    assert(r.getAs[Long]("chi2_picos") === 0L)
+    assert(r.getAs[Double]("chi2") === 0.0)
+  }
+
   test("l-diversity: planted classes yield exact min-l and entropy floor") {
     import spark.implicits._
     // 2024-01-01 00:00 UTC in nanos; day d at noon
