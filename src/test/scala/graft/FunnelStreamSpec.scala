@@ -246,6 +246,39 @@ class FunnelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes dedup state exactly-once into a file sink") {
+    // The durability contract a production stream lives on: stop the
+    // query, start a NEW one on the same checkpoint, replay an
+    // already-seen event — the restored dropDuplicates state must drop
+    // the replay, the committed source offset must not re-emit batch 0,
+    // and the file sink's _spark_metadata must keep the output
+    // exactly-once across the restart boundary.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("funnel_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("funnel_sink").toString
+    val input = MemoryStream[(Long, Timestamp, String)]
+    def start() = FunnelStream
+      .dedupedEvents(input.toDF().toDF("event_id", "ts", "event_type"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try {
+      input.addData(Seq((1L, ts(1, 1), "view"), (2L, ts(1, 2), "view")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // replay of 1 (must hit restored state) plus a fresh event
+      input.addData(Seq((1L, ts(1, 1), "view"), (3L, ts(1, 3), "purchase")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val ids = spark.read.parquet(outDir).select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("transformWithState funnel tracker matches the mapGroupsWithState semantics") {
     // The v2 stateful API requires the RocksDB provider; same two-batch
     // accumulation contract as the mapGroupsWithState test above.
