@@ -185,6 +185,37 @@ object Relational {
           |LIMIT 3""".stripMargin)
     }),
 
+    // WITH RECURSIVE reachability over the observed event-type
+    // transition graph — declarative recursion in pure SQL (a Spark 4
+    // surface), the planner-managed alternative to the driver-side
+    // DataFrame loops bfs_levels/connected_components run. Edges are
+    // the distinct consecutive-type transitions per user (one window
+    // pass); recursion walks from 'signup' with a 4-hop bound as cycle
+    // protection, so the working set stays bounded on a cyclic graph.
+    // min_hops and the bounded visit count are exact integers on both
+    // engines.
+    "recursive_cte" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_rcte_v")
+      s.sql(
+        """WITH RECURSIVE
+          |edges AS (
+          |  SELECT DISTINCT prev, event_type AS curr FROM (
+          |    SELECT lag(event_type) OVER (
+          |        PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+          |      event_type
+          |    FROM events_rcte_v) x
+          |  WHERE prev IS NOT NULL AND prev <> event_type),
+          |reach(node, hops) AS (
+          |  SELECT 'signup', 0
+          |  UNION ALL
+          |  SELECT e.curr, r.hops + 1
+          |  FROM reach r JOIN edges e ON e.prev = r.node
+          |  WHERE r.hops < 4)
+          |SELECT node, CAST(min(hops) AS BIGINT) AS min_hops,
+          |  CAST(count(*) AS BIGINT) AS visits
+          |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+    }),
+
     // hot-key-safe two-phase aggregation (graft.ops.Skew): results must
     // equal the plain one-phase groupBy — the oracle checks exactly that.
     // DECIMAL inside so the two-phase sum is order-independent.
@@ -844,6 +875,24 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "recursive_cte" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT DISTINCT prev, event_type AS curr FROM (
+        |    SELECT lag(event_type) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |      event_type
+        |    FROM events) x
+        |  WHERE prev IS NOT NULL AND prev <> event_type),
+        |reach(node, hops) AS (
+        |  SELECT 'signup', 0
+        |  UNION ALL
+        |  SELECT e.curr, r.hops + 1
+        |  FROM reach r JOIN edges e ON e.prev = r.node
+        |  WHERE r.hops < 4)
+        |SELECT node, CAST(min(hops) AS BIGINT) AS min_hops,
+        |  CAST(count(*) AS BIGINT) AS visits
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
     "sql_topsegments" ->
       """SELECT c_mktsegment, count(*) AS cnt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
