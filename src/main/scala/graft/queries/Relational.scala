@@ -185,6 +185,24 @@ object Relational {
           |LIMIT 3""".stripMargin)
     }),
 
+    // Correlated LATERAL join — per-nation top-2 customers by balance
+    // spelled as a lateral subquery with ORDER BY/LIMIT, exercising
+    // the planner's subquery decorrelation (it rewrites to the same
+    // ranked-window shape topk_per_group declares directly; two
+    // spellings, one physical family). Name tiebreak keeps the top-2
+    // deterministic under balance ties.
+    "join_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation_lat_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_lat_v")
+      s.sql(
+        """SELECT n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS bal
+          |FROM nation_lat_v n, LATERAL (
+          |  SELECT c_name, c_acctbal FROM customer_lat_v
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+          |ORDER BY n_name, bal DESC, c_name""".stripMargin)
+    }),
+
     // WITH RECURSIVE reachability over the observed event-type
     // transition graph — declarative recursion in pure SQL (a Spark 4
     // surface), the planner-managed alternative to the driver-side
@@ -875,6 +893,13 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_lateral" ->
+      """SELECT n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS bal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n_name, bal DESC, c_name""".stripMargin,
     "recursive_cte" ->
       """WITH RECURSIVE
         |edges AS (
