@@ -163,23 +163,32 @@ object Insights {
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
         .distinct()
         .select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
-      // 10× fixture (tools/scale_check_r10.scala): ~4× wall for 10×
-      // edges on fixed cores — the rounds are shuffle-bound, not
-      // compute-bound (pre-partitioning edges by dst measured as noise,
-      // not a win, because the label table must re-shuffle per round
-      // regardless). At cluster scale the further lever is delta
-      // propagation: join only labels that CHANGED last round.
+      // DELTA propagation (the cluster-scale lever PLANS.md called):
+      // each round joins edges against only the labels that CHANGED
+      // last round, not the whole label table. Per-round results are
+      // IDENTICAL to full propagation — an unchanged neighbor's label
+      // already contributed to the running min in an earlier round and
+      // labels only decrease — so the fixed-3-round oracle still
+      // hash-matches while the frontier (and the join's stream side)
+      // shrinks as components settle. Round 1's frontier is every node
+      // (initialization counts as a change).
       val edges = e0.unionByName(
           e0.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()
       var lbl = edges.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node"))
+        .withColumn("lbl", col("node")).localCheckpoint()
+      var delta = lbl
       for (_ <- 1 to 3) {
-        val fromNb = edges.join(lbl, edges("dst") === lbl("node"))
+        val cand = edges.join(delta, edges("dst") === delta("node"))
           .select(edges("src").as("node"), col("lbl"))
-        lbl = lbl.unionByName(fromNb)
-          .groupBy("node").agg(min("lbl").as("lbl"))
+          .groupBy("node").agg(min("lbl").as("cand"))
+        val joined = lbl.join(cand, Seq("node"), "left")
+        val next = joined.select(col("node"),
+            least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
           .localCheckpoint()
+        delta = joined.filter(col("cand") < col("lbl"))
+          .select(col("node"), col("cand").as("lbl")).localCheckpoint()
+        lbl = next
       }
       lbl.groupBy("lbl").agg(count(lit(1)).as("sz"))
         .groupBy("sz").agg(count(lit(1)).as("n_groups"))
