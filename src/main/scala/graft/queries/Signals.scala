@@ -662,8 +662,13 @@ object Signals {
       val e = col("rt").cast("double") * col("ct").cast("double") /
         col("nn").cast("double")
       val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
-      val terms = cell.join(broadcast(rowm), "event_type")
-        .join(broadcast(colm), "arm").crossJoin(broadcast(nTot))
+      // densify from the margins: an ABSENT cell is o=0, contributing
+      // (0−e)²/e = e — dropping it would understate the statistic
+      val terms = broadcast(rowm).crossJoin(broadcast(colm))
+        .join(cell, Seq("event_type", "arm"), "left")
+        .select(col("event_type"), col("rt"), col("ct"),
+          coalesce(col("o"), lit(0L)).as("o"))
+        .crossJoin(broadcast(nTot))
         .select(col("event_type"),
           bround(term * lit(1000000000000.0)).cast("long").as("t_picos"))
       val r = terms.agg(
@@ -1587,7 +1592,12 @@ object Signals {
         |colm AS (SELECT arm, CAST(sum(o) AS BIGINT) AS ct
         |  FROM cell GROUP BY 1),
         |nt AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cell),
-        |terms AS (SELECT c.event_type,
+        |dense AS (SELECT r.event_type, r.rt, m.ct,
+        |    COALESCE(c.o, 0) AS o
+        |  FROM rowm r CROSS JOIN colm m
+        |  LEFT JOIN cell c ON c.event_type = r.event_type
+        |    AND c.arm = m.arm),
+        |terms AS (SELECT event_type,
         |    CAST(round_even(
         |      (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
         |        / CAST(nn AS DOUBLE))
@@ -1596,8 +1606,7 @@ object Signals {
         |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
         |        / CAST(nn AS DOUBLE))
         |      * 1000000000000.0, 0) AS BIGINT) AS t_picos
-        |  FROM cell c JOIN rowm r ON c.event_type = r.event_type
-        |  JOIN colm m ON c.arm = m.arm CROSS JOIN nt)
+        |  FROM dense CROSS JOIN nt)
         |SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS r_levels,
         |  CAST(count(DISTINCT event_type) - 1 AS BIGINT) AS df,
         |  CAST(sum(t_picos) AS BIGINT) AS chi2_picos,
