@@ -1,0 +1,438 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GraftSession
+
+/** Round-11 batch: time-series diagnostics and nonparametric inference
+  * over the event stream, link prediction on the co-occurrence graph,
+  * and the multiset (ALL) set-operation surface.
+  *
+  * Same determinism contract as [[Relational]]/[[Signals]]/[[Insights]]:
+  * every cross-row float sum quantizes to integer units first (pico/
+  * micro), exact moments accumulate in DECIMAL(38,0) ≙ DuckDB HUGEINT,
+  * and the final IEEE chain is mirrored verbatim in the oracle.
+  */
+object Inference {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  private val D38 = DecimalType(38, 0)
+
+  /** Fail-loudly guard for DECIMAL(38,0) arithmetic (the
+    * correlation_matrix pattern): with ANSI off an overflowed product
+    * silently NULLs where the oracle's HUGEINT keeps going — raise
+    * instead of diverging.
+    */
+  private def chk(c: Column, what: String): Column =
+    when(c.isNull,
+      raise_error(lit(s"$what: exact-moment product overflowed" +
+        " DECIMAL(38,0) — requantize inputs"))).otherwise(c)
+
+  /** Daily event-count series (the shared input of the time-series
+    * diagnostics): one hash-agg of the events table to |days| rows.
+    * localCheckpoint because every consumer reads it several times
+    * (base moments + a self-join) — without it each read re-scans
+    * events. |days| is bounded by the time span, not the row count, so
+    * the materialized series is tiny at any corpus size.
+    */
+  private def dailySeries(s: SparkSession, dir: String): DataFrame =
+    Relational.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Mann–Whitney U rank-sum test (purchase vs view event values) —
+    // the nonparametric sibling of welch_ttest. Computed entirely on
+    // the DISTINCT-VALUE GRID (the ks_test idiom): one hash-agg to the
+    // grid, one cumulative window over it, so the sort is bounded by
+    // value cardinality, not row count. Tied ranks stay exact by
+    // carrying DOUBLED average ranks (2·r̄ = 2·cum_before + t + 1 — an
+    // integer), and the tie-corrected variance consumes the exact
+    // Σ(t³−t). One final mirrored IEEE chain produces z.
+    "mannwhitney_u" -> ((s, dir) => {
+      val g = Relational.events(s, dir)
+        .filter(col("event_type").isin("purchase", "view") &&
+          col("value").isNotNull)
+      val grid = g.groupBy("value").agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+      val w = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = grid.select(col("c1"), col("c2"),
+        (col("c1") + col("c2")).as("t"),
+        coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)).as("cum"))
+      val a = ranked.agg(
+        sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("c1").cast(D38) *
+          (lit(2) * col("cum") + col("t") + 1)).cast(D38).as("r1x2"),
+        sum(col("t").cast(D38) * col("t") * col("t") -
+          col("t").cast(D38)).cast(D38).as("ties"))
+      val n1d = col("n1").cast("double")
+      val n2d = col("n2").cast("double")
+      val nd = n1d + n2d
+      val u1x2 = chk(col("r1x2") -
+        (col("n1") * (col("n1") + 1)).cast(D38), "mannwhitney_u")
+      val vr = n1d * n2d / lit(12.0) *
+        ((nd + lit(1.0)) -
+          col("ties").cast("double") / (nd * (nd - lit(1.0))))
+      a.select(col("n1"), col("n2"),
+        u1x2.cast("long").as("u1_x2"),
+        bround(when(vr > 0.0,
+          ((u1x2.cast("double") - n1d * n2d) / lit(2.0)) / sqrt(vr)), 6)
+          .as("z"))
+    }),
+
+    // Autocorrelation of the daily event-count series at lags 1..7 —
+    // the seasonality diagnostic seasonal_dow eyeballs, made exact.
+    // r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², expanded so every sum
+    // is an exact integer moment (n²C − nS(Sa+Sb) + mS² over
+    // n(nSxx − S²)) and only the final division is IEEE. Pairing is a
+    // calendar-date equi-join (gap days simply contribute no pair —
+    // identical in both engines); the whole computation runs on the
+    // |days|-row series.
+    "acf_daily" -> ((s, dir) => {
+      val dd = dailySeries(s, dir)
+      val base = dd.agg(count(lit(1)).cast(D38).as("n"),
+        sum("x").cast(D38).as("s"),
+        sum(col("x").cast(D38) * col("x")).cast(D38).as("sxx"))
+      val lagged = dd.select(explode(sequence(lit(1), lit(7))).as("lag"),
+          col("day"), col("x"))
+        .select(col("lag"), date_add(col("day"), col("lag")).as("tday"),
+          col("x").as("xa"))
+      val pairs = lagged
+        .join(dd.select(col("day").as("tday"), col("x").as("xb")), "tday")
+        .groupBy("lag").agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("xa").cast(D38) * col("xb")).cast(D38).as("c"),
+          sum(col("xa").cast(D38)).cast(D38).as("sa"),
+          sum(col("xb").cast(D38)).cast(D38).as("sb"))
+      val num = chk(col("n") * col("n") * col("c") -
+        col("n") * col("s") * (col("sa") + col("sb")) +
+        col("n_pairs").cast(D38) * col("s") * col("s"), "acf_daily")
+      val den = chk(col("n") * (col("n") * col("sxx") - col("s") * col("s")),
+        "acf_daily")
+      pairs.crossJoin(broadcast(base))
+        .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+          bround(when(den =!= 0,
+            num.cast("double") / den.cast("double")), 6).as("r"))
+        .orderBy("lag")
+    }),
+
+    // CUSUM changepoint scan over the daily series: S_t = Σ_{i≤t}(x_i−x̄)
+    // peaks at the day the level shifts — the temporal complement of the
+    // distributional drift checks (kl_drift/psi_drift). n·S_t =
+    // n·cum_t − t·S is an exact integer for every prefix, so the argmax
+    // (ties → earliest day) is engine-independent; the reported
+    // statistic divides once at the end.
+    "cusum_changepoint" -> ((s, dir) => {
+      val dd = dailySeries(s, dir)
+      val tot = dd.agg(count(lit(1)).as("n"), sum("x").as("s"))
+      val w = Window.orderBy("day")
+      val cum = dd.select(col("day"),
+        sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .as("cum"),
+        row_number().over(w).cast("long").as("t"))
+      val devN = chk(col("n").cast(D38) * col("cum") -
+        col("t").cast(D38) * col("s"), "cusum_changepoint")
+      cum.crossJoin(broadcast(tot))
+        .select(col("day"), col("n"), devN.as("dev_n"))
+        .orderBy(abs(col("dev_n")).desc, col("day").asc)
+        .limit(1)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("change_day"),
+          col("n").as("n_days"),
+          bround(col("dev_n").cast("double") / col("n").cast("double"), 6)
+            .as("cusum"))
+    }),
+
+    // Theil–Sen robust trend of the daily series: the median of all
+    // pairwise slopes (x_j−x_i)/(day_j−day_i). The pair join is
+    // |days|² — bounded by the SQUARE OF THE TIME SPAN, not the corpus
+    // (the self_overlap_sample posture), so it stays a broadcast-sized
+    // self-join at any data scale. Slopes quantize to integer
+    // micro-units before the median; both engines interpolate the
+    // even-count median identically ((a+b)/2 over exact integers).
+    "theilsen_trend" -> ((s, dir) => {
+      val dd = dailySeries(s, dir)
+      val a = dd.select(col("day").as("da"), col("x").as("xa"))
+      val b = dd.select(col("day").as("db"), col("x").as("xb"))
+      val slope = (col("xb") - col("xa")).cast("double") /
+        datediff(col("db"), col("da")).cast("double")
+      a.join(b, col("da") < col("db"))
+        .select(bround(slope * lit(1000000.0)).cast("long").as("s_micro"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("percentile(s_micro, 0.5)").as("med"))
+        .select(col("n_pairs"),
+          bround(col("med") / lit(1000000.0), 6).as("slope_per_day"))
+    }),
+
+    // Mutual information (and its normalized form) between order status
+    // and priority — the strength-of-association companion to
+    // chi_square's significance. Per-cell terms c·ln(cN/(c_x·c_y))
+    // carry the exact count times a pico-quantized log factor (the
+    // integer-before-sum rule: the sum order never touches IEEE), then
+    // ONE division chain yields nats. Absent cells contribute exactly 0
+    // to MI (lim p→0 of p·ln p), so the sparse GROUP BY is already the
+    // dense answer — no densification needed, unlike chi_square.
+    "mutual_info" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cell = o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cxy"))
+      val rowm = o.groupBy("o_orderstatus").agg(count(lit(1)).as("cx"))
+      val colm = o.groupBy("o_orderpriority").agg(count(lit(1)).as("cy"))
+      val nTot = o.agg(count(lit(1)).as("nn"))
+      val lnRatio = log(
+        (col("cxy").cast("double") * col("nn").cast("double")) /
+          (col("cx").cast("double") * col("cy").cast("double")))
+      val terms = cell.join(broadcast(rowm), "o_orderstatus")
+        .join(broadcast(colm), "o_orderpriority")
+        .crossJoin(broadcast(nTot))
+        .select(col("nn"), col("cxy"), col("cx"), col("cy"),
+          (col("cxy").cast(D38) *
+            bround(lnRatio * lit(1000000000000.0)).cast(D38))
+            .as("mi_term"))
+      val hTerm = (c: Column, n: Column) => (c.cast(D38) *
+        bround(log(c.cast("double") / n.cast("double")) *
+          lit(1000000000000.0)).cast(D38))
+      val hx = rowm.crossJoin(broadcast(nTot))
+        .agg(count(lit(1)).as("levels_x"),
+          sum(hTerm(col("cx"), col("nn"))).cast(D38).as("hx_n"),
+          max("nn").as("nn"))
+      val hy = colm.crossJoin(broadcast(nTot))
+        .agg(count(lit(1)).as("levels_y"),
+          sum(hTerm(col("cy"), col("nn"))).cast(D38).as("hy_n"))
+      val nd = col("nn").cast("double")
+      val mi = col("mi_n").cast("double") / nd / lit(1000000000000.0)
+      val hxd = -col("hx_n").cast("double") / nd / lit(1000000000000.0)
+      val hyd = -col("hy_n").cast("double") / nd / lit(1000000000000.0)
+      terms.agg(sum(col("mi_term")).cast(D38).as("mi_n"))
+        .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .select(col("levels_x"), col("levels_y"),
+          bround(mi, 6).as("mi_nats"),
+          bround(when(hxd * hyd > 0.0, mi / sqrt(hxd * hyd)), 6)
+            .as("nmi"))
+    }),
+
+    // Adamic–Adar link prediction over the supplier co-purchase graph:
+    // suppliers sharing parts score Σ_p 1/ln(deg p) — rare shared parts
+    // count more. The pair fan-out is keyed on the part (Σ deg² — the
+    // triangle_count shape, hash-partitioned and AQE-skew-splittable;
+    // a web-scale corpus caps hub degrees first, the stop-gram move).
+    // Per-part weights quantize to pico-units before the pair sum;
+    // deg<2 parts drop (no pair, and ln 1 = 0 would divide by zero).
+    "adamic_adar" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+      val degw = e.groupBy("pk").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+        .select(col("pk"),
+          bround(lit(1000000000000.0) / log(col("deg").cast("double")))
+            .cast("long").as("w_pico"))
+      val ew = e.join(degw, "pk")
+      val pa = ew.select(col("pk"), col("sk").as("sa"), col("w_pico"))
+      val pb = ew.select(col("pk"), col("sk").as("sb"))
+      pa.join(pb, Seq("pk")).filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb")
+        .agg(count(lit(1)).as("n_common"), sum("w_pico").as("w_sum"))
+        .select(col("sa"), col("sb"), col("n_common"),
+          bround(col("w_sum").cast("double") / lit(1000000000000.0), 6)
+            .as("aa_score"))
+        .orderBy(col("aa_score").desc, col("sa").asc, col("sb").asc)
+        .limit(20)
+    }),
+
+    // Multiset set operations (the ALL twins of set_ops): INTERSECT ALL
+    // keeps min(multiplicity), EXCEPT ALL subtracts multiplicities —
+    // the semantics that matter when the key repeats (a customer with
+    // three urgent orders is three rows, not one). Both execute as one
+    // hash-partitioned count-compare per key, no row explosion.
+    "set_ops_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val fstatus = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      urgent.intersectAll(fstatus)
+        .agg(count(lit(1)).as("both_all_cnt"))
+        .crossJoin(urgent.exceptAll(fstatus)
+          .agg(count(lit(1)).as("only_urgent_all_cnt")))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "mannwhitney_u" ->
+      """WITH g AS (SELECT event_type, value FROM events
+        |  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+        |grid AS (SELECT value,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM g GROUP BY value),
+        |rk AS (SELECT c1, c2, c1 + c2 AS t,
+        |    COALESCE(sum(c1 + c2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum
+        |  FROM grid),
+        |a AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(sum(CAST(c1 AS HUGEINT) * (2 * cum + t + 1)) AS HUGEINT)
+        |      AS r1x2,
+        |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties
+        |  FROM rk)
+        |SELECT n1, n2,
+        |  CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
+        |  CASE WHEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |      ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) -
+        |        CAST(ties AS DOUBLE) /
+        |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+        |         (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))) > 0.0
+        |  THEN round_even(
+        |    ((CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) -
+        |       CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0) /
+        |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |      ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) -
+        |        CAST(ties AS DOUBLE) /
+        |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+        |         (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))), 6)
+        |  END AS z
+        |FROM a""".stripMargin,
+    "acf_daily" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |base AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM d),
+        |p AS (SELECT k.lag,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS c,
+        |    CAST(sum(CAST(a.x AS HUGEINT)) AS HUGEINT) AS sa,
+        |    CAST(sum(CAST(b.x AS HUGEINT)) AS HUGEINT) AS sb
+        |  FROM d a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) k
+        |  JOIN d b ON b.day = a.day + CAST(k.lag AS INTEGER)
+        |  GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CASE WHEN n * (n * sxx - s * s) <> 0 THEN
+        |    round_even(
+        |      CAST(n * n * c - n * s * (sa + sb) +
+        |        CAST(n_pairs AS HUGEINT) * s * s AS DOUBLE) /
+        |      CAST(n * (n * sxx - s * s) AS DOUBLE), 6)
+        |  END AS r
+        |FROM p CROSS JOIN base
+        |ORDER BY lag""".stripMargin,
+    "cusum_changepoint" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS s
+        |  FROM d),
+        |c AS (SELECT day,
+        |    CAST(sum(x) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+        |      AS cum,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        |  FROM d)
+        |SELECT strftime(day, '%Y-%m-%d') AS change_day, n AS n_days,
+        |  round_even(CAST(CAST(n AS HUGEINT) * cum - CAST(t AS HUGEINT) * s
+        |      AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum
+        |FROM c CROSS JOIN tot
+        |ORDER BY abs(CAST(n AS HUGEINT) * cum - CAST(t AS HUGEINT) * s)
+        |  DESC, day ASC
+        |LIMIT 1""".stripMargin,
+    "theilsen_trend" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |sl AS (SELECT CAST(round_even(
+        |      CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+        |      * 1000000.0, 0) AS BIGINT) AS s_micro
+        |  FROM d a JOIN d b ON a.day < b.day)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round_even(quantile_cont(CAST(s_micro AS DOUBLE), 0.5)
+        |    / 1000000.0, 6) AS slope_per_day
+        |FROM sl""".stripMargin,
+    "mutual_info" ->
+      """WITH cell AS (SELECT o_orderstatus, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS cxy
+        |  FROM orders GROUP BY 1, 2),
+        |rowm AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cx
+        |  FROM orders GROUP BY 1),
+        |colm AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cy
+        |  FROM orders GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM orders),
+        |mi AS (SELECT CAST(sum(CAST(cxy AS HUGEINT) *
+        |      CAST(round_even(ln(
+        |        (CAST(cxy AS DOUBLE) * CAST(nn AS DOUBLE)) /
+        |        (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+        |        * 1000000000000.0, 0) AS BIGINT)) AS HUGEINT) AS mi_n
+        |  FROM cell JOIN rowm USING (o_orderstatus)
+        |    JOIN colm USING (o_orderpriority) CROSS JOIN nt),
+        |hx AS (SELECT CAST(count(*) AS BIGINT) AS levels_x,
+        |    CAST(sum(CAST(cx AS HUGEINT) *
+        |      CAST(round_even(ln(CAST(cx AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        * 1000000000000.0, 0) AS BIGINT)) AS HUGEINT) AS hx_n,
+        |    max(nn) AS nn
+        |  FROM rowm CROSS JOIN nt),
+        |hy AS (SELECT CAST(count(*) AS BIGINT) AS levels_y,
+        |    CAST(sum(CAST(cy AS HUGEINT) *
+        |      CAST(round_even(ln(CAST(cy AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        * 1000000000000.0, 0) AS BIGINT)) AS HUGEINT) AS hy_n
+        |  FROM colm CROSS JOIN nt)
+        |SELECT levels_x, levels_y,
+        |  round_even(CAST(mi_n AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    / 1000000000000.0, 6) AS mi_nats,
+        |  CASE WHEN (-CAST(hx_n AS DOUBLE) / CAST(nn AS DOUBLE)
+        |        / 1000000000000.0) *
+        |      (-CAST(hy_n AS DOUBLE) / CAST(nn AS DOUBLE)
+        |        / 1000000000000.0) > 0.0 THEN
+        |    round_even((CAST(mi_n AS DOUBLE) / CAST(nn AS DOUBLE)
+        |        / 1000000000000.0) /
+        |      sqrt((-CAST(hx_n AS DOUBLE) / CAST(nn AS DOUBLE)
+        |          / 1000000000000.0) *
+        |        (-CAST(hy_n AS DOUBLE) / CAST(nn AS DOUBLE)
+        |          / 1000000000000.0)), 6)
+        |  END AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+    "adamic_adar" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem),
+        |degw AS (SELECT pk,
+        |    CAST(round_even(1000000000000.0 /
+        |      ln(CAST(count(*) AS DOUBLE)), 0) AS BIGINT) AS w_pico
+        |  FROM e GROUP BY pk HAVING count(*) >= 2)
+        |SELECT a.sk AS sa, b.sk AS sb,
+        |  CAST(count(*) AS BIGINT) AS n_common,
+        |  round_even(CAST(CAST(sum(w_pico) AS HUGEINT) AS DOUBLE)
+        |    / 1000000000000.0, 6) AS aa_score
+        |FROM e a JOIN degw USING (pk) JOIN e b USING (pk)
+        |WHERE a.sk < b.sk
+        |GROUP BY 1, 2
+        |ORDER BY aa_score DESC, sa ASC, sb ASC
+        |LIMIT 20""".stripMargin,
+    "set_ops_all" ->
+      """SELECT * FROM
+        |(SELECT CAST(count(*) AS BIGINT) AS both_all_cnt FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+        |CROSS JOIN
+        |(SELECT CAST(count(*) AS BIGINT) AS only_urgent_all_cnt FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))"""
+        .stripMargin)
+}

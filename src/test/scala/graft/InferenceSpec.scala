@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Inference
+
+/** Planted-data semantics for the round-11 inference batch: every
+  * expected value below is hand-derived from the closed-form statistic,
+  * so a drift in the rank/moment/quantization arithmetic fails against
+  * math, not against a recorded snapshot.
+  */
+class InferenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** 2024-01-01 00:00 UTC + d days + noon, in the events table's raw
+    * nanosecond encoding (the l-diversity spec idiom).
+    */
+  private def ns(d: Int): Long =
+    (1704067200L + d * 86400L + 43200L) * 1000000000L
+
+  private def eventsDir(rows: Seq[(Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("inf_ev").toString
+    rows.toDF("ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("mannwhitney_u: tied samples produce exact doubled-U and z") {
+    // purchase values {1,2}, view values {2,3}: doubled avg ranks
+    // 2/5/8, R1·2 = 7, U1·2 = 1, ties Σ(t³−t) = 6,
+    // var = (4/12)·(5 − 6/12) = 1.5, z = (−3/2)/√1.5 = −1.224745
+    val dir = eventsDir(Seq(
+      (ns(0), 1L, "purchase", 1.0), (ns(0), 2L, "purchase", 2.0),
+      (ns(0), 3L, "view", 2.0), (ns(0), 4L, "view", 3.0),
+      (ns(0), 5L, "click", 99.0))) // non-member type must be ignored
+    val r = Inference.queries("mannwhitney_u")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n1") === 2L)
+    assert(r.getAs[Long]("n2") === 2L)
+    assert(r.getAs[Long]("u1_x2") === 1L)
+    assert(r.getAs[Double]("z") === -1.224745)
+  }
+
+  test("mannwhitney_u: all values tied yields zero variance, NULL z") {
+    val dir = eventsDir(Seq(
+      (ns(0), 1L, "purchase", 5.0), (ns(0), 2L, "view", 5.0)))
+    val r = Inference.queries("mannwhitney_u")(spark, dir).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("acf_daily: alternating series has r(1) = -0.9, r(2) = 0.8") {
+    // x = 1,2,1,2,... over 10 consecutive days; exact integer moments
+    // give num/den = −225/250 at lag 1 and 200/250 at lag 2
+    val rows = (0 until 10).map(d =>
+      (ns(d), d.toLong, "view", 0.0))
+    val extra = (0 until 10).filter(_ % 2 == 1).map(d =>
+      (ns(d), 100L + d, "click", 0.0))
+    val dir = eventsDir(rows ++ extra)
+    val out = Inference.queries("acf_daily")(spark, dir).collect()
+    val byLag = out.map(r => r.getAs[Long]("lag") ->
+      (r.getAs[Long]("n_pairs"), r.getAs[Double]("r"))).toMap
+    assert(byLag(1L) === ((9L, -0.9)))
+    assert(byLag(2L) === ((8L, 0.8)))
+    assert(byLag(7L)._1 === 3L)
+  }
+
+  test("acf_daily: constant series has zero denominator, NULL r") {
+    val dir = eventsDir((0 until 5).map(d => (ns(d), d.toLong, "view", 0.0)))
+    val out = Inference.queries("acf_daily")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.isNullAt(2)))
+  }
+
+  test("cusum_changepoint: level shift peaks at the last pre-shift day") {
+    // 1,1,1,5,5,5: n·S_t = −12,−24,−36,−24,−12,0 — peak |−36| at the
+    // last pre-shift day → day 3 (index 2), statistic −36/6 = −6
+    val rows = Seq(0, 1, 2).map(d => (ns(d), d.toLong, "view", 0.0)) ++
+      Seq(3, 4, 5).flatMap(d => (0 until 5).map(i =>
+        (ns(d), (10 * d + i).toLong, "view", 0.0)))
+    val dir = eventsDir(rows)
+    val r = Inference.queries("cusum_changepoint")(spark, dir).collect()(0)
+    assert(r.getAs[String]("change_day") === "2024-01-03")
+    assert(r.getAs[Long]("n_days") === 6L)
+    assert(r.getAs[Double]("cusum") === -6.0)
+  }
+
+  test("theilsen_trend: a perfectly linear series recovers the slope") {
+    // x_d = 3·d + 10 events on day d: every pairwise slope is exactly 3
+    val rows = (0 until 6).flatMap(d => (0 until 3 * d + 10).map(i =>
+      (ns(d), (100 * d + i).toLong, "view", 0.0)))
+    val dir = eventsDir(rows)
+    val r = Inference.queries("theilsen_trend")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 15L)
+    assert(r.getAs[Double]("slope_per_day") === 3.0)
+  }
+
+  private def ordersDir(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("inf_ord").toString
+    rows.toDF("o_custkey", "o_orderstatus", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("mutual_info: a deterministic pairing scores exactly ln 2, NMI 1") {
+    val dir = ordersDir(Seq(
+      (1L, "F", "1-URGENT"), (2L, "F", "1-URGENT"),
+      (3L, "O", "2-HIGH"), (4L, "O", "2-HIGH")))
+    val r = Inference.queries("mutual_info")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("levels_x") === 2L)
+    assert(r.getAs[Long]("levels_y") === 2L)
+    assert(r.getAs[Double]("mi_nats") === 0.693147)
+    assert(r.getAs[Double]("nmi") === 1.0)
+  }
+
+  test("mutual_info: independent uniform margins score exactly zero") {
+    val dir = ordersDir(for {
+      s <- Seq("F", "O"); p <- Seq("1-URGENT", "2-HIGH")
+    } yield (1L, s, p))
+    val r = Inference.queries("mutual_info")(spark, dir).collect()(0)
+    assert(r.getAs[Double]("mi_nats") === 0.0)
+    assert(r.getAs[Double]("nmi") === 0.0)
+  }
+
+  test("set_ops_all: multiset semantics count duplicates") {
+    // urgent custkeys {1,1,2}, F custkeys {1,3}:
+    // INTERSECT ALL → {1} (min multiplicity), EXCEPT ALL → {1,2}
+    val dir = ordersDir(Seq(
+      (1L, "O", "1-URGENT"), (1L, "P", "1-URGENT"), (2L, "O", "1-URGENT"),
+      (1L, "F", "3-MEDIUM"), (3L, "F", "3-MEDIUM")))
+    val r = Inference.queries("set_ops_all")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("both_all_cnt") === 1L)
+    assert(r.getAs[Long]("only_urgent_all_cnt") === 2L)
+  }
+
+  test("adamic_adar: rare shared parts outweigh common ones") {
+    // p1 shared by s1,s2,s3 (deg 3); p2 shared by s1,s2 (deg 2):
+    // score(1,2) = 1/ln2 + 1/ln3, score(1,3) = score(2,3) = 1/ln3
+    val dir = java.nio.file.Files.createTempDirectory("inf_li").toString
+    Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (2L, 20L))
+      .toDF("l_suppkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Inference.queries("adamic_adar")(spark, dir).collect()
+    assert(out.length === 3)
+    assert((out(0).getAs[Long]("sa"), out(0).getAs[Long]("sb")) === ((1L, 2L)))
+    assert(out(0).getAs[Long]("n_common") === 2L)
+    assert(out(0).getAs[Double]("aa_score") === 2.352934)
+    assert(out(1).getAs[Double]("aa_score") === 0.910239)
+    // score tie between (1,3) and (2,3) breaks on (sa, sb)
+    assert((out(1).getAs[Long]("sa"), out(1).getAs[Long]("sb")) === ((1L, 3L)))
+    assert((out(2).getAs[Long]("sa"), out(2).getAs[Long]("sb")) === ((2L, 3L)))
+  }
+}
