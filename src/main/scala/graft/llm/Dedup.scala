@@ -734,6 +734,71 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Asymmetric CONTAINMENT near-dup join: every directed pair (a, b)
+    * with |A∩B| / |A| ≥ `threshold` — the quote/subset duplication
+    * Jaccard misses (a paragraph pasted into a much larger page has
+    * tiny Jaccard but containment ≈ 1, so MinHash banding structurally
+    * cannot surface it; cf. the suffix-array motivation of Lee et al.
+    * 2022 that [[substringDupPairs]] approximates at the character
+    * level — this is its token-set counterpart).
+    *
+    * Candidate generation reuses the PPJoin prefix lemma on the
+    * CONTAINED side only: if B holds ≥ ⌈t·|A|⌉ of A's grams it misses
+    * at most |A| − ⌈t·|A|⌉, so it must hit A's rarest-first prefix of
+    * length |A| − ⌈t·|A|⌉ + 1. The container side has no usable size
+    * bound (that's what "asymmetric" costs), so B joins through its
+    * full inverted gram list — the scale lever is that prefixes key on
+    * the RARE end of the df distribution (hot boilerplate grams only
+    * enter a prefix when the whole doc is boilerplate; a web corpus
+    * additionally caps hub grams before this join, the stop-gram
+    * move). df=1 prefix grams drop (nothing to join), and candidates
+    * with sz_b < ⌈t·sz_a⌉ drop before the distinct (inter ≤ |B| makes
+    * them unreachable) — both lossless.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8)
+      : DataFrame = {
+    val fp = (g: Column) => fingerprint60(g)
+    val sets = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(
+          transform(array_distinct(shingles(lower(col("text")))), fp))
+          .as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("sz"))
+      .localCheckpoint()
+    val tok = sets.select(col("doc_id"), col("sz"),
+      explode(col("grams")).as("gram"))
+    val df = tok.groupBy("gram").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
+    val pre = tok.join(df, Seq("gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter(col("df") > 1)
+      .select(col("doc_id").as("doc_a"), col("gram"), col("sz").as("sz_a"))
+    val tokB = tok.select(col("doc_id").as("doc_b"), col("gram"),
+      col("sz").as("sz_b"))
+    val cand = pre.join(tokB, Seq("gram"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("sz_b") >= ceil(lit(threshold) * col("sz_a")))
+      .select("doc_a", "doc_b").distinct()
+    val cont = col("inter").cast("double") / col("sz_a").cast("double")
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("g_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("g_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("g_a"), col("g_b"))).cast("long")
+          .as("inter"),
+        col("sz_a"))
+      .filter(cont >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(cont, 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Temperature-scaled mixture weights over a grouping column: the
     * multilingual/multi-source resampling rule w_i ∝ p_i^α (α = 0.5
     * here via sqrt — the unbalanced-data temperature sampling of

@@ -250,6 +250,14 @@ object Inference {
         .limit(20)
     }),
 
+    // Asymmetric containment near-dup (|A∩B|/|A| ≥ 0.8): the
+    // doc-inside-doc duplication class MinHash/Jaccard structurally
+    // miss — see [[graft.llm.Dedup.containmentPairs]] for the one-sided
+    // prefix-filter candidate scheme.
+    "containment_neardup" -> ((s, dir) =>
+      graft.llm.Dedup.containmentPairs(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))),
+
     // Multiset set operations (the ALL twins of set_ops): INTERSECT ALL
     // keeps min(multiplicity), EXCEPT ALL subtracts multiplicities —
     // the semantics that matter when the key repeats (a customer with
@@ -421,6 +429,35 @@ object Inference {
         |GROUP BY 1, 2
         |ORDER BY aa_score DESC, sa ASC, sb ASC
         |LIMIT 20""".stripMargin,
+    "containment_neardup" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+')
+        |    AS tk FROM documents),
+        |tok AS (SELECT DISTINCT doc_id,
+        |    CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gram
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        |    FROM tk WHERE len(tk) >= 3)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+        |df AS (SELECT gram, count(*) AS df FROM tok GROUP BY 1),
+        |rk AS (SELECT tok.doc_id, tok.gram, sz.sz,
+        |    row_number() OVER (PARTITION BY tok.doc_id
+        |      ORDER BY df.df, tok.gram) AS rn
+        |  FROM tok JOIN df USING (gram) JOIN sz USING (doc_id)),
+        |pre AS (SELECT doc_id, gram FROM rk
+        |  WHERE rn <= sz - ceil(0.8 * sz) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pre a JOIN tok b
+        |  ON a.gram = b.gram AND a.doc_id <> b.doc_id),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cand c JOIN tok ta ON ta.doc_id = c.doc_a
+        |    JOIN tok tb ON tb.doc_id = c.doc_b AND ta.gram = tb.gram
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, CAST(inter AS BIGINT) AS inter,
+        |  round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+        |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "set_ops_all" ->
       """SELECT * FROM
         |(SELECT CAST(count(*) AS BIGINT) AS both_all_cnt FROM (

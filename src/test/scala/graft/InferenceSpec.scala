@@ -133,6 +133,24 @@ class InferenceSpec extends AnyFunSuite {
     assert(r.getAs[Long]("only_urgent_all_cnt") === 2L)
   }
 
+  test("containment_neardup: finds the quoted doc Jaccard would miss") {
+    // doc 2 embeds doc 1's full text inside much longer padding:
+    // containment(1→2) = 1.0 while Jaccard stays far below 0.8, and
+    // the reverse direction (2→1) must NOT appear. Doc 3 is unrelated.
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val pad = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("inf_doc").toString
+    Seq((1L, quote), (2L, s"$pad $quote"), (3L, "one two three four five"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Inference.queries("containment_neardup")(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) === ((1L, 2L)))
+    assert(r.getAs[Long]("inter") === 4L) // 4 trigrams over 6 tokens
+    assert(r.getAs[Double]("containment") === 1.0)
+  }
+
   test("adamic_adar: rare shared parts outweigh common ones") {
     // p1 shared by s1,s2,s3 (deg 3); p2 shared by s1,s2 (deg 2):
     // score(1,2) = 1/ln2 + 1/ln3, score(1,3) = score(2,3) = 1/ln3
