@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Analytics, CsvFunnelReport, FunnelOverEvents, Inference, Insights, LlmQueries, Relational, Scoring, Signals}
+import graft.queries.{Analytics, CsvFunnelReport, Curation, FunnelOverEvents, Inference, Insights, LlmQueries, Relational, Scoring, Signals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ LlmQueries.queries ++ Analytics.queries ++
       Scoring.queries ++ Signals.queries ++ Insights.queries ++
-      Inference.queries +
+      Inference.queries ++ Curation.queries +
       ("funnel_table" -> (FunnelOverEvents.query(_, _))) +
       // the funnel aggregation run as a real Structured Streaming query
       // (readStream → global complete-mode agg → memory sink), hash-
@@ -45,7 +45,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ LlmQueries.oracles ++ Analytics.oracles ++
       Scoring.oracles ++ Signals.oracles ++ Insights.oracles ++
-      Inference.oracles +
+      Inference.oracles ++ Curation.oracles +
       ("funnel_table" -> FunnelOverEvents.oracle) +
       // stream/batch parity IS the claim: one oracle serves both paths
       ("stream_funnel_table" -> FunnelOverEvents.oracle) +

@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GraftSession
+
+/** Model-evaluation and corpus-curation batch: ranking-quality (AUC),
+  * probability calibration, the embedding gram/covariance matrix, and
+  * tokenizer-vocabulary coverage. These are the audit queries a
+  * training-data pipeline runs BETWEEN curation passes — does the
+  * quality score actually rank good docs first (AUC), is the classifier
+  * driving `quality_sample` calibrated, are the embedding dims feeding
+  * ANN/SemDedup correlated (covariance), does the tokenizer's vocab
+  * cover the corpus it will tokenize (OOV rate)?
+  *
+  * Same determinism contract as [[Relational]]: float components
+  * quantize to integer micros before any cross-row sum, exact moments
+  * accumulate in DECIMAL(38,0) ≙ DuckDB HUGEINT, every divide is a
+  * final mirrored IEEE chain, every result totally ordered.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  private val D38 = DecimalType(38, 0)
+
+  /** Fail-loudly guard for DECIMAL(38,0) arithmetic (the Inference
+    * pattern): with ANSI off an overflowed product silently NULLs where
+    * the oracle's HUGEINT keeps going — raise instead of diverging.
+    */
+  private def chk(c: Column, what: String): Column =
+    when(c.isNull,
+      raise_error(lit(s"$what: exact-moment product overflowed" +
+        " DECIMAL(38,0) — requantize inputs"))).otherwise(c)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROC AUC per order priority: does o_totalprice rank the finished
+    // ('F') orders above the rest? AUC ≡ the Mann–Whitney statistic, so
+    // the scalable spelling is the DISTINCT-VALUE-GRID rank formula
+    // (the mannwhitney_u/ks_test idiom): one hash-agg to the per-group
+    // score grid, one cumulative window over the grid (bounded by score
+    // cardinality, not row count), average ranks carried DOUBLED so
+    // ties stay exact integers. AUC = (2·Σr₊ − n₊(n₊+1)) / (2·n₊·n₋);
+    // only that final division is IEEE. No per-pair comparison ever
+    // materializes — the naive AUC join is O(n₊·n₋) and this is the
+    // shape that replaces it at 100 TB.
+    "auc_roc" -> ((s, dir) => {
+      val g = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("v"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("c2"))
+      val w = Window.partitionBy("priority").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.select(col("priority"), col("c1"), col("c2"),
+        (col("c1") + col("c2")).as("t"),
+        coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)).as("cum"))
+      val a = r.groupBy("priority").agg(
+        sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("c1").cast(D38) * (lit(2) * col("cum") + col("t") + 1))
+          .cast(D38).as("r1x2"))
+      a.select(col("priority"),
+          col("n1").as("n_pos"), col("n2").as("n_neg"),
+          bround(when(col("n1") > 0 && col("n2") > 0,
+            (chk(col("r1x2"), "auc_roc").cast("double")
+              - col("n1").cast("double") * (col("n1") + 1).cast("double"))
+              / (lit(2.0) * col("n1").cast("double")
+                 * col("n2").cast("double"))), 6).as("auc"))
+        .orderBy("priority")
+    }),
+
+    // Probability-calibration audit (reliability diagram + Brier): the
+    // event value rescaled to [0,1] plays the predicted purchase
+    // probability; per decile bin, predicted mean vs observed positive
+    // rate, plus the per-bin Brier contribution. The BIN derives from
+    // the quantized micro score (not the raw double), so the
+    // bin-boundary behaviour is bit-identical across engines. One scan,
+    // one 10-row hash-agg — the shape survives any corpus size.
+    "calibration_bins" -> ((s, dir) => {
+      val sm = bround(least(greatest(col("value") / lit(500.0), lit(0.0)),
+        lit(1.0)) * lit(1000000.0)).cast("long")
+      val q = Relational.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(sm.as("sm"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .withColumn("bin",
+          least(expr("sm div 100000"), lit(9L)).cast("int"))
+      val err = col("sm") - col("y") * lit(1000000L)
+      q.groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum("sm").as("ssum"),
+          sum("y").as("pos"),
+          sum((err.cast(D38) * err).cast(D38)).cast(D38).as("sqerr"))
+        .select(col("bin"), col("n"), col("pos"),
+          bround(col("ssum").cast("double") / col("n").cast("double")
+            / lit(1000000.0), 6).as("mean_score"),
+          bround(col("pos").cast("double") / col("n").cast("double"), 6)
+            .as("frac_pos"),
+          bround(chk(col("sqerr"), "calibration_bins").cast("double")
+            / col("n").cast("double") / lit(1e12), 6).as("brier"))
+        .orderBy("bin")
+    }),
+
+    // Embedding covariance matrix (the gram-matrix pass behind PCA
+    // whitening / decorrelation of a vector corpus). The scalable shape
+    // is MAP-ONLY pair generation: each row expands its own d·(d+1)/2
+    // upper-triangle products via nested array `transform` (no self-join,
+    // no shuffle of raw components), feeding one map-side-combinable
+    // aggregate to d² cells — at 100 TB the only shuffle is d²-row
+    // partial-agg merge. Components quantize to exact integer micros
+    // first; Σxᵢxⱼ accumulates in DECIMAL(38,0); the centered covariance
+    // (n·Sij − Si·Sj)/n² is one mirrored IEEE chain at the end. The
+    // 64-row per-dim sum table broadcasts back onto the cells.
+    "embed_covariance" -> ((s, dir) => {
+      val e = GraftSession.fanout(t(s, dir, "embeddings"))
+        .select(expr("transform(embedding, x -> " +
+          "CAST(bround(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
+        .localCheckpoint() // two consumers: pair cells + per-dim sums
+      val pairs = e.select(explode(expr(
+        """flatten(transform(q, (xi, i) ->
+          |  transform(slice(q, i + 1, size(q) - i), (xj, j) ->
+          |    struct(i AS i, i + j AS j, xi * xj AS p))))""".stripMargin))
+        .as("c"))
+      val cell = pairs
+        .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum(col("p").cast(D38)).cast(D38).as("sij"))
+      val dims = e.select(posexplode(col("q")))
+        .groupBy(col("pos")).agg(sum("col").as("sv"))
+      cell
+        .join(broadcast(dims.select(col("pos").as("i"), col("sv").as("si"))),
+          "i")
+        .join(broadcast(dims.select(col("pos").as("j"), col("sv").as("sj"))),
+          "j")
+        .select(col("i"), col("j"), col("n"),
+          bround(chk(col("n").cast(D38) * col("sij")
+              - col("si").cast(D38) * col("sj"), "embed_covariance")
+              .cast("double")
+            / (col("n").cast("double") * col("n").cast("double"))
+            / lit(1e12), 9).as("cov"))
+        .orderBy("i", "j")
+    }),
+
+    // Tokenizer-vocabulary coverage: the top-500 tokens of the src0
+    // slice play the tokenizer vocab (rank by count desc, token asc —
+    // a total order, so the cut is deterministic); every other source
+    // is audited for OOV rate against it. The vocab selection is
+    // TakeOrdered (no global single-partition sort) and the vocab
+    // BROADCASTS into the token stream — the corpus-side scan never
+    // shuffles its tokens, only the per-source aggregate does. This is
+    // the pre-training audit for "will this tokenizer fragment the
+    // long tail of the mix?".
+    "vocab_coverage" -> ((s, dir) => {
+      val tok = GraftSession.fanout(t(s, dir, "documents"))
+        .select(col("source"),
+          explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+            .as("w"))
+        .localCheckpoint() // two consumers: vocab build + coverage scan
+      val vocab = tok.filter(col("source") === "src0")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc)
+        .limit(500)
+        .select(col("w"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_tokens"),
+          count(when(col("in_vocab").isNull, 1)).as("oov_tokens"),
+          countDistinct(when(col("in_vocab").isNull, col("w")))
+            .as("oov_types"))
+        .select(col("source"), col("n_tokens"), col("oov_tokens"),
+          col("oov_types"),
+          bround(col("oov_tokens").cast("double")
+            / col("n_tokens").cast("double"), 6).as("oov_rate"))
+        .orderBy("source")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "auc_roc" ->
+      """WITH g AS (SELECT o_orderpriority AS priority, o_totalprice AS v,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS c2
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT priority, c1, c2, c1 + c2 AS t,
+        |    coalesce(sum(c1 + c2) OVER (PARTITION BY priority ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM g),
+        |a AS (SELECT priority,
+        |    CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(sum(CAST(c1 AS HUGEINT) * (2 * cum + t + 1))
+        |      AS DECIMAL(38,0)) AS r1x2
+        |  FROM r GROUP BY 1)
+        |SELECT priority, n1 AS n_pos, n2 AS n_neg,
+        |  round_even(CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    (CAST(r1x2 AS DOUBLE)
+        |      - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE))
+        |    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END, 6)
+        |    AS auc
+        |FROM a ORDER BY priority""".stripMargin,
+
+    "calibration_bins" ->
+      """WITH q AS (SELECT
+        |    CAST(round_even(least(greatest(value / 500.0, 0.0), 1.0)
+        |      * 1000000.0, 0) AS BIGINT) AS sm,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT least(sm // 100000, 9) AS bin, sm, y,
+        |    sm - y * 1000000 AS err FROM q)
+        |SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS pos,
+        |  round_even(CAST(sum(sm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 1000000.0, 6) AS mean_score,
+        |  round_even(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS frac_pos,
+        |  round_even(CAST(sum(CAST(err AS HUGEINT) * err) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1e12, 6) AS brier
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "embed_covariance" ->
+      """WITH e AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    CAST(round_even(CAST(unnest(embedding) AS DOUBLE)
+        |      * 1000000.0, 0) AS BIGINT) AS xm
+        |  FROM embeddings),
+        |s AS (SELECT i, CAST(sum(xm) AS BIGINT) AS sv FROM e GROUP BY 1),
+        |c AS (SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(a.xm AS HUGEINT) * b.xm) AS HUGEINT) AS sij
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT c.i, c.j, c.n,
+        |  round_even(CAST(CAST(c.n AS HUGEINT) * c.sij
+        |      - CAST(si.sv AS HUGEINT) * sj.sv AS DOUBLE)
+        |    / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)) / 1e12, 9)
+        |    AS cov
+        |FROM c JOIN s si ON si.i = c.i JOIN s sj ON sj.i = c.j
+        |ORDER BY c.i, c.j""".stripMargin,
+
+    "vocab_coverage" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS w
+        |  FROM documents),
+        |voc AS (SELECT w FROM (
+        |    SELECT w, count(*) AS c FROM tok WHERE source = 'src0'
+        |    GROUP BY 1)
+        |  QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= 500)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(CASE WHEN voc.w IS NULL THEN 1 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  CAST(count(DISTINCT CASE WHEN voc.w IS NULL THEN tok.w END)
+        |    AS BIGINT) AS oov_types,
+        |  round_even(CAST(count(CASE WHEN voc.w IS NULL THEN 1 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        |FROM tok LEFT JOIN voc ON tok.w = voc.w
+        |GROUP BY source ORDER BY source""".stripMargin
+  )
+}

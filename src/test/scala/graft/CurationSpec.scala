@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Curation
+
+/** Planted-data semantics for the curation/eval batch: AUC rank
+  * arithmetic (incl. ties and the degenerate one-class group),
+  * calibration bin boundaries on the QUANTIZED score, the centered
+  * covariance chain, and OOV accounting. Every expected value is
+  * hand-derived.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("auc_roc: clean ranks, tied scores, and a one-class group") {
+    val dir = tmp("cur_auc")
+    // A: pos scores {1,3}, neg {2} → Σr₊ = 4, AUC = (4−3)/2 = 0.5
+    // B: pos {2} ties neg {2} → avg rank 1.5, AUC = 0.5 via the tie term
+    // C: positives only → n_neg = 0 → NULL (no rankable pair)
+    // D: perfect separation pos {9,8} over neg {1} → AUC = 1.0
+    Seq(
+      ("A", 1.0, "F"), ("A", 2.0, "O"), ("A", 3.0, "F"),
+      ("B", 2.0, "F"), ("B", 2.0, "O"),
+      ("C", 5.0, "F"),
+      ("D", 9.0, "F"), ("D", 8.0, "F"), ("D", 1.0, "O"))
+      .toDF("o_orderpriority", "o_totalprice", "o_orderstatus")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = Curation.queries("auc_roc")(spark, dir).collect()
+    val byPri = out.map(r => r.getAs[String]("priority") -> r).toMap
+    assert(byPri("A").getAs[Double]("auc") === 0.5)
+    assert(byPri("B").getAs[Double]("auc") === 0.5)
+    assert(byPri("C").isNullAt(byPri("C").fieldIndex("auc")))
+    assert(byPri("D").getAs[Double]("auc") === 1.0)
+    assert(byPri("D").getAs[Long]("n_pos") === 2L)
+    assert(byPri("D").getAs[Long]("n_neg") === 1L)
+  }
+
+  private def ns(d: Int): Long =
+    (1704067200L + d * 86400L) * 1000000000L
+
+  test("calibration_bins: bins cut on quantized micros, Brier exact") {
+    val dir = tmp("cur_cal")
+    // value/500 clamped to [0,1], quantized to micros, bin = sm div 1e5:
+    //  600 → 1.0 (clamped) bin 9, y=1, err 0
+    //  500 → 1.0 bin 9, y=0, err 1e6 → bin 9 brier = 1e12/2/1e12 = 0.5
+    //   50 → exactly 0.1 → sm 100000 lands bin 1 (boundary), err −9e5
+    //  49.99 → sm 99980 stays bin 0, err 99980² = 9.996e9 → 0.009996
+    Seq(
+      (ns(0), 1L, "purchase", 600.0), (ns(0), 2L, "view", 500.0),
+      (ns(0), 3L, "purchase", 50.0), (ns(0), 4L, "view", 49.99))
+      .toDF("ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Curation.queries("calibration_bins")(spark, dir).collect()
+    val byBin = out.map(r => r.getAs[Int]("bin") -> r).toMap
+    assert(byBin.keySet === Set(0, 1, 9))
+    assert(byBin(9).getAs[Long]("n") === 2L)
+    assert(byBin(9).getAs[Long]("pos") === 1L)
+    assert(byBin(9).getAs[Double]("mean_score") === 1.0)
+    assert(byBin(9).getAs[Double]("frac_pos") === 0.5)
+    assert(byBin(9).getAs[Double]("brier") === 0.5)
+    assert(byBin(1).getAs[Double]("mean_score") === 0.1)
+    assert(byBin(1).getAs[Double]("brier") === 0.81)
+    assert(byBin(0).getAs[Double]("brier") === 0.009996)
+  }
+
+  test("embed_covariance: two shifted vectors give unit covariance") {
+    val dir = tmp("cur_cov")
+    // [1,2] and [3,4]: every centered product is (±1)², so all three
+    // upper-triangle cells are exactly 1.0
+    Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Curation.queries("embed_covariance")(spark, dir).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") === 2L)
+      assert(r.getAs[Double]("cov") === 1.0)
+    }
+    assert(out.map(r => (r.getAs[Int]("i"), r.getAs[Int]("j"))).toSet ===
+      Set((0, 0), (0, 1), (1, 1)))
+  }
+
+  test("vocab_coverage: OOV tokens and types against the src0 vocab") {
+    val dir = tmp("cur_voc")
+    Seq(
+      (1L, "a b b", "src0"),
+      (2L, "a c c d", "src1"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Curation.queries("vocab_coverage")(spark, dir).collect()
+    val bySrc = out.map(r => r.getAs[String]("source") -> r).toMap
+    assert(bySrc("src0").getAs[Long]("oov_tokens") === 0L)
+    assert(bySrc("src1").getAs[Long]("n_tokens") === 4L)
+    assert(bySrc("src1").getAs[Long]("oov_tokens") === 3L)
+    assert(bySrc("src1").getAs[Long]("oov_types") === 2L)
+    assert(bySrc("src1").getAs[Double]("oov_rate") === 0.75)
+  }
+}
