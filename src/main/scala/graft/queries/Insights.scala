@@ -549,6 +549,102 @@ object Insights {
     // per-day rollup of the sink table runs as a batch query, so the
     // oracle is the plain batch self-join + GROUP BY. RocksDB-backed
     // state for this shape is pinned in FunnelStreamSpec.
+    // DYNAMIC partition pruning, oracle-gated: the fact side is a
+    // date=-partitioned parquet mirror of events (written once per
+    // sf+JVM), the dim side is a day dimension whose filter is NOT a
+    // partition predicate (days-since-epoch mod 7 < 2 — computable only
+    // from the dim), so static PruneFileSourcePartitions can't help:
+    // only runtime DPP (the broadcast join's build side re-used as a
+    // partition filter) keeps the fact scan from listing all days. At
+    // 100 TB the difference is reading 2/7ths of the table vs all of
+    // it — THE mechanism behind star-schema date-dim filtering. The
+    // DynamicPruningExpression in the fact scan is asserted in
+    // PlanSpec; the values must match the plain join oracle.
+    "dpp_join" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_dpp_" + Relational.sfTag(dir)).getAbsolutePath
+      if (!new java.io.File(p, "_SUCCESS").exists)
+        Relational.events(s, dir)
+          .select(to_date(col("ts")).as("day"), col("value"))
+          .write.mode("overwrite").partitionBy("day").parquet(p)
+      val fact = s.read.parquet(p)
+      val dim = Relational.events(s, dir)
+        .select(to_date(col("ts")).as("day")).distinct()
+        .filter(pmod(datediff(col("day"), to_date(lit("2024-01-01"))),
+          lit(7)) < 2)
+      fact.join(dim, Seq("day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(bround(col("value") * lit(1000000.0)).cast("long"))
+            .as("value_micros"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("value_micros"))
+        .orderBy("day")
+    }),
+
+    // The flatMapGroupsWithState SESSIONIZER under the batch oracle —
+    // the last spec-only streaming operator promoted to a hash-checked
+    // gate. The stream replays a canonical copy of events in THREE
+    // deterministic micro-batches (maxFilesPerTrigger=1 over files with
+    // staggered modtimes): all real rows as ONE file — so the per-key
+    // interval merge closes sessions with full knowledge, exactly like
+    // batch — then two far-future sentinel rows for a dummy user. The
+    // first sentinel advances the event-time watermark past every real
+    // session's timeout; the second makes the engine RUN a batch under
+    // that watermark, firing the timeout callback that flushes each
+    // user's final open session. Output = every session the batch
+    // `sessionize` query computes, byte-identical under the same
+    // oracle; the sentinel user's own never-closed session is the only
+    // state left behind, filtered by user_id ≥ 0.
+    "stream_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      GraftSession.tune(s)
+      val ev = Relational.events(s, dir).select(col("user_id"), col("ts"))
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_stream_sess_" + Relational.sfTag(dir))
+      val p = scratch.getAbsolutePath
+      def dataFiles: Set[java.io.File] =
+        Option(scratch.listFiles).map(_.toSet).getOrElse(Set.empty)
+          .filter(f => !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+      ev.coalesce(1).write.mode("overwrite").parquet(p)
+      val t0 = System.currentTimeMillis
+      dataFiles.foreach(_.setLastModified(t0 - 60000))
+      val yearUs = 365L * 86400 * 1000000
+      def sentinel(us: Long, stamp: Long): Unit = {
+        val before = dataFiles
+        Seq((-1L, us)).toDF("user_id", "us")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+          .coalesce(1).write.mode("append").parquet(p)
+        (dataFiles -- before).foreach(_.setLastModified(stamp))
+      }
+      sentinel(maxUs + yearUs, t0 - 40000)
+      sentinel(maxUs + 2 * yearUs, t0 - 20000)
+      val src = s.readStream.schema(s.read.parquet(p).schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val ds = src
+        .select(col("user_id"), col("ts"), lit("e").as("event_type"))
+        .as[graft.streaming.FunnelStream.UserEvent]
+      val tbl = "stream_sess_" + Relational.sfTag(dir) + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val q = graft.streaming.FunnelStream.userSessions(ds, 30, "1 hour")
+        .toDF.writeStream.format("memory").queryName(tbl)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val w = Window.partitionBy("user_id").orderBy("session_start")
+      s.table(tbl).filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          row_number().over(w).cast("long").as("sess_no"),
+          col("events").as("n_events"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"))
+        .orderBy("user_id", "sess_no")
+    }),
+
     "stream_stream_join" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ev = streamEvents(s, dir)
@@ -821,6 +917,23 @@ object Insights {
         |  round_even(CAST(sum(CAST(v AS HUGEINT) * cr) AS DOUBLE)
         |    / 1000000000000.0, 6) AS credited_value
         |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
+    // the partitioned mirror holds exactly the events rows, so the
+    // oracle is the plain filtered join over the source table
+    "dpp_join" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |sel AS (SELECT day FROM d
+        |  WHERE (day - DATE '2024-01-01') % 7 < 2),
+        |f AS (SELECT CAST(ts AS DATE) AS day, value FROM events)
+        |SELECT strftime(f.day, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round_even(value * 1000000.0, 0) AS BIGINT))
+        |    AS BIGINT) AS value_micros
+        |FROM f JOIN sel USING (day)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // stream/batch sessionization parity IS the claim: the streaming
+    // flatMapGroupsWithState result answers to the SAME oracle as the
+    // batch window query
+    "stream_sessionize" -> Relational.oracles("sessionize"),
     "stream_daily_counts" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS cnt

@@ -391,6 +391,48 @@ object Signals {
             .otherwise(0L).as("clustering_micros"))
     }),
 
+    // Bounded-round k-core peeling (k=3) of the same co-purchase graph:
+    // repeatedly delete vertices of degree < k — the standard sparsifier
+    // before community/influence analysis, and the "hub extraction" move
+    // of a web-graph curation pass. Each round is one degree hash-agg +
+    // two left-semi joins, with the shrinking edge set localCheckpointed
+    // so round r+1 reads materialized state instead of replaying rounds
+    // 0..r (the connected_components lesson). Rounds are FIXED at 3 —
+    // the oracle unrolls the same three rounds symbolically — and the
+    // per-round (vertices, edges) trajectory is the result: convergence
+    // shows as a repeated row, and a production full peel loops the same
+    // body until the count fixpoints.
+    "kcore_decompose" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      def stats(rnd: Int, df: DataFrame): DataFrame =
+        df.select(col("p1").as("v"))
+          .unionByName(df.select(col("p2").as("v")))
+          .agg(countDistinct("v").as("n_vertices"),
+            (count(lit(1)) / 2).cast("long").as("n_edges"))
+          .select(lit(rnd).as("rnd"), col("n_vertices"), col("n_edges"))
+      var e = op.select(col("o"), col("p").as("p1"))
+        .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("p1", "p2")
+        .localCheckpoint()
+      var out = stats(0, e)
+      for (r <- 1 to 3) {
+        val keep = e.select(col("p1").as("v"))
+          .unionByName(e.select(col("p2").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= 3).select("v")
+        e = e.join(keep.withColumnRenamed("v", "p1"), Seq("p1"), "left_semi")
+          .join(keep.withColumnRenamed("v", "p2"), Seq("p2"), "left_semi")
+          .select("p1", "p2")
+          .localCheckpoint()
+        out = out.unionByName(stats(r, e))
+      }
+      out.orderBy("rnd")
+    }),
+
     // DSIR data selection (Xie et al. 2023): importance weights of the
     // raw pool (source != src0) against the src0 target domain, hashed
     // unigram+bigram features in 1024 md5 buckets, top-50 by weight.
@@ -1345,6 +1387,35 @@ object Signals {
         |    CAST(round_even(3.0 * tri.triangles / w.wedges * 1000000.0, 0)
         |      AS BIGINT) ELSE 0 END AS clustering_micros
         |FROM ed, w, tri""".stripMargin,
+
+    // the same three peel rounds, unrolled symbolically (generated, so
+    // the round count can't desync between engines)
+    "kcore_decompose" -> {
+      val base =
+        """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem),
+          |e0 AS MATERIALIZED (SELECT a.p AS p1, b.p AS p2
+          |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        s""",
+           |d$i AS MATERIALIZED (SELECT v, count(*) AS dg FROM (
+           |    SELECT p1 AS v FROM e${i - 1}
+           |    UNION ALL SELECT p2 FROM e${i - 1}) GROUP BY 1),
+           |k$i AS (SELECT v FROM d$i WHERE dg >= 3),
+           |e$i AS MATERIALIZED (SELECT e.p1, e.p2 FROM e${i - 1} e
+           |  JOIN k$i ka ON ka.v = e.p1
+           |  JOIN k$i kb ON kb.v = e.p2)""".stripMargin
+      }.mkString
+      val stats = (0 to 3).map { i =>
+        s"""SELECT CAST($i AS INT) AS rnd,
+           |  CAST(count(DISTINCT v) AS BIGINT) AS n_vertices,
+           |  CAST(count(*) // 2 AS BIGINT) AS n_edges
+           |FROM (SELECT p1 AS v FROM e$i UNION ALL SELECT p2 FROM e$i)"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$base$rounds\n$stats\nORDER BY rnd"
+    },
 
     "dsir_select" ->
       """WITH tk AS (SELECT doc_id, source,

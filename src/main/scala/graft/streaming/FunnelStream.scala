@@ -103,6 +103,11 @@ object FunnelStream {
       lateness: String = "1 hour"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+    // exact µs of a Timestamp (getTime alone truncates to ms, which
+    // would merge a 30min+400µs gap the batch sessionizer breaks)
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     events
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
@@ -126,12 +131,12 @@ object FunnelStream {
             val items =
               (state.getOption.toSeq.map(s => (s.start, s.last, s.events)) ++
                 batch.map(e => (e.ts, e.ts, 1L)))
-                .sortBy { case (st, en, _) => (st.getTime, en.getTime) }
+                .sortBy { case (st, en, _) => (us(st), us(en)) }
             val merged = scala.collection.mutable.ArrayBuffer
               .empty[(java.sql.Timestamp, java.sql.Timestamp, Long)]
             items.foreach { case (st, en, c) =>
               merged.lastOption match {
-                case Some((ps, pe, pc)) if st.getTime - pe.getTime <= gapMs =>
+                case Some((ps, pe, pc)) if us(st) - us(pe) <= gapUs =>
                   merged(merged.length - 1) =
                     (ps, if (en.after(pe)) en else pe, pc + c)
                 case _ => merged += ((st, en, c))

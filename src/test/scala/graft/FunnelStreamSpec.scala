@@ -366,4 +366,31 @@ class FunnelStreamSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("session gap compares exact microseconds, not truncated millis") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[FunnelStream.UserEvent]
+    val q = FunnelStream.userSessions(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("microsessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // gap = 30min + 400µs: sub-millisecond overshoot that a
+      // getTime-based (ms) comparison truncates away. The batch
+      // sessionizer breaks here, so the stream must too.
+      val a = Timestamp.valueOf("2024-01-01 01:00:00")
+      val b = Timestamp.valueOf("2024-01-01 01:30:00")
+      b.setNanos(400000) // 01:30:00.000400 → gap 1800000400 µs
+      val c = Timestamp.valueOf("2024-01-01 09:00:00")
+      input.addData(
+        FunnelStream.UserEvent(1L, a, "view"),
+        FunnelStream.UserEvent(1L, b, "view"),
+        FunnelStream.UserEvent(1L, c, "purchase"))
+      q.processAllAvailable()
+      val closed = spark.table("microsessions").collect()
+        .map(r => (r.getTimestamp(1).toString, r.getLong(3)))
+      assert(closed.toSeq === Seq(
+        ("2024-01-01 01:00:00.0", 1L), ("2024-01-01 01:30:00.0004", 1L)))
+    } finally q.stop()
+  }
 }

@@ -212,4 +212,13 @@ class PlanSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("dpp_join: runtime DynamicPruningExpression reaches the fact scan") {
+    assume(new java.io.File(dir).exists)
+    val df = q("dpp_join")
+    df.collect() // DPP subquery materializes at execution
+    val p = plan(df).toLowerCase
+    assert(p.contains("dynamicpruning"),
+      s"no DynamicPruningExpression in fact scan\n${p.take(1500)}")
+  }
 }

@@ -867,4 +867,24 @@ class SignalsSpec extends AnyFunSuite {
     for (p <- Seq("p50", "p90", "p99"))
       assert(roll.getAs[Double](p) === flat.getAs[Double](p), p)
   }
+
+  test("kcore_decompose: pendant vertex peels, the 4-clique survives") {
+    import spark.implicits._
+    // Graph (each edge planted with support 2 = two shared orders):
+    // K4 on parts 1-4 plus pendant 5-1. Round 0: 5 vertices, 7 edges.
+    // k=3 peel removes only the pendant; the K4 (all degrees 3) is the
+    // fixpoint from round 1 on.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    val li = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((2L * i, a), (2L * i, b), (2L * i + 1, a), (2L * i + 1, b))
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("sig_kcore").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Signals.queries("kcore_decompose")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("rnd"), r.getAs[Long]("n_vertices"),
+        r.getAs[Long]("n_edges")))
+    assert(out.toSeq === Seq((0, 5L, 7L), (1, 4L, 6L), (2, 4L, 6L),
+      (3, 4L, 6L)))
+  }
 }
