@@ -148,6 +148,69 @@ object Curation {
         .orderBy("i", "j")
     }),
 
+    // Heaps-law vocabulary-growth curve: distinct-type count and token
+    // count at 10 corpus checkpoints (doc_id deciles) — the "is the
+    // corpus still contributing new vocabulary?" saturation diagnostic
+    // that decides whether more data of a source is worth ingesting.
+    // The scalable shape: each type's FIRST document (one hash-agg) and
+    // each doc's token count (one hash-agg) — both bounded by
+    // vocabulary/doc count — then a broadcast 10-row checkpoint grid
+    // joined with a range predicate. No token ever shuffles twice, and
+    // the curve costs two aggregates regardless of corpus size.
+    "vocab_growth" -> ((s, dir) => {
+      val tok = GraftSession.fanout(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("\\S+"),
+            lit(0))).as("w"))
+      val firsts = tok.groupBy("w").agg(min("doc_id").as("fd"))
+      val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val grid = perDoc.agg(max("doc_id").as("mx"))
+        .select(explode(sequence(lit(1), lit(10))).as("k"), col("mx"))
+        .select(col("k"), expr("(k * mx) div 10").as("c"))
+      val vocab = firsts.join(broadcast(grid), col("fd") <= col("c"))
+        .groupBy("k", "c").agg(count(lit(1)).as("vocab"))
+      val toks = perDoc.join(broadcast(grid), col("doc_id") <= col("c"))
+        .groupBy("k", "c").agg(count(lit(1)).as("n_docs"),
+          sum("nt").as("n_tokens"))
+      toks.join(vocab, Seq("k", "c"))
+        .select(col("k").cast("int").as("k"), col("n_docs"),
+          col("n_tokens"), col("vocab"),
+          bround(when(col("n_tokens") > 1,
+            log(col("vocab").cast("double"))
+              / log(col("n_tokens").cast("double"))), 6)
+            .as("heaps_beta_ub"))
+        .orderBy("k")
+    }),
+
+    // Small-file compaction planning (the manifest-level half of the
+    // zorder_layout story): per-(source, lang) "file" sizes from the
+    // documents table, packed into 8 target-size bins by cumulative-sum
+    // next-fit in (source, lang) order — the deterministic, windowable
+    // cousin of first-fit-decreasing that a metadata-scale planner can
+    // run as ONE window over the file list (which is bounded by file
+    // count, never data size; the single-partition window is fine
+    // because a 100 TB table's file manifest is ~10⁵ rows). The target
+    // derives from the total (total/8 rounded up), so the plan shape is
+    // scale-free.
+    "compaction_bins" -> ((s, dir) => {
+      val files = t(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
+      val total = files.agg(sum("bytes").as("tb"))
+      val w = Window.orderBy("source", "lang")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files.crossJoin(broadcast(total))
+        .withColumn("cum", coalesce(sum("bytes").over(w), lit(0L)))
+        .withColumn("bin",
+          least(expr("cum div ((tb + 7) div 8)"), lit(7L)).cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum("n_docs").as("n_docs"),
+          sum("bytes").as("bytes"),
+          min(concat_ws("/", col("source"), col("lang"))).as("first_file"),
+          max(concat_ws("/", col("source"), col("lang"))).as("last_file"))
+        .orderBy("bin")
+    }),
+
     // Tokenizer-vocabulary coverage: the top-500 tokens of the src0
     // slice play the tokenizer vocab (rank by count desc, token asc —
     // a total order, so the cut is deterministic); every other source
@@ -241,6 +304,45 @@ object Curation {
         |    AS cov
         |FROM c JOIN s si ON si.i = c.i JOIN s sj ON sj.i = c.j
         |ORDER BY c.i, c.j""".stripMargin,
+
+    "vocab_growth" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS w
+        |  FROM documents),
+        |firsts AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY 1),
+        |per_doc AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+        |grid AS (SELECT CAST(k AS INT) AS k,
+        |    (k * (SELECT max(doc_id) FROM per_doc)) // 10 AS c
+        |  FROM range(1, 11) t(k)),
+        |v AS (SELECT k, c, CAST(count(*) AS BIGINT) AS vocab
+        |  FROM firsts JOIN grid ON fd <= c GROUP BY 1, 2),
+        |tk AS (SELECT k, c, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS n_tokens
+        |  FROM per_doc JOIN grid ON doc_id <= c GROUP BY 1, 2)
+        |SELECT tk.k, tk.n_docs, tk.n_tokens, v.vocab,
+        |  round_even(CASE WHEN tk.n_tokens > 1 THEN
+        |    ln(CAST(v.vocab AS DOUBLE)) / ln(CAST(tk.n_tokens AS DOUBLE))
+        |    END, 6) AS heaps_beta_ub
+        |FROM tk JOIN v ON v.k = tk.k AND v.c = tk.c
+        |ORDER BY tk.k""".stripMargin,
+
+    "compaction_bins" ->
+      """WITH f AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |    coalesce(CAST(sum(bytes) OVER (ORDER BY source, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum,
+        |    (SELECT sum(bytes) FROM f) AS tb
+        |  FROM f)
+        |SELECT CAST(least(cum // ((tb + 7) // 8), 7) AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  min(source || '/' || lang) AS first_file,
+        |  max(source || '/' || lang) AS last_file
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "vocab_coverage" ->
       """WITH tok AS (SELECT source,

@@ -100,4 +100,43 @@ class CurationSpec extends AnyFunSuite {
     assert(bySrc("src1").getAs[Long]("oov_types") === 2L)
     assert(bySrc("src1").getAs[Double]("oov_rate") === 0.75)
   }
+
+  test("vocab_growth: sequential singleton types trace an exact curve") {
+    val dir = tmp("cur_heaps")
+    // doc i = "w<i> common": checkpoint c holds c+1 docs, 2(c+1) tokens,
+    // c+2 types; at k=1 (c=0) the curve starts at ln2/ln2 = 1.0
+    (0 until 10).map(i => (i.toLong, s"w$i common"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Curation.queries("vocab_growth")(spark, dir).collect()
+    assert(out.length === 10)
+    val byK = out.map(r => r.getAs[Int]("k") -> r).toMap
+    assert(byK(1).getAs[Long]("n_docs") === 1L)
+    assert(byK(1).getAs[Long]("n_tokens") === 2L)
+    assert(byK(1).getAs[Long]("vocab") === 2L)
+    assert(byK(1).getAs[Double]("heaps_beta_ub") === 1.0)
+    assert(byK(10).getAs[Long]("n_docs") === 10L)
+    assert(byK(10).getAs[Long]("n_tokens") === 20L)
+    assert(byK(10).getAs[Long]("vocab") === 11L)
+  }
+
+  test("compaction_bins: next-fit cumulative packing over planted sizes") {
+    val dir = tmp("cur_pack")
+    // files in (source, lang) order carry 8/1/1/6 bytes; total 16 →
+    // target (16+7)//8 = 2; cum-before 0/8/9/10 → bins 0/4/4/5
+    def doc(id: Long, src: String, lg: String, n: Long) =
+      (id, "x", lg, src, n)
+    Seq(doc(1, "a", "aa", 5), doc(2, "a", "aa", 3), doc(3, "a", "bb", 1),
+      doc(4, "b", "aa", 1), doc(5, "b", "bb", 6))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Curation.queries("compaction_bins")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n_files"),
+        r.getAs[Long]("bytes"), r.getAs[String]("first_file"),
+        r.getAs[String]("last_file")))
+    assert(out.toSeq === Seq(
+      (0, 1L, 8L, "a/aa", "a/aa"),
+      (4, 2L, 2L, "a/bb", "b/aa"),
+      (5, 1L, 6L, "b/bb", "b/bb")))
+  }
 }
