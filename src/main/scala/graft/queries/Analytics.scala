@@ -121,6 +121,33 @@ object Analytics {
         .orderBy("cohort_wk", "age_wk")
     }),
 
+    // The DISTRIBUTION window family (percent_rank / cume_dist / ntile)
+    // over each event type's value ranking — the remaining ANSI window
+    // functions the rank/frame queries don't touch. The order key is
+    // (value, event_id): UNIQUE, because ntile splits ties by row
+    // position, so a value-only ordering would let the two engines
+    // assign straddling tied rows to different tiles. One sort shuffle
+    // per event_type partition; the per-(type, tile) rollup bounds the
+    // output at 4 rows per type regardless of corpus size.
+    "window_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      Relational.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), col("event_id"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).as("tile"))
+        .groupBy("event_type", "tile")
+        .agg(count(lit(1)).as("n"),
+          bround(min("value"), 6).as("lo"),
+          bround(max("value"), 6).as("hi"),
+          bround(min("pr"), 6).as("pr_lo"),
+          bround(max("pr"), 6).as("pr_hi"),
+          bround(max("cd"), 6).as("cd_hi"))
+        .orderBy("event_type", "tile")
+    }),
+
     // Markov transition counts over each user's event sequence: ONE
     // window pass (lead) keyed by user, then a small (from, to) rollup —
     // the path-analysis primitive behind funnel mining. The window and
@@ -755,6 +782,25 @@ object Analytics {
         |  count(DISTINCT ev.user_id) AS users
         |FROM ev JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same unique (value, event_id) ordering: ANSI semantics agree on
+    // percent_rank/cume_dist for ties, but ntile NEEDS the total order
+    "window_distribution" ->
+      """WITH r AS (SELECT event_type, value,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd,
+        |    ntile(4) OVER w AS tile
+        |  FROM events WHERE value IS NOT NULL
+        |  WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY value, event_id))
+        |SELECT event_type, CAST(tile AS INT) AS tile,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round_even(min(value), 6) AS lo,
+        |  round_even(max(value), 6) AS hi,
+        |  round_even(min(pr), 6) AS pr_lo,
+        |  round_even(max(pr), 6) AS pr_hi,
+        |  round_even(max(cd), 6) AS cd_hi
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, tile""".stripMargin,
+
     "event_transitions" ->
       """WITH nx AS (
         |  SELECT event_type,

@@ -645,6 +645,34 @@ object Insights {
         .orderBy("user_id", "sess_no")
     }),
 
+    // The mapGroupsWithState per-user funnel tracker under a value
+    // oracle: the AvailableNow file source delivers the whole fixture
+    // as ONE micro-batch (no read limit is set), so each user emits
+    // exactly one state update — their final (events, purchases,
+    // converted) position — and the bounded histogram of those
+    // positions must equal the batch GROUP BY. The KV state itself is
+    // per-user and partition-parallel; the cross-batch accumulation
+    // semantics are pinned separately in FunnelStreamSpec (this gate
+    // pins the arithmetic against DuckDB).
+    "stream_user_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ds = streamEvents(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[graft.streaming.FunnelStream.UserEvent]
+      val tbl = "stream_ufun_" + Relational.sfTag(dir) + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val q = graft.streaming.FunnelStream.userFunnelState(ds)
+        .toDF.writeStream.format("memory").queryName(tbl)
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(tbl)
+        .groupBy("events", "purchases", "converted")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("events", "purchases", "converted")
+    }),
+
     "stream_stream_join" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ev = streamEvents(s, dir)
@@ -934,6 +962,17 @@ object Insights {
     // flatMapGroupsWithState result answers to the SAME oracle as the
     // batch window query
     "stream_sessionize" -> Relational.oracles("sessionize"),
+    // one update per user (single-batch replay) ≡ the batch per-user
+    // rollup, histogrammed to stay bounded
+    "stream_user_funnel" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS events,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS purchases
+        |  FROM events GROUP BY 1)
+        |SELECT events, purchases, purchases > 0 AS converted,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY 1, 2, 3
+        |ORDER BY events, purchases, converted""".stripMargin,
     "stream_daily_counts" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS cnt

@@ -329,6 +329,30 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM): the "unknown
+    // matches unknown" dimension-lookup semantics plain equality
+    // silently drops. Docs whose lang is masked to NULL (zh plays the
+    // un-identified slice) still land on the dim's NULL→'unknown' row.
+    // EqualNullSafe is a legal HASH join key in Spark, so the tiny dim
+    // broadcasts and the fact side never shuffles for the join — the
+    // null-safe lookup costs the same plan as the plain one.
+    "join_nullsafe" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .withColumn("lang_k",
+          when(col("lang") === "zh", lit(null: String))
+            .otherwise(col("lang")))
+      val dim = Seq(("en", "germanic"), ("de", "germanic"),
+        ("es", "romance"), ("fr", "romance"),
+        (null.asInstanceOf[String], "unknown"))
+        .toDF("lang_k", "family")
+      d.join(broadcast(dim), d("lang_k") <=> dim("lang_k"))
+        .groupBy("family")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("family")
+    }),
+
     // as-of join (an operator Spark lacks natively — graft.ops.AsofJoin
     // composes it as tagged-union + one window pass): each purchase
     // event picks the user's latest view at or before it. Timestamps
@@ -985,6 +1009,16 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_nullsafe" ->
+      """WITH d AS (SELECT CASE WHEN lang = 'zh' THEN NULL ELSE lang END
+        |    AS lang_k, source FROM documents),
+        |dim(lang_k, family) AS (VALUES
+        |  ('en', 'germanic'), ('de', 'germanic'),
+        |  ('es', 'romance'), ('fr', 'romance'), (NULL, 'unknown'))
+        |SELECT family, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM d JOIN dim ON d.lang_k IS NOT DISTINCT FROM dim.lang_k
+        |GROUP BY 1 ORDER BY family""".stripMargin,
     // the oracle rebuilds the same sketch relationally: counters =
     // counts per (row, cell) under the shared Kirsch–Mitzenmacher md5
     // pair (h1 = hex chars 1-7, h2 = chars 8-14, cell_i = (h1+i·h2)%w)

@@ -221,4 +221,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"),
       s"no DynamicPruningExpression in fact scan\n${p.take(1500)}")
   }
+
+  test("join_nullsafe: EqualNullSafe key still hash-joins the broadcast dim") {
+    val p = plan(q("join_nullsafe"))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "null-safe equality fell off the hash-join path")
+  }
 }
