@@ -645,6 +645,50 @@ object Insights {
         .orderBy("user_id", "sess_no")
     }),
 
+    // Multi-format federation under one checksum: the SAME canonical
+    // rows written once as parquet, ORC, and headered CSV, read back
+    // through each format's own source, unioned, and fingerprinted.
+    // The sum-of-60-bit-fingerprints checksum is order- and
+    // partition-independent, so "all three readers agree" compresses
+    // to "the union's checksum is exactly 3× the logical table's" —
+    // which is what the DuckDB oracle computes from the events table
+    // alone, never seeing our files. Floats are quantized to integer
+    // micros BEFORE the write so the CSV text round-trip is exact by
+    // construction, the same reason a 100 TB interchange layer never
+    // ships raw doubles through text.
+    "federated_union" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_fed_" + Relational.sfTag(dir)).getAbsolutePath
+      val canon = Relational.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          bround(col("value") * lit(1000000.0)).cast("long").as("vm"))
+      def ensure(sub: String)(write: String => Unit): String = {
+        val p = s"$base/$sub"
+        if (!new java.io.File(p, "_SUCCESS").exists) write(p)
+        p
+      }
+      val pq = ensure("p")(canon.write.mode("overwrite").parquet(_))
+      val orc = ensure("o")(canon.write.mode("overwrite").orc(_))
+      val csv = ensure("c")(canon.write.mode("overwrite")
+        .option("header", "true").csv(_))
+      val sch = canon.schema
+      val all = s.read.parquet(pq)
+        .unionByName(s.read.orc(orc))
+        .unionByName(s.read.schema(sch).option("header", "true").csv(csv))
+      // coalesce, not concat_ws's null-skip: DuckDB mirrors '' exactly
+      all.select(graft.llm.Dedup.fingerprint60(concat_ws("|",
+          col("event_id").cast("string"), col("user_id").cast("string"),
+          col("event_type"),
+          coalesce(col("vm").cast("string"), lit(""))))
+          .cast(D38).as("fp"),
+          col("event_id"), col("vm"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("event_id").as("n_ids"),
+          sum("vm").as("vm_sum"),
+          sum("fp").cast(D38).cast("string").as("checksum"))
+    }),
+
     // The mapGroupsWithState per-user funnel tracker under a value
     // oracle: the AvailableNow file source delivers the whole fixture
     // as ONE micro-batch (no read limit is set), so each user emits
@@ -962,6 +1006,24 @@ object Insights {
     // flatMapGroupsWithState result answers to the SAME oracle as the
     // batch window query
     "stream_sessionize" -> Relational.oracles("sessionize"),
+    // the oracle never reads our files: if all three format readers
+    // round-trip, every aggregate is exactly 3x the logical table's
+    "federated_union" ->
+      """WITH c AS (SELECT event_id, user_id, event_type,
+        |    CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS vm
+        |  FROM events),
+        |f AS (SELECT event_id, vm, CAST('0x' || substr(md5(
+        |      CAST(event_id AS VARCHAR) || '|' ||
+        |      CAST(user_id AS VARCHAR) || '|' ||
+        |      event_type || '|' ||
+        |      coalesce(CAST(vm AS VARCHAR), '')), 1, 15) AS BIGINT) AS fp
+        |  FROM c)
+        |SELECT CAST(3 * count(*) AS BIGINT) AS n_rows,
+        |  count(DISTINCT event_id) AS n_ids,
+        |  CAST(3 * sum(vm) AS BIGINT) AS vm_sum,
+        |  CAST(CAST(3 * sum(CAST(fp AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+        |FROM f""".stripMargin,
     // one update per user (single-batch replay) ≡ the batch per-user
     // rollup, histogrammed to stay bounded
     "stream_user_funnel" ->

@@ -329,6 +329,20 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // Several COUNT(DISTINCT) over DIFFERENT keys in ONE aggregate —
+    // the plan Catalyst rewrites through an Expand (one input row fans
+    // to one row per distinct group), so all three distinct sets and
+    // the plain count resolve in a single scan + one shuffle instead
+    // of three self-reads. The Expand is asserted in PlanSpec; at
+    // 100 TB "scan once, expand 4×" beats "scan four times" precisely
+    // because the scan dominates.
+    "multi_distinct" -> ((s, dir) =>
+      events(s, dir).agg(
+        countDistinct("user_id").as("n_users"),
+        countDistinct("event_type").as("n_types"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        count(lit(1)).as("n_rows"))),
+
     // NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM): the "unknown
     // matches unknown" dimension-lookup semantics plain equality
     // silently drops. Docs whose lang is masked to NULL (zh plays the
@@ -1009,6 +1023,12 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "multi_distinct" ->
+      """SELECT count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT event_type) AS n_types,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events""".stripMargin,
     "join_nullsafe" ->
       """WITH d AS (SELECT CASE WHEN lang = 'zh' THEN NULL ELSE lang END
         |    AS lang_k, source FROM documents),

@@ -228,4 +228,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "null-safe equality fell off the hash-join path")
   }
+
+  test("multi_distinct: one scan fans through Expand, not three self-reads") {
+    val p = plan(q("multi_distinct"))
+    assert(p.contains("Expand"), p.take(800))
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      "multiple scans for multi-distinct aggregate")
+  }
 }
