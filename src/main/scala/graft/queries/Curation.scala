@@ -211,6 +211,65 @@ object Curation {
         .orderBy("bin")
     }),
 
+    // NULL imputation with the per-group exact median — the "fill
+    // missing features before training" pass, with its audit columns
+    // (how many rows were touched, with what value). The median table
+    // is groups-sized → broadcast back; the filled sum quantizes per
+    // row so the audit total is exact in both engines. One scan + one
+    // bounded aggregate + one broadcast join at any corpus size.
+    // The median is the LOWER median — an actual data value picked off
+    // the distinct-value grid (one cumulative window bounded by value
+    // cardinality), not an interpolated quantile: interpolation is an
+    // IEEE chain whose last-ulp could differ between engines and flip
+    // the per-row quantization; an element of the input cannot.
+    "impute_median" -> ((s, dir) => {
+      val ev = Relational.events(s, dir)
+      val grid = ev.filter(col("value").isNotNull)
+        .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("value")
+      val med = grid
+        .select(col("event_type"), col("value"),
+          sum("c").over(w).as("cum"),
+          sum("c").over(Window.partitionBy("event_type")).as("n"))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("event_type").agg(min("value").as("med"))
+      ev.join(broadcast(med), Seq("event_type"), "left")
+        .select(col("event_type"), col("value"),
+          coalesce(col("value"), col("med")).as("filled"), col("med"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("value").isNull, 1)).as("n_filled"),
+          bround(max("med"), 6).as("median_used"),
+          sum(bround(col("filled") * lit(1000000.0)).cast("long"))
+            .as("filled_sum_micros"))
+        .orderBy("event_type")
+    }),
+
+    // Cross-source duplicate matrix: for every source pair, how many
+    // 8-token OPENING fingerprints they share — the blocking key of a
+    // "same article, different site" audit (full-content fingerprints
+    // find nothing across the harness sources; shared openings do).
+    // Exact where self_overlap_sample bounds by sampling, because the
+    // join key is the fingerprint: per-fp fan-out is capped by the
+    // source count (≤ C(20,2) pairs), so the "quadratic" overlap is
+    // linear in corpus size with a bounded constant. Shuffle carries
+    // (source, 16-byte fp), never text.
+    "overlap_matrix" -> ((s, dir) => {
+      val fp = GraftSession.fanout(t(s, dir, "documents"))
+        .select(col("source"),
+          md5(array_join(slice(
+            regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)),
+            1, 8), " ").cast("binary")).as("fp"))
+        .distinct()
+        .localCheckpoint() // both join sides read it
+      fp.select(col("source").as("src_a"), col("fp"))
+        .join(fp.select(col("source").as("src_b"), col("fp")), Seq("fp"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("shared"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Tokenizer-vocabulary coverage: the top-500 tokens of the src0
     // slice play the tokenizer vocab (rank by count desc, token asc —
     // a total order, so the cut is deterministic); every other source
@@ -304,6 +363,34 @@ object Curation {
         |    AS cov
         |FROM c JOIN s si ON si.i = c.i JOIN s sj ON sj.i = c.j
         |ORDER BY c.i, c.j""".stripMargin,
+
+    "impute_median" ->
+      """WITH g AS (SELECT event_type, value, count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, value,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM g),
+        |med AS (SELECT event_type, min(value) AS med
+        |  FROM r WHERE cum >= (n + 1) // 2 GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN e.value IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_filled,
+        |  round_even(max(med.med), 6) AS median_used,
+        |  CAST(sum(CAST(round_even(coalesce(e.value, med.med)
+        |    * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS filled_sum_micros
+        |FROM events e LEFT JOIN med ON med.event_type = e.event_type
+        |GROUP BY 1 ORDER BY e.event_type""".stripMargin,
+
+    "overlap_matrix" ->
+      """WITH fp AS (SELECT DISTINCT source,
+        |    md5(array_to_string(
+        |      regexp_extract_all(lower(text), '\S+')[1:8], ' ')) AS fp
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     "vocab_growth" ->
       """WITH tok AS (SELECT doc_id,
