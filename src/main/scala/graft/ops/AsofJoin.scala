@@ -66,4 +66,49 @@ object AsofJoin {
       .select((leftCols.map(col) ++
         rightValues.map(v => col("__asof").getField(s"__rv_$v").as(s"asof_$v"))): _*)
   }
+
+  /** FORWARD as-of: for each left row, the single EARLIEST right row at
+    * or after the left row's time, per key — "next maintenance after
+    * the failure", "next purchase after the view". Same tagged-union +
+    * one-window composition, with the timeline walked in DESCENDING
+    * time (right rows still sort first at equal time, keeping the bound
+    * inclusive), so the carried payload is the nearest FUTURE right
+    * row. Identical cost and skew posture to the backward join.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightValues: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val reserved = Set("__t", "__tag", "__asof") ++ rightValues.map(v => s"__rv_$v")
+    val clashes = (left.columns ++ right.columns).filter(reserved).distinct
+    require(clashes.isEmpty,
+      s"asofJoinForward reserves column names ${clashes.mkString(", ")}; rename them in the inputs")
+    val outClashes = left.columns.toSet
+      .intersect(rightValues.map(v => s"asof_$v").toSet)
+    require(outClashes.isEmpty,
+      s"asofJoinForward emits ${outClashes.mkString(", ")}; rename the left column(s)")
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__tag", lit(1))
+    val lPadded = rightValues.foldLeft(l)((df, v) =>
+      df.withColumn(s"__rv_$v", lit(null).cast(right.schema(v).dataType)))
+    val r0 = right
+      .select((col(key) +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
+        rightValues.map(v => col(v).as(s"__rv_$v"))): _*)
+    val rPadded = leftCols.filterNot(_ == key).foldLeft(r0)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val merged = lPadded.unionByName(rPadded)
+    // descending time; tag 0 first at equal __t keeps <= right rows
+    // (now "at or after") visible to the left row
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t").desc, col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val payload = when(col("__tag") === 0,
+      struct(rightValues.map(v => col(s"__rv_$v")): _*))
+    val filled = merged
+      .withColumn("__asof", last(payload, ignoreNulls = true).over(w))
+    filled.filter(col("__tag") === 1)
+      .select((leftCols.map(col) ++
+        rightValues.map(v => col("__asof").getField(s"__rv_$v").as(s"asof_$v"))): _*)
+  }
 }

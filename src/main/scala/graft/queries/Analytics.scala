@@ -121,6 +121,25 @@ object Analytics {
         .orderBy("cohort_wk", "age_wk")
     }),
 
+    // Gaps-and-islands: consecutive-day activity streaks per user via
+    // the classic "day minus dense row_number is constant within an
+    // island" trick — one window keyed by user (partition-parallel,
+    // no global sort), then two bounded rollups to the streak-length
+    // histogram. The engagement-duration metric cohort_retention's
+    // weekly grid can't see.
+    "activity_streaks" -> ((s, dir) => {
+      val ud = Relational.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val streaks = ud
+        .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      streaks.groupBy("len")
+        .agg(count(lit(1)).as("n_streaks"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("len")
+    }),
+
     // The DISTRIBUTION window family (percent_rank / cume_dist / ntile)
     // over each event type's value ranking — the remaining ANSI window
     // functions the rank/frame queries don't touch. The order key is
@@ -782,6 +801,18 @@ object Analytics {
         |  count(DISTINCT ev.user_id) AS users
         |FROM ev JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "activity_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |g AS (SELECT user_id,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY day) AS INT) AS grp
+        |  FROM ud),
+        |st AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |  FROM g GROUP BY 1, 2)
+        |SELECT len, CAST(count(*) AS BIGINT) AS n_streaks,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM st GROUP BY 1 ORDER BY len""".stripMargin,
     // same unique (value, event_id) ordering: ANSI semantics agree on
     // percent_rank/cume_dist for ties, but ntile NEEDS the total order
     "window_distribution" ->

@@ -57,6 +57,65 @@ object Inference {
     // carrying DOUBLED average ranks (2·r̄ = 2·cum_before + t + 1 — an
     // integer), and the tie-corrected variance consumes the exact
     // Σ(t³−t). One final mirrored IEEE chain produces z.
+    // Additive decomposition of the daily series: 7-day centered
+    // moving-average trend (ROWS frame, full windows only), day-of-week
+    // seasonal profile of the detrended series, residual. EVERYTHING
+    // after the one bounded |days|-row aggregate is integer micros —
+    // trend quantizes at the ÷7, the seasonal mean quantizes its
+    // integer-sum division, the residual is pure integer subtraction —
+    // so the decomposition is bit-stable across engines and partition
+    // orders. The global window is over the bounded daily grid, never
+    // the corpus.
+    "seasonal_decompose" -> ((s, dir) => {
+      val dd = dailySeries(s, dir)
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val t7 = dd
+        .withColumn("cnt7", count(lit(1)).over(w7))
+        .withColumn("sum7", sum("x").over(w7))
+        .withColumn("trend_micros",
+          when(col("cnt7") === 7,
+            bround(col("sum7") * lit(1000000.0) / lit(7.0)).cast("long")))
+        .withColumn("dow",
+          pmod(datediff(col("day"), to_date(lit("2024-01-01"))), lit(7)))
+      val dev = t7.filter(col("trend_micros").isNotNull)
+        .groupBy("dow")
+        .agg(bround(sum(col("x") * lit(1000000L) - col("trend_micros"))
+          .cast("double") / count(lit(1)).cast("double")).cast("long")
+          .as("seasonal_micros"))
+      t7.join(broadcast(dev), Seq("dow"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("x"), col("trend_micros"), col("seasonal_micros"),
+          when(col("trend_micros").isNotNull &&
+            col("seasonal_micros").isNotNull,
+            col("x") * lit(1000000L) - col("trend_micros")
+              - col("seasonal_micros")).as("resid_micros"))
+        .orderBy("day")
+    }),
+
+    // Two-proportion z-test on per-user conversion between the two
+    // hash-split halves (the A/B readout): exact integer counts up to
+    // one final mirrored IEEE chain for the pooled z. One user-keyed
+    // aggregate then scalars.
+    "prop_ztest" -> ((s, dir) => {
+      val u = Relational.events(s, dir).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("grp", pmod(col("user_id"), lit(2)))
+      val row = u.agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("grp") === 0, col("conv")).otherwise(0L)).as("x1"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("grp") === 1, col("conv")).otherwise(0L)).as("x2"))
+      val n1 = col("n1").cast("double")
+      val n2 = col("n2").cast("double")
+      val p = (col("x1") + col("x2")).cast("double") / (n1 + n2)
+      val se2 = p * (lit(1.0) - p) * (lit(1.0) / n1 + lit(1.0) / n2)
+      row.select(col("n1"), col("x1"), col("n2"), col("x2"),
+        bround(when(col("n1") > 0 && col("n2") > 0 && se2 > 0.0,
+          (col("x1").cast("double") / n1 - col("x2").cast("double") / n2)
+            / sqrt(se2)), 6).as("z"))
+    }),
+
     "mannwhitney_u" -> ((s, dir) => {
       val g = Relational.events(s, dir)
         .filter(col("event_type").isin("purchase", "view") &&
@@ -276,6 +335,52 @@ object Inference {
     }))
 
   val oracles: Map[String, String] = Map(
+    "seasonal_decompose" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |t AS (SELECT day, x,
+        |    count(*) OVER w AS cnt7, sum(x) OVER w AS sum7,
+        |    (day - DATE '2024-01-01') % 7 AS dow
+        |  FROM d WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT *, CASE WHEN cnt7 = 7 THEN
+        |    CAST(round_even(sum7 * 1000000.0 / 7.0, 0) AS BIGINT)
+        |    END AS trend_micros FROM t),
+        |s AS (SELECT dow, CAST(round_even(
+        |    CAST(sum(x * 1000000 - trend_micros) AS DOUBLE) / count(*),
+        |    0) AS BIGINT) AS seasonal_micros
+        |  FROM t2 WHERE trend_micros IS NOT NULL GROUP BY 1)
+        |SELECT strftime(t2.day, '%Y-%m-%d') AS day, t2.x,
+        |  t2.trend_micros, s.seasonal_micros,
+        |  CASE WHEN t2.trend_micros IS NOT NULL
+        |    AND s.seasonal_micros IS NOT NULL
+        |    THEN t2.x * 1000000 - t2.trend_micros - s.seasonal_micros
+        |    END AS resid_micros
+        |FROM t2 LEFT JOIN s USING (dow) ORDER BY day""".stripMargin,
+
+    "prop_ztest" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv,
+        |    user_id % 2 AS grp
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) AS x2
+        |  FROM u)
+        |SELECT n1, x1, n2, x2,
+        |  round_even(CASE WHEN n1 > 0 AND n2 > 0 AND
+        |    (CAST(x1 + x2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + n2))
+        |      * (1.0 - CAST(x1 + x2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + n2))
+        |      * (1.0 / n1 + 1.0 / n2) > 0.0 THEN
+        |    (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+        |    / sqrt((CAST(x1 + x2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + n2))
+        |      * (1.0 - CAST(x1 + x2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + n2))
+        |      * (1.0 / n1 + 1.0 / n2)) END, 6) AS z
+        |FROM a""".stripMargin,
+
     "mannwhitney_u" ->
       """WITH g AS (SELECT event_type, value FROM events
         |  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),

@@ -367,6 +367,25 @@ object Relational {
         .orderBy("family")
     }),
 
+    // FORWARD as-of join ([[graft.ops.AsofJoin.asofJoinForward]]): each
+    // view picks the user's NEXT purchase at or after it — time-to-next
+    // conversion. The oracle is DuckDB's native ASOF with the <=
+    // inequality, so the descending-window composition is checked
+    // against a reference implementation of the operator itself.
+    "asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsofJoin.asofJoinForward(
+          views, purchases, "user_id", "ts", "ts", Seq("ts", "value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("asof_ts")).as("purchase_us"),
+          col("asof_value").as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // as-of join (an operator Spark lacks natively — graft.ops.AsofJoin
     // composes it as tagged-union + one window pass): each purchase
     // event picks the user's latest view at or before it. Timestamps
@@ -1327,6 +1346,13 @@ object Relational {
         |GROUP BY e.event_type, m.mean, m.sd
         |ORDER BY e.event_type""".stripMargin,
     // DuckDB has NATIVE ASOF JOIN — the ideal oracle for our composed one
+    "asof_forward" ->
+      """SELECT a.event_id, a.user_id,
+        |  epoch_us(b.ts) AS purchase_us, b.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') a
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND a.ts <= b.ts
+        |ORDER BY a.event_id""".stripMargin,
     "asof_join" ->
       """SELECT a.event_id, a.user_id,
         |  epoch_us(b.ts) AS view_us, b.value AS view_value

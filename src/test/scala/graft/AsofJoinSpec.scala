@@ -77,4 +77,27 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(row.getTimestamp(3).toString === "2024-01-01 09:00:00.0")
     assert(row.isNullAt(4))
   }
+
+  test("forward variant picks the earliest right row at or after, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 07:00:00")), // before both quotes -> first
+      (2L, 10L, ts("2024-01-01 08:30:00")), // between -> second
+      (3L, 10L, ts("2024-01-01 09:00:00")), // EXACTLY at second (inclusive)
+      (4L, 10L, ts("2024-01-01 10:00:00")), // after all -> null
+      (5L, 99L, ts("2024-01-01 12:00:00"))  // key with no right rows -> null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), 1.0),
+      (10L, ts("2024-01-01 09:00:00"), 2.0)
+    ).toDF("k", "rt", "price")
+
+    val out = AsofJoin.asofJoinForward(left, right, "k", "t", "rt",
+        Seq("price"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out === Map(
+      1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(2.0),
+      4L -> None, 5L -> None))
+  }
 }
