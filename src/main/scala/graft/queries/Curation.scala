@@ -211,6 +211,47 @@ object Curation {
         .orderBy("bin")
     }),
 
+    // Snapshot diff — the "what changed between pipeline runs" audit:
+    // two snapshots compared by primary key with one FULL OUTER join on
+    // (pk, row-fingerprint), classified added/removed/changed/
+    // unchanged and rolled up. The shuffle carries (pk, 16-byte md5),
+    // never the rows; at 100 TB the diff costs one co-partitioned join
+    // at 24 bytes/row. Snapshot B derives deterministically from A
+    // (drop pk%97, bump value on pk%13, append pk%101 under shifted
+    // ids) so the oracle reconstructs both sides from the events table
+    // alone and the expected class counts are data-defined.
+    "snapshot_diff" -> ((s, dir) => {
+      val base = Relational.events(s, dir).select(col("event_id"),
+        col("user_id"), col("event_type"),
+        bround(col("value") * lit(1000000.0)).cast("long").as("vm"))
+      val mutated = base.filter(pmod(col("event_id"), lit(97)) =!= 0)
+        .withColumn("vm",
+          when(pmod(col("event_id"), lit(13)) === 0,
+            coalesce(col("vm"), lit(0L)) + 1).otherwise(col("vm")))
+      val appended = base.filter(pmod(col("event_id"), lit(101)) === 0)
+        .select((col("event_id") + lit(1000000000000L)).as("event_id"),
+          col("user_id"), col("event_type"), col("vm"))
+      def fp(df: DataFrame, as: String): DataFrame =
+        df.select(col("event_id"),
+          md5(concat_ws("|", col("user_id").cast("string"),
+            col("event_type"),
+            coalesce(col("vm").cast("string"), lit("")))
+            .cast("binary")).as(as))
+      fp(base, "ha")
+        .join(fp(mutated.unionByName(appended), "hb"),
+          Seq("event_id"), "full_outer")
+        .select(
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") =!= col("hb"), "changed")
+            .otherwise("unchanged").as("change_type"),
+          col("event_id"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("change_type")
+    }),
+
     // NULL imputation with the per-group exact median — the "fill
     // missing features before training" pass, with its audit columns
     // (how many rows were touched, with what value). The median table
@@ -363,6 +404,35 @@ object Curation {
         |    AS cov
         |FROM c JOIN s si ON si.i = c.i JOIN s sj ON sj.i = c.j
         |ORDER BY c.i, c.j""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH base AS (SELECT event_id, user_id, event_type,
+        |    CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS vm
+        |  FROM events),
+        |a AS (SELECT event_id, md5(CAST(user_id AS VARCHAR) || '|' ||
+        |    event_type || '|' || coalesce(CAST(vm AS VARCHAR), ''))
+        |    AS ha FROM base),
+        |bsrc AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN event_id % 13 = 0 THEN coalesce(vm, 0) + 1
+        |      ELSE vm END AS vm
+        |  FROM base WHERE event_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000000000, user_id, event_type, vm
+        |  FROM base WHERE event_id % 101 = 0),
+        |b AS (SELECT event_id, md5(CAST(user_id AS VARCHAR) || '|' ||
+        |    event_type || '|' || coalesce(CAST(vm AS VARCHAR), ''))
+        |    AS hb FROM bsrc),
+        |j AS (SELECT coalesce(a.event_id, b.event_id) AS event_id,
+        |    ha, hb
+        |  FROM a FULL OUTER JOIN b ON a.event_id = b.event_id)
+        |SELECT CASE WHEN ha IS NULL THEN 'added'
+        |    WHEN hb IS NULL THEN 'removed'
+        |    WHEN ha <> hb THEN 'changed'
+        |    ELSE 'unchanged' END AS change_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM j GROUP BY 1 ORDER BY change_type""".stripMargin,
 
     "impute_median" ->
       """WITH g AS (SELECT event_type, value, count(*) AS c
