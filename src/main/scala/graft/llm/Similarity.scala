@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -62,6 +63,33 @@ object Similarity {
         bround(cosine(col("vec"), col("qvec")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Hard-negative mining for contrastive training: for each of the
+    * first `nSeeds` vectors, the `k` most-similar vectors of a
+    * DIFFERENT label — the "closest impostors" that make the best
+    * negatives. The seed set broadcasts (bounded), the corpus scan is
+    * map-only into a per-seed window top-k: one shuffle on the seed
+    * key, whose cardinality is `nSeeds`, not the corpus. Similarity
+    * rounds to 6 decimals before ranking (the cosineTopK contract) so
+    * the cut is deterministic.
+    */
+  def hardNegatives(emb: DataFrame, nSeeds: Int = 5, k: Int = 3): DataFrame = {
+    val seeds = emb.filter(col("vec_id") < nSeeds)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        dbl(col("embedding")).as("qvec"))
+    val scored = emb
+      .select(col("vec_id"), col("label"), dbl(col("embedding")).as("vec"))
+      .crossJoin(broadcast(seeds))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"),
+        bround(cosine(col("vec"), col("qvec")), 6).as("sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy("qid", "rk")
   }
 
   /** Approximate top-k via bucketed random-projection LSH (euclidean).

@@ -57,6 +57,52 @@ object Inference {
     // carrying DOUBLED average ranks (2·r̄ = 2·cum_before + t + 1 — an
     // integer), and the tie-corrected variance consumes the exact
     // Σ(t³−t). One final mirrored IEEE chain produces z.
+    // Spearman rank correlation per return flag — the robust sibling of
+    // correlation_matrix's Pearson: Pearson over DOUBLED average ranks
+    // (2r̄ = 2·cum_before + t + 1, an exact integer off the distinct-
+    // value grid, the mannwhitney_u idiom), so ties and moments stay
+    // integer-exact in DECIMAL(38,0) up to the one final IEEE chain.
+    // The rank tables join back by VALUE (grid-sized, not row-sized);
+    // the Σ(2r)² ≤ 4n³ and n·Σ ≤ 4n⁴ growth caps the exact window at
+    // ~10⁹ rows per group — past that the chk() guard raises rather
+    // than silently diverging (the correlation_matrix contract).
+    "spearman_corr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      def ranks(c: String): DataFrame = {
+        val w = Window.partitionBy("g").orderBy(c)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        li.groupBy(col("g"), col(c)).agg(count(lit(1)).as("t"))
+          .select(col("g"), col(c),
+            (lit(2) * coalesce(sum("t").over(w), lit(0L)) + col("t") + 1)
+              .as(s"r2$c"))
+      }
+      val joined = li.join(ranks("x"), Seq("g", "x"))
+        .join(ranks("y"), Seq("g", "y"))
+      val m = joined.groupBy("g").agg(
+        count(lit(1)).as("n"),
+        sum(col("r2x").cast(D38)).cast(D38).as("sx"),
+        sum(col("r2y").cast(D38)).cast(D38).as("sy"),
+        sum((col("r2x").cast(D38) * col("r2x")).cast(D38)).cast(D38)
+          .as("sxx"),
+        sum((col("r2y").cast(D38) * col("r2y")).cast(D38)).cast(D38)
+          .as("syy"),
+        sum((col("r2x").cast(D38) * col("r2y")).cast(D38)).cast(D38)
+          .as("sxy"))
+      val num = chk(col("n").cast(D38) * col("sxy")
+        - col("sx") * col("sy"), "spearman_corr")
+      val dx = chk(col("n").cast(D38) * col("sxx")
+        - col("sx") * col("sx"), "spearman_corr")
+      val dy = chk(col("n").cast(D38) * col("syy")
+        - col("sy") * col("sy"), "spearman_corr")
+      m.select(col("g").as("returnflag"), col("n"),
+          bround(when(dx > 0 && dy > 0,
+            num.cast("double")
+              / (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))), 6)
+            .as("rho"))
+        .orderBy("returnflag")
+    }),
+
     // Additive decomposition of the daily series: 7-day centered
     // moving-average trend (ROWS frame, full windows only), day-of-week
     // seasonal profile of the detrended series, residual. EVERYTHING
@@ -335,6 +381,39 @@ object Inference {
     }))
 
   val oracles: Map[String, String] = Map(
+    "spearman_corr" ->
+      """WITH li AS (SELECT l_returnflag AS g, l_quantity AS x,
+        |    l_extendedprice AS y FROM lineitem),
+        |gx AS (SELECT g, x, count(*) AS t FROM li GROUP BY 1, 2),
+        |rx AS (SELECT g, x, 2 * coalesce(sum(t) OVER (PARTITION BY g
+        |    ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) + t + 1 AS r2x FROM gx),
+        |gy AS (SELECT g, y, count(*) AS t FROM li GROUP BY 1, 2),
+        |ry AS (SELECT g, y, 2 * coalesce(sum(t) OVER (PARTITION BY g
+        |    ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) + t + 1 AS r2y FROM gy),
+        |j AS (SELECT li.g, r2x, r2y FROM li
+        |  JOIN rx ON rx.g = li.g AND rx.x = li.x
+        |  JOIN ry ON ry.g = li.g AND ry.y = li.y),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(r2x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(r2y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(r2x AS HUGEINT) * r2x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(r2y AS HUGEINT) * r2y) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(r2x AS HUGEINT) * r2y) AS HUGEINT) AS sxy
+        |  FROM j GROUP BY 1),
+        |f AS (SELECT g, n,
+        |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS dx,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS dy
+        |  FROM m)
+        |SELECT g AS returnflag, n,
+        |  round_even(CASE WHEN dx > 0 AND dy > 0 THEN
+        |    CAST(num AS DOUBLE)
+        |    / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)))
+        |    END, 6) AS rho
+        |FROM f ORDER BY returnflag""".stripMargin,
+
     "seasonal_decompose" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),

@@ -260,6 +260,8 @@ object LlmQueries {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(emb(s, dir))),
+    // closest impostors per seed (contrastive hard negatives)
+    "hard_negatives" -> ((s, dir) => Similarity.hardNegatives(emb(s, dir))),
     // one Lloyd iteration from the deterministic flat seeds — the
     // oracle-checkable K-means training step
     "kmeans_step" -> ((s, dir) => Similarity.kmeansStep(emb(s, dir))),
@@ -1269,6 +1271,28 @@ object LlmQueries {
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "cosine_topk" -> cosineTopKOracle,
+    // the same per-index dot expansion, constrained to label mismatch
+    // and ranked per seed on the ROUNDED similarity (the Spark side's
+    // tie contract)
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id,
+        |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+        |      AS dot,
+        |    sum(CAST(e.embedding[i] AS DOUBLE)
+        |      * CAST(e.embedding[i] AS DOUBLE)) AS na2,
+        |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nb2
+        |  FROM embeddings e, q, range(1, 65) t(i)
+        |  WHERE e.label <> q.qlabel GROUP BY 1, 2),
+        |r AS (SELECT qid, vec_id,
+        |    round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim
+        |  FROM d),
+        |rk AS (SELECT qid, vec_id, sim, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rk
+        |  FROM r)
+        |SELECT qid, rk, vec_id, sim FROM rk WHERE rk <= 3
+        |ORDER BY qid, rk""".stripMargin,
     // gated seeded-ANN registrations: the emitted rows are the EXACT
     // result (below), so the oracle is plain brute force; the seeded
     // approximate path only decides whether rows are emitted at all
