@@ -49,5 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "hash_fp60 takes exactly 1 argument")
         HashFingerprint(children.head)
       }))
+    // optimizer: fuse the composed aggregate(zip_with(*)) dot-product
+    // spelling into the native codegen'd strict expression
+    ext.injectOptimizerRule(_ => graft.plans.FuseArrayDot)
   }
 }

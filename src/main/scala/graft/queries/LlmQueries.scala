@@ -262,6 +262,27 @@ object LlmQueries {
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(emb(s, dir))),
     // closest impostors per seed (contrastive hard negatives)
     "hard_negatives" -> ((s, dir) => Similarity.hardNegatives(emb(s, dir))),
+    // the COMPOSED higher-order-function dot product, written the way a
+    // plain-SQL user would — the FuseArrayDot optimizer rule must fuse
+    // it into the native codegen'd strict expression (asserted in
+    // PlanSpec), making this the end-to-end gate for the rewrite: same
+    // oracle discipline as cosine_topk, but the fast path is earned by
+    // the rule, not by calling array_dot explicitly
+    "sql_dot_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x as double))")
+          .as("qvec"))
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          bround(expr("aggregate(zip_with(vec, qvec, (x, y) -> x * y)," +
+            " 0d, (s, v) -> s + v)"), 6).as("dot"))
+        .orderBy(col("dot").desc, col("vec_id").asc)
+        .limit(10)
+    }),
     // one Lloyd iteration from the deterministic flat seeds — the
     // oracle-checkable K-means training step
     "kmeans_step" -> ((s, dir) => Similarity.kmeansStep(emb(s, dir))),
@@ -1271,6 +1292,16 @@ object LlmQueries {
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "cosine_topk" -> cosineTopKOracle,
+    "sql_dot_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings
+        |  WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id,
+        |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+        |      AS dot
+        |  FROM embeddings e, q, range(1, 65) t(i)
+        |  WHERE e.vec_id <> 0 GROUP BY 1)
+        |SELECT vec_id, round(dot, 6) AS dot FROM d
+        |ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin,
     // the same per-index dot expansion, constrained to label mismatch
     // and ranked per seed on the ROUNDED similarity (the Spark side's
     // tie contract)

@@ -74,4 +74,35 @@ class ArrayDotProductSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
     assert(r.getDouble(1) === 0.0)
   }
+
+  test("strict variant mirrors zip_with/aggregate semantics exactly") {
+    // fused-by-rule composed spelling vs hand-expected values: clean dot,
+    // length mismatch -> null, null element -> null, both empty -> 0.0
+    val rows = spark.sql(
+      """SELECT
+        |  aggregate(zip_with(array(1d, 2d, 3d), array(4d, 5d, 6d),
+        |    (x, y) -> x * y), 0d, (s, v) -> s + v) AS clean,
+        |  aggregate(zip_with(array(1d, 2d), array(1d), (x, y) -> x * y),
+        |    0d, (s, v) -> s + v) AS mismatch,
+        |  aggregate(zip_with(array(1d, cast(null as double)),
+        |    array(1d, 2d), (x, y) -> x * y), 0d, (s, v) -> s + v) AS nullel,
+        |  aggregate(zip_with(cast(array() as array<double>),
+        |    cast(array() as array<double>), (x, y) -> x * y), 0d,
+        |    (s, v) -> s + v) AS empty""".stripMargin).collect()(0)
+    assert(rows.getDouble(0) === 32.0)
+    assert(rows.isNullAt(1))
+    assert(rows.isNullAt(2))
+    assert(rows.getDouble(3) === 0.0)
+    // and the rule actually rewrote: a parquet-backed input defeats
+    // ConvertToLocalRelation so the fused expression survives into the
+    // optimized plan
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fusedot").toString
+    Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .selectExpr("aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (s, v) -> s + v) AS dot")
+    assert(df.queryExecution.optimizedPlan.toString.contains("array_dot_strict"))
+    assert(df.collect()(0).getDouble(0) === 11.0)
+  }
 }

@@ -235,4 +235,11 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size === 1,
       "multiple scans for multi-distinct aggregate")
   }
+
+  test("FuseArrayDot: composed aggregate(zip_with(*)) fuses to the native strict dot") {
+    val p = plan(q("sql_dot_topk"))
+    assert(p.contains("array_dot_strict"),
+      s"composed dot product not fused\n${p.take(1200)}")
+    assert(!p.contains("aggregate("), "higher-order fold survived the rewrite")
+  }
 }
