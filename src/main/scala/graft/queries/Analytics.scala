@@ -634,6 +634,38 @@ object Analytics {
           countDistinct("o_orderstatus").as("n_statuses"))
         .orderBy("o_orderpriority")),
 
+    // MAP-typed column surface (the feature-store column shape):
+    // per-order map linenumber→quantity built with map_from_entries
+    // over a SORTED entry list (collect_list order is nondeterministic;
+    // the sort pins it), then transform_values / map_filter / map_keys
+    // / map_entries, flattened back to rows for the value gate. The
+    // oracle re-derives the flattened result relationally — the map is
+    // the Spark-side representation under test, the values are the
+    // contract.
+    "map_functions" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(97)) === 0)
+        // the harness data repeats linenumbers within an order; map
+        // keys must be unique, so the entry value is the per-key sum
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(sum("l_quantity").as("q"))
+      val m = li.groupBy("l_orderkey").agg(
+        map_from_entries(array_sort(collect_list(
+          struct(col("l_linenumber"), col("q"))))).as("m"))
+      m.select(col("l_orderkey"),
+          size(col("m")).as("n_items"),
+          expr("transform_values(m, (k, v) -> v * 2)").as("m2"),
+          expr("map_filter(m, (k, v) -> v > 25)").as("mf"))
+        .select(col("l_orderkey"), col("n_items"),
+          explode(map_entries(col("m2"))).as("e"),
+          col("mf"))
+        .select(col("l_orderkey"), col("n_items"),
+          col("e.key").as("linenumber"),
+          bround(col("e.value"), 2).as("qty2"),
+          array_contains(map_keys(col("mf")), col("e.key")).as("kept"))
+        .orderBy("l_orderkey", "linenumber")
+    }),
+
     // correlated EXISTS / NOT EXISTS through the SQL front end: Catalyst
     // rewrites the pair into one semi- and one anti-join — no per-row
     // subquery execution ever happens
@@ -1145,6 +1177,17 @@ object Analytics {
         |SELECT CAST(2 AS INT), count(*), CAST(0 AS BIGINT), count(*)
         |FROM documents WHERE doc_id % 2 <> 0
         |ORDER BY batch""".stripMargin,
+    // relational re-derivation of the flattened map pipeline
+    "map_functions" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |    sum(l_quantity) AS q
+        |  FROM lineitem WHERE l_orderkey % 97 = 0 GROUP BY 1, 2)
+        |SELECT l_orderkey,
+        |  CAST(count(*) OVER (PARTITION BY l_orderkey) AS INT) AS n_items,
+        |  l_linenumber AS linenumber,
+        |  round_even(q * 2, 2) AS qty2,
+        |  q > 25 AS kept
+        |FROM li ORDER BY l_orderkey, linenumber""".stripMargin,
     "collections_agg" ->
       """SELECT o_orderpriority,
         |  string_agg(s, ',' ORDER BY s) AS statuses,
