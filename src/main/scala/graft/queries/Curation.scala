@@ -211,6 +211,58 @@ object Curation {
         .orderBy("bin")
     }),
 
+    // Benford's-law leading-digit audit over order totals — the
+    // synthetic-data / fraud smell test (organically-sized amounts
+    // follow log10(1+1/d); generated or tampered ones usually don't).
+    // The leading digit comes from the DECIMAL-CENTS STRING (BIGINT →
+    // VARCHAR renders identically in both engines), never from
+    // floating log10 whose boundary ulp could disagree. One scan, a
+    // 9-row aggregate, expected shares and the χ² distance quantized
+    // the chi_square way.
+    "benford_audit" -> ((s, dir) => {
+      val cents = bround(col("o_totalprice") * lit(100.0)).cast("long")
+      val d = t(s, dir, "orders")
+        .select(cents.as("c")).filter(col("c") >= 1)
+        .select(substring(col("c").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = d.agg(sum("n").as("tot"))
+      // ln-ratio spelling (ln ≡ DuckDB ln, ÷ is IEEE) and an explicit
+      // square — no log10/pow library paths whose last ulp could
+      // differ between engines
+      val ben = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+        log(lit(10.0))
+      val obs = col("n").cast("double") / col("tot").cast("double")
+      d.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          bround(obs, 6).as("observed"),
+          bround(ben, 6).as("benford"),
+          // χ² term on the share scale, micro-quantized
+          bround((obs - ben) * (obs - ben) / ben * lit(1000000.0))
+            .cast("long").as("chi2_term_micros"))
+        .orderBy("digit")
+    }),
+
+    // Deterministic keyed pseudonymization of user ids (the GDPR-style
+    // tokenization pass): token = 60-bit md5 of a secret-salted id —
+    // stable across runs for joinability, irreversible without the
+    // salt. The audit columns PROVE the properties the downstream
+    // pipeline relies on: token count == id count (injectivity over
+    // this corpus) and zero tokens colliding across distinct ids. One
+    // distinct + two scalar aggregates, map-side combinable.
+    "pseudonymize" -> ((s, dir) => {
+      val ids = Relational.events(s, dir).select(col("user_id")).distinct()
+      val tok = ids.select(col("user_id"),
+        graft.llm.Dedup.fingerprint60(
+          concat(lit("graft-salt-v1:"), col("user_id").cast("string")))
+          .as("token"))
+      tok.agg(
+        count(lit(1)).as("n_ids"),
+        countDistinct("token").as("n_tokens"),
+        (count(lit(1)) - countDistinct("token")).as("collisions"),
+        min("token").as("min_token"), max("token").as("max_token"))
+    }),
+
     // Snapshot diff — the "what changed between pipeline runs" audit:
     // two snapshots compared by primary key with one FULL OUTER join on
     // (pk, row-fingerprint), classified added/removed/changed/
@@ -404,6 +456,35 @@ object Curation {
         |    AS cov
         |FROM c JOIN s si ON si.i = c.i JOIN s sj ON sj.i = c.j
         |ORDER BY c.i, c.j""".stripMargin,
+
+    "benford_audit" ->
+      """WITH c AS (SELECT CAST(round_even(o_totalprice * 100.0, 0)
+        |    AS BIGINT) AS c FROM orders),
+        |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT)
+        |    AS digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM c WHERE c >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d)
+        |SELECT digit, n,
+        |  round_even(CAST(n AS DOUBLE) / tot, 6) AS observed,
+        |  round_even(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford,
+        |  CAST(round_even(
+        |    (CAST(n AS DOUBLE) / tot - ln(1.0 + 1.0 / digit) / ln(10.0))
+        |    * (CAST(n AS DOUBLE) / tot - ln(1.0 + 1.0 / digit) / ln(10.0))
+        |    / (ln(1.0 + 1.0 / digit) / ln(10.0)) * 1000000.0, 0)
+        |    AS BIGINT) AS chi2_term_micros
+        |FROM d, t ORDER BY digit""".stripMargin,
+
+    "pseudonymize" ->
+      """WITH ids AS (SELECT DISTINCT user_id FROM events),
+        |tok AS (SELECT user_id,
+        |    CAST('0x' || substr(md5('graft-salt-v1:' ||
+        |      CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS token
+        |  FROM ids)
+        |SELECT CAST(count(*) AS BIGINT) AS n_ids,
+        |  count(DISTINCT token) AS n_tokens,
+        |  CAST(count(*) - count(DISTINCT token) AS BIGINT) AS collisions,
+        |  min(token) AS min_token, max(token) AS max_token
+        |FROM tok""".stripMargin,
 
     "snapshot_diff" ->
       """WITH base AS (SELECT event_id, user_id, event_type,
