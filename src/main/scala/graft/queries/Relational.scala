@@ -329,6 +329,49 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // The custom DataSource V2 connector under the value gate: a
+    // deterministic sequence table read THROUGH
+    // [[graft.sources.SequenceSource]] with an id-range predicate the
+    // source itself consumes — slices outside the range are never
+    // planned, surviving slices clamp their bounds (PlanSpec asserts
+    // pushed filters + pruned partition count). The oracle rebuilds
+    // the same sequence from DuckDB's range() without ever seeing the
+    // connector — only correct pushdown-plus-residual semantics can
+    // match it.
+    "synthetic_source" -> ((s, dir) => {
+      GraftSession.tune(s)
+      s.read.format("graft.sources.SequenceSource")
+        .option("start", "0").option("end", "1000000")
+        .option("slices", "32")
+        .load()
+        .filter(col("id") >= 250000L && col("id") < 750000L)
+        .groupBy(pmod(col("bucket"), lit(10)).as("b10"))
+        .agg(count(lit(1)).as("n"), sum("id").as("id_sum"),
+          min("id").as("min_id"), max("id").as("max_id"))
+        .orderBy("b10")
+    }),
+
+    // NOT IN versus a nullable subquery — the null-aware anti-join
+    // semantics trap: one NULL in the IN-list makes `x NOT IN (...)`
+    // unknowable for every row (FALSE-or-NULL), so the second count is
+    // 0 BY ANSI SEMANTICS, not by data. Spark plans the null-aware
+    // anti join; engines that compile NOT IN to a plain anti join get
+    // this wrong, which is exactly what the oracle checks.
+    "not_in_nulls" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("docs_nin_v")
+      s.sql(
+        """SELECT
+          |  (SELECT count(*) FROM docs_nin_v
+          |   WHERE lang NOT IN (SELECT DISTINCT lang FROM docs_nin_v
+          |     WHERE source = 'src0' AND lang IN ('en', 'de')))
+          |    AS n_clean,
+          |  (SELECT count(*) FROM docs_nin_v
+          |   WHERE lang NOT IN (SELECT DISTINCT lang FROM docs_nin_v
+          |     WHERE source = 'src0' AND lang IN ('en', 'de')
+          |     UNION ALL SELECT CAST(NULL AS STRING)))
+          |    AS n_with_null""".stripMargin)
+    }),
+
     // Several COUNT(DISTINCT) over DIFFERENT keys in ONE aggregate —
     // the plan Catalyst rewrites through an Expand (one input row fans
     // to one row per distinct group), so all three distinct sets and
@@ -1042,6 +1085,25 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the oracle never sees the connector: same sequence from range()
+    "synthetic_source" ->
+      """SELECT CAST((i % 97) % 10 AS INT) AS b10,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(i) AS BIGINT) AS id_sum,
+        |  min(i) AS min_id, max(i) AS max_id
+        |FROM range(250000, 750000) t(i)
+        |GROUP BY 1 ORDER BY b10""".stripMargin,
+    "not_in_nulls" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents
+        |   WHERE lang NOT IN (SELECT DISTINCT lang FROM documents
+        |     WHERE source = 'src0' AND lang IN ('en', 'de')))
+        |    AS n_clean,
+        |  (SELECT count(*) FROM documents
+        |   WHERE lang NOT IN (SELECT DISTINCT lang FROM documents
+        |     WHERE source = 'src0' AND lang IN ('en', 'de')
+        |     UNION ALL SELECT NULL))
+        |    AS n_with_null""".stripMargin,
     "multi_distinct" ->
       """SELECT count(DISTINCT user_id) AS n_users,
         |  count(DISTINCT event_type) AS n_types,
