@@ -105,4 +105,35 @@ class ArrayDotProductSpec extends AnyFunSuite {
     assert(df.queryExecution.optimizedPlan.toString.contains("array_dot_strict"))
     assert(df.collect()(0).getDouble(0) === 11.0)
   }
+
+  test("fused dot equals the zip_with fold on 300 random inputs (fixed seed)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def arr(): Option[Seq[Option[Double]]] =
+      if (rnd.nextInt(20) == 0) None
+      else Some(Seq.fill(rnd.nextInt(6))(
+        if (rnd.nextInt(15) == 0) None
+        else Some(math.rint((rnd.nextDouble() * 10 - 5) * 100) / 100)))
+    val rows = (1 to 300).map(i => (i.toLong, arr(), arr()))
+    val dir = java.nio.file.Files.createTempDirectory("fuseprop").toString
+    rows.toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir)
+      .selectExpr("id",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (s, v) -> s + v) AS dot")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val expected = rows.map { case (id, oa, ob) =>
+      id -> ((oa, ob) match {
+        case (Some(x), Some(y)) if x.length == y.length &&
+            x.forall(_.isDefined) && y.forall(_.isDefined) =>
+          // same left-to-right IEEE order as the codegen loop
+          Some(x.zip(y).foldLeft(0.0) {
+            case (s, (Some(u), Some(v))) => s + u * v
+            case (s, _) => s
+          })
+        case _ => None
+      })
+    }.toMap
+    assert(got === expected)
+  }
 }

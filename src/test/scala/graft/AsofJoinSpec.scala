@@ -100,4 +100,28 @@ class AsofJoinSpec extends AnyFunSuite {
       1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(2.0),
       4L -> None, 5L -> None))
   }
+
+  test("forward variant equals brute-force next-at-or-after on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 80).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong)).toSeq
+    val right = rnd.shuffle((0 until 5).flatMap(k =>
+      rnd.shuffle((0 until 1000).toList).take(12).map(t =>
+        (k.toLong, t.toLong, rnd.nextDouble())))).toSeq
+    val l = left.toDF("id", "k", "t")
+    val r = right.toDF("k", "rt", "price")
+
+    val got = AsofJoin.asofJoinForward(l, r, "k", "t", "rt", Seq("price"))
+      .collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(3)) None else Some(row.getDouble(3)))).toMap
+
+    val byKey = right.groupBy(_._1)
+    val expected = left.map { case (id, k, t) =>
+      id -> byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 >= t)
+        .sortBy(_._2).headOption.map(_._3)
+    }.toMap
+    assert(got === expected)
+  }
 }

@@ -393,4 +393,63 @@ class FunnelStreamSpec extends AnyFunSuite {
         ("2024-01-01 01:00:00.0", 1L), ("2024-01-01 01:30:00.0004", 1L)))
     } finally q.stop()
   }
+
+  test("random time-ordered micro-batches reproduce the batch session split exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    // 4 users x ~40 events each; inter-event gaps 0..50 min, so the
+    // 30-min rule splits mid-stream many times; delivered to the
+    // stream in global time order across random batch boundaries
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val evs = (for {
+      u <- 1L to 4L
+      _ <- 1 to 1
+    } yield {
+      var t = base + rnd.nextInt(600000)
+      (1 to 40).map { _ =>
+        t += rnd.nextInt(50 * 60000).toLong
+        FunnelStream.UserEvent(u, new Timestamp(t), "view")
+      }
+    }).flatten.sortBy(_.ts.getTime)
+
+    val input = MemoryStream[FunnelStream.UserEvent]
+    val q = FunnelStream.userSessions(input.toDS(), gapMinutes = 30,
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("randsessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      var rest = evs
+      while (rest.nonEmpty) {
+        val k = 1 + rnd.nextInt(25)
+        input.addData(rest.take(k))
+        q.processAllAvailable()
+        rest = rest.drop(k)
+      }
+      // two far-future sentinels: the first advances the watermark past
+      // every real timeout, the second runs a batch under it
+      val far = evs.map(_.ts.getTime).max + 365L * 86400000L
+      input.addData(FunnelStream.UserEvent(-1L, new Timestamp(far), "x"))
+      q.processAllAvailable()
+      input.addData(FunnelStream.UserEvent(-1L, new Timestamp(far * 2), "x"))
+      q.processAllAvailable()
+
+      val got = spark.table("randsessions")
+        .collect().filter(_.getLong(0) >= 0)
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+
+      // batch reference: split each user's ordered stream on gap > 30min
+      val expected = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        val ts = es.map(_.ts.getTime).sorted
+        val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head <= 30 * 60000L) (t :: acc.head) :: acc.tail
+          else List(t) :: acc
+        }
+        sessions.map(sess =>
+          (u, sess.min, sess.max, sess.length.toLong))
+      }.toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
 }
