@@ -38,7 +38,10 @@ object SparkEntry {
       // same report over the at-scale layout: stages ingested once as a
       // date=-partitioned parquet table (with a decoy out-of-range day)
       // and pruned by a planned partition predicate, not path strings
-      ("csv_funnel_partitioned" -> (CsvFunnelReport.partitionedQuery(_, _)))
+      ("csv_funnel_partitioned" -> (CsvFunnelReport.partitionedQuery(_, _))) +
+      // per-file provenance via the _metadata hidden column, against
+      // DuckDB read_csv(filename = true) over the same files
+      ("file_lineage" -> (CsvFunnelReport.lineageQuery(_, _)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +55,6 @@ object SparkEntry {
       ("csv_funnel_report" -> CsvFunnelReport.oracle) +
       // the partitioned layout must reproduce the CSV-path result
       // exactly — one oracle serves both
-      ("csv_funnel_partitioned" -> CsvFunnelReport.oracle)
+      ("csv_funnel_partitioned" -> CsvFunnelReport.oracle) +
+      ("file_lineage" -> CsvFunnelReport.lineageOracle)
 }

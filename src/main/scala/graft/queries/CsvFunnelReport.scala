@@ -86,6 +86,52 @@ object CsvFunnelReport {
       .orderBy("row_idx")
   }
 
+  /** File-lineage audit over the fixture's per-user fact files: each
+    * input file's row count and entity fan-out, keyed by the file's own
+    * NAME via the `_metadata.file_name` hidden column — the "which
+    * physical file contributed what" provenance question every
+    * multi-file ingest layer answers before trusting a backfill. The
+    * oracle reads the SAME files through DuckDB `read_csv(filename =
+    * true)`, so the hidden-column plumbing sits under the hard value
+    * gate.
+    */
+  def lineageQuery(s: SparkSession, ignoredSfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    GraftSession.tune(s)
+    val base = FunnelCsvFixture.ensureDefault(fixtureBase)
+    val days = DateSpec.parse(dateSpecText).days
+    val paths = days.map { d =>
+      val tok = DateSpec.formatDay(d)
+      s"$base/$tok/${FunnelSources.userFunnelPrefix}-$tok.csv"
+    }
+    s.read.schema(Schemas.userFunnel).option("header", "true")
+      .csv(paths: _*)
+      .select(col("_metadata.file_name").as("file"),
+        col("entity_id"), col("fetch_status"))
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("entity_id").as("n_entities"),
+        count(when(col("fetch_status") === "Success", 1))
+          .as("n_success"))
+      .orderBy("file")
+  }
+
+  val lineageOracle: String = {
+    val days = DateSpec.parse(dateSpecText).days
+    val files = days.map { d =>
+      val tok = DateSpec.formatDay(d)
+      s"'$fixtureBase/$tok/${FunnelSources.userFunnelPrefix}-$tok.csv'"
+    }.mkString("[", ", ", "]")
+    s"""SELECT regexp_extract(filename, '[^/]+$$') AS file,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  count(DISTINCT entity_id) AS n_entities,
+       |  CAST(count(CASE WHEN fetch_status = 'Success' THEN 1 END)
+       |    AS BIGINT) AS n_success
+       |FROM read_csv($files, header = true, all_varchar = true,
+       |  filename = true)
+       |GROUP BY 1 ORDER BY file""".stripMargin
+  }
+
   /** DuckDB twin over the same CSV files. Semantics mirrored per source:
     *  - stages: per-value trunc-to-long BEFORE sum (FunnelAggregates
     *    .stageTotals; `report_engine.py:225`), empty scan -> 0;
