@@ -653,6 +653,69 @@ object Insights {
         .orderBy("user_id", "sess_no")
     }),
 
+    // Malformed-input accounting: a scratch CSV where every 13th line
+    // carries a non-numeric token in a LONG column, read PERMISSIVE
+    // with a corrupt-record column — the ingest-edge contract (bad rows
+    // are QUARANTINED AND COUNTED, never silently dropped, and never
+    // kill the job — the reference's degrade-to-empty philosophy,
+    // report_engine.py:60-62, made row-granular). The oracle computes
+    // the expected good/bad split in CLOSED FORM from the generation
+    // rule (the synthetic_source trick) — it never parses the file, so
+    // only correct quarantine semantics can match it.
+    "corrupt_records" -> ((s, dir) => {
+      GraftSession.tune(s)
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_corrupt_" + Relational.sfTag(dir)).getAbsolutePath
+      val n = 10000
+      if (!new java.io.File(p).exists) {
+        val tmp = new java.io.File(p + ".tmp")
+        val w = new java.io.PrintWriter(tmp, "UTF-8")
+        try {
+          (0 until n).foreach { i =>
+            val v = if (i % 13 == 0) s"bad_$i" else (i.toLong * 7).toString
+            w.println(s"$i,$v")
+          }
+        } finally w.close()
+        tmp.renameTo(new java.io.File(p))
+      }
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_bad",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(sch)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(p)
+        .agg(
+          count(when(col("_bad").isNull, 1)).as("n_good"),
+          count(when(col("_bad").isNotNull, 1)).as("n_corrupt"),
+          sum(when(col("_bad").isNull, col("v"))).as("good_sum"),
+          // corrupt rows keep their parseable columns (id) — the
+          // quarantine preserves what it can
+          sum(when(col("_bad").isNotNull, col("id"))).as("corrupt_id_sum"))
+    }),
+
+    // Empty-input aggregate semantics — the edge every engine must
+    // agree on before any of the 200+ aggregates above can be trusted
+    // on a filtered-to-nothing slice: a GLOBAL aggregate over zero rows
+    // returns ONE row (count 0, sum/avg/min NULL), a GROUPED aggregate
+    // returns ZERO rows (witnessed by a count over it).
+    "empty_relations" -> ((s, dir) => {
+      val e = Relational.events(s, dir).filter(col("event_type") === "nope")
+      val global = e.agg(
+        count(lit(1)).as("n"),
+        sum("value").as("s"),
+        avg("value").as("a"),
+        min("user_id").as("mn"))
+      val grouped = e.groupBy("event_type")
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("grouped_rows"))
+      global.crossJoin(grouped)
+    }),
+
     // Multi-format federation under one checksum: the SAME canonical
     // rows written once as parquet, ORC, and headered CSV, read back
     // through each format's own source, unioned, and fingerprinted.
@@ -1014,6 +1077,28 @@ object Insights {
     // flatMapGroupsWithState result answers to the SAME oracle as the
     // batch window query
     "stream_sessionize" -> Relational.oracles("sessionize"),
+    // closed form from the generation rule — the oracle never parses
+    // the corrupt file
+    "corrupt_records" ->
+      """WITH g AS (SELECT i FROM range(0, 10000) t(i))
+        |SELECT
+        |  CAST(sum(CASE WHEN i % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_good,
+        |  CAST(sum(CASE WHEN i % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  CAST(sum(CASE WHEN i % 13 <> 0 THEN i * 7 END) AS BIGINT)
+        |    AS good_sum,
+        |  CAST(sum(CASE WHEN i % 13 = 0 THEN i END) AS BIGINT)
+        |    AS corrupt_id_sum
+        |FROM g""".stripMargin,
+    "empty_relations" ->
+      """WITH e AS (SELECT * FROM events WHERE event_type = 'nope'),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(value) AS DOUBLE) AS s, avg(value) AS a,
+        |    min(user_id) AS mn FROM e),
+        |gr AS (SELECT CAST(count(*) AS BIGINT) AS grouped_rows FROM (
+        |  SELECT event_type, count(*) AS c FROM e GROUP BY 1))
+        |SELECT g.n, g.s, g.a, g.mn, gr.grouped_rows FROM g, gr""".stripMargin,
     // the oracle never reads our files: if all three format readers
     // round-trip, every aggregate is exactly 3x the logical table's
     "federated_union" ->
