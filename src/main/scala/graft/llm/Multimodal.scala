@@ -142,6 +142,71 @@ object Multimodal {
     }
   }
 
+  /** One audio "chunk": overlapping frame/hop windowing (the log-mel
+    * front-end's shape — frame=400 units, hop=160), with per-chunk unit
+    * count and the digest of the chunk's content.
+    */
+  final case class AudioChunk(
+      doc_id: Long, chunk_idx: Int, start_unit: Int, n_units: Int,
+      checksum: Long)
+
+  /** Frame/hop chunking STUB over the audio-modality payloads — the
+    * third multimodal verb (decode → features, video → frame-sample,
+    * audio → overlapped windowing). Same contract as [[sampleFrames]]:
+    * the loop reads CODE-POINT units so every emitted value (chunk
+    * count `1 + ⌊(n−frame)/hop⌋` for n ≥ frame, start offsets `i·hop`,
+    * lengths, digests of `substr` windows) is recomputable in plain
+    * SQL, putting the imperative stage under the hard oracle. A real
+    * PCM front-end drops its sample array into this exact iterator.
+    */
+  def chunkAudio(media: Dataset[MediaRow], frame: Int = 400,
+      hop: Int = 160): Dataset[AudioChunk] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val text =
+          if (m.payload == null) "" else new String(m.payload, "UTF-8")
+        val cps = text.codePoints.toArray
+        val n = cps.length
+        val k = if (n < frame) 0 else 1 + (n - frame) / hop
+        (0 until k).iterator.map { i =>
+          val start = i * hop
+          val chunk = java.util.Arrays.copyOfRange(cps, start, start + frame)
+          val cs = new String(chunk, 0, chunk.length)
+          md.reset()
+          val hex = md.digest(cs.getBytes("UTF-8"))
+            .map(b => f"${b & 0xff}%02x").mkString
+          AudioChunk(m.doc_id, i, start, frame,
+            java.lang.Long.parseLong(hex.substring(0, 15), 16))
+        }
+      }
+    }
+  }
+
+  /** End-to-end audio chunking: route the audio modality, window per
+    * partition, roll up per doc (chunk count + order-independent sum
+    * of chunk digests) so the output stays bounded.
+    */
+  def audio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = mediaFromDocuments(
+      docs.filter(col("text").isNotNull && length(col("text")) > 0))
+      .filter(col("modality") === "audio")
+      .repartition(col("modality"))
+      .as[MediaRow]
+    chunkAudio(media).toDF()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        min("start_unit").as("first_start"),
+        max("start_unit").as("last_start"),
+        sum(col("checksum")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .cast("string").as("chunks_checksum"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end frame sampling: route the video modality (a partition-
     * pruning filter in a real layout), sample + resize per partition.
     */

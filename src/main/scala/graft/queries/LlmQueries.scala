@@ -329,6 +329,10 @@ object LlmQueries {
     // variable-output partition loop (flatMap, codec shape) under the
     // hard oracle — boundaries, resized lengths, and digests all
     // recompute relationally over code points
+    // audio-style frame/hop overlapped chunking (the third multimodal
+    // verb); per-doc rollup keeps the gate bounded
+    "multimodal_audio" -> ((s, dir) =>
+      Multimodal.audio(s, docs(s, dir))),
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.frames(s, docs(s, dir))),
     "token_count_bpe" -> ((s, dir) =>
@@ -1380,6 +1384,25 @@ object LlmQueries {
     // windows, every-2nd-code-point resize via RE2 pair replace (the
     // singleton tail survives, = ceil(len/2)), 60-bit md5 digest of the
     // resized window — each step mirrors the partition loop exactly
+    // frame=400/hop=160 windowing in closed form; the range bound (8)
+    // covers docs up to 1520 units (fixture max is 577)
+    "multimodal_audio" ->
+      """WITH a AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 3 = 1),
+        |k AS (SELECT doc_id, text,
+        |    CASE WHEN n >= 400 THEN 1 + (n - 400) // 160 ELSE 0 END AS k
+        |  FROM a),
+        |c AS (SELECT doc_id, CAST(t.i * 160 AS INT) AS start_unit,
+        |    CAST('0x' || substr(md5(
+        |      substring(text, CAST(t.i * 160 AS BIGINT) + 1, 400)),
+        |      1, 15) AS BIGINT) AS checksum
+        |  FROM k, range(0, 8) t(i) WHERE t.i < k.k)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  min(start_unit) AS first_start, max(start_unit) AS last_start,
+        |  CAST(CAST(sum(CAST(checksum AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS chunks_checksum
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "multimodal_frames" ->
       """WITH v AS (SELECT doc_id, text, length(text) AS n
         |  FROM documents
