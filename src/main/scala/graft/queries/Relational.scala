@@ -372,6 +372,24 @@ object Relational {
           |    AS n_with_null""".stripMargin)
     }),
 
+    // Error-safe arithmetic gate (the try_* family): try_divide by
+    // zero, try_add past BIGINT max, and try_cast of a non-numeric
+    // string must each degrade to NULL — per ROW, not per job. This is
+    // the ingestion contract a 100 TB batch needs: one pathological
+    // row costs one NULL, never a dead stage. Counts are data-driven
+    // over events (the overflow addend is forced strictly positive so
+    // MAX+addend always overflows); the control column proves try_* is
+    // not simply NULL-happy: it must equal n exactly.
+    "try_arithmetic" -> ((s, dir) =>
+      events(s, dir).agg(
+        count(lit(1)).as("n"),
+        count(expr("try_divide(event_id, 0)")).as("div0_nonnull"),
+        count(expr("try_add(9223372036854775807L," +
+          " CASE WHEN event_id > 0 THEN event_id ELSE 1 END)"))
+          .as("overflow_nonnull"),
+        count(expr("try_cast(event_type AS INT)")).as("badcast_nonnull"),
+        count(expr("try_add(event_id, 1)")).as("control_nonnull"))),
+
     // Several COUNT(DISTINCT) over DIFFERENT keys in ONE aggregate —
     // the plan Catalyst rewrites through an Expand (one input row fans
     // to one row per distinct group), so all three distinct sets and
@@ -558,6 +576,47 @@ object Relational {
           graft.functions.HyperLogLogAgg.regWeight(col("regs")).as("reg_weight"),
           graft.functions.HyperLogLogAgg.zeroRegs(col("regs")).as("zero_regs"))
         .orderBy("event_type")
+    }),
+
+    // Exact mergeable count-distinct via fixed-width bitmap words —
+    // the bitmap-index rollup idiom: key k maps to word k div 62 and
+    // bit k % 62 (62-bit words keep every mask positive, the widest
+    // shift both engines' BIGINT semantics agree on), a per-(year,
+    // month, word) bit_or builds the monthly bitmap, and month→year
+    // rollup is ANOTHER bit_or over the same word keys — EXACT
+    // distinct counts that merge without ever re-shuffling raw keys,
+    // the precise-count sibling of hll_rollup. State per group is
+    // |key space|/62 words spread across word-hash partitions (each
+    // word is independent — no single-reducer bitmap).
+    // sum_month_distinct > distinct_bitmap witnesses the cross-month
+    // repeat customers the merge deduplicated; distinct_exact pins the
+    // bitmap arithmetic to a plain countDistinct.
+    "bitmap_distinct" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        col("o_custkey").as("k"))
+      val words = o.select(col("yr"), col("mo"),
+        expr("CAST(k DIV 62 AS BIGINT)").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(k % 62 AS INT))").as("m"))
+      val monthly = words.groupBy("yr", "mo", "w")
+        .agg(bit_or(col("m")).as("bm"))
+        .localCheckpoint() // feeds month counts AND the year merge
+      val sums = monthly.groupBy("yr", "mo")
+        .agg(sum(bit_count(col("bm"))).as("d"))
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n_months"),
+          sum("d").cast("long").as("sum_month_distinct"))
+      val merged = monthly.groupBy("yr", "w")
+        .agg(bit_or(col("bm")).as("ybm"))
+        .groupBy("yr")
+        .agg(sum(bit_count(col("ybm"))).cast("long").as("distinct_bitmap"))
+      val exact = o.groupBy("yr")
+        .agg(countDistinct("k").as("distinct_exact"))
+      merged.join(sums, "yr").join(exact, "yr")
+        .select(col("yr"), col("n_months"), col("sum_month_distinct"),
+          col("distinct_bitmap"), col("distinct_exact"))
+        .orderBy("yr")
     }),
 
     // top-k per group: one window pass, never a per-group sort-limit
@@ -1104,6 +1163,41 @@ object Relational {
         |     WHERE source = 'src0' AND lang IN ('en', 'de')
         |     UNION ALL SELECT NULL))
         |    AS n_with_null""".stripMargin,
+    // TRY_CAST is DuckDB-native; the div0/overflow legs restate the
+    // same closed-form row predicates (divisor is literal 0; the
+    // addend is forced > 0 so MAX + addend always leaves BIGINT)
+    "try_arithmetic" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE 0 <> 0) AS BIGINT) AS div0_nonnull,
+        |  CAST(count(*) FILTER (WHERE
+        |    (CASE WHEN event_id > 0 THEN event_id ELSE 1 END) <= 0)
+        |    AS BIGINT) AS overflow_nonnull,
+        |  CAST(count(TRY_CAST(event_type AS INT)) AS BIGINT)
+        |    AS badcast_nonnull,
+        |  CAST(count(event_id) AS BIGINT) AS control_nonnull
+        |FROM events""".stripMargin,
+    "bitmap_distinct" ->
+      """WITH o AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT)
+        |      AS yr,
+        |    CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+        |    CAST(o_custkey AS BIGINT) AS k FROM orders),
+        |w AS (SELECT yr, mo, k // 62 AS w,
+        |    (CAST(1 AS BIGINT) << CAST(k % 62 AS INT)) AS m FROM o),
+        |mb AS (SELECT yr, mo, w, bit_or(m) AS bm FROM w GROUP BY 1, 2, 3),
+        |md AS (SELECT yr, mo, CAST(sum(bit_count(bm)) AS BIGINT) AS d
+        |       FROM mb GROUP BY 1, 2),
+        |sm AS (SELECT yr, CAST(count(*) AS BIGINT) AS n_months,
+        |         CAST(sum(d) AS BIGINT) AS sum_month_distinct
+        |       FROM md GROUP BY 1),
+        |yb AS (SELECT yr, w, bit_or(bm) AS ybm FROM mb GROUP BY 1, 2),
+        |ym AS (SELECT yr, CAST(sum(bit_count(ybm)) AS BIGINT)
+        |         AS distinct_bitmap FROM yb GROUP BY 1),
+        |ex AS (SELECT yr, CAST(count(DISTINCT k) AS BIGINT)
+        |         AS distinct_exact FROM o GROUP BY 1)
+        |SELECT ex.yr, sm.n_months, sm.sum_month_distinct,
+        |  ym.distinct_bitmap, ex.distinct_exact
+        |FROM ex JOIN sm USING (yr) JOIN ym USING (yr)
+        |ORDER BY yr""".stripMargin,
     "multi_distinct" ->
       """SELECT count(DISTINCT user_id) AS n_users,
         |  count(DISTINCT event_type) AS n_types,

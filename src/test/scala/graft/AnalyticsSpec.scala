@@ -26,6 +26,41 @@ class AnalyticsSpec extends AnyFunSuite {
       Seq(1L, 2L, 39L, 4294967295L))
   }
 
+  test("bitmap_distinct: 62-bit word arithmetic matches exact distincts across the month rollup") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bitmap_distinct").toString
+    def d(y: Int, m: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"$y-$m%02d-15 00:00:00")
+    // custkeys straddle the 62-bit word boundary (61 | 62) and repeat
+    // within a month (61 twice in Jan) and across months (61 again in
+    // Feb): Jan {0,61,62}=3, Feb {61,124}=2, year-merged {0,61,62,124}=4
+    Seq(
+      (d(2025, 1), 0L), (d(2025, 1), 61L), (d(2025, 1), 62L),
+      (d(2025, 1), 61L),
+      (d(2025, 2), 61L), (d(2025, 2), 124L),
+      (d(2026, 3), 5L))
+      .toDF("o_orderdate", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("bitmap_distinct")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got === Array((2025, 2L, 5L, 4L, 4L), (2026, 1L, 1L, 1L, 1L)))
+  }
+
+  test("try_arithmetic: row-level NULL degradation, not job failure") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("try_arith").toString
+    // event_type "7" is the only castable string; event_id 0 exercises
+    // the forced-positive overflow addend branch
+    Seq((1L, "a", 0L), (2L, "7", 1000000000L), (0L, "b", 2000000000L))
+      .toDF("event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("try_arithmetic")(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((3L, 0L, 0L, 1L, 3L)))
+  }
+
   test("funnel_ordered fold: stage advances only in order and within the window") {
     import spark.implicits._
     val h = 3600000000L // 1 h in µs
