@@ -50,6 +50,21 @@ rep("events") { (df, i) =>
   df.withColumn("event_id", col("event_id") + lit(i * EID))
     .withColumn("user_id", col("user_id") + lit(i * UID))
 }
+rep("embeddings") { (df, i) =>
+  // per-replica dimension ROTATION: a common permutation leaves every
+  // within-replica pairwise cosine EXACTLY invariant (per-replica
+  // near-dup/ANN structure matches sf0.1 bit-for-bit), while
+  // cross-replica pairs decorrelate — near-dup pair outputs scale
+  // ~10x, not quadratically in the replica count. Verbatim copies
+  // would give every vector 9 identical twins (45 self-pairs each, a
+  // ~100x pair explosion): that benches the fixture, not the engine —
+  // the embedding-space analogue of documents' replica-salted tokens.
+  val emb =
+    if (i == 0) col("embedding")
+    else expr(s"transform(sequence(0, 63), j -> embedding[int((j + ${7 * i}) % 64)])")
+  df.withColumn("vec_id", col("vec_id") + lit(i * 100000L))
+    .withColumn("embedding", emb)
+}
 rep("documents") { (df, i) =>
   val txt =
     if (i == 0) col("text")
