@@ -455,28 +455,51 @@ object Similarity {
     emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(cap)
 
-  /** [[cosineNearDupPairs]] (MLlib euclidean LSH candidates) under the
-    * recall gate against the exact ≥-minCosine pair set — computed on a
-    * deterministic `sampleCap`-vector hash-sample, NOT the full corpus.
-    * The LSH path (the production candidate generator) still runs over
-    * everything; only the ground-truth side is bounded, so the gate's
-    * cost is one corpus scan (sample selection) + O(cap²) pairs + the
-    * linear banded join — linear in corpus size. The top-k gates
-    * ([[annTopKGated]]/[[ivfTopKGated]]) need no sampling: their exact
-    * side is a single-query scan, already linear. sampleCap = 1024
-    * covers the whole fixture at sf≤0.01 (sample ≡ corpus, output
-    * unchanged) and bounds the pair join to ≤ ~0.5M pairs at any
-    * scale; at sf0.1 the 1024-sample's measured recall (0.835) sits a
-    * sampling-error margin above the 0.8 gate where a 512-sample
-    * (0.786) did not — size the sample so the binomial error of the
-    * recall ESTIMATE stays well inside the gate margin.
+  /** Full-corpus ≥-minCosine pair scan under the recall gate against
+    * an INDEPENDENT exact ground truth computed on a deterministic
+    * `sampleCap`-vector hash-sample. The ground-truth side is bounded
+    * (one corpus scan + ≤cap² pairs), so the gate itself stays linear
+    * in corpus size; the operator under audit is the full pair scan.
+    *
+    * Why the full side is the blocked EXACT scan and not an LSH
+    * candidate join — measured, not assumed (sf0.1 fixture, 2 000 unit
+    * vectors, truth = 920 pairs all at cos 0.40–0.48 against an
+    * isotropic bulk centered at 0):
+    *  - a 14-config sweep across three hash families (1-projection
+    *    euclidean tables à la MLlib BRP, AND-amplified multi-projection
+    *    euclidean bands, sign-bit bands) shows EVERY config reaching
+    *    the 0.8 recall gate keeps ≥48 % of ALL pairs as candidates —
+    *    at a threshold inside the bulk's tail the per-projection
+    *    separation (0.635 vs 0.5 bit agreement) is too weak to prune;
+    *  - IVF multi-probe cell bucketing (the SemDedup shape) measures
+    *    the same frontier (recall 0.83 ⇒ 42 % of pairs, nlist 32);
+    *  - the previous MLlib BRP configuration (bucketLength 1.0,
+    *    2 tables) only LOOKED like it separated: MLlib normalizes its
+    *    projection directions, so unit-vector projections have
+    *    σ ≈ d^-1/2 ≈ 0.125 and a 1.0-wide bucket put essentially the
+    *    whole corpus in ONE bucket per table — a cartesian join through
+    *    a single hot key (45 s at sf1, the worst shuffle shape).
+    * The margin-prefiltered codegen pair scan computes the same
+    * candidate set (all pairs) with no shuffle at all — one broadcast
+    * nested-loop over normalized vectors (8.8 s warm at sf1, 5×
+    * faster than the degenerate LSH join, no hot key). At a HIGH-cos
+    * threshold (≥0.7) banding separates and [[signLshNearDupPairs]] /
+    * [[semDedupDropped]] are the production candidate generators; at a
+    * bulk-tail threshold the honest 100 TB posture is "this is a pair
+    * ENUMERATION, run it blocked-exact on the shard or raise τ".
+    *
+    * sampleCap = 1024 covers the whole fixture at sf≤0.01 (sample ≡
+    * corpus, output unchanged) and bounds the gate's pair join at any
+    * scale; the exact full side makes the gate's measured recall 1.0
+    * by construction, so the gate now guards refactor drift (a future
+    * approximate swap-in must still clear it on real recall).
     */
-  def cosineNearDupGated(emb: DataFrame, maxDistance: Double = 4.0,
+  def cosineNearDupGated(emb: DataFrame,
       minCosine: Double = 0.9, minRecall: Double = 0.8,
       sampleCap: Int = 1024): DataFrame =
     recallGated(
       exactCosinePairs(hashSample(emb, sampleCap), minCosine),
-      cosineNearDupPairs(emb, maxDistance, minCosine),
+      exactCosinePairs(emb, minCosine),
       Seq("vec_a", "vec_b"), minRecall,
       Seq(col("vec_a").asc, col("vec_b").asc))
 
@@ -589,12 +612,19 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs via LSH buckets (the
-    * embedding-space analogue of [[Dedup.minhashPairs]]): pairs whose
-    * euclidean distance is under `maxDistance`, with exact cosine
-    * attached, bucketed join only.
+  /** Embedding-cosine near-duplicate pairs via MLlib euclidean-LSH
+    * buckets — RETIRED from the registered gate, kept as the measured
+    * comparison path ([[graft.tools.RecallProbe]]). Round-11 audit: on
+    * unit vectors MLlib's normalized projection directions give
+    * projections with σ ≈ d^-1/2 ≈ 0.125, so bucketLength 1.0 puts
+    * essentially the whole corpus in ONE bucket per table — the join
+    * degenerates to a cartesian through a single hot key (45 s at sf1
+    * vs 8.8 s for [[exactCosinePairs]]' shuffle-free broadcast scan),
+    * and its high measured recall was brute force in disguise, not
+    * hashing. See [[cosineNearDupGated]] for the full phase-diagram
+    * measurement (no hash family prunes at a bulk-tail threshold).
     *
-    * Two deliberate plan choices keep this linear-ish: (a) the LSH
+    * Two plan choices still worth keeping on record: (a) the LSH
     * self-join carries ONLY (vec_id, features) — dragging the raw
     * array column through the per-hash-table explode + distinct
     * multiplies shuffle bytes by the table count; (b) cosine is derived

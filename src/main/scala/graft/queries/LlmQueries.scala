@@ -314,15 +314,17 @@ object LlmQueries {
     // so DuckDB can rebuild the whole index (seeds, assignment, probe)
     "ann_ivf_flat" -> ((s, dir) =>
       Similarity.ivfFlatTopK(emb(s, dir), k = 10, nlist = 16, nprobe = 4)),
-    // seeded euclidean-LSH near-dup candidates under the recall gate:
-    // emits the exact ≥-0.4 pair set over a deterministic 1024-vector
-    // hash-sample, only when the full-corpus LSH path recovers ≥ 80%
-    // of it. The sampled exact side bounds the ground-truth cost to
-    // one scan + ≤1024² pairs — the gate itself now scales linearly,
-    // exactly how a 100 TB run audits its candidate generator.
+    // full-corpus near-dup pair scan under the recall gate: emits the
+    // exact ≥-0.4 pair set over a deterministic 1024-vector
+    // hash-sample, only when the full-corpus pair scan recovers ≥ 80%
+    // of it. The full side is the blocked EXACT scan, not an LSH join:
+    // at a bulk-tail threshold no hash family prunes (measured 14-config
+    // sweep in the cosineNearDupGated scaladoc) and the old MLlib
+    // config was a degenerate single-bucket cartesian — 45 s at sf1 vs
+    // 8.8 s for the shuffle-free broadcast pair scan.
     "cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupGated(embFan(s, dir),
-        maxDistance = 1.1, minCosine = 0.4, minRecall = 0.8)),
+        minCosine = 0.4, minRecall = 0.8)),
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, docs(s, dir))),
     // keyframe-sample + 2:1-resize stub over the video modality: the

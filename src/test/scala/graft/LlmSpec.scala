@@ -455,7 +455,7 @@ class LlmSpec extends AnyFunSuite {
 
   test("gated near-dup pairs equal the exact pair set when the gate passes") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val gated = Similarity.cosineNearDupGated(emb, maxDistance = 1.1,
+    val gated = Similarity.cosineNearDupGated(emb,
       minCosine = 0.4, minRecall = 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val exact = Similarity.exactCosinePairs(emb, 0.4).collect()
