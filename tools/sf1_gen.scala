@@ -66,9 +66,17 @@ rep("embeddings") { (df, i) =>
     .withColumn("embedding", emb)
 }
 rep("documents") { (df, i) =>
+  // LENGTH-PRESERVING token salt (each token maps to an md5 prefix of
+  // its own length, capped at the 32 hex chars md5 yields): the fixed
+  // 8-char prefix of the first cut inflated average text length
+  // 297 → 467 chars, over-costing every length-quadratic verifier
+  // (levenshtein DP per candidate pair) by ~2.5× on replicas — a
+  // fixture artifact, not engine cost. Same dedup/near-dup structure
+  // either way (token identity is what matters).
   val txt =
     if (i == 0) col("text")
-    else expr(s"array_join(transform(split(text, '\\\\s+'), w -> substr(md5(concat(w, '$i')), 1, 8)), ' ')")
+    else expr(s"array_join(transform(split(text, '\\\\s+'), " +
+      s"w -> substr(md5(concat(w, '$i')), 1, greatest(1, least(length(w), 32)))), ' ')")
   df.withColumn("doc_id", col("doc_id") + lit(i * DID))
     .withColumn("text", txt)
     .withColumn("n_chars", length(col("text")).cast("long"))
