@@ -40,6 +40,67 @@ object Curation {
         " DECIMAL(38,0) — requantize inputs"))).otherwise(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SCD2 dimension build — the type-2 slowly-changing-dimension
+    // operator every warehouse runs: per user, CONSECUTIVE runs of the
+    // same event_type collapse into one validity interval
+    // [valid_from, valid_to) (gaps-and-islands: change flag + running
+    // sum + one lead), the open interval per user carries NULL
+    // valid_to. Emitted as a per-event_type audit (version counts,
+    // open rows, exact closed-duration µs) so the output stays small
+    // while the full interval table is exercised underneath. Both
+    // window passes and the island group-by share ONE user_id
+    // shuffle; durations are exact integer µs.
+    "scd2_intervals" -> ((s, dir) => {
+      val ev = Relational.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val wOrd = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val flagged = ev.withColumn("chg",
+        when(lag("event_type", 1).over(wOrd).isNull ||
+          lag("event_type", 1).over(wOrd) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      val islands = flagged.withColumn("isl", sum("chg").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ivals = islands.groupBy("user_id", "isl")
+        .agg(min("event_type").as("event_type"),
+          min("us").as("valid_from"), count(lit(1)).as("n_rows"))
+      val wIv = Window.partitionBy("user_id").orderBy("isl")
+      val scd = ivals
+        .withColumn("valid_to", lead("valid_from", 1).over(wIv))
+      scd.groupBy("event_type").agg(
+        count(lit(1)).as("n_versions"),
+        count(when(col("valid_to").isNull, 1)).as("n_open"),
+        sum(when(col("valid_to").isNotNull,
+          col("valid_to") - col("valid_from"))).as("closed_dur_us"),
+        sum("n_rows").as("n_events"),
+        countDistinct("user_id").as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // Referential-integrity audit — the FK health check a warehouse
+    // runs before trusting any join-based metric: orphaned child keys
+    // counted by left-anti joins (the match set never materializes),
+    // with total row counts riding along as a one-row scorecard. Each
+    // anti join is one co-partitioned shuffle on the audited key (or a
+    // broadcast when the parent is dim-sized — Catalyst decides); a
+    // zero row is the PASS certificate, pinned by the oracle.
+    "referential_orphans" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+      val ord = t(s, dir, "orders")
+      val liOrph = li
+        .join(ord.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("lineitem_orphans"))
+      val ordOrph = ord.select("o_custkey")
+        .join(t(s, dir, "customer").select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("order_orphans"))
+      liOrph.crossJoin(ordOrph)
+        .crossJoin(li.agg(count(lit(1)).as("lineitem_rows")))
+        .crossJoin(ord.agg(count(lit(1)).as("order_rows")))
+    }),
+
     // ROC AUC per order priority: does o_totalprice rank the finished
     // ('F') orders above the rest? AUC ≡ the Mann–Whitney statistic, so
     // the scalable spelling is the DISTINCT-VALUE-GRID rank formula
@@ -398,6 +459,43 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+        |      AS chg
+        |    FROM e WINDOW w AS (PARTITION BY user_id
+        |      ORDER BY us, event_id)),
+        |i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS isl
+        |    FROM f),
+        |v AS (SELECT user_id, isl, min(event_type) AS event_type,
+        |      min(us) AS valid_from, count(*) AS n_rows
+        |    FROM i GROUP BY 1, 2),
+        |s AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY isl) AS valid_to FROM v)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_versions,
+        |  CAST(count(*) FILTER (WHERE valid_to IS NULL) AS BIGINT)
+        |    AS n_open,
+        |  CAST(sum(valid_to - valid_from)
+        |    FILTER (WHERE valid_to IS NOT NULL) AS BIGINT)
+        |    AS closed_dur_us,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "referential_orphans" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders
+        |     WHERE o_orderkey = l_orderkey)) AS lineitem_orphans,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer
+        |     WHERE c_custkey = o_custkey)) AS order_orphans,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+        |    AS lineitem_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS order_rows""".stripMargin,
     "auc_roc" ->
       """WITH g AS (SELECT o_orderpriority AS priority, o_totalprice AS v,
         |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c1,

@@ -17,6 +17,47 @@ class CurationSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  test("scd2_intervals: consecutive runs collapse, open interval carries NULL") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("cur_scd2")
+    val h = 3600000000L // 1 h in µs
+    // user 1: A@0, A@1h (no-change update — must COLLAPSE), B@2h,
+    //   A@3h (open) → A: v1 [0,2h) closed + v2 [3h,∞) open; B: [2h,3h)
+    // user 2: B@0 only → one open B version
+    val rows = Seq(
+      (1L, 1L, "A", 0L * h), (1L, 2L, "A", 1L * h),
+      (1L, 3L, "B", 2L * h), (1L, 4L, "A", 3L * h),
+      (2L, 5L, "B", 0L * h))
+    rows.toDF("user_id", "event_id", "event_type", "ts_us")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        (col("ts_us") * 1000).as("ts")) // Long nanos encoding
+      .write.parquet(s"$dir/events.parquet")
+    val out = Curation.queries("scd2_intervals")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    // A: 2 versions (collapse proved: 3 A-events -> 2 versions),
+    //    1 open, closed duration exactly 2h, 3 events, 1 user
+    assert(out("A") === ((2L, 1L, 2L * h, 3L, 1L)))
+    // B: 2 versions across 2 users, user 2's is open; closed = 1h
+    assert(out("B") === ((2L, 1L, 1L * h, 2L, 2L)))
+  }
+
+  test("referential_orphans: planted orphan keys are counted, not dropped") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("cur_refint")
+    Seq((1L, 10L), (2L, 10L), (3L, 99L)) // orderkey 99 has no parent
+      .toDF("l_linenumber", "l_orderkey")
+      .select(col("l_orderkey")).write.parquet(s"$dir/lineitem.parquet")
+    Seq((10L, 100L), (11L, 777L)) // custkey 777 has no parent
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(Tuple1(100L)).toDF("c_custkey").write.parquet(s"$dir/customer.parquet")
+    val r = Curation.queries("referential_orphans")(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((1L, 1L, 3L, 2L)))
+  }
+
   test("auc_roc: clean ranks, tied scores, and a one-class group") {
     val dir = tmp("cur_auc")
     // A: pos scores {1,3}, neg {2} → Σr₊ = 4, AUC = (4−3)/2 = 0.5
