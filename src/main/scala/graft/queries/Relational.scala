@@ -846,6 +846,51 @@ object Relational {
         .orderBy("user_id", "sess_no")
     }),
 
+    // Peak concurrency by sweep line — the interval-overlap operator
+    // (how many sessions were simultaneously open, per day): sessions
+    // from the shared gaps-and-islands spelling, exploded to their
+    // touched days (a session spans ≤2 calendar days here), clipped to
+    // day bounds, then ±1 endpoint events and a per-day running sum
+    // whose MAX is the day's peak. Tie rule (+1 sorts before −1 at the
+    // same µs) makes the peak inclusive AND order-independent under
+    // ties (equal deltas commute; the post-group sum dominates any
+    // prefix). Scale shape: the sweep is partitioned by DAY — each
+    // day's window is one task, bounded by that day's session count,
+    // and days parallelize; no global ordering anywhere.
+    "peak_concurrency" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = unix_micros(col("ts")) -
+        unix_micros(lag(col("ts"), 1).over(w))
+      val sess = events(s, dir)
+        .withColumn("new_sess",
+          when(coalesce(gapUs > 30L * 60 * 1000000, lit(true)), 1)
+            .otherwise(0))
+        .withColumn("sess_no", sum("new_sess").over(w))
+        .groupBy("user_id", "sess_no")
+        .agg(unix_micros(min(col("ts"))).as("s_us"),
+          unix_micros(max(col("ts"))).as("e_us"))
+      val perDay = sess
+        .withColumn("day", explode(sequence(
+          to_date(timestamp_micros(col("s_us"))),
+          to_date(timestamp_micros(col("e_us"))))))
+        .withColumn("d0", unix_micros(col("day").cast("timestamp")))
+        .withColumn("cs", greatest(col("s_us"), col("d0")))
+        .withColumn("ce",
+          least(col("e_us"), col("d0") + lit(86400000000L) - 1))
+      val pts = perDay
+        .select(col("day"), col("cs").as("us"), lit(1L).as("delta"))
+        .unionByName(perDay
+          .select(col("day"), col("ce").as("us"), lit(-1L).as("delta")))
+      val wd = Window.partitionBy("day")
+        .orderBy(col("us").asc, col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("run", sum("delta").over(wd))
+        .groupBy("day")
+        .agg(max("run").as("peak_concurrent"),
+          count(when(col("delta") === 1L, 1)).as("n_sessions"))
+        .orderBy("day")
+    }),
+
     // data-quality check battery (the dbt-test family): null keys,
     // duplicate primary keys, FK orphans, range violations, empty
     // payloads — each an independent aggregate, unioned into one
@@ -1453,6 +1498,43 @@ object Relational {
         |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
         |FROM s GROUP BY user_id, sess_no
         |ORDER BY user_id, sess_no""".stripMargin,
+    "peak_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN coalesce(
+        |      epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000,
+        |      true) THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sn AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS sess_no
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sess_no, epoch_us(min(ts)) AS s_us,
+        |    epoch_us(max(ts)) AS e_us
+        |  FROM sn GROUP BY 1, 2),
+        |d AS (
+        |  SELECT s_us, e_us,
+        |    unnest(generate_series(make_timestamp(s_us)::DATE,
+        |      make_timestamp(e_us)::DATE, INTERVAL 1 DAY))::DATE AS day
+        |  FROM sess),
+        |c AS (
+        |  SELECT day,
+        |    greatest(s_us, epoch_us(day::TIMESTAMP)) AS cs,
+        |    least(e_us, epoch_us(day::TIMESTAMP) + 86400000000 - 1) AS ce
+        |  FROM d),
+        |p AS (SELECT day, cs AS us, 1 AS delta FROM c
+        |      UNION ALL SELECT day, ce, -1 FROM c),
+        |r AS (
+        |  SELECT day, delta,
+        |    sum(delta) OVER (PARTITION BY day ORDER BY us, delta DESC
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM p)
+        |SELECT day, CAST(max(run) AS BIGINT) AS peak_concurrent,
+        |  CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_sessions
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "dq_checks" ->
       """SELECT * FROM (
         |  SELECT 'orders_null_custkey' AS "check",

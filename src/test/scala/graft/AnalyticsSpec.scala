@@ -61,6 +61,28 @@ class AnalyticsSpec extends AnyFunSuite {
       r.getLong(4)) === ((3L, 0L, 0L, 1L, 3L)))
   }
 
+  test("peak_concurrency: sweep-line peak, inclusive ends, midnight-spanning session") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("peak_conc").toString
+    val m = 60000000L // 1 min in µs
+    val day = 86400000000L
+    // day 0: u1 [0,20m], u3 [12m,22m], u2 [13m,13m] -> all three open
+    //   at 13m (peak 3); u4 starts 23:50 and runs past midnight
+    //   (20-min gap keeps one session) -> counted on BOTH days
+    // day 1: only u4's clipped tail [00:00,00:10] -> peak 1
+    val rows = Seq(
+      (1L, 1L, 0L * m), (1L, 2L, 20L * m),
+      (3L, 3L, 12L * m), (3L, 4L, 22L * m),
+      (2L, 5L, 13L * m),
+      (4L, 6L, day - 10L * m), (4L, 7L, day + 10L * m))
+    rows.map { case (u, e, us) => (u, e, "view", us * 1000) } // ns
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("peak_concurrency")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got === Array(("1970-01-01", 3L, 4L), ("1970-01-02", 1L, 1L)))
+  }
+
   test("funnel_ordered fold: stage advances only in order and within the window") {
     import spark.implicits._
     val h = 3600000000L // 1 h in µs
