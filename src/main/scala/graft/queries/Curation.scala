@@ -50,7 +50,7 @@ object Curation {
     // while the full interval table is exercised underneath. Both
     // window passes and the island group-by share ONE user_id
     // shuffle; durations are exact integer µs.
-    "scd2_intervals" -> ((s, dir) => {
+    "scd2_audit" -> ((s, dir) => {
       val ev = Relational.events(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
@@ -459,7 +459,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
-    "scd2_intervals" ->
+    "scd2_audit" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_us(ts) AS us FROM events),
         |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL

@@ -17,7 +17,7 @@ class CurationSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
-  test("scd2_intervals: consecutive runs collapse, open interval carries NULL") {
+  test("scd2_audit: consecutive runs collapse, open interval carries NULL") {
     import org.apache.spark.sql.functions._
     val dir = tmp("cur_scd2")
     val h = 3600000000L // 1 h in µs
@@ -32,7 +32,7 @@ class CurationSpec extends AnyFunSuite {
       .select(col("user_id"), col("event_id"), col("event_type"),
         (col("ts_us") * 1000).as("ts")) // Long nanos encoding
       .write.parquet(s"$dir/events.parquet")
-    val out = Curation.queries("scd2_intervals")(spark, dir).collect()
+    val out = Curation.queries("scd2_audit")(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4),
         r.getLong(5))).toMap

@@ -242,4 +242,29 @@ class PlanSpec extends AnyFunSuite {
       s"composed dot product not fused\n${p.take(1200)}")
     assert(!p.contains("aggregate("), "higher-order fold survived the rewrite")
   }
+
+  test("registry: module maps are disjoint and every query has an oracle") {
+    // The SparkEntry map is a ++ of per-module maps, so a key
+    // registered twice silently shadows the earlier query (and its
+    // oracle) — this gate makes the collision a test failure instead.
+    import graft.queries._
+    val mods = Seq(
+      "Relational" -> Relational.queries.keySet,
+      "LlmQueries" -> LlmQueries.queries.keySet,
+      "Analytics" -> Analytics.queries.keySet,
+      "Scoring" -> Scoring.queries.keySet,
+      "Signals" -> Signals.queries.keySet,
+      "Insights" -> Insights.queries.keySet,
+      "Inference" -> Inference.queries.keySet,
+      "Curation" -> Curation.queries.keySet)
+    for {
+      (Seq((na, a), (nb, b))) <- mods.combinations(2)
+      clash = a.intersect(b)
+    } assert(clash.isEmpty, s"$na and $nb both register: $clash")
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    assert((qk -- ok).isEmpty, s"queries without an oracle: ${qk -- ok}")
+    assert((ok -- qk).isEmpty, s"oracles without a query: ${ok -- qk}")
+    assert(qk.size === mods.map(_._2.size).sum + 5) // 5 SparkEntry-level
+  }
 }
