@@ -455,10 +455,77 @@ object Curation {
           bround(col("oov_tokens").cast("double")
             / col("n_tokens").cast("double"), 6).as("oov_rate"))
         .orderBy("source")
+    }),
+
+    // Training-batch padding audit — the packing-efficiency readout a
+    // data-parallel trainer cares about: fixed batches of 32 docs are
+    // padded to the longest sequence in the batch, so token waste =
+    // Σ_batches (n·max − Σlen). Two policies compared side by side:
+    // arrival order (doc_id) vs length-sorted batching (the standard
+    // bucketing trick), per language shard. Both row_number passes
+    // share ONE lang hash partitioning — batching is per-shard by
+    // design (each data-parallel worker packs its own shard), so there
+    // is NO global sort anywhere. All integer arithmetic; the waste
+    // ratio is the single final IEEE division.
+    "batch_padding" -> ((s, dir) => {
+      val d = GraftSession.fanout(t(s, dir, "documents"))
+        .select(col("lang"), col("doc_id"),
+          graft.llm.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("len"))
+      val wA = Window.partitionBy("lang").orderBy("doc_id")
+      val wS = Window.partitionBy("lang").orderBy("len", "doc_id")
+      val u = d
+        .withColumn("rn_a", row_number().over(wA))
+        .withColumn("rn_s", row_number().over(wS))
+        .select(col("lang"), col("len"), explode(array(
+          struct(lit("arrival").as("policy"), col("rn_a").as("rn")),
+          struct(lit("sorted").as("policy"), col("rn_s").as("rn"))))
+          .as("p"))
+        .select(col("lang"), col("p.policy").as("policy"), col("len"),
+          expr("CAST((p.rn - 1) DIV 32 AS INT)").as("b"))
+      val batches = u.groupBy("lang", "policy", "b").agg(
+        count(lit(1)).as("n_docs"), max("len").as("mx"),
+        sum("len").as("sm"))
+      val pad = col("n_docs") * col("mx") - col("sm")
+      batches.groupBy("lang", "policy").agg(
+          count(lit(1)).as("n_batches"),
+          sum("sm").as("real_tokens"),
+          sum(pad).as("pad_tokens"),
+          max(pad).as("max_batch_pad"))
+        .select(col("lang"), col("policy"), col("n_batches"),
+          col("real_tokens"), col("pad_tokens"), col("max_batch_pad"),
+          bround(col("pad_tokens").cast("double")
+            / (col("pad_tokens") + col("real_tokens")).cast("double"), 6)
+            .as("waste_pct"))
+        .orderBy("lang", "policy")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "batch_padding" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS len
+        |  FROM documents),
+        |r AS (SELECT lang, len,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY lang ORDER BY len, doc_id)
+        |      AS rn_s
+        |  FROM d),
+        |u AS (SELECT lang, 'arrival' AS policy, len, rn_a AS rn FROM r
+        |      UNION ALL
+        |      SELECT lang, 'sorted' AS policy, len, rn_s AS rn FROM r),
+        |b AS (SELECT lang, policy, CAST((rn - 1) // 32 AS INT) AS b,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(max(len) AS BIGINT) AS mx, CAST(sum(len) AS BIGINT) AS sm
+        |  FROM u GROUP BY 1, 2, 3)
+        |SELECT lang, policy, CAST(count(*) AS BIGINT) AS n_batches,
+        |  CAST(sum(sm) AS BIGINT) AS real_tokens,
+        |  CAST(sum(n_docs * mx - sm) AS BIGINT) AS pad_tokens,
+        |  CAST(max(n_docs * mx - sm) AS BIGINT) AS max_batch_pad,
+        |  CAST(round_even(CAST(sum(n_docs * mx - sm) AS DOUBLE)
+        |    / CAST(sum(n_docs * mx - sm) + sum(sm) AS DOUBLE), 6)
+        |    AS DOUBLE) AS waste_pct
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "scd2_audit" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_us(ts) AS us FROM events),

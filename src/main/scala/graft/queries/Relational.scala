@@ -578,6 +578,51 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // HLL sketch SET ALGEBRA — the third member of the sketch-merge
+    // family (hll_rollup merges UP a hierarchy; this merges ACROSS
+    // sets): audience overlap between 'view' users and 'purchase'
+    // users from three register arrays only. Union = slot-wise MAX of
+    // the two sketches (never re-scanning keys); intersection =
+    // inclusion–exclusion over the three estimates — the standard HLL
+    // idiom, with its known signed error on small overlaps, which is
+    // exactly why the exact countDistinct/semi-join witnesses ride
+    // along (est vs true IS the readout). One row out.
+    "hll_set_ops" -> ((s, dir) => {
+      val hll = udaf(new graft.functions.HyperLogLogAgg(),
+        org.apache.spark.sql.Encoders.STRING)
+      val ev = events(s, dir)
+      def side(et: String) = ev.filter(col("event_type") === et)
+        .select(col("user_id"))
+      val regs = ev
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(hll(col("user_id").cast("string")).as("regs"))
+        .localCheckpoint() // read three times: estA, estB, union merge
+      def est(et: String, as: String) =
+        regs.filter(col("event_type") === et)
+          .select(graft.functions.HyperLogLogAgg.estimate(col("regs"))
+            .as(as))
+      val union = regs
+        .select(posexplode(col("regs")).as(Seq("pos", "reg")))
+        .groupBy("pos").agg(max("reg").as("reg"))
+        .agg(graft.functions.HyperLogLogAgg.estimate(transform(
+          array_sort(collect_list(struct(col("pos"), col("reg")))),
+          x => x.getField("reg"))).as("est_union"))
+      val truth = side("view").distinct()
+        .join(side("purchase").distinct(), Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("true_intersect"))
+        .crossJoin(side("view").agg(
+          countDistinct("user_id").as("true_a")))
+        .crossJoin(side("purchase").agg(
+          countDistinct("user_id").as("true_b")))
+      est("view", "est_a").crossJoin(est("purchase", "est_b"))
+        .crossJoin(union).crossJoin(truth)
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          bround(col("est_a") + col("est_b") - col("est_union"), 4)
+            .as("est_intersect"),
+          col("true_a"), col("true_b"), col("true_intersect"))
+    }),
+
     // Exact mergeable count-distinct via fixed-width bitmap words —
     // the bitmap-index rollup idiom: key k maps to word k div 62 and
     // bit k % 62 (62-bit words keep every mask positive, the widest
@@ -1396,6 +1441,54 @@ object Relational {
         |  e.reg_weight, e.zero_regs
         |FROM est e JOIN cal c USING (event_type) JOIN tru t USING (event_type)
         |ORDER BY e.event_type""".stripMargin,
+    // the portable-HLL spelling of hll_rollup, run over three key
+    // sets (A, B, A∪B); union-by-register-MAX ≡ sketch of the union
+    "hll_set_ops" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'view'),
+        |b AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'purchase'),
+        |keys AS (SELECT 'a' AS s, user_id FROM a
+        |  UNION ALL SELECT 'b' AS s, user_id FROM b
+        |  UNION ALL SELECT 'u' AS s, user_id
+        |    FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)),
+        |h AS (SELECT s,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS x
+        |  FROM keys),
+        |br AS (SELECT s, x % 64 AS bucket,
+        |    55 - (CASE WHEN x // 64 = 0 THEN 0
+        |               ELSE length(bin(x // 64)) END) AS rho
+        |  FROM h),
+        |regs AS (SELECT s, bucket, max(rho) AS reg FROM br GROUP BY 1, 2),
+        |grid AS (SELECT g.s, t.b AS bucket
+        |  FROM (SELECT DISTINCT s FROM keys) g, range(0, 64) t(b)),
+        |fr AS (SELECT g.s, coalesce(r.reg, 0) AS reg
+        |  FROM grid g LEFT JOIN regs r
+        |    ON r.s = g.s AND r.bucket = g.bucket),
+        |agg AS (SELECT s,
+        |    CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS w,
+        |    CAST(count(*) FILTER (WHERE reg = 0) AS INT) AS z
+        |  FROM fr GROUP BY 1),
+        |est AS (SELECT s,
+        |    round(CASE WHEN (0.709 * 4096) * pow(2.0, 55)
+        |          / CAST(w AS DOUBLE) <= 160.0 AND z > 0
+        |        THEN 64.0 * ln(64.0 / z)
+        |        ELSE (0.709 * 4096) * pow(2.0, 55) / CAST(w AS DOUBLE)
+        |        END, 4) AS e
+        |  FROM agg),
+        |wide AS (SELECT
+        |    (SELECT e FROM est WHERE s = 'a') AS est_a,
+        |    (SELECT e FROM est WHERE s = 'b') AS est_b,
+        |    (SELECT e FROM est WHERE s = 'u') AS est_union)
+        |SELECT est_a, est_b, est_union,
+        |  CAST(round_even(est_a + est_b - est_union, 4) AS DOUBLE)
+        |    AS est_intersect,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM a) AS true_a,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS true_b,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |     FROM a JOIN b USING (user_id)) AS true_intersect
+        |FROM wide""".stripMargin,
     "topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  CAST(row_number() OVER (PARTITION BY o_orderpriority

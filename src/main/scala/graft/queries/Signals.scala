@@ -758,6 +758,57 @@ object Signals {
         .orderBy("event_type")
     }),
 
+    // t-closeness — the third rung of the anonymity ladder after
+    // [[kanonymity]] (class sizes) and [[ldiversity]] (class variety):
+    // how far each (lang, source) equivalence class's SENSITIVE-value
+    // distribution drifts from the corpus-wide one, as the ordered
+    // earth-mover's distance over a FIXED 10-class ordinal (length
+    // decile by literal 200-char steps — no data-dependent grid).
+    // EMD(ordered) = Σᵢ|CumPg(i) − CumP(i)| / (m−1), computed on
+    // INTEGERS — |cum_g·N − cum_all·n_g| in DECIMAL(38,0) — with ONE
+    // final IEEE division per class. The global CDF is a 10-row
+    // broadcast (its unpartitioned window is over the literal grid,
+    // never data-sized); per-group cums share one (lang, source)
+    // shuffle.
+    "t_closeness" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      val d = t(s, dir, "documents").select(col("lang"), col("source"),
+        least(expr("CAST(n_chars DIV 200 AS INT)"), lit(9)).as("cls"))
+      val cnt = d.groupBy("lang", "source", "cls")
+        .agg(count(lit(1)).as("c"))
+      val grid = d.select("lang", "source").distinct()
+        .select(col("lang"), col("source"),
+          explode(sequence(lit(0), lit(9))).as("cls"))
+      val full = grid.join(cnt, Seq("lang", "source", "cls"), "left")
+        .na.fill(0L, Seq("c"))
+      val wg = Window.partitionBy("lang", "source").orderBy("cls")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gc = full.select(col("lang"), col("source"), col("cls"),
+        sum("c").over(wg).as("cum_g"))
+      val gfull = s.range(10).select(col("id").cast("int").as("cls"))
+        .join(d.groupBy("cls").agg(count(lit(1)).as("c")),
+          Seq("cls"), "left")
+        .na.fill(0L, Seq("c"))
+      val wAll = Window.orderBy("cls")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gcum = gfull.select(col("cls"), sum("c").over(wAll).as("cum_all"))
+      val ng = d.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val nAll = d.agg(count(lit(1)).as("nn"))
+      gc.join(broadcast(gcum), Seq("cls"))
+        .join(broadcast(ng), Seq("lang", "source"))
+        .crossJoin(broadcast(nAll))
+        .filter(col("cls") < 9)
+        .groupBy("lang", "source").agg(
+          max("n").as("n"), max("nn").as("nn"),
+          sum(abs(col("cum_g").cast(d38) * col("nn")
+            - col("cum_all").cast(d38) * col("n"))).as("num"))
+        .select(col("lang"), col("source"), col("n"),
+          bround(col("num").cast("double")
+            / (col("n").cast("double") * col("nn").cast("double")
+              * lit(9.0)), 6).as("t_emd"))
+        .orderBy("lang", "source")
+    }),
+
     // Mergeable quantile sketch: per-type p50/p90/p99 of event value
     // from a FIXED 512-bin grid. The bin-count aggregate IS the sketch
     // state — 512 longs per group, map-side combined, trivially
@@ -1684,6 +1735,42 @@ object Signals {
         |  CAST(round_even(CAST(sum(t_picos) AS DOUBLE)
         |    / 1000000000000.0, 6) AS DOUBLE) AS chi2
         |FROM terms""".stripMargin,
+
+    "t_closeness" ->
+      """WITH d AS (SELECT lang, source,
+        |    least(CAST(n_chars // 200 AS INT), 9) AS cls
+        |  FROM documents),
+        |cnt AS (SELECT lang, source, cls,
+        |    CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2, 3),
+        |grid AS (SELECT g.lang, g.source, t.c AS cls
+        |  FROM (SELECT DISTINCT lang, source FROM d) g, range(0, 10) t(c)),
+        |fullg AS (SELECT g.lang, g.source, g.cls, coalesce(cnt.c, 0) AS c
+        |  FROM grid g LEFT JOIN cnt ON cnt.lang = g.lang
+        |    AND cnt.source = g.source AND cnt.cls = g.cls),
+        |gc AS (SELECT lang, source, cls,
+        |    sum(c) OVER (PARTITION BY lang, source ORDER BY cls
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+        |  FROM fullg),
+        |gl AS (SELECT t.c AS cls, coalesce(x.c, 0) AS c
+        |  FROM range(0, 10) t(c) LEFT JOIN
+        |    (SELECT cls, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1) x
+        |    ON x.cls = t.c),
+        |gcum AS (SELECT cls, sum(c) OVER (ORDER BY cls
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+        |  FROM gl),
+        |ng AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1, 2),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d)
+        |SELECT gc.lang, gc.source, CAST(max(ng.n) AS BIGINT) AS n,
+        |  CAST(round_even(CAST(sum(abs(CAST(gc.cum_g AS HUGEINT) * na.nn
+        |      - CAST(gcum.cum_all AS HUGEINT) * ng.n)) AS DOUBLE)
+        |    / (CAST(max(ng.n) AS DOUBLE) * CAST(max(na.nn) AS DOUBLE)
+        |      * 9.0), 6) AS DOUBLE) AS t_emd
+        |FROM gc JOIN gcum ON gcum.cls = gc.cls
+        |  JOIN ng ON ng.lang = gc.lang AND ng.source = gc.source
+        |  CROSS JOIN na
+        |WHERE gc.cls < 9
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ldiversity" ->
       """WITH ev AS (SELECT event_type,

@@ -142,6 +142,42 @@ class CurationSpec extends AnyFunSuite {
     assert(bySrc("src1").getAs[Double]("oov_rate") === 0.75)
   }
 
+  test("batch_padding: fixed-32 batches, arrival vs length-sorted waste") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("cur_pad")
+    // 40 docs, one shard; token counts are a deterministic
+    // non-monotonic permutation so arrival order ≠ sorted order
+    val lens = (1 to 40).map(i => (i * 37) % 101 + 1)
+    lens.zipWithIndex.map { case (len, i) =>
+      (i.toLong, Seq.fill(len)("w").mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    // mini-oracle: pack the given order into batches of 32, pad each
+    // batch to its longest member
+    def waste(ordered: Seq[Int]): (Long, Long, Long) = {
+      val pads = ordered.grouped(32).toSeq
+        .map(b => b.size.toLong * b.max - b.map(_.toLong).sum)
+      (pads.size.toLong, pads.sum, pads.max)
+    }
+    val (nbA, padA, maxA) = waste(lens)
+    val (nbS, padS, maxS) =
+      waste(lens.zipWithIndex.sortBy { case (l, i) => (l, i) }.map(_._1))
+    val out = Curation.queries("batch_padding")(spark, dir).collect()
+    assert(out.length === 2)
+    val byP = out.map(r => r.getAs[String]("policy") -> r).toMap
+    for ((p, (nb, pad, mx)) <- Seq("arrival" -> ((nbA, padA, maxA)),
+        "sorted" -> ((nbS, padS, maxS)))) {
+      assert(byP(p).getAs[Long]("n_batches") === nb, p)
+      assert(byP(p).getAs[Long]("real_tokens") === lens.map(_.toLong).sum, p)
+      assert(byP(p).getAs[Long]("pad_tokens") === pad, p)
+      assert(byP(p).getAs[Long]("max_batch_pad") === mx, p)
+      val w = pad.toDouble / (pad + lens.map(_.toLong).sum).toDouble
+      assert(byP(p).getAs[Double]("waste_pct") ===
+        BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_EVEN)
+          .toDouble, p)
+    }
+  }
+
   test("vocab_growth: sequential singleton types trace an exact curve") {
     val dir = tmp("cur_heaps")
     // doc i = "w<i> common": checkpoint c holds c+1 docs, 2(c+1) tokens,

@@ -87,4 +87,35 @@ class HyperLogLogSpec extends AnyFunSuite {
     assert(roll.getAs[Int]("zero_regs") === flat.getAs[Int]("zero_regs"))
     assert(roll.getAs[Double]("est_distinct") === flat.getAs[Double]("est_distinct"))
   }
+
+  test("hll_set_ops: exact witnesses and the inclusion–exclusion identity") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hll_set").toString
+    // A = view users 1..10, B = purchase users 6..15 → |A∩B| = 5;
+    // click rows must not leak into either sketch
+    val rows =
+      (1L to 10L).map(u => (u, "view")) ++
+      (6L to 15L).map(u => (u, "purchase")) ++
+      (100L to 120L).map(u => (u, "click"))
+    rows.zipWithIndex.map { case ((u, et), i) => (i.toLong, u, et) }
+      .toDF("us", "user_id", "event_type")
+      .select(org.apache.spark.sql.functions
+          .timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"))
+      .write.parquet(s"$dir/events.parquet")
+    val r = graft.queries.Relational.queries("hll_set_ops")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("true_a") === 10L)
+    assert(r.getAs[Long]("true_b") === 10L)
+    assert(r.getAs[Long]("true_intersect") === 5L)
+    val (ea, eb, eu) = (r.getAs[Double]("est_a"),
+      r.getAs[Double]("est_b"), r.getAs[Double]("est_union"))
+    // small-range (linear-counting) regime: tight on 10–15 keys
+    assert(math.abs(ea - 10.0) < 3.0 && math.abs(eb - 10.0) < 3.0)
+    assert(math.abs(eu - 15.0) < 4.0)
+    assert(eu <= ea + eb + 1e-9) // union never exceeds the sum
+    val exp = BigDecimal(ea + eb - eu)
+      .setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    assert(r.getAs[Double]("est_intersect") === exp)
+  }
 }

@@ -887,4 +887,22 @@ class SignalsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((0, 5L, 7L), (1, 4L, 6L), (2, 4L, 6L),
       (3, 4L, 6L)))
   }
+
+  test("t_closeness: ordered EMD against the global length distribution") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sig_tc").toString
+    // group (en,s1): 4 docs in class 0; group (en,s2): 4 docs in class 9
+    // global CDF: cum(i) = 4 for i = 0..8 over N = 8
+    // s1: |4·8 − 4·4| = 16 per class i<9 → Σ = 144; t = 144/(4·8·9) = 0.5
+    // s2: |0·8 − 4·4| = 16 per class    → t = 0.5 (symmetric)
+    val rows = (1 to 4).map(i => (i.toLong, "en", "s1", 10L)) ++
+      (5 to 8).map(i => (i.toLong, "en", "s2", 1900L))
+    rows.toDF("doc_id", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Signals.queries("t_closeness")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n"), r.getAs[Double]("t_emd")))
+    assert(out.toSeq === Seq(("s1", 4L, 0.5), ("s2", 4L, 0.5)))
+  }
 }
