@@ -498,6 +498,82 @@ object Curation {
             / (col("pad_tokens") + col("real_tokens")).cast("double"), 6)
             .as("waste_pct"))
         .orderBy("lang", "policy")
+    }),
+
+    // Column-encoding advisor — the storage audit behind every
+    // "should this 100 TB column be RLE, dictionary, or plain" layout
+    // decision: five representative lineitem columns unpivot through
+    // ONE stack() scan into (col_name, value) rows carrying their
+    // physical order key, then per column: cardinality, value-run
+    // count WITHIN each order group (runs are a per-file property, so
+    // they're counted inside a bounded partition — no global sort),
+    // byte volume, and ceil(log2(distinct)) dictionary index width.
+    // The integer decision rule (RLE if n ≥ 4·runs, else DICT if the
+    // dictionary is small and amortized 16×, else PLAIN) mirrors
+    // verbatim in the oracle.
+    "encoding_audit" -> ((s, dir) => {
+      val u = t(s, dir, "lineitem").selectExpr(
+        "l_orderkey", "l_linenumber",
+        "stack(5, 'l_returnflag', l_returnflag," +
+          " 'l_linestatus', l_linestatus," +
+          " 'l_suppkey', CAST(l_suppkey AS STRING)," +
+          " 'l_partkey', CAST(l_partkey AS STRING)," +
+          " 'l_shipday', CAST(CAST(l_shipdate AS DATE) AS STRING))" +
+          " AS (col_name, v)")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture; the
+      // value itself breaks the tie — equal rows are interchangeable
+      // for run counting, so this order is deterministic
+      val w = Window.partitionBy("col_name", "l_orderkey")
+        .orderBy("l_linenumber", "v")
+      val runs = u.withColumn("is_run_start",
+        when(lag("v", 1).over(w).isNull ||
+          lag("v", 1).over(w) =!= col("v"), 1L).otherwise(0L))
+      val m = runs.groupBy("col_name").agg(
+        count(lit(1)).as("n"),
+        countDistinct("v").as("n_distinct"),
+        sum("is_run_start").as("runs"),
+        sum(length(col("v"))).as("bytes_plain"))
+      val bits = when(col("n_distinct") <= 1, 0)
+        .otherwise(length(conv(col("n_distinct") - 1, 10, 2)))
+      m.select(col("col_name"), col("n"), col("n_distinct"), col("runs"),
+          col("bytes_plain"), bits.cast("int").as("dict_bits"),
+          bround(col("n").cast("double") / col("runs").cast("double"), 4)
+            .as("avg_run_len"),
+          when(col("n") >= col("runs") * 4, "rle")
+            .when(col("n_distinct") <= 65536 &&
+              col("n") >= col("n_distinct") * 16, "dict")
+            .otherwise("plain").as("encoding"))
+        .orderBy("col_name")
+    }),
+
+    // URL parsing surface — the web-crawl curation verbs (host
+    // extraction, path/query split, tracking-param detection) through
+    // Spark's parse_url, gated against ground truth the oracle can
+    // construct: URLs are derived deterministically from doc fields,
+    // so the oracle knows exactly what HOST/PATH/QUERY(ref) must come
+    // back and any parser divergence breaks the hash. Map-only until
+    // the small per-host aggregate.
+    "url_extract" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("lang"), lit("/"),
+          col("doc_id").cast("string"), lit("?ref=r"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit("&utm_source=feed")))
+      d.select(col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'ref')").as("ref"),
+          expr("parse_url(url, 'QUERY', 'utm_source')").as("utm"))
+        .groupBy("host").agg(
+          count(lit(1)).as("n_urls"),
+          countDistinct("path").as("n_paths"),
+          countDistinct("ref").as("n_refs"),
+          sum(when(col("utm") === "feed", 1L).otherwise(0L))
+            .as("n_tracked"),
+          min("path").as("first_path"))
+        .orderBy("host")
     })
   )
 
@@ -526,6 +602,51 @@ object Curation {
         |    / CAST(sum(n_docs * mx - sm) + sum(sm) AS DOUBLE), 6)
         |    AS DOUBLE) AS waste_pct
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "encoding_audit" ->
+      """WITH u AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    'l_returnflag' AS col_name, l_returnflag AS v FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber,
+        |    'l_linestatus', l_linestatus FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber,
+        |    'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber,
+        |    'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber,
+        |    'l_shipday', CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+        |  FROM lineitem),
+        |r AS (SELECT col_name, v,
+        |    CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w <> v
+        |         THEN 1 ELSE 0 END AS is_run_start
+        |  FROM u WINDOW w AS (PARTITION BY col_name, l_orderkey
+        |    ORDER BY l_linenumber, v)),
+        |m AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        |    CAST(sum(is_run_start) AS BIGINT) AS runs,
+        |    CAST(sum(length(v)) AS BIGINT) AS bytes_plain
+        |  FROM r GROUP BY 1)
+        |SELECT col_name, n, n_distinct, runs, bytes_plain,
+        |  CAST(CASE WHEN n_distinct <= 1 THEN 0
+        |       ELSE length(bin(n_distinct - 1)) END AS INT) AS dict_bits,
+        |  CAST(round_even(CAST(n AS DOUBLE) / CAST(runs AS DOUBLE), 4)
+        |    AS DOUBLE) AS avg_run_len,
+        |  CASE WHEN n >= runs * 4 THEN 'rle'
+        |       WHEN n_distinct <= 65536 AND n >= n_distinct * 16
+        |         THEN 'dict'
+        |       ELSE 'plain' END AS encoding
+        |FROM m ORDER BY col_name""".stripMargin,
+    "url_extract" ->
+      """WITH d AS (SELECT doc_id,
+        |    source || '.example.com' AS host,
+        |    '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+        |    'r' || CAST(doc_id % 7 AS VARCHAR) AS ref
+        |  FROM documents)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+        |  CAST(count(DISTINCT ref) AS BIGINT) AS n_refs,
+        |  CAST(count(*) AS BIGINT) AS n_tracked,
+        |  min(path) AS first_path
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "scd2_audit" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_us(ts) AS us FROM events),

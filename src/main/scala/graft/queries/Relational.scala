@@ -578,6 +578,42 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Manual bloom-join reduction — the semi-join pushdown a 100 TB
+    // fact⋈dim plan wants when the dim filter is selective but the dim
+    // is too big to broadcast as a hash table: build ONE bit array over
+    // the filtered dim keys (partials OR-merge for free), broadcast it,
+    // and drop fact rows MAP-SIDE before the shuffle join pays for
+    // them. False positives just ride through to the exact join (no
+    // false negatives), so the join result is untouched — which is why
+    // the pass/joined/fp counters can sit under a hard oracle: the
+    // md5-based filter is bit-deterministic and DuckDB rebuilds it.
+    // Fixed m here (the sizing discipline is gated separately in
+    // bloom_autosize_fpr); production derives m from an HLL pre-count.
+    "bloom_join_reduction" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      val nBits = 262144
+      val k = 7
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bloomAgg = udaf(new graft.functions.BloomFilterAgg(nBits, k),
+        Encoders.STRING)
+      val bloom = urgent.agg(
+        bloomAgg(col("o_orderkey").cast("string")).as("bits"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+      val pre = li.crossJoin(broadcast(bloom))
+        .withColumn("pass", graft.functions.BloomFilterAgg.mayContain(
+          col("bits"), col("l_orderkey").cast("string"), nBits, k))
+      val counts = pre.agg(count(lit(1)).as("total_rows"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("bloom_pass"))
+      val joined = pre.filter(col("pass")).select("l_orderkey")
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("joined_rows"))
+      counts.crossJoin(joined)
+        .select(col("total_rows"), col("bloom_pass"), col("joined_rows"),
+          (col("bloom_pass") - col("joined_rows")).as("fp_passed"))
+    }),
+
     // HLL sketch SET ALGEBRA — the third member of the sketch-merge
     // family (hll_rollup merges UP a hierarchy; this merges ACROSS
     // sets): audience overlap between 'view' users and 'purchase'
@@ -1441,6 +1477,45 @@ object Relational {
         |  e.reg_weight, e.zero_regs
         |FROM est e JOIN cal c USING (event_type) JOIN tru t USING (event_type)
         |ORDER BY e.event_type""".stripMargin,
+    // the filter is md5-deterministic, so even the FP count is exact:
+    // the oracle rebuilds the k=7 Kirsch–Mitzenmacher bit set and
+    // replays every probe (7 rows per key; a position hit with
+    // multiplicity counts per probe, matching the JVM loop)
+    "bloom_join_reduction" ->
+      """WITH bl AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS kk
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |blh AS (SELECT
+        |    CAST('0x' || substr(md5(kk), 1, 7) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(kk), 8, 7) AS BIGINT) | 1 AS h2
+        |  FROM bl),
+        |blpos AS (SELECT DISTINCT (h1 + t.i * h2) % 262144 AS pos
+        |  FROM blh, range(0, 7) t(i)),
+        |keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+        |kh AS (SELECT l_orderkey,
+        |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 7)
+        |      AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 8, 7)
+        |      AS BIGINT) | 1 AS h2
+        |  FROM keys),
+        |kpos AS (SELECT k.l_orderkey, (k.h1 + t.i * k.h2) % 262144 AS pos
+        |  FROM kh k, range(0, 7) t(i)),
+        |hit AS (SELECT p.l_orderkey, count(b.pos) AS nhit
+        |  FROM kpos p LEFT JOIN blpos b USING (pos)
+        |  GROUP BY 1),
+        |pk AS (SELECT l_orderkey FROM hit WHERE nhit = 7)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS total_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     JOIN pk USING (l_orderkey)) AS bloom_pass,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |     JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |     WHERE o.o_orderpriority = '1-URGENT') AS joined_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     JOIN pk USING (l_orderkey))
+        |  - (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |     JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |     WHERE o.o_orderpriority = '1-URGENT') AS fp_passed""".stripMargin,
+
     // the portable-HLL spelling of hll_rollup, run over three key
     // sets (A, B, A∪B); union-by-register-MAX ≡ sketch of the union
     "hll_set_ops" ->

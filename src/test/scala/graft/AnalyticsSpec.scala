@@ -157,4 +157,23 @@ class AnalyticsSpec extends AnyFunSuite {
       5L -> ((1L, 1L, 2L)),
       10L -> ((1L, 1L, 1L))))
   }
+
+  test("bloom_join_reduction: no false negatives, exact join untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloom_join").toString
+    Seq((1L, "1-URGENT"), (2L, "3-MEDIUM"), (3L, "1-URGENT"))
+      .toDF("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // keys 1,1,3 join URGENT orders; 2 and 99 must be dropped
+    Seq(1L, 1L, 2L, 3L, 99L).toDF("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("bloom_join_reduction")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("total_rows") === 5L)
+    assert(r.getAs[Long]("joined_rows") === 3L) // the exact join result
+    // no false negatives ever; with m=262144 over 5 keys, no false
+    // positives either (md5-deterministic — this is a fixed outcome)
+    assert(r.getAs[Long]("bloom_pass") === 3L)
+    assert(r.getAs[Long]("fp_passed") === 0L)
+  }
 }

@@ -178,6 +178,48 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("encoding_audit: run counting, dict width, and the decision rule") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("cur_enc")
+    val d1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val d2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val rows =
+      (1 to 8).map(i => (1L, i, if ((i - 1) % 4 < 2) "A" else "B", "O",
+        10L, if (i <= 4) 100L else 200L, d1)) ++
+      (1 to 2).map(i => (2L, i, "A", "F", 20L, 300L, d2))
+    rows.toDF("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_linestatus", "l_suppkey", "l_partkey", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Curation.queries("encoding_audit")(spark, dir).collect()
+      .map(r => r.getAs[String]("col_name") -> ((r.getAs[Long]("n"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("runs"),
+        r.getAs[Long]("bytes_plain"), r.getAs[Int]("dict_bits"),
+        r.getAs[Double]("avg_run_len"), r.getAs[String]("encoding"))))
+      .toMap
+    // returnflag AABB|AABB + AA → 5 runs, 2 values → too choppy: plain
+    assert(out("l_returnflag") === ((10L, 2L, 5L, 10L, 1, 2.0, "plain")))
+    // linestatus is constant per order → 2 long runs → rle
+    assert(out("l_linestatus") === ((10L, 2L, 2L, 10L, 1, 5.0, "rle")))
+    assert(out("l_suppkey") === ((10L, 2L, 2L, 20L, 1, 5.0, "rle")))
+    // partkey: 3 runs of 4/4/2, 3 values → neither rule fires: plain
+    assert(out("l_partkey") === ((10L, 3L, 3L, 30L, 2, 3.3333, "plain")))
+    assert(out("l_shipday") === ((10L, 2L, 2L, 100L, 1, 5.0, "rle")))
+  }
+
+  test("url_extract: parse_url host/path/query against constructed truth") {
+    val dir = tmp("cur_url")
+    Seq((1L, "en", "s1"), (2L, "fr", "s1"), (9L, "en", "s2"))
+      .toDF("doc_id", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Curation.queries("url_extract")(spark, dir).collect()
+      .map(r => r.getAs[String]("host") -> ((r.getAs[Long]("n_urls"),
+        r.getAs[Long]("n_paths"), r.getAs[Long]("n_refs"),
+        r.getAs[Long]("n_tracked"), r.getAs[String]("first_path"))))
+      .toMap
+    assert(out("s1.example.com") === ((2L, 2L, 2L, 2L, "/docs/en/1")))
+    assert(out("s2.example.com") === ((1L, 1L, 1L, 1L, "/docs/en/9")))
+  }
+
   test("vocab_growth: sequential singleton types trace an exact curve") {
     val dir = tmp("cur_heaps")
     // doc i = "w<i> common": checkpoint c holds c+1 docs, 2(c+1) tokens,
