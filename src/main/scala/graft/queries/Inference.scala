@@ -359,6 +359,41 @@ object Inference {
     // doc-inside-doc duplication class MinHash/Jaccard structurally
     // miss — see [[graft.llm.Dedup.containmentPairs]] for the one-sided
     // prefix-filter candidate scheme.
+    // One exact ALS half-step — the distributed-recommender primitive:
+    // with item factors FIXED (a deterministic integer embedding of the
+    // part key), each user's d=2 factor vector solves the 2×2 ridge
+    // normal equations (YᵀY + λI)x = Yᵀr by Cramer's rule. Everything
+    // up to the two final divisions is EXACT integer arithmetic (the
+    // moments are small-integer products summed per user — one
+    // map-side-combined hash-agg, no joins, no iteration state), and
+    // λ=1 makes det ≥ 1 so the solve never degenerates. This is the
+    // per-entity least-squares shape a full ALS iterates; the integer
+    // moments ride along as the audit witnesses. At 100 TB: one
+    // shuffle on the user key, factors broadcast back for the next
+    // half-step.
+    "als_step" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey").as("user_id"),
+        (pmod(col("l_partkey"), lit(7)) - 3).as("y1"),
+        (pmod(col("l_partkey"), lit(5)) - 2).as("y2"),
+        bround(col("l_quantity")).cast("long").as("r"))
+      val m = li.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        (sum(col("y1") * col("y1")) + 1).as("a11"),
+        sum(col("y1") * col("y2")).as("a12"),
+        (sum(col("y2") * col("y2")) + 1).as("a22"),
+        sum(col("y1") * col("r")).as("b1"),
+        sum(col("y2") * col("r")).as("b2"))
+      val det = col("a11") * col("a22") - col("a12") * col("a12")
+      m.select(col("user_id"), col("n"),
+          col("a11"), col("a12"), col("a22"), col("b1"), col("b2"),
+          bround((col("a22") * col("b1") - col("a12") * col("b2"))
+            .cast("double") / det.cast("double"), 6).as("x1"),
+          bround((col("a11") * col("b2") - col("a12") * col("b1"))
+            .cast("double") / det.cast("double"), 6).as("x2"))
+        .orderBy("user_id")
+    }),
+
     "containment_neardup" -> ((s, dir) =>
       graft.llm.Dedup.containmentPairs(
         t(s, dir, "documents").select(col("doc_id"), col("text")))),
@@ -381,6 +416,24 @@ object Inference {
     }))
 
   val oracles: Map[String, String] = Map(
+    "als_step" ->
+      """WITH li AS (SELECT l_suppkey AS user_id,
+        |    (l_partkey % 7) - 3 AS y1, (l_partkey % 5) - 2 AS y2,
+        |    CAST(round_even(l_quantity, 0) AS BIGINT) AS r
+        |  FROM lineitem),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y1 * y1) + 1 AS BIGINT) AS a11,
+        |    CAST(sum(y1 * y2) AS BIGINT) AS a12,
+        |    CAST(sum(y2 * y2) + 1 AS BIGINT) AS a22,
+        |    CAST(sum(y1 * r) AS BIGINT) AS b1,
+        |    CAST(sum(y2 * r) AS BIGINT) AS b2
+        |  FROM li GROUP BY 1)
+        |SELECT user_id, n, a11, a12, a22, b1, b2,
+        |  CAST(round_even(CAST(a22 * b1 - a12 * b2 AS DOUBLE)
+        |    / CAST(a11 * a22 - a12 * a12 AS DOUBLE), 6) AS DOUBLE) AS x1,
+        |  CAST(round_even(CAST(a11 * b2 - a12 * b1 AS DOUBLE)
+        |    / CAST(a11 * a22 - a12 * a12 AS DOUBLE), 6) AS DOUBLE) AS x2
+        |FROM m ORDER BY user_id""".stripMargin,
     "spearman_corr" ->
       """WITH li AS (SELECT l_returnflag AS g, l_quantity AS x,
         |    l_extendedprice AS y FROM lineitem),

@@ -758,6 +758,39 @@ object Signals {
         .orderBy("event_type")
     }),
 
+    // Cohen's kappa — inter-annotator agreement between two
+    // deterministic binary "raters" of document quality (a hard
+    // length rule vs a noisy variant of it), per language: the
+    // chance-corrected agreement every labeling pipeline reports
+    // before trusting its annotations. κ = (n·(n11+n00) − Σ rᵢcᵢ) /
+    // (n² − Σ rᵢcᵢ): the whole statistic is ONE IEEE division over
+    // exact integer margins from a single scan + |langs|-row agg.
+    "cohens_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"),
+        (col("n_chars") >= 500).cast("int").as("r1"),
+        ((col("n_chars") + pmod(col("doc_id"), lit(200))) >= 500)
+          .cast("int").as("r2"))
+      val m = d.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("r1") === 1 && col("r2") === 1, 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(col("r1") === 1 && col("r2") === 0, 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(col("r1") === 0 && col("r2") === 1, 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(col("r1") === 0 && col("r2") === 0, 1L).otherwise(0L))
+          .as("n00"))
+      val chance = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+        (col("n00") + col("n01")) * (col("n00") + col("n10"))
+      val num = col("n") * (col("n11") + col("n00")) - chance
+      val den = col("n") * col("n") - chance
+      m.select(col("lang"), col("n"), col("n11"), col("n10"),
+          col("n01"), col("n00"),
+          when(den =!= 0, bround(num.cast("double") / den.cast("double"),
+            6)).as("kappa"))
+        .orderBy("lang")
+    }),
+
     // t-closeness — the third rung of the anonymity ladder after
     // [[kanonymity]] (class sizes) and [[ldiversity]] (class variety):
     // how far each (lang, source) equivalence class's SENSITIVE-value
@@ -1736,6 +1769,32 @@ object Signals {
         |    / 1000000000000.0, 6) AS DOUBLE) AS chi2
         |FROM terms""".stripMargin,
 
+    "cohens_kappa" ->
+      """WITH d AS (SELECT lang,
+        |    CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN n_chars + (doc_id % 200) >= 500 THEN 1 ELSE 0 END
+        |      AS r2
+        |  FROM documents),
+        |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM d GROUP BY 1),
+        |c AS (SELECT *,
+        |    (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+        |      AS chance
+        |  FROM m)
+        |SELECT lang, n, n11, n10, n01, n00,
+        |  CASE WHEN n * n - chance <> 0 THEN
+        |    CAST(round_even(CAST(n * (n11 + n00) - chance AS DOUBLE)
+        |      / CAST(n * n - chance AS DOUBLE), 6) AS DOUBLE) END
+        |    AS kappa
+        |FROM c ORDER BY lang""".stripMargin,
     "t_closeness" ->
       """WITH d AS (SELECT lang, source,
         |    least(CAST(n_chars // 200 AS INT), 9) AS cls

@@ -168,4 +168,21 @@ class InferenceSpec extends AnyFunSuite {
     assert((out(1).getAs[Long]("sa"), out(1).getAs[Long]("sb")) === ((1L, 3L)))
     assert((out(2).getAs[Long]("sa"), out(2).getAs[Long]("sb")) === ((2L, 3L)))
   }
+
+  test("als_step: Cramer solve of the 2x2 ridge normal equations") {
+    val dir = java.nio.file.Files.createTempDirectory("inf_als").toString
+    // item factors: partkey 3 -> (0,1), 10 -> (0,-2), 4 -> (1,2)
+    // user 1: a=(2,2,10), b=(10,20), det=16 -> x=(3.75, 1.25)
+    // user 2: a=(2,2,5),  b=(8,16),  det=6  -> x=(4/3, 8/3)
+    Seq((1L, 3L, 4.0), (1L, 10L, 2.0), (1L, 4L, 10.0), (2L, 4L, 8.0))
+      .toDF("l_suppkey", "l_partkey", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Inference.queries("als_step")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> ((r.getAs[Long]("n"),
+        r.getAs[Long]("a11"), r.getAs[Long]("a12"), r.getAs[Long]("a22"),
+        r.getAs[Long]("b1"), r.getAs[Long]("b2"),
+        r.getAs[Double]("x1"), r.getAs[Double]("x2")))).toMap
+    assert(out(1L) === ((3L, 2L, 2L, 10L, 10L, 20L, 3.75, 1.25)))
+    assert(out(2L) === ((1L, 2L, 2L, 5L, 8L, 16L, 1.333333, 2.666667)))
+  }
 }

@@ -888,6 +888,24 @@ class SignalsSpec extends AnyFunSuite {
       (3, 4L, 6L)))
   }
 
+  test("cohens_kappa: chance-corrected agreement from integer margins") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sig_kap").toString
+    // doc_id % 200 == 0 makes rater2 = rater1 (n11, n00); the two
+    // mid-length docs flip only the lenient rater (n01); r2 >= r1 by
+    // construction so n10 = 0. po=2/4, chance=6/16 -> kappa = 0.2
+    Seq((200L, 600L), (400L, 100L), (150L, 400L), (199L, 490L))
+      .map { case (id, nc) => (id, "en", nc) }
+      .toDF("doc_id", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Signals.queries("cohens_kappa")(spark, dir).collect()(0)
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n11"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n01"),
+      r.getAs[Long]("n00")) === ((4L, 1L, 0L, 2L, 1L)))
+    assert(r.getAs[Double]("kappa") === 0.2)
+  }
+
   test("t_closeness: ordered EMD against the global length distribution") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
