@@ -593,23 +593,27 @@ object Relational {
       import org.apache.spark.sql.Encoders
       val nBits = 262144
       val k = 7
+      // one orders scan (checkpointed dim feeds bloom build AND the
+      // exact join side), ONE lineitem pass: the broadcast-hash left
+      // join fires only on pass-flagged rows, so total/pass/joined
+      // all come from a single aggregate
       val urgent = t(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"))
+        .localCheckpoint()
       val bloomAgg = udaf(new graft.functions.BloomFilterAgg(nBits, k),
         Encoders.STRING)
       val bloom = urgent.agg(
         bloomAgg(col("o_orderkey").cast("string")).as("bits"))
       val li = t(s, dir, "lineitem").select(col("l_orderkey"))
-      val pre = li.crossJoin(broadcast(bloom))
+      li.crossJoin(broadcast(bloom))
         .withColumn("pass", graft.functions.BloomFilterAgg.mayContain(
           col("bits"), col("l_orderkey").cast("string"), nBits, k))
-      val counts = pre.agg(count(lit(1)).as("total_rows"),
-        sum(when(col("pass"), 1L).otherwise(0L)).as("bloom_pass"))
-      val joined = pre.filter(col("pass")).select("l_orderkey")
-        .join(urgent, col("l_orderkey") === col("o_orderkey"))
-        .agg(count(lit(1)).as("joined_rows"))
-      counts.crossJoin(joined)
+        .join(broadcast(urgent),
+          col("l_orderkey") === col("o_orderkey") && col("pass"), "left")
+        .agg(count(lit(1)).as("total_rows"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("bloom_pass"),
+          count(col("o_orderkey")).as("joined_rows"))
         .select(col("total_rows"), col("bloom_pass"), col("joined_rows"),
           (col("bloom_pass") - col("joined_rows")).as("fp_passed"))
     }),
@@ -626,12 +630,15 @@ object Relational {
     "hll_set_ops" -> ((s, dir) => {
       val hll = udaf(new graft.functions.HyperLogLogAgg(),
         org.apache.spark.sql.Encoders.STRING)
-      val ev = events(s, dir)
-      def side(et: String) = ev.filter(col("event_type") === et)
-        .select(col("user_id"))
-      val regs = ev
+      // ONE events scan: the distinct (event_type, user_id) set is
+      // checkpointed and feeds the sketches, the union merge, AND the
+      // exact witnesses (HLL registers are duplicate-insensitive, so
+      // sketching the distinct set is register-identical)
+      val base = events(s, dir)
         .filter(col("event_type").isin("view", "purchase"))
-        .groupBy("event_type")
+        .select("event_type", "user_id").distinct()
+        .localCheckpoint()
+      val regs = base.groupBy("event_type")
         .agg(hll(col("user_id").cast("string")).as("regs"))
         .localCheckpoint() // read three times: estA, estB, union merge
       def est(et: String, as: String) =
@@ -644,13 +651,14 @@ object Relational {
         .agg(graft.functions.HyperLogLogAgg.estimate(transform(
           array_sort(collect_list(struct(col("pos"), col("reg")))),
           x => x.getField("reg"))).as("est_union"))
-      val truth = side("view").distinct()
-        .join(side("purchase").distinct(), Seq("user_id"), "left_semi")
-        .agg(count(lit(1)).as("true_intersect"))
-        .crossJoin(side("view").agg(
-          countDistinct("user_id").as("true_a")))
-        .crossJoin(side("purchase").agg(
-          countDistinct("user_id").as("true_b")))
+      val flags = base.groupBy("user_id").agg(
+        max(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("has_v"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("has_p"))
+      val truth = flags.agg(
+        sum("has_v").as("true_a"), sum("has_p").as("true_b"),
+        sum(col("has_v") * col("has_p")).as("true_intersect"))
       est("view", "est_a").crossJoin(est("purchase", "est_b"))
         .crossJoin(union).crossJoin(truth)
         .select(col("est_a"), col("est_b"), col("est_union"),

@@ -807,9 +807,13 @@ object Signals {
       val d38 = "decimal(38,0)"
       val d = t(s, dir, "documents").select(col("lang"), col("source"),
         least(expr("CAST(n_chars DIV 200 AS INT)"), lit(9)).as("cls"))
+      // ONE scan of the corpus: every downstream aggregate (grid,
+      // per-group cums, global CDF, margins) re-derives from the
+      // checkpointed ≤ |groups|·10-row count table
       val cnt = d.groupBy("lang", "source", "cls")
         .agg(count(lit(1)).as("c"))
-      val grid = d.select("lang", "source").distinct()
+        .localCheckpoint()
+      val grid = cnt.select("lang", "source").distinct()
         .select(col("lang"), col("source"),
           explode(sequence(lit(0), lit(9))).as("cls"))
       val full = grid.join(cnt, Seq("lang", "source", "cls"), "left")
@@ -819,14 +823,14 @@ object Signals {
       val gc = full.select(col("lang"), col("source"), col("cls"),
         sum("c").over(wg).as("cum_g"))
       val gfull = s.range(10).select(col("id").cast("int").as("cls"))
-        .join(d.groupBy("cls").agg(count(lit(1)).as("c")),
+        .join(cnt.groupBy("cls").agg(sum("c").as("c")),
           Seq("cls"), "left")
         .na.fill(0L, Seq("c"))
       val wAll = Window.orderBy("cls")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val gcum = gfull.select(col("cls"), sum("c").over(wAll).as("cum_all"))
-      val ng = d.groupBy("lang", "source").agg(count(lit(1)).as("n"))
-      val nAll = d.agg(count(lit(1)).as("nn"))
+      val ng = cnt.groupBy("lang", "source").agg(sum("c").as("n"))
+      val nAll = cnt.agg(sum("c").as("nn"))
       gc.join(broadcast(gcum), Seq("cls"))
         .join(broadcast(ng), Seq("lang", "source"))
         .crossJoin(broadcast(nAll))
