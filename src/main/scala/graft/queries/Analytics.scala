@@ -807,6 +807,66 @@ object Analytics {
         .limit(10)
     }),
 
+    // TPC-H Q18-shaped composite (large-volume orders): the
+    // HAVING-prunes-then-broadcast pattern — the fact-side group-by
+    // reduces 100 TB of lineitem to the handful of orders clearing the
+    // quantity threshold, and THAT tiny set broadcasts through both
+    // dimension joins (zero further shuffles), finishing in a
+    // TakeOrdered top-100. Quantities quantize to integer cents before
+    // the sum so the HAVING cut is bit-identical across engines.
+    "tpch_q18_like" -> ((s, dir) => {
+      val bo = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(bround(col("l_quantity") * 100).cast("long"))
+          .as("sum_qty_cents"))
+        .filter(col("sum_qty_cents") > 28000)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      val bigOrders = o.join(broadcast(bo),
+        col("l_orderkey") === col("o_orderkey"))
+      c.join(broadcast(bigOrders), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("l_orderkey").as("orderkey"),
+          bround(col("o_totalprice") * 100).cast("long")
+            .as("totalprice_cents"),
+          col("sum_qty_cents"))
+        .orderBy(col("sum_qty_cents").desc, col("orderkey").asc)
+        .limit(100)
+    }),
+
+    // Join-cardinality estimation — the pre-flight a planner (or an
+    // engineer) runs BEFORE committing a 100 TB shuffle join: both
+    // sides profile into 64 md5-bucket histograms (rows + distinct
+    // keys per bucket — two tiny aggregates), the estimate applies the
+    // classic uniform-frequency formula Σ_b rowsA·rowsB/max(dA,dB)
+    // per bucket (micro-quantized before the cross-bucket sum), and
+    // the EXACT join size Σ_k cntA(k)·cntB(k) rides along from a
+    // per-key count join that never materializes the join output.
+    // The readout is the estimator's own relative error.
+    "join_size_estimate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      def prof(df: DataFrame, rc: String, dc: String) = df
+        .groupBy(Dedup.hashBucket(
+          concat(lit("jse:"), col("k").cast("string")), 64L).as("b"))
+        .agg(count(lit(1)).as(rc), countDistinct("k").as(dc))
+      val est = prof(li, "ra", "da")
+        .join(prof(o, "rb", "db"), Seq("b"))
+        .select(bround(col("ra").cast("double") * col("rb").cast("double")
+          / greatest(col("da"), col("db")).cast("double")
+          * lit(1000000.0)).cast("long").as("term_micros"))
+        .agg(sum("term_micros").as("est_micros"))
+      val actual = li.groupBy("k").agg(count(lit(1)).as("ca"))
+        .join(o.groupBy("k").agg(count(lit(1)).as("cb")), Seq("k"))
+        .agg(sum(col("ca") * col("cb")).as("actual_rows"))
+      est.crossJoin(actual)
+        .select(col("est_micros"), col("actual_rows"),
+          bround((col("est_micros").cast("double") / lit(1000000.0)
+            - col("actual_rows").cast("double"))
+            / col("actual_rows").cast("double"), 6).as("rel_error"))
+    }),
+
     // hopping (sliding) windows in BATCH via the same window() used by
     // the streaming surface: 2-day windows hopping daily — each event
     // lands in exactly two windows; the oracle derives the same pair of
@@ -823,6 +883,48 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "tpch_q18_like" ->
+      """WITH bo AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(round_even(l_quantity * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS sum_qty_cents
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(round_even(l_quantity * 100, 0) AS BIGINT))
+        |    AS BIGINT) > 28000)
+        |SELECT c.c_custkey, c.c_name, bo.l_orderkey AS orderkey,
+        |  CAST(round_even(o.o_totalprice * 100, 0) AS BIGINT)
+        |    AS totalprice_cents,
+        |  bo.sum_qty_cents
+        |FROM bo JOIN orders o ON bo.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY bo.sum_qty_cents DESC, orderkey LIMIT 100""".stripMargin,
+    "join_size_estimate" ->
+      """WITH a AS (SELECT l_orderkey AS k FROM lineitem),
+        |b AS (SELECT o_orderkey AS k FROM orders),
+        |pa AS (SELECT CAST('0x' || substr(md5('jse:' ||
+        |      CAST(k AS VARCHAR)), 1, 7) AS BIGINT) % 64 AS bkt,
+        |    CAST(count(*) AS BIGINT) AS ra,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS da
+        |  FROM a GROUP BY 1),
+        |pb AS (SELECT CAST('0x' || substr(md5('jse:' ||
+        |      CAST(k AS VARCHAR)), 1, 7) AS BIGINT) % 64 AS bkt,
+        |    CAST(count(*) AS BIGINT) AS rb,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS db
+        |  FROM b GROUP BY 1),
+        |est AS (SELECT CAST(sum(CAST(round_even(
+        |      CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+        |      / CAST(greatest(da, db) AS DOUBLE) * 1000000.0, 0)
+        |    AS BIGINT)) AS BIGINT) AS est_micros
+        |  FROM pa JOIN pb USING (bkt)),
+        |act AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS actual_rows
+        |  FROM (SELECT k, CAST(count(*) AS BIGINT) AS ca
+        |        FROM a GROUP BY 1) xa
+        |  JOIN (SELECT k, CAST(count(*) AS BIGINT) AS cb
+        |        FROM b GROUP BY 1) xb USING (k))
+        |SELECT est_micros, actual_rows,
+        |  CAST(round_even((CAST(est_micros AS DOUBLE) / 1000000.0
+        |    - CAST(actual_rows AS DOUBLE))
+        |    / CAST(actual_rows AS DOUBLE), 6) AS DOUBLE) AS rel_error
+        |FROM est CROSS JOIN act""".stripMargin,
     "cohort_retention" ->
       """WITH ev AS (
         |  SELECT user_id,

@@ -264,10 +264,59 @@ object Scoring {
         bround(sum("novel_grams").cast("double") / sum("n_grams"), 6)
           .as("novelty_rate"))
         .orderBy("lang")
+    }),
+
+    // Distribution matching — reshape the corpus toward a TARGET
+    // length distribution (uniform over the 10 literal 200-char
+    // buckets) by deterministic per-bucket downsampling: every bucket
+    // keeps at most N/10 docs, chosen by the corpus-wide md5 keep
+    // order (the [[mixture_sample]]/keep-best rule — never rand(), so
+    // reruns and engines agree doc-for-doc). Underfull buckets keep
+    // everything — the readout shows exactly which strata capped and
+    // which ran short. One scan (checkpointed id→bucket pairs), one
+    // bucket-partitioned window, a 1-row broadcast quota.
+    "distribution_match" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        least(expr("CAST(n_chars DIV 200 AS INT)"), lit(9)).as("bin"))
+        .localCheckpoint()
+      val quota = d.agg((count(lit(1)) / 10).cast("long").as("quota"))
+      val w = Window.partitionBy("bin").orderBy(
+        md5(concat(lit("dm:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      d.withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(quota))
+        .groupBy("bin").agg(
+          count(lit(1)).as("before_cnt"),
+          max("quota").as("target_cnt"),
+          sum(when(col("rk") <= col("quota"), 1L).otherwise(0L))
+            .as("kept_cnt"))
+        .select(col("bin"), col("before_cnt"), col("target_cnt"),
+          col("kept_cnt"),
+          bround(col("kept_cnt").cast("double")
+            / col("before_cnt").cast("double"), 6).as("keep_rate"))
+        .orderBy("bin")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "distribution_match" ->
+      """WITH d AS (SELECT doc_id,
+        |    least(CAST(n_chars // 200 AS INT), 9) AS bin
+        |  FROM documents),
+        |q AS (SELECT CAST(count(*) // 10 AS BIGINT) AS quota FROM d),
+        |r AS (SELECT bin,
+        |    row_number() OVER (PARTITION BY bin
+        |      ORDER BY md5('dm:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS rk
+        |  FROM d)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS before_cnt,
+        |  CAST(max(q.quota) AS BIGINT) AS target_cnt,
+        |  CAST(sum(CASE WHEN rk <= q.quota THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_cnt,
+        |  CAST(round_even(CAST(sum(CASE WHEN rk <= q.quota
+        |      THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS keep_rate
+        |FROM r CROSS JOIN q GROUP BY bin ORDER BY bin""".stripMargin,
     // parameters mirror the registered queries above; round_even ≙
     // Spark bround (half-even)
     "bm25_rank" -> {

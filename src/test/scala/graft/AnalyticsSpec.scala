@@ -158,6 +158,44 @@ class AnalyticsSpec extends AnyFunSuite {
       10L -> ((1L, 1L, 1L))))
   }
 
+  test("tpch_q18_like: HAVING cut in cents, dims join the pruned set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q18").toString
+    // order 1 sums to 30000 cents (> 28000), order 2 only 10000
+    Seq((1L, 150.0), (1L, 150.0), (2L, 100.0))
+      .toDF("l_orderkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 10L, 100.0), (2L, 20L, 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, "Alice"), (20L, "Bob")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("tpch_q18_like")(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert((r.getAs[Long]("c_custkey"), r.getAs[String]("c_name"),
+      r.getAs[Long]("orderkey"), r.getAs[Long]("totalprice_cents"),
+      r.getAs[Long]("sum_qty_cents")) === ((10L, "Alice", 1L, 10000L,
+      30000L)))
+  }
+
+  test("join_size_estimate: uniform per-bucket frequencies are exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jse").toString
+    // every key appears 2x on the fact side, 1x on the dim side:
+    // per bucket ra = 2·da, rb = db = da → est = Σ 2·da = 40 = actual
+    val keys = (1L to 20L)
+    keys.flatMap(k => Seq(k, k)).toDF("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    keys.toDF("o_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("join_size_estimate")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("actual_rows") === 40L)
+    assert(r.getAs[Long]("est_micros") === 40000000L)
+    assert(r.getAs[Double]("rel_error") === 0.0)
+  }
+
   test("bloom_join_reduction: no false negatives, exact join untouched") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bloom_join").toString

@@ -278,4 +278,23 @@ class ScoringSpec extends AnyFunSuite {
     assert(out("en") === ((2L, 4L, 3L, 0.75)))
     assert(out("fr") === ((1L, 1L, 0L, 0.0)))
   }
+
+  test("distribution_match: per-bucket quota caps, underfull keeps all") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("score_dm").toString
+    // N = 10 → quota 1 per bucket: bin 0 (8 docs) caps to 1,
+    // bin 9 (2 docs) caps to 1
+    val rows = (1 to 8).map(i => (i.toLong, 50L)) ++
+      Seq((9L, 1900L), (10L, 1950L))
+    rows.toDF("doc_id", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Scoring.queries("distribution_match")(
+        spark, dir).collect()
+      .map(r => r.getAs[Int]("bin") -> ((r.getAs[Long]("before_cnt"),
+        r.getAs[Long]("target_cnt"), r.getAs[Long]("kept_cnt"),
+        r.getAs[Double]("keep_rate")))).toMap
+    assert(out(0) === ((8L, 1L, 1L, 0.125)))
+    assert(out(9) === ((2L, 1L, 1L, 0.5)))
+  }
 }
