@@ -546,6 +546,50 @@ object Curation {
         .orderBy("col_name")
     }),
 
+    // Zone-map skip audit — WHY a 100 TB table gets laid out sorted:
+    // simulate 32 files under two layouts (natural = contiguous
+    // orderkey ranges, sorted = contiguous shipdate ranges — both
+    // range assignments from a 1-row min/max broadcast, NO global
+    // sort), build each file's min/max shipdate zone map, and count
+    // how many files a 3-month range predicate can skip under each.
+    // rows_scanned vs selected_rows is the read amplification the
+    // sorted layout removes. All integer day arithmetic.
+    "zonemap_skip" -> ((s, dir) => {
+      val lo = 882L // days 1995-01-01 → 1997-06-01 (mirrored in SQL)
+      val hi = 973L // → 1997-08-31
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          datediff(col("l_shipdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long").as("day"))
+        .localCheckpoint() // feeds the bounds row AND both layouts
+      val bounds = li.agg(max("l_orderkey").as("mxk"),
+        min("day").as("mnd"), max("day").as("mxd"))
+      val files = li.crossJoin(broadcast(bounds))
+        .select(col("day"), explode(array(
+          struct(lit("natural").as("layout"),
+            expr("CAST(least(31, (l_orderkey * 32) DIV (mxk + 1)) AS INT)")
+              .as("f")),
+          struct(lit("sorted").as("layout"),
+            expr("CAST(least(31, ((day - mnd) * 32) DIV (mxd - mnd + 1))" +
+              " AS INT)").as("f")))).as("p"))
+        .select(col("day"), col("p.layout").as("layout"), col("p.f").as("f"))
+      val zones = files.groupBy("layout", "f").agg(
+        count(lit(1)).as("rows"), min("day").as("mn"), max("day").as("mx"),
+        sum(when(col("day").between(lo, hi), 1L).otherwise(0L))
+          .as("sel"))
+      val scanned = !(col("mx") < lo || col("mn") > hi)
+      zones.groupBy("layout").agg(
+          count(lit(1)).as("n_files"),
+          sum(when(scanned, 1L).otherwise(0L)).as("files_scanned"),
+          sum(when(scanned, col("rows")).otherwise(0L)).as("rows_scanned"),
+          sum("rows").as("total_rows"),
+          sum("sel").as("selected_rows"))
+        .select(col("layout"), col("n_files"), col("files_scanned"),
+          col("rows_scanned"), col("total_rows"), col("selected_rows"),
+          bround(lit(1.0) - col("rows_scanned").cast("double")
+            / col("total_rows").cast("double"), 6).as("skip_rate"))
+        .orderBy("layout")
+    }),
+
     // URL parsing surface — the web-crawl curation verbs (host
     // extraction, path/query split, tracking-param detection) through
     // Spark's parse_url, gated against ground truth the oracle can
@@ -635,6 +679,40 @@ object Curation {
         |         THEN 'dict'
         |       ELSE 'plain' END AS encoding
         |FROM m ORDER BY col_name""".stripMargin,
+    "zonemap_skip" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+        |      AS day
+        |  FROM lineitem),
+        |b AS (SELECT max(l_orderkey) AS mxk, min(day) AS mnd,
+        |    max(day) AS mxd FROM li),
+        |f AS (SELECT day, 'natural' AS layout,
+        |    CAST(least(31, (l_orderkey * 32) // (b.mxk + 1)) AS INT) AS f
+        |  FROM li CROSS JOIN b
+        |  UNION ALL
+        |  SELECT day, 'sorted' AS layout,
+        |    CAST(least(31, ((day - b.mnd) * 32) // (b.mxd - b.mnd + 1))
+        |      AS INT) AS f
+        |  FROM li CROSS JOIN b),
+        |lohi AS (SELECT
+        |    CAST(DATE '1997-06-01' - DATE '1995-01-01' AS BIGINT) AS lo,
+        |    CAST(DATE '1997-08-31' - DATE '1995-01-01' AS BIGINT) AS hi),
+        |z AS (SELECT layout, f, CAST(count(*) AS BIGINT) AS rows_,
+        |    min(day) AS mn, max(day) AS mx,
+        |    CAST(sum(CASE WHEN day BETWEEN lohi.lo AND lohi.hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS sel
+        |  FROM f CROSS JOIN lohi GROUP BY 1, 2)
+        |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(CASE WHEN NOT (mx < lohi.lo OR mn > lohi.hi)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+        |  CAST(sum(CASE WHEN NOT (mx < lohi.lo OR mn > lohi.hi)
+        |    THEN rows_ ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |  CAST(sum(rows_) AS BIGINT) AS total_rows,
+        |  CAST(sum(sel) AS BIGINT) AS selected_rows,
+        |  CAST(round_even(1.0 - CAST(sum(CASE WHEN NOT (mx < lohi.lo
+        |      OR mn > lohi.hi) THEN rows_ ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(rows_) AS DOUBLE), 6) AS DOUBLE) AS skip_rate
+        |FROM z CROSS JOIN lohi GROUP BY layout ORDER BY layout""".stripMargin,
     "url_extract" ->
       """WITH d AS (SELECT doc_id,
         |    source || '.example.com' AS host,

@@ -359,6 +359,48 @@ object Inference {
     // doc-inside-doc duplication class MinHash/Jaccard structurally
     // miss — see [[graft.llm.Dedup.containmentPairs]] for the one-sided
     // prefix-filter candidate scheme.
+    // Quantile alignment — the quantile-normalization readout (the
+    // batch-effect check run before pooling heterogeneous sources):
+    // each event type's lower p10/p50/p90 of the micro-quantized value
+    // against the pooled distribution's, with the per-quantile shift.
+    // Both CDFs run over DISTINCT-VALUE grids (the ks_test idiom —
+    // window cost bounded by value cardinality, never row count), the
+    // global grid derives from the per-type grid by a second tiny agg
+    // (one scan total), and the lower-quantile rule keeps every
+    // output an actual data value — no interpolation ulps.
+    "quantile_align" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        bround(col("value") * lit(1000000.0)).cast("long").as("v"))
+      val grid = ev.groupBy("event_type", "v")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds the per-type AND pooled CDFs
+      val wT = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumT = grid.select(col("event_type"), col("v"),
+        sum("c").over(wT).as("cum"))
+      val nT = grid.groupBy("event_type").agg(sum("c").as("n"))
+      def rk(p: Int) = expr(s"CAST(($p * n + 99) DIV 100 AS BIGINT)")
+      def qcol(p: Int, as: String) =
+        min(when(col("cum") >= col(s"rk$p"), col("v"))).as(as)
+      val qT = cumT.join(broadcast(nT
+          .select(col("event_type"), rk(10).as("rk10"), rk(50).as("rk50"),
+            rk(90).as("rk90"))), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(qcol(10, "q10"), qcol(50, "q50"), qcol(90, "q90"))
+      val gGrid = grid.groupBy("v").agg(sum("c").as("c"))
+      val wG = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumG = gGrid.select(col("v"), sum("c").over(wG).as("cum"))
+      val qG = cumG.crossJoin(broadcast(gGrid.agg(sum("c").as("n"))
+          .select(rk(10).as("rk10"), rk(50).as("rk50"), rk(90).as("rk90"))))
+        .agg(qcol(10, "g10"), qcol(50, "g50"), qcol(90, "g90"))
+      qT.crossJoin(broadcast(qG))
+        .select(col("event_type"), col("q10"), col("q50"), col("q90"),
+          col("g10"), col("g50"), col("g90"),
+          (col("q50") - col("g50")).as("shift50_micros"))
+        .orderBy("event_type")
+    }),
+
     // One exact ALS half-step — the distributed-recommender primitive:
     // with item factors FIXED (a deterministic integer embedding of the
     // part key), each user's d=2 factor vector solves the 2×2 ridge
@@ -416,6 +458,44 @@ object Inference {
     }))
 
   val oracles: Map[String, String] = Map(
+    "quantile_align" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+        |  FROM events),
+        |grid AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |cumt AS (SELECT event_type, v, sum(c) OVER (
+        |    PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM grid),
+        |nt AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST((10 * sum(c) + 99) // 100 AS BIGINT) AS rk10,
+        |    CAST((50 * sum(c) + 99) // 100 AS BIGINT) AS rk50,
+        |    CAST((90 * sum(c) + 99) // 100 AS BIGINT) AS rk90
+        |  FROM grid GROUP BY 1),
+        |qt AS (SELECT c.event_type,
+        |    min(CASE WHEN c.cum >= n.rk10 THEN c.v END) AS q10,
+        |    min(CASE WHEN c.cum >= n.rk50 THEN c.v END) AS q50,
+        |    min(CASE WHEN c.cum >= n.rk90 THEN c.v END) AS q90
+        |  FROM cumt c JOIN nt n USING (event_type) GROUP BY 1),
+        |ggrid AS (SELECT v, CAST(sum(c) AS BIGINT) AS c
+        |  FROM grid GROUP BY 1),
+        |cumg AS (SELECT v, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ggrid),
+        |ng AS (SELECT CAST((10 * sum(c) + 99) // 100 AS BIGINT) AS rk10,
+        |    CAST((50 * sum(c) + 99) // 100 AS BIGINT) AS rk50,
+        |    CAST((90 * sum(c) + 99) // 100 AS BIGINT) AS rk90
+        |  FROM ggrid),
+        |qg AS (SELECT
+        |    min(CASE WHEN c.cum >= ng.rk10 THEN c.v END) AS g10,
+        |    min(CASE WHEN c.cum >= ng.rk50 THEN c.v END) AS g50,
+        |    min(CASE WHEN c.cum >= ng.rk90 THEN c.v END) AS g90
+        |  FROM cumg c CROSS JOIN ng)
+        |SELECT qt.event_type, qt.q10, qt.q50, qt.q90,
+        |  qg.g10, qg.g50, qg.g90,
+        |  qt.q50 - qg.g50 AS shift50_micros
+        |FROM qt CROSS JOIN qg ORDER BY qt.event_type""".stripMargin,
     "als_step" ->
       """WITH li AS (SELECT l_suppkey AS user_id,
         |    (l_partkey % 7) - 3 AS y1, (l_partkey % 5) - 2 AS y2,

@@ -758,6 +758,29 @@ object Signals {
         .orderBy("event_type")
     }),
 
+    // Differentially-private release shape — the fourth rung of the
+    // privacy family (k-anonymity / l-diversity / t-closeness audit
+    // the data; DP perturbs the RELEASE): per-type counts plus
+    // two-sided-geometric (discrete Laplace) noise at ε=1, with the
+    // noise stream derived from the engine's md5 keep rule instead of
+    // rand() — G = ⌊−ln(u)/ε⌋ per side, u = (28-bit md5 + 1)/2²⁸ —
+    // so the release is reproducible and the ORACLE replays the exact
+    // noise. True counts ride along deliberately: this is the gate
+    // that certifies the mechanism's arithmetic, not a private
+    // release itself (production drops the true column and the seed).
+    "dp_counts" -> ((s, dir) => {
+      val m = Relational.events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n_true"))
+      def u(saltC: String) =
+        (Dedup.hashBucket(concat(lit(saltC), col("event_type")),
+          268435456L).cast("double") + 1.0) / 268435456.0
+      def g(saltC: String) = floor(-log(u(saltC))).cast("long")
+      m.select(col("event_type"), col("n_true"),
+          (g("dp1:") - g("dp2:")).as("noise"),
+          (col("n_true") + g("dp1:") - g("dp2:")).as("n_noisy"))
+        .orderBy("event_type")
+    }),
+
     // Cohen's kappa — inter-annotator agreement between two
     // deterministic binary "raters" of document quality (a hard
     // length rule vs a noisy variant of it), per language: the
@@ -1773,6 +1796,20 @@ object Signals {
         |    / 1000000000000.0, 6) AS DOUBLE) AS chi2
         |FROM terms""".stripMargin,
 
+    "dp_counts" ->
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT event_type, n_true,
+        |    CAST(floor(-ln((CAST('0x' || substr(md5('dp1:' || event_type),
+        |        1, 7) AS BIGINT) % 268435456 + 1.0) / 268435456.0))
+        |      AS BIGINT) AS g1,
+        |    CAST(floor(-ln((CAST('0x' || substr(md5('dp2:' || event_type),
+        |        1, 7) AS BIGINT) % 268435456 + 1.0) / 268435456.0))
+        |      AS BIGINT) AS g2
+        |  FROM m)
+        |SELECT event_type, n_true, g1 - g2 AS noise,
+        |  n_true + g1 - g2 AS n_noisy
+        |FROM g ORDER BY event_type""".stripMargin,
     "cohens_kappa" ->
       """WITH d AS (SELECT lang,
         |    CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS r1,

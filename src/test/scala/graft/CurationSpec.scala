@@ -206,6 +206,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out("l_shipday") === ((10L, 2L, 2L, 100L, 1, 5.0, "rle")))
   }
 
+  test("zonemap_skip: interleaved days defeat natural zones, sorted skips") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("cur_zm")
+    val base = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    def ts(day: Int) = new java.sql.Timestamp(
+      base.getTime + day.toLong * 86400000L)
+    // 4 orderkeys, each holding one LOW and one HIGH day: natural
+    // zones span almost the whole range (only 2 of 4 files skip),
+    // while the sorted layout isolates the predicate days
+    val rows = Seq((0L, 0), (0L, 930), (1L, 30), (1L, 900),
+      (2L, 60), (2L, 870), (3L, 90), (3L, 840))
+    rows.map { case (k, d) => (k, ts(d)) }
+      .toDF("l_orderkey", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Curation.queries("zonemap_skip")(spark, dir).collect()
+      .map(r => r.getAs[String]("layout") -> ((r.getAs[Long]("n_files"),
+        r.getAs[Long]("files_scanned"), r.getAs[Long]("rows_scanned"),
+        r.getAs[Long]("total_rows"), r.getAs[Long]("selected_rows"),
+        r.getAs[Double]("skip_rate")))).toMap
+    // predicate days [882, 973] select {900, 930}
+    assert(out("natural") === ((4L, 2L, 4L, 8L, 2L, 0.5)))
+    assert(out("sorted") === ((8L, 2L, 2L, 8L, 2L, 0.75)))
+  }
+
   test("url_extract: parse_url host/path/query against constructed truth") {
     val dir = tmp("cur_url")
     Seq((1L, "en", "s1"), (2L, "fr", "s1"), (9L, "en", "s2"))

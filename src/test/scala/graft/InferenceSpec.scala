@@ -185,4 +185,21 @@ class InferenceSpec extends AnyFunSuite {
     assert(out(1L) === ((3L, 2L, 2L, 10L, 10L, 20L, 3.75, 1.25)))
     assert(out(2L) === ((1L, 2L, 2L, 5L, 8L, 16L, 1.333333, 2.666667)))
   }
+
+  test("quantile_align: lower quantiles on the grid, exact rank cuts") {
+    val dir = java.nio.file.Files.createTempDirectory("inf_qa").toString
+    // a: 1..10 micros -> q10/50/90 = 1/5/9; b: 11..20 -> 11/15/19;
+    // pooled 1..20 -> 2/10/18
+    val rows = (1 to 10).map(k => ("a", k * 1e-6)) ++
+      (11 to 20).map(k => ("b", k * 1e-6))
+    rows.toDF("event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Inference.queries("quantile_align")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> ((r.getAs[Long]("q10"),
+        r.getAs[Long]("q50"), r.getAs[Long]("q90"), r.getAs[Long]("g10"),
+        r.getAs[Long]("g50"), r.getAs[Long]("g90"),
+        r.getAs[Long]("shift50_micros")))).toMap
+    assert(out("a") === ((1L, 5L, 9L, 2L, 10L, 18L, -5L)))
+    assert(out("b") === ((11L, 15L, 19L, 2L, 10L, 18L, 5L)))
+  }
 }

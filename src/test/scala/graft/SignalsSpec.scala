@@ -888,6 +888,33 @@ class SignalsSpec extends AnyFunSuite {
       (3, 4L, 6L)))
   }
 
+  test("dp_counts: md5-seeded discrete Laplace replayed by a mini-oracle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sig_dp").toString
+    val rows = (1 to 7).map(i => (i.toLong, "view")) ++
+      (1 to 3).map(i => (100L + i, "purchase"))
+    rows.map { case (id, et) =>
+      (new java.sql.Timestamp(id * 1000), id, et) }
+      .toDF("ts", "event_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    // mini-oracle: the same 28-bit md5 → uniform → geometric chain
+    def gSide(salt: String, et: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + et).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      val b = java.lang.Long.parseLong(hex, 16) % 268435456L
+      math.floor(-math.log((b + 1.0) / 268435456.0)).toLong
+    }
+    val out = Signals.queries("dp_counts")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> ((r.getAs[Long]("n_true"),
+        r.getAs[Long]("noise"), r.getAs[Long]("n_noisy")))).toMap
+    for ((et, n) <- Seq("view" -> 7L, "purchase" -> 3L)) {
+      val noise = gSide("dp1:", et) - gSide("dp2:", et)
+      assert(out(et) === ((n, noise, n + noise)), et)
+    }
+  }
+
   test("cohens_kappa: chance-corrected agreement from integer margins") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
