@@ -266,6 +266,49 @@ object Scoring {
         .orderBy("lang")
     }),
 
+    // Iterated BPE training — [[bpe_merge_step]] ran ONE naive pair
+    // census; this trains an actual 3-merge tokenizer on symbol
+    // sequences: words become space-separated symbol strings
+    // ("h e l l o"), each round counts adjacent symbol pairs weighted
+    // by word frequency (one shuffle on the pair), picks the top pair
+    // (count desc, pair asc — the deterministic BPE tie rule), and
+    // merges it corpus-wide via greedy left-to-right string replace —
+    // so round 2 can merge a symbol round 1 created (the property the
+    // single-step query cannot show). Word state localCheckpoints per
+    // round (the kcore lesson: iteration r+1 reads materialized state,
+    // not a replay of rounds 0..r); the chosen pair stays IN-PLAN as a
+    // 1-row broadcast — no driver collect. Output: the 3 merge rules.
+    "bpe_train_rounds" -> ((s, dir) => {
+      val w0 = GraftSession.fanout(t(s, dir, "documents"))
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+        .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("w"),
+          col("wc"))
+        .localCheckpoint()
+      def pairs(words: DataFrame) = words
+        .select(col("wc"), split(col("w"), " ").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(sy) - 1)," +
+            " i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
+          .as("pr"))
+        .groupBy("pr").agg(sum("wc").as("cnt"))
+      var words = w0
+      val rounds = (1 to 3).map { r =>
+        val top = pairs(words)
+          .orderBy(col("cnt").desc, col("pr").asc).limit(1)
+          .localCheckpoint()
+        words = words.crossJoin(broadcast(top.select("pr")))
+          .select(expr("replace(w, pr, replace(pr, ' ', ''))").as("w"),
+            col("wc"))
+          .localCheckpoint()
+        top.select(lit(r).as("round"), col("pr").as("merged_pair"),
+          col("cnt"))
+      }
+      rounds.reduce(_ unionByName _).orderBy("round")
+    }),
+
     // Distribution matching — reshape the corpus toward a TARGET
     // length distribution (uniform over the 10 literal 200-char
     // buckets) by deterministic per-bucket downsampling: every bucket
@@ -299,6 +342,45 @@ object Scoring {
   )
 
   val oracles: Map[String, String] = Map(
+    // the 3 rounds unrolled; AS MATERIALIZED pins each word state the
+    // way localCheckpoint does (and keeps DuckDB from re-inlining the
+    // whole chain per consumer)
+    "bpe_train_rounds" ->
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS w,
+        |    CAST(count(*) AS BIGINT) AS wc
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |        AS word FROM documents) GROUP BY 1),
+        |p1 AS (SELECT pr, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+        |    SELECT wc, unnest(list_transform(range(1, len(sy)),
+        |      i -> sy[i] || ' ' || sy[i + 1])) AS pr
+        |    FROM (SELECT string_split(w, ' ') AS sy, wc FROM w0))
+        |  GROUP BY 1),
+        |t1 AS MATERIALIZED (SELECT pr, cnt FROM p1
+        |  ORDER BY cnt DESC, pr LIMIT 1),
+        |w1 AS MATERIALIZED (SELECT
+        |    replace(w, t1.pr, replace(t1.pr, ' ', '')) AS w, wc
+        |  FROM w0 CROSS JOIN t1),
+        |p2 AS (SELECT pr, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+        |    SELECT wc, unnest(list_transform(range(1, len(sy)),
+        |      i -> sy[i] || ' ' || sy[i + 1])) AS pr
+        |    FROM (SELECT string_split(w, ' ') AS sy, wc FROM w1))
+        |  GROUP BY 1),
+        |t2 AS MATERIALIZED (SELECT pr, cnt FROM p2
+        |  ORDER BY cnt DESC, pr LIMIT 1),
+        |w2 AS MATERIALIZED (SELECT
+        |    replace(w, t2.pr, replace(t2.pr, ' ', '')) AS w, wc
+        |  FROM w1 CROSS JOIN t2),
+        |p3 AS (SELECT pr, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+        |    SELECT wc, unnest(list_transform(range(1, len(sy)),
+        |      i -> sy[i] || ' ' || sy[i + 1])) AS pr
+        |    FROM (SELECT string_split(w, ' ') AS sy, wc FROM w2))
+        |  GROUP BY 1),
+        |t3 AS (SELECT pr, cnt FROM p3 ORDER BY cnt DESC, pr LIMIT 1)
+        |SELECT 1 AS round, pr AS merged_pair, cnt FROM t1
+        |UNION ALL SELECT 2, pr, cnt FROM t2
+        |UNION ALL SELECT 3, pr, cnt FROM t3
+        |ORDER BY round""".stripMargin,
     "distribution_match" ->
       """WITH d AS (SELECT doc_id,
         |    least(CAST(n_chars // 200 AS INT), 9) AS bin

@@ -279,6 +279,24 @@ class ScoringSpec extends AnyFunSuite {
     assert(out("fr") === ((1L, 1L, 0L, 0.0)))
   }
 
+  test("bpe_train_rounds: round 2 merges the symbol round 1 created") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("score_bpe").toString
+    // w0: 'a a a'(3), 'a b'(2) → r1 merges 'a a' (cnt 6, overlap
+    // counted naively, replaced greedily: 'a a a' → 'aa a');
+    // r2 merges 'aa a' (3) — a symbol that did not exist before r1;
+    // r3 merges 'a b' (2)
+    Seq((1L, "aaa aaa aaa ab ab")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Scoring.queries("bpe_train_rounds")(
+        spark, dir).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("merged_pair"),
+        r.getAs[Long]("cnt")))
+    assert(out.toSeq === Seq((1, "a a", 6L), (2, "aa a", 3L),
+      (3, "a b", 2L)))
+  }
+
   test("distribution_match: per-bucket quota caps, underfull keeps all") {
     import spark.implicits._
     val dir = java.nio.file.Files
