@@ -154,4 +154,86 @@ class PropertySpec extends AnyFunSuite {
       .collect()
     fp.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
+
+  test("zonemap_skip invariants: layouts agree on totals and selection") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val dir = java.nio.file.Files.createTempDirectory("prop_zm").toString
+    val base = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    (1 to 500).map { _ =>
+      (rnd.nextInt(200).toLong, new java.sql.Timestamp(
+        base.getTime + rnd.nextInt(2500).toLong * 86400000L))
+    }.toDF("l_orderkey", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.queries.Curation.queries("zonemap_skip")(spark, dir)
+      .collect().map(r => r.getAs[String]("layout") -> r).toMap
+    val (nat, srt) = (out("natural"), out("sorted"))
+    // a zone map may over-scan but can NEVER lose selected rows, and
+    // the two layouts partition the same physical table
+    assert(nat.getAs[Long]("total_rows") === srt.getAs[Long]("total_rows"))
+    assert(nat.getAs[Long]("selected_rows") ===
+      srt.getAs[Long]("selected_rows"))
+    for (r <- Seq(nat, srt)) {
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("selected_rows"))
+      assert(r.getAs[Long]("files_scanned") <= r.getAs[Long]("n_files"))
+    }
+    // sorted zones are disjoint day ranges: scanning is never worse
+    assert(srt.getAs[Long]("rows_scanned") <= nat.getAs[Long]("rows_scanned"))
+  }
+
+  test("bpe_train_rounds matches a brute-force reference on random words") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dir = java.nio.file.Files.createTempDirectory("prop_bpe").toString
+    val alphabet = "abc"
+    val words = (1 to 60).map(_ =>
+      (1 to (2 + rnd.nextInt(5))).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // reference: the same count-naively / merge-greedily contract
+    var state: Map[String, Long] = words.groupBy(identity)
+      .map { case (w, ws) => w.toSeq.mkString(" ") -> ws.size.toLong }
+    val expect = (1 to 3).map { _ =>
+      val counts = state.toSeq.flatMap { case (w, wc) =>
+        val sy = w.split(" ")
+        sy.indices.dropRight(1).map(i => s"${sy(i)} ${sy(i + 1)}" -> wc)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val (pr, cnt) = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+      state = state.map { case (w, wc) =>
+        w.replace(pr, pr.replace(" ", "")) -> wc }
+      (pr, cnt)
+    }
+    val got = graft.queries.Scoring.queries("bpe_train_rounds")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("merged_pair"), r.getAs[Long]("cnt")))
+    assert(got.toSeq === expect)
+  }
+
+  test("batch_padding matches the packing mini-oracle on random lengths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dir = java.nio.file.Files.createTempDirectory("prop_pad").toString
+    val lens = (1 to 100).map(_ => 1 + rnd.nextInt(60))
+    lens.zipWithIndex.map { case (len, i) =>
+      (i.toLong, Seq.fill(len)("w").mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    def waste(ordered: Seq[Int]): (Long, Long) = {
+      val pads = ordered.grouped(32).toSeq
+        .map(b => b.size.toLong * b.max - b.map(_.toLong).sum)
+      (pads.sum, pads.max)
+    }
+    val (padA, _) = waste(lens)
+    val (padS, _) =
+      waste(lens.zipWithIndex.sortBy { case (l, i) => (l, i) }.map(_._1))
+    val out = graft.queries.Curation.queries("batch_padding")(spark, dir)
+      .collect().map(r => r.getAs[String]("policy") ->
+        r.getAs[Long]("pad_tokens")).toMap
+    assert(out("arrival") === padA)
+    assert(out("sorted") === padS)
+    // sorting by length never increases total padding on one shard
+    assert(padS <= padA)
+  }
 }
