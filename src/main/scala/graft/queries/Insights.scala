@@ -482,6 +482,31 @@ object Insights {
         .orderBy("day", "event_type")
     }),
 
+    // Streaming QUANTILE sketch under the value oracle: the 512-bin
+    // grid state (the engine's mergeable value sketch) accumulated as
+    // a complete-mode streaming aggregate, then read out by the SAME
+    // shared readout the batch sketch_quantiles uses — stream/batch
+    // parity of the sketch STATE itself, gated by the identical
+    // oracle. Streaming state is |types|·512 counters, the fixed
+    // memory a 100 TB stream pays for percentiles.
+    "stream_quantile" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = streamEvents(s, dir)
+        .select(col("event_type"), Signals.gridBin(col("value")))
+      val tbl = "stream_quant_" + Relational.sfTag(dir) + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val q = ev.groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("c"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // localCheckpoint: the readout self-joins the grid (cum window ⋈
+      // totals), and MemoryPlan leaves don't deduplicate attribute
+      // references across branches — a LogicalRDD does
+      Signals.gridQuantileReadout(s, s.table(tbl).localCheckpoint())
+    }),
+
     // Streaming stateful DEDUP under the value oracle: dropDuplicates
     // state keeps first-arrival per (user_id, event_type) across
     // micro-batches, and the downstream count per event_type must equal
@@ -816,6 +841,9 @@ object Insights {
   )
 
   val oracles: Map[String, String] = Map(
+    // stream/batch parity IS the claim: the batch sketch's oracle
+    // serves the streaming grid unchanged
+    "stream_quantile" -> Signals.oracles("sketch_quantiles"),
     "funnel_conversion_time" ->
       """WITH f AS (SELECT user_id,
         |    min(CASE WHEN event_type='signup' THEN epoch_us(ts) END) AS t_signup,

@@ -667,6 +667,52 @@ object Relational {
           col("true_a"), col("true_b"), col("true_intersect"))
     }),
 
+    // CMS sketch ROLLUP — completes the sketch-merge family's third
+    // member as a GATED query (HLL registers merge by MAX →
+    // hll_rollup; bin-grid counters by SUM → sketch_quantile_rollup;
+    // CMS counters also by SUM → here): per-day 4×64 Count-Min
+    // sketches of the event-type stream merge element-wise UP to the
+    // corpus level entirely in-plan, and the merged estimate equals
+    // the one-shot sketch exactly (sum is associative — the oracle
+    // rebuilds the merged counters without ever seeing days).
+    // sketch_weight = depth·rows is the exact-integer witness that no
+    // counter was lost in the merge; est ≥ true is the CMS guarantee.
+    "cms_rollup" -> ((s, dir) => {
+      val depth = 4
+      val width = 64
+      val cmsU = udaf(new graft.functions.CountMinSketchAgg(depth, width),
+        org.apache.spark.sql.Encoders.STRING)
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+      val daily = ev.groupBy("day")
+        .agg(cmsU(col("event_type")).as("sk"), count(lit(1)).as("n"))
+        .localCheckpoint() // feeds the merge AND the calendar witness
+      val merged = daily
+        .select(posexplode(col("sk")).as(Seq("pos", "c")))
+        .groupBy("pos").agg(sum("c").as("c"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("sk"))
+      val cal = daily.agg(count(lit(1)).as("n_days"),
+        sum("n").as("total_rows"))
+      val (h1, h2) =
+        graft.functions.CountMinSketchAgg.hashPairCols(col("event_type"))
+      val est = (0 until depth).map { i =>
+        element_at(col("sk"),
+          (lit(i * width) + pmod(h1 + lit(i.toLong) * h2,
+            lit(width.toLong)) + 1).cast("int"))
+      }.reduce(least(_, _))
+      ev.groupBy("event_type").agg(count(lit(1)).as("true_cnt"))
+        .crossJoin(broadcast(merged))
+        .crossJoin(broadcast(cal))
+        .select(col("event_type"), est.as("est_cnt"), col("true_cnt"),
+          col("n_days"),
+          aggregate(col("sk"), lit(0L), (a, x) => a + x)
+            .as("sketch_weight"),
+          (lit(depth) * col("total_rows")).as("expected_weight"))
+        .orderBy("event_type")
+    }),
+
     // Exact mergeable count-distinct via fixed-width bitmap words —
     // the bitmap-index rollup idiom: key k maps to word k div 62 and
     // bit k % 62 (62-bit words keep every mask positive, the widest
@@ -1485,6 +1531,34 @@ object Relational {
         |  e.reg_weight, e.zero_regs
         |FROM est e JOIN cal c USING (event_type) JOIN tru t USING (event_type)
         |ORDER BY e.event_type""".stripMargin,
+    // merged-by-sum counters ≡ one-shot counters (associativity), so
+    // the oracle rebuilds them day-blind; weights are exact integers
+    "cms_rollup" ->
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |cells AS (SELECT event_type, cnt, t.i,
+        |    (CAST('0x' || substr(md5(event_type), 1, 7) AS BIGINT)
+        |     + t.i * (CAST('0x' || substr(md5(event_type), 8, 7)
+        |       AS BIGINT) | 1)) % 64 AS cell
+        |  FROM m, range(0, 4) t(i)),
+        |counters AS (SELECT i, cell, CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1, 2),
+        |est AS (SELECT k.event_type, CAST(min(c.c) AS BIGINT) AS est_cnt
+        |  FROM cells k JOIN counters c ON k.i = c.i AND k.cell = c.cell
+        |  GROUP BY 1),
+        |cal AS (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+        |      AS n_days,
+        |    CAST(count(*) AS BIGINT) AS total_rows
+        |  FROM events),
+        |w AS (SELECT CAST(sum(c) AS BIGINT) AS sketch_weight
+        |  FROM counters)
+        |SELECT m.event_type, e.est_cnt, m.cnt AS true_cnt,
+        |  cal.n_days, w.sketch_weight,
+        |  4 * cal.total_rows AS expected_weight
+        |FROM m JOIN est e USING (event_type)
+        |CROSS JOIN cal CROSS JOIN w
+        |ORDER BY m.event_type""".stripMargin,
+
     // the filter is md5-deterministic, so even the FP count is exact:
     // the oracle rebuilds the k=7 Kirsch–Mitzenmacher bit set and
     // replays every probe (7 rows per key; a position hit with

@@ -25,6 +25,48 @@ object Signals {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** 512-bin grid width for the mergeable value sketch — an exact
+    * binary literal (0.78125) so bin edges are bit-identical
+    * everywhere.
+    */
+  private[graft] val gridW = 400.0 / 512.0
+
+  private[graft] def gridBin(value: Column): Column =
+    least(floor(value / lit(gridW)), lit(511L)).cast("int").as("bin")
+
+  /** Quantile readout over a (event_type, bin, c) grid-count table —
+    * shared verbatim by the batch sketch queries AND the streaming
+    * grid (stream_quantile), so stream/batch parity is parity of the
+    * sketch STATE, not of two readout implementations.
+    */
+  private[graft] def gridQuantileReadout(s: SparkSession,
+      bc: DataFrame): DataFrame = {
+    import s.implicits._
+    val W = gridW
+    val wspec = Window.partitionBy("event_type").orderBy("bin")
+    val cum = bc.select(col("event_type"), col("bin"), col("c"),
+      sum("c").over(wspec).as("cum"))
+    val tot = bc.groupBy("event_type").agg(sum("c").as("n"))
+    val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+      .toDF("p", "pname")
+    val rank = ceil(col("p") * col("n").cast("double"))
+    val v = col("bin").cast("double") * lit(W) +
+      lit(W) * (rank - (col("cum") - col("c")).cast("double")) /
+        col("c").cast("double")
+    cum.join(broadcast(tot), "event_type")
+      .crossJoin(broadcast(ps))
+      .filter(col("cum").cast("double") >= rank &&
+        (col("cum") - col("c")).cast("double") < rank)
+      .select(col("event_type"), col("n"), col("pname"),
+        round(v, 6).as("v"))
+      .groupBy("event_type").agg(
+        min("n").as("n"),
+        max(when(col("pname") === "p50", col("v"))).as("p50"),
+        max(when(col("pname") === "p90", col("v"))).as("p90"),
+        max(when(col("pname") === "p99", col("v"))).as("p99"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bounded-window EWMA per user over purchase values: weights α^o
     // (α = 0.5) over the last ≤7 observations, normalized by the
@@ -929,34 +971,10 @@ object Signals {
     }),
 
     "sketch_quantiles" -> ((s, dir) => {
-      import s.implicits._
-      val W = 400.0 / 512.0 // exact binary literal (0.78125)
       val ev = t(s, dir, "events").select(col("event_type"),
-        least(floor(col("value") / lit(W)), lit(511L)).cast("int")
-          .as("bin"))
-      val bc = ev.groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
-      val wspec = Window.partitionBy("event_type").orderBy("bin")
-      val cum = bc.select(col("event_type"), col("bin"), col("c"),
-        sum("c").over(wspec).as("cum"))
-      val tot = bc.groupBy("event_type").agg(sum("c").as("n"))
-      val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
-        .toDF("p", "pname")
-      val rank = ceil(col("p") * col("n").cast("double"))
-      val v = col("bin").cast("double") * lit(W) +
-        lit(W) * (rank - (col("cum") - col("c")).cast("double")) /
-          col("c").cast("double")
-      cum.join(broadcast(tot), "event_type")
-        .crossJoin(broadcast(ps))
-        .filter(col("cum").cast("double") >= rank &&
-          (col("cum") - col("c")).cast("double") < rank)
-        .select(col("event_type"), col("n"), col("pname"),
-          round(v, 6).as("v"))
-        .groupBy("event_type").agg(
-          min("n").as("n"),
-          max(when(col("pname") === "p50", col("v"))).as("p50"),
-          max(when(col("pname") === "p90", col("v"))).as("p90"),
-          max(when(col("pname") === "p99", col("v"))).as("p99"))
-        .orderBy("event_type")
+        gridBin(col("value")))
+      gridQuantileReadout(s,
+        ev.groupBy("event_type", "bin").agg(count(lit(1)).as("c")))
     }),
 
     // Last-touch attribution: every purchase credits the LAST

@@ -40,4 +40,29 @@ class CountMinSketchSpec extends AnyFunSuite {
     // 3 keys in 64 cells over 4 independent rows: min() sheds collisions
     assert(est("a") === 100 && est("b") === 10 && est("c") === 1)
   }
+
+  test("cms_rollup: day-merged counters equal one-shot, weight conserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("cms_roll").toString
+    val day = 86400000000L // µs
+    // day 1: x,x,y ; day 2: x,y,y,y → merged: x=3, y=4
+    val rows = Seq((1L, "x"), (2L, "x"), (3L, "y"),
+      (day + 1, "x"), (day + 2, "y"), (day + 3, "y"), (day + 4, "y"))
+    rows.toDF("us", "event_type")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"))
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.queries.Relational.queries("cms_rollup")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    for ((k, n) <- Seq("x" -> 3L, "y" -> 4L)) {
+      val r = out(k)
+      // 2 keys in 64 cells: no collision → merged estimate is exact
+      assert(r.getAs[Long]("est_cnt") === n, k)
+      assert(r.getAs[Long]("true_cnt") === n, k)
+      assert(r.getAs[Long]("n_days") === 2L, k)
+      // element-wise sum merge conserves total mass: depth · rows
+      assert(r.getAs[Long]("sketch_weight") === 4L * 7L, k)
+      assert(r.getAs[Long]("expected_weight") === 4L * 7L, k)
+    }
+  }
 }

@@ -452,4 +452,23 @@ class FunnelStreamSpec extends AnyFunSuite {
       assert(got === expected)
     } finally q.stop()
   }
+
+  test("stream_quantile equals batch sketch_quantiles row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("fs_quant").toString
+    val rnd = new scala.util.Random(3)
+    (1 to 400).map { i =>
+      (i.toLong * 1000000L, if (i % 2 == 0) "a" else "b",
+        rnd.nextDouble() * 400.0)
+    }.toDF("us", "event_type", "value")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"),
+        col("value"))
+      .write.parquet(s"$dir/events.parquet")
+    val stream = graft.queries.Insights.queries("stream_quantile")(
+      spark, dir).collect().map(_.toSeq)
+    val batch = graft.queries.Signals.queries("sketch_quantiles")(
+      spark, dir).collect().map(_.toSeq)
+    assert(stream.toSeq === batch.toSeq)
+  }
 }
