@@ -359,6 +359,31 @@ object Inference {
     // doc-inside-doc duplication class MinHash/Jaccard structurally
     // miss — see [[graft.llm.Dedup.containmentPairs]] for the one-sided
     // prefix-filter candidate scheme.
+    // Weighted lower median — the quantity-weighted price midpoint per
+    // return flag (impute_median's unweighted grid rule generalized to
+    // weights): cumulative WEIGHT over the distinct-price grid, median
+    // = smallest price whose cumulative weight clears ⌈W/2⌉. Prices
+    // quantize to integer cents, weights to integer quantity cents, so
+    // the cut is exact; the output is an actual data value.
+    "weighted_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        bround(col("l_extendedprice") * 100).cast("long").as("v"),
+        bround(col("l_quantity") * 100).cast("long").as("wt"))
+      val grid = li.groupBy("g", "v").agg(sum("wt").as("w"))
+      val wspec = Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.select(col("g"), col("v"), col("w"),
+        sum("w").over(wspec).as("cum"))
+      val tot = grid.groupBy("g").agg(sum("w").as("tw"),
+        count(lit(1)).as("n_prices"))
+      cum.join(broadcast(tot), Seq("g"))
+        .groupBy("g").agg(
+          max("tw").as("total_weight"), max("n_prices").as("n_prices"),
+          min(when(col("cum") >= expr("CAST((tw + 1) DIV 2 AS BIGINT)"),
+            col("v"))).as("wmedian_cents"))
+        .orderBy("g")
+    }),
+
     // Quantile alignment — the quantile-normalization readout (the
     // batch-effect check run before pooling heterogeneous sources):
     // each event type's lower p10/p50/p90 of the micro-quantized value
@@ -458,6 +483,24 @@ object Inference {
     }))
 
   val oracles: Map[String, String] = Map(
+    "weighted_median" ->
+      """WITH li AS (SELECT l_returnflag AS g,
+        |    CAST(round_even(l_extendedprice * 100, 0) AS BIGINT) AS v,
+        |    CAST(round_even(l_quantity * 100, 0) AS BIGINT) AS wt
+        |  FROM lineitem),
+        |grid AS (SELECT g, v, CAST(sum(wt) AS BIGINT) AS w
+        |  FROM li GROUP BY 1, 2),
+        |cum AS (SELECT g, v, w, sum(w) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM grid),
+        |tot AS (SELECT g, CAST(sum(w) AS BIGINT) AS tw,
+        |    CAST(count(*) AS BIGINT) AS n_prices FROM grid GROUP BY 1)
+        |SELECT c.g, max(t.tw) AS total_weight,
+        |  max(t.n_prices) AS n_prices,
+        |  CAST(min(CASE WHEN c.cum >= (t.tw + 1) // 2 THEN c.v END)
+        |    AS BIGINT) AS wmedian_cents
+        |FROM cum c JOIN tot t ON c.g = t.g
+        |GROUP BY c.g ORDER BY c.g""".stripMargin,
     "quantile_align" ->
       """WITH ev AS (SELECT event_type,
         |    CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v

@@ -800,6 +800,70 @@ object Signals {
         .orderBy("event_type")
     }),
 
+    // Wilson score interval — the small-n-safe conversion-rate CI
+    // (the Wald interval collapses at p̂→0/1; Wilson is what an
+    // experimentation readout should quote): per event type, the rate
+    // of high-value events (value > 250) with its 95% bounds. k and n
+    // are exact integers from one hash-agg; the entire interval is a
+    // fixed IEEE chain over them, mirrored verbatim.
+    "wilson_ci" -> ((s, dir) => {
+      val z = 1.959964
+      val m = t(s, dir, "events").groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") > 250.0, 1L).otherwise(0L)).as("k"))
+      val nD = col("n").cast("double")
+      val p = col("k").cast("double") / nD
+      val z2 = lit(z * z)
+      val denom = lit(1.0) + z2 / nD
+      val center = (p + z2 / (lit(2.0) * nD)) / denom
+      val hw = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+        z2 / (lit(4.0) * nD * nD)) / denom
+      m.select(col("event_type"), col("n"), col("k"),
+          bround(p, 6).as("p_hat"),
+          bround(center - hw, 6).as("ci_lo"),
+          bround(center + hw, 6).as("ci_hi"))
+        .orderBy("event_type")
+    }),
+
+    // Neighbor-set Jaccard similarity on the co-purchase graph — the
+    // link-prediction sibling of [[adamic_adar]]: for part pairs
+    // sharing at least one graph neighbor, |N∩|/|N∪| from the wedge
+    // count and two degree lookups (common neighbors come from ONE
+    // keyed self-join of the support-filtered edge list — never a
+    // neighbor-list cross product; the union size is inclusion-
+    // exclusion, no second join). Support ≥ 2 keeps the projected
+    // graph sparse exactly as triangle_count does.
+    "graph_jaccard" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = op.select(col("o"), col("p").as("p1"))
+        .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint() // wedge join + degree table share it
+      val nbr = e.select(col("p1").as("v"), col("p2").as("w"))
+        .unionByName(e.select(col("p2").as("v"), col("p1").as("w")))
+      val deg = nbr.groupBy("v").agg(count(lit(1)).as("deg"))
+      val common = nbr.select(col("w").as("mid"), col("v").as("a"))
+        .join(nbr.select(col("w").as("mid"), col("v").as("b")),
+          Seq("mid"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      common
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+        .select(col("a"), col("b"), col("common"),
+          (col("da") + col("db") - col("common")).as("uni"),
+          bround(col("common").cast("double") * lit(1000000.0)
+            / (col("da") + col("db") - col("common")).cast("double"))
+            .cast("long").as("jac_micros"))
+        .orderBy(col("jac_micros").desc, col("a").asc, col("b").asc)
+        .limit(25)
+    }),
+
     // Differentially-private release shape — the fourth rung of the
     // privacy family (k-anonymity / l-diversity / t-closeness audit
     // the data; DP perturbs the RELEASE): per-type counts plus
@@ -1814,6 +1878,46 @@ object Signals {
         |    / 1000000000000.0, 6) AS DOUBLE) AS chi2
         |FROM terms""".stripMargin,
 
+    "wilson_ci" ->
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value > 250.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT event_type, n, k,
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    1.959964 * 1.959964 AS z2, CAST(n AS DOUBLE) AS nd
+        |  FROM m),
+        |w AS (SELECT event_type, n, k, p,
+        |    (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd) AS center,
+        |    1.959964 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+        |      / (1.0 + z2 / nd) AS hw
+        |  FROM c)
+        |SELECT event_type, n, k,
+        |  CAST(round_even(p, 6) AS DOUBLE) AS p_hat,
+        |  CAST(round_even(center - hw, 6) AS DOUBLE) AS ci_lo,
+        |  CAST(round_even(center + hw, 6) AS DOUBLE) AS ci_hi
+        |FROM w ORDER BY event_type""".stripMargin,
+    "graph_jaccard" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT a.p AS p1, b.p AS p2
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nbr AS (SELECT p1 AS v, p2 AS w FROM e
+        |  UNION ALL SELECT p2, p1 FROM e),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+        |  FROM nbr GROUP BY 1),
+        |cm AS (SELECT x.v AS a, y.v AS b, CAST(count(*) AS BIGINT)
+        |      AS common
+        |  FROM nbr x JOIN nbr y ON x.w = y.w AND x.v < y.v
+        |  GROUP BY 1, 2)
+        |SELECT cm.a, cm.b, cm.common,
+        |  da.deg + db.deg - cm.common AS uni,
+        |  CAST(round_even(CAST(cm.common AS DOUBLE) * 1000000.0
+        |    / CAST(da.deg + db.deg - cm.common AS DOUBLE), 0) AS BIGINT)
+        |    AS jac_micros
+        |FROM cm JOIN deg da ON da.v = cm.a JOIN deg db ON db.v = cm.b
+        |ORDER BY jac_micros DESC, cm.a, cm.b LIMIT 25""".stripMargin,
     "dp_counts" ->
       """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
         |  FROM events GROUP BY 1),

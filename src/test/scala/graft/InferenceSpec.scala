@@ -202,4 +202,20 @@ class InferenceSpec extends AnyFunSuite {
     assert(out("a") === ((1L, 5L, 9L, 2L, 10L, 18L, -5L)))
     assert(out("b") === ((11L, 15L, 19L, 2L, 10L, 18L, 5L)))
   }
+
+  test("weighted_median: cumulative weight clears the ceil(W/2) cut") {
+    val dir = java.nio.file.Files.createTempDirectory("inf_wm").toString
+    // A: 100c at weight 100, 200c at weight 300 -> W=400, cut 200,
+    //    cum(100c)=100 < 200, cum(200c)=400 -> median 200c
+    // B: single price is its own median
+    Seq(("A", 1.00, 1.00), ("A", 2.00, 3.00), ("B", 5.00, 2.00))
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Inference.queries("weighted_median")(spark, dir).collect()
+      .map(r => r.getAs[String]("g") -> ((r.getAs[Long]("total_weight"),
+        r.getAs[Long]("n_prices"), r.getAs[Long]("wmedian_cents"))))
+      .toMap
+    assert(out("A") === ((400L, 2L, 200L)))
+    assert(out("B") === ((200L, 1L, 500L)))
+  }
 }

@@ -888,6 +888,45 @@ class SignalsSpec extends AnyFunSuite {
       (3, 4L, 6L)))
   }
 
+  test("wilson_ci: interval matches the closed-form chain at p=0.25") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sig_wil").toString
+    Seq(300.0, 100.0, 100.0, 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "a", v) }
+      .toDF("event_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Signals.queries("wilson_ci")(spark, dir).collect()(0)
+    assert((r.getAs[Long]("n"), r.getAs[Long]("k"),
+      r.getAs[Double]("p_hat")) === ((4L, 1L, 0.25)))
+    // mini-oracle: the identical IEEE chain
+    val (z, n, p) = (1.959964, 4.0, 0.25)
+    val den = 1.0 + z * z / n
+    val c = (p + z * z / (2.0 * n)) / den
+    val hw = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    assert(r.getAs[Double]("ci_lo") === r6(c - hw))
+    assert(r.getAs[Double]("ci_hi") === r6(c + hw))
+  }
+
+  test("graph_jaccard: triangle neighbors give 1/3 similarity each") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sig_gj").toString
+    // two orders, both containing parts 1,2,3 → all three edges at
+    // support 2; every pair shares exactly one neighbor: jac = 1/3
+    val rows = for (o <- Seq(1L, 2L); p <- Seq(1L, 2L, 3L)) yield (o, p)
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Signals.queries("graph_jaccard")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("common"), r.getAs[Long]("uni"),
+        r.getAs[Long]("jac_micros")))
+    assert(out.toSeq === Seq((1L, 2L, 1L, 3L, 333333L),
+      (1L, 3L, 1L, 3L, 333333L), (2L, 3L, 1L, 3L, 333333L)))
+  }
+
   test("dp_counts: md5-seeded discrete Laplace replayed by a mini-oracle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
