@@ -359,6 +359,43 @@ object Inference {
     // doc-inside-doc duplication class MinHash/Jaccard structurally
     // miss — see [[graft.llm.Dedup.containmentPairs]] for the one-sided
     // prefix-filter candidate scheme.
+    // Durbin–Watson autocorrelation diagnostic on the daily value
+    // series per event type — the "are my residuals independent" check
+    // an OLS trend readout (ols_fit) owes its user: residuals from the
+    // intercept-only model spelled as SCALED integers ẽ_d = n·y_d − Σy
+    // (the n factor cancels in the ratio, so no mean division ever
+    // happens), squared differences of consecutive days and squared
+    // levels summed in DECIMAL(38,0), ONE IEEE division at the end.
+    // DW ≈ 2 ⇒ independent; < 1 ⇒ strong positive autocorrelation.
+    // The lag runs over the bounded per-type DAY grid, never raw rows.
+    "durbin_watson" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      val daily = Relational.events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .as("d"))
+        .agg(sum(bround(col("value") * lit(1000000.0)).cast("long"))
+          .as("y"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val e = daily.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("d"), col("n"),
+          (col("n").cast(d38) * col("y") - col("sy")).as("et"))
+        .withColumn("ep", lag("et", 1).over(w))
+      e.groupBy("event_type").agg(
+          max("n").as("n_days"),
+          sum(when(col("ep").isNotNull,
+            (col("et") - col("ep")) * (col("et") - col("ep"))))
+            .cast(DecimalType(38, 0)).as("num"),
+          sum(col("et") * col("et")).cast(DecimalType(38, 0)).as("den"))
+        .select(col("event_type"), col("n_days"),
+          when(chk(col("den"), "durbin_watson") =!= 0,
+            bround(col("num").cast("double") / col("den").cast("double"),
+              6)).as("dw"))
+        .orderBy("event_type")
+    }),
+
     // Weighted lower median — the quantity-weighted price midpoint per
     // return flag (impute_median's unweighted grid rule generalized to
     // weights): cumulative WEIGHT over the distinct-price grid, median
@@ -483,6 +520,27 @@ object Inference {
     }))
 
   val oracles: Map[String, String] = Map(
+    "durbin_watson" ->
+      """WITH daily AS (SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(sum(CAST(round_even(value * 1000000.0, 0) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy FROM daily GROUP BY 1),
+        |e AS (SELECT d.event_type, d.d, t.n,
+        |    CAST(t.n AS HUGEINT) * d.y - t.sy AS et
+        |  FROM daily d JOIN tot t USING (event_type)),
+        |l AS (SELECT event_type, n, et,
+        |    lag(et) OVER (PARTITION BY event_type ORDER BY d) AS ep
+        |  FROM e)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+        |  CASE WHEN sum(et * et) <> 0 THEN
+        |    CAST(round_even(
+        |      CAST(sum(CASE WHEN ep IS NOT NULL
+        |        THEN (et - ep) * (et - ep) END) AS DOUBLE)
+        |      / CAST(sum(et * et) AS DOUBLE), 6) AS DOUBLE) END AS dw
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "weighted_median" ->
       """WITH li AS (SELECT l_returnflag AS g,
         |    CAST(round_even(l_extendedprice * 100, 0) AS BIGINT) AS v,

@@ -253,6 +253,42 @@ object Insights {
         .orderBy("supp_nation", "cust_nation", "ship_year")
     }),
 
+    // TPC-H Q5-shaped composite (local-supplier volume): the 6-way
+    // star join — region→nation broadcast-prunes customers AND
+    // suppliers, the fact shuffles once on orderkey, and the
+    // LOCAL-supplier condition (customer and supplier share a nation)
+    // applies as a post-join filter on two already-joined dim columns,
+    // never as a join explosion. The deepest join tree in the suite;
+    // revenue stays DECIMAL until the final cast.
+    "tpch_q5_like" -> ((s, dir) => {
+      def money(c: String) = col(c).cast(DecimalType(18, 2))
+      val nr = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (money("l_extendedprice") *
+            (lit(1).cast(DecimalType(18, 2)) - money("l_discount")))
+            .as("vol"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_items"),
+          sum("vol").cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("nation"))
+    }),
+
     // Join-key skew audit over events.user_id — the "do I need to salt
     // this join" planning query. ONE map-side-combinable count per key,
     // then order statistics over the KEY table (|keys| ≪ |rows|);
@@ -844,6 +880,23 @@ object Insights {
     // stream/batch parity IS the claim: the batch sketch's oracle
     // serves the streaming grid unchanged
     "stream_quantile" -> Signals.oracles("sketch_quantiles"),
+    "tpch_q5_like" ->
+      """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2))
+        |       - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE c.c_nationkey = s.s_nationkey
+        |  AND r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin,
     "funnel_conversion_time" ->
       """WITH f AS (SELECT user_id,
         |    min(CASE WHEN event_type='signup' THEN epoch_us(ts) END) AS t_signup,

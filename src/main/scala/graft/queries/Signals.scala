@@ -864,6 +864,41 @@ object Signals {
         .limit(25)
     }),
 
+    // Market-basket association rules — the classic retail co-purchase
+    // readout the graph queries imply but never price: directed rules
+    // a→b with support, confidence = supp(ab)/supp(a) and lift =
+    // N·supp(ab)/(supp(a)·supp(b)), from ONE orderkey self-join of the
+    // distinct (order, part) pairs (the triangle_count base) plus two
+    // broadcast-sized per-part support lookups. Ratios quantize to
+    // micros; top 25 by lift is TakeOrdered.
+    "assoc_rules" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint() // basket count, item supports, pair join
+      val nOrders = op.agg(countDistinct("o").as("n_orders"))
+      val supp = op.groupBy("p").agg(count(lit(1)).as("sp"))
+      val pairs = op.select(col("o"), col("p").as("a"))
+        .join(op.select(col("o"), col("p").as("b")), Seq("o"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("sab"))
+        .filter(col("sab") >= 2)
+      pairs
+        .join(supp.select(col("p").as("a"), col("sp").as("sa")), Seq("a"))
+        .join(supp.select(col("p").as("b"), col("sp").as("sb")), Seq("b"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("a"), col("b"), col("sab"), col("sa"), col("sb"),
+          bround(col("sab").cast("double") * lit(1000000.0)
+            / col("sa").cast("double")).cast("long").as("conf_micros"),
+          bround(col("n_orders").cast("double")
+            * col("sab").cast("double") * lit(1000000.0)
+            / (col("sa").cast("double") * col("sb").cast("double")))
+            .cast("long").as("lift_micros"))
+        .orderBy(col("lift_micros").desc, col("conf_micros").desc,
+          col("a").asc, col("b").asc)
+        .limit(25)
+    }),
+
     // Differentially-private release shape — the fourth rung of the
     // privacy family (k-anonymity / l-diversity / t-closeness audit
     // the data; DP perturbs the RELEASE): per-type counts plus
@@ -1878,6 +1913,27 @@ object Signals {
         |    / 1000000000000.0, 6) AS DOUBLE) AS chi2
         |FROM terms""".stripMargin,
 
+    "assoc_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders
+        |  FROM op),
+        |supp AS (SELECT p, CAST(count(*) AS BIGINT) AS sp
+        |  FROM op GROUP BY 1),
+        |pr AS (SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS sab
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.a, pr.b, pr.sab, sa.sp AS sa, sb.sp AS sb,
+        |  CAST(round_even(CAST(pr.sab AS DOUBLE) * 1000000.0
+        |    / CAST(sa.sp AS DOUBLE), 0) AS BIGINT) AS conf_micros,
+        |  CAST(round_even(CAST(n.n_orders AS DOUBLE)
+        |    * CAST(pr.sab AS DOUBLE) * 1000000.0
+        |    / (CAST(sa.sp AS DOUBLE) * CAST(sb.sp AS DOUBLE)), 0)
+        |    AS BIGINT) AS lift_micros
+        |FROM pr JOIN supp sa ON sa.p = pr.a JOIN supp sb ON sb.p = pr.b
+        |CROSS JOIN n
+        |ORDER BY lift_micros DESC, conf_micros DESC, pr.a, pr.b
+        |LIMIT 25""".stripMargin,
     "wilson_ci" ->
       """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(CASE WHEN value > 250.0 THEN 1 ELSE 0 END)

@@ -218,4 +218,20 @@ class InferenceSpec extends AnyFunSuite {
     assert(out("A") === ((400L, 2L, 200L)))
     assert(out("B") === ((200L, 1L, 500L)))
   }
+
+  test("durbin_watson: linear ramp residuals give DW exactly 1.0") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("inf_dw").toString
+    // daily sums 1,2,3 micros -> scaled residuals -3,0,3:
+    // num = 9+9 = 18, den = 9+0+9 = 18 -> DW = 1.0
+    val day = 86400000000L
+    Seq((1L, 1e-6), (day + 1, 2e-6), (2 * day + 1, 3e-6))
+      .toDF("us", "value")
+      .select(timestamp_micros(col("us")).as("ts"),
+        lit("a").as("event_type"), col("value"))
+      .write.parquet(s"$dir/events.parquet")
+    val r = Inference.queries("durbin_watson")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_days") === 3L)
+    assert(r.getAs[Double]("dw") === 1.0)
+  }
 }

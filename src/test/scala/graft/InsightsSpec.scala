@@ -303,4 +303,34 @@ class InsightsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("tpch_q5_like: region prune, date cut, and the LOCAL condition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q5").toString
+    Seq((1L, "ASIA"), (2L, "EUROPE")).toDF("r_regionkey", "r_name")
+      .write.parquet(s"$dir/region.parquet")
+    Seq((1L, "CHINA", 1L), (2L, "JAPAN", 1L), (3L, "FRANCE", 2L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((1L, 1L), (2L, 3L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L), (2L, 2L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    Seq((1L, 1L, ts("1996-06-01")), (2L, 1L, ts("1995-06-01")),
+      (3L, 2L, ts("1996-06-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    // (o1,s1): local CHINA ⋈ in-range → 100·0.9 = 90
+    // (o1,s2): supplier JAPAN ≠ customer CHINA → dropped (not local)
+    // (o2,s1): out of date range; (o3,s1): customer FRANCE ≠ CHINA
+    Seq((1L, 1L, 100.0, 0.1), (1L, 2L, 100.0, 0.0),
+      (2L, 1L, 100.0, 0.0), (3L, 1L, 100.0, 0.0))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Insights.queries("tpch_q5_like")(spark, dir).collect()
+    assert(out.length === 1)
+    assert((out(0).getAs[String]("nation"), out(0).getAs[Long]("n_items"),
+      out(0).getAs[Double]("revenue")) === (("CHINA", 1L, 90.0)))
+  }
 }

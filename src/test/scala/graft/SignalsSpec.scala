@@ -888,6 +888,25 @@ class SignalsSpec extends AnyFunSuite {
       (3, 4L, 6L)))
   }
 
+  test("assoc_rules: directed confidence is asymmetric, lift is not") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sig_ar").toString
+    // baskets {1,2}, {1,2}, {1,3}: supp(1)=3, supp(2)=2, supp(1,2)=2
+    // conf(1→2)=2/3, conf(2→1)=1, lift both = 3·2/(3·2) = 1
+    val rows = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Signals.queries("assoc_rules")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("sab"), r.getAs[Long]("sa"), r.getAs[Long]("sb"),
+        r.getAs[Long]("conf_micros"), r.getAs[Long]("lift_micros")))
+    assert(out.toSeq === Seq(
+      (2L, 1L, 2L, 2L, 3L, 1000000L, 1000000L),
+      (1L, 2L, 2L, 3L, 2L, 666667L, 1000000L)))
+  }
+
   test("wilson_ci: interval matches the closed-form chain at p=0.25") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
