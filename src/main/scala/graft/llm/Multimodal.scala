@@ -219,4 +219,28 @@ object Multimodal {
       .as[MediaRow]
     sampleFrames(media).toDF().orderBy("doc_id", "frame_idx")
   }
+
+  /** Per-modality payload dedup audit — image/audio/video dedup is a
+    * first-class training-data pass (duplicate media inflate exactly
+    * like duplicate text): payloads group by their md5, and the
+    * per-modality readout is rows vs distinct payloads, the largest
+    * duplicate group, and the byte savings a dedup pass would bank
+    * (Σ(group−1)·len). One fingerprint hash-agg — the payload bytes
+    * themselves never shuffle, only 32-hex fingerprints.
+    */
+  def dedupAudit(docs: DataFrame): DataFrame = {
+    val g = mediaFromDocuments(docs)
+      .select(col("modality"), col("byte_len"),
+        md5(col("payload")).as("fp"))
+      .groupBy("modality", "fp")
+      .agg(count(lit(1)).as("sz"), max("byte_len").as("bl"))
+    g.groupBy("modality").agg(
+        sum("sz").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        (sum("sz") - count(lit(1))).as("dup_rows"),
+        max("sz").as("max_group"),
+        sum((col("sz") - 1) * col("bl")).as("dup_bytes"),
+        sum(col("sz") * col("bl")).as("total_bytes"))
+      .orderBy("modality")
+  }
 }

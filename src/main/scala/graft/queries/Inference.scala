@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.GraftSession
+import graft.llm.Dedup
 
 /** Round-11 batch: time-series diagnostics and nonparametric inference
   * over the event stream, link prediction on the co-occurrence graph,
@@ -359,6 +360,61 @@ object Inference {
     // doc-inside-doc duplication class MinHash/Jaccard structurally
     // miss — see [[graft.llm.Dedup.containmentPairs]] for the one-sided
     // prefix-filter candidate scheme.
+    // Permutation test — the assumption-free sibling of welch_ttest:
+    // the observed |mean difference| between the md5 A/B arms is
+    // ranked against 63 md5-seeded label permutations of the SAME
+    // metric. Randomization is per USER (the experiment unit), so the
+    // 63 re-labelings explode over the per-user aggregate (|users|·63
+    // rows), never over raw events; every permutation is a salted
+    // deterministic bucket, so the oracle replays the exact null
+    // distribution and the p-value is bit-stable. Both engines spell
+    // the identical IEEE mean chain.
+    "permutation_test" -> ((s, dir) => {
+      val J = 63
+      val users = Relational.events(s, dir)
+        .select(col("user_id"),
+          bround(col("value") * lit(1000000.0)).cast("long").as("v"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("c"), sum("v").as("sv"))
+        .localCheckpoint() // observed arm split + 63 permutations
+      def diff(armCol: Column, df: DataFrame, keys: Seq[String]) = {
+        val base = if (keys.isEmpty) df.withColumn("arm", armCol)
+          .groupBy().agg(
+            sum(when(col("arm") === 0, col("sv"))).as("s0"),
+            sum(when(col("arm") === 0, col("c"))).as("n0"),
+            sum(when(col("arm") === 1, col("sv"))).as("s1"),
+            sum(when(col("arm") === 1, col("c"))).as("n1"))
+        else df.withColumn("arm", armCol).groupBy(keys.map(col): _*)
+          .agg(
+            sum(when(col("arm") === 0, col("sv"))).as("s0"),
+            sum(when(col("arm") === 0, col("c"))).as("n0"),
+            sum(when(col("arm") === 1, col("sv"))).as("s1"),
+            sum(when(col("arm") === 1, col("c"))).as("n1"))
+        base.withColumn("d",
+          abs(col("s0").cast("double") / col("n0").cast("double")
+            - col("s1").cast("double") / col("n1").cast("double")))
+      }
+      val obs = diff(Dedup.hashBucket(
+          concat(lit("ab:"), col("user_id").cast("string")), 2L)
+          .cast("int"), users, Nil)
+        .select(col("d").as("obs_d"))
+      val perms = diff(Dedup.hashBucket(
+          concat(lit("perm:"), col("j").cast("string"), lit(":"),
+            col("user_id").cast("string")), 2L).cast("int"),
+        users.select(col("user_id"), col("c"), col("sv"),
+          explode(sequence(lit(0), lit(J - 1))).as("j")),
+        Seq("j"))
+      perms.crossJoin(broadcast(obs))
+        .agg(count(lit(1)).as("n_perms"),
+          sum(when(col("d") >= col("obs_d"), 1L).otherwise(0L))
+            .as("n_ge"),
+          max("obs_d").as("od"))
+        .select(bround(col("od"), 4).as("obs_diff_micros"),
+          col("n_perms"), col("n_ge"),
+          bround((col("n_ge") + 1).cast("double")
+            / (col("n_perms") + 1).cast("double"), 6).as("p_value"))
+    }),
+
     // Durbin–Watson autocorrelation diagnostic on the daily value
     // series per event type — the "are my residuals independent" check
     // an OLS trend readout (ols_fit) owes its user: residuals from the
@@ -520,6 +576,43 @@ object Inference {
     }))
 
   val oracles: Map[String, String] = Map(
+    "permutation_test" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CAST(round_even(value * 1000000.0, 0) AS BIGINT))
+        |      AS BIGINT) AS sv
+        |  FROM events GROUP BY 1),
+        |ob AS (SELECT abs(
+        |    CAST(sum(CASE WHEN arm = 0 THEN sv END) AS DOUBLE)
+        |      / CAST(sum(CASE WHEN arm = 0 THEN c END) AS DOUBLE)
+        |    - CAST(sum(CASE WHEN arm = 1 THEN sv END) AS DOUBLE)
+        |      / CAST(sum(CASE WHEN arm = 1 THEN c END) AS DOUBLE))
+        |    AS obs_d
+        |  FROM (SELECT u.*,
+        |      CAST(CAST('0x' || substr(md5('ab:' || user_id), 1, 7)
+        |        AS BIGINT) % 2 AS INT) AS arm
+        |    FROM u)),
+        |p AS (SELECT j, abs(
+        |    CAST(sum(CASE WHEN arm = 0 THEN sv END) AS DOUBLE)
+        |      / CAST(sum(CASE WHEN arm = 0 THEN c END) AS DOUBLE)
+        |    - CAST(sum(CASE WHEN arm = 1 THEN sv END) AS DOUBLE)
+        |      / CAST(sum(CASE WHEN arm = 1 THEN c END) AS DOUBLE))
+        |    AS d
+        |  FROM (SELECT u.*, t.j,
+        |      CAST(CAST('0x' || substr(md5('perm:' || t.j || ':'
+        |        || user_id), 1, 7) AS BIGINT) % 2 AS INT) AS arm
+        |    FROM u, range(0, 63) t(j))
+        |  GROUP BY 1)
+        |SELECT
+        |  CAST(round_even(max(ob.obs_d), 4) AS DOUBLE)
+        |    AS obs_diff_micros,
+        |  CAST(count(*) AS BIGINT) AS n_perms,
+        |  CAST(sum(CASE WHEN p.d >= ob.obs_d THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ge,
+        |  CAST(round_even(
+        |    CAST(sum(CASE WHEN p.d >= ob.obs_d THEN 1 ELSE 0 END) + 1
+        |      AS DOUBLE)
+        |    / CAST(count(*) + 1 AS DOUBLE), 6) AS DOUBLE) AS p_value
+        |FROM p CROSS JOIN ob""".stripMargin,
     "durbin_watson" ->
       """WITH daily AS (SELECT event_type,
         |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,

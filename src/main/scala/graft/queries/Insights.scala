@@ -543,6 +543,42 @@ object Insights {
       Signals.gridQuantileReadout(s, s.table(tbl).localCheckpoint())
     }),
 
+    // Streaming HLL — approximate distinct users per type with
+    // CONSTANT state on an unbounded stream (64 registers per group vs
+    // dropDuplicates' per-key state): the engine's HyperLogLogAgg runs
+    // as the streaming aggregate, registers max-merge across
+    // micro-batches exactly as across partitions, and the materialized
+    // sketch reads out register-identical to the batch hll_distinct —
+    // whose oracle serves unchanged. Exact witnesses come from one
+    // batch pass beside the stream.
+    "stream_hll" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val hll = udaf(new graft.functions.HyperLogLogAgg(),
+        org.apache.spark.sql.Encoders.STRING)
+      val ev = streamEvents(s, dir)
+        .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      val tbl = "stream_hll_" + Relational.sfTag(dir) + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val q = ev.groupBy("event_type").agg(hll(col("uid")).as("regs"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val regs = s.table(tbl).localCheckpoint()
+      val exact = Relational.events(s, dir).groupBy("event_type")
+        .agg(countDistinct("user_id").as("true_distinct"))
+      regs.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          graft.functions.HyperLogLogAgg.estimate(col("regs"))
+            .as("est_distinct"),
+          col("true_distinct"),
+          graft.functions.HyperLogLogAgg.regWeight(col("regs"))
+            .as("reg_weight"),
+          graft.functions.HyperLogLogAgg.zeroRegs(col("regs"))
+            .as("zero_regs"))
+        .orderBy("event_type")
+    }),
+
     // Streaming stateful DEDUP under the value oracle: dropDuplicates
     // state keeps first-arrival per (user_id, event_type) across
     // micro-batches, and the downstream count per event_type must equal
@@ -880,6 +916,8 @@ object Insights {
     // stream/batch parity IS the claim: the batch sketch's oracle
     // serves the streaming grid unchanged
     "stream_quantile" -> Signals.oracles("sketch_quantiles"),
+    // register-identical to the batch sketch → the batch oracle serves
+    "stream_hll" -> Relational.oracles("hll_distinct"),
     "tpch_q5_like" ->
       """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))

@@ -337,6 +337,9 @@ object LlmQueries {
       Multimodal.audio(s, docs(s, dir))),
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.frames(s, docs(s, dir))),
+    // the fourth multimodal verb: per-modality payload dedup audit
+    "multimodal_dedup" -> ((s, dir) =>
+      Multimodal.dedupAudit(docs(s, dir))),
     "token_count_bpe" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -1372,6 +1375,22 @@ object LlmQueries {
     // construction: 60-bit md5-prefix checksum, printable-ASCII byte
     // ratio (each printable-ASCII byte is one char, so the char-level
     // regex counts bytes), octet byte length
+    "multimodal_dedup" ->
+      """WITH m AS (SELECT
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    CAST(strlen(text) AS BIGINT) AS bl, md5(text) AS fp
+        |  FROM documents),
+        |g AS (SELECT modality, fp, CAST(count(*) AS BIGINT) AS sz,
+        |    max(bl) AS bl
+        |  FROM m GROUP BY 1, 2)
+        |SELECT modality, CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(sz) - count(*) AS BIGINT) AS dup_rows,
+        |  CAST(max(sz) AS BIGINT) AS max_group,
+        |  CAST(sum((sz - 1) * bl) AS BIGINT) AS dup_bytes,
+        |  CAST(sum(sz * bl) AS BIGINT) AS total_bytes
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -453,6 +453,23 @@ class FunnelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_hll is register-identical to the batch sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("fs_hll").toString
+    (1 to 300).map(i => (i.toLong * 1000000L,
+        if (i % 2 == 0) "a" else "b", (i % 40).toLong))
+      .toDF("us", "event_type", "user_id")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"),
+        col("user_id"))
+      .write.parquet(s"$dir/events.parquet")
+    val stream = graft.queries.Insights.queries("stream_hll")(spark, dir)
+      .collect().map(_.toSeq)
+    val batch = graft.queries.Relational.queries("hll_distinct")(
+      spark, dir).collect().map(_.toSeq)
+    assert(stream.toSeq === batch.toSeq)
+  }
+
   test("stream_quantile equals batch sketch_quantiles row for row") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

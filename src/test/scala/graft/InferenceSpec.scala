@@ -234,4 +234,27 @@ class InferenceSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_days") === 3L)
     assert(r.getAs[Double]("dw") === 1.0)
   }
+
+  test("permutation_test: p-value arithmetic and determinism") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("inf_pt").toString
+    (1 to 40).map(u => (u.toLong * 1000000L, u.toLong,
+        (u % 7).toDouble * 1e-6))
+      .toDF("us", "user_id", "value")
+      .select(timestamp_micros(col("us")).as("ts"), col("user_id"),
+        col("value"))
+      .write.parquet(s"$dir/events.parquet")
+    val run1 = Inference.queries("permutation_test")(spark, dir)
+      .collect()(0)
+    val run2 = Inference.queries("permutation_test")(spark, dir)
+      .collect()(0)
+    assert(run1.toSeq === run2.toSeq) // md5 permutations, no rand()
+    assert(run1.getAs[Long]("n_perms") === 63L)
+    val nGe = run1.getAs[Long]("n_ge")
+    assert(nGe >= 0L && nGe <= 63L)
+    val p = BigDecimal((nGe + 1).toDouble / 64.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    assert(run1.getAs[Double]("p_value") === p)
+    assert(run1.getAs[Double]("obs_diff_micros") >= 0.0)
+  }
 }

@@ -395,6 +395,18 @@ class LlmSpec extends AnyFunSuite {
       ("b", 0, 10.0, 1L), ("b", 1, 0.0, 1L)))
   }
 
+  test("multimodal payload dedup: per-modality groups and byte savings") {
+    // doc_ids 0,3,6 are all 'image' (id % 3 == 0): two share a payload
+    val d = docs(0L -> "abc", 3L -> "abc", 6L -> "zz", 1L -> "xy")
+    val out = Multimodal.dedupAudit(d).collect()
+      .map(r => r.getAs[String]("modality") -> ((r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("dup_rows"),
+        r.getAs[Long]("max_group"), r.getAs[Long]("dup_bytes"),
+        r.getAs[Long]("total_bytes")))).toMap
+    assert(out("image") === ((3L, 2L, 1L, 2L, 3L, 8L)))
+    assert(out("audio") === ((1L, 1L, 0L, 1L, 0L, 2L)))
+  }
+
   test("multimodal feature extraction is deterministic and complete") {
     val d = docs(1L -> "abc", 2L -> "defg", 3L -> "hi")
     val f1 = Multimodal.features(spark, d).collect()
