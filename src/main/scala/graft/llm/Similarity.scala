@@ -92,6 +92,57 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** Ranked-retrieval evaluation (MRR@k, NDCG@k) — the metric pair a
+    * retrieval/RAG pipeline reports next to AUC's classification view:
+    * each of the first `nSeeds` vectors queries the corpus, relevance
+    * is label agreement, and the readout is per-query reciprocal rank
+    * of the first relevant hit plus NDCG over the top-k list (ideal =
+    * the list's own relevant count, the list-NDCG convention). DCG
+    * terms quantize to integer picos BEFORE the cross-rank sum (the
+    * ldiversity rule) and the 10-row ideal-DCG ladder is a literal
+    * grid both engines rebuild identically. Same scale shape as
+    * [[hardNegatives]]: broadcast seeds, map-only scoring, one window
+    * on the seed key.
+    */
+  def retrievalEval(emb: DataFrame, nSeeds: Int = 8, k: Int = 10)
+      : DataFrame = {
+    val s = emb.sparkSession
+    val seeds = emb.filter(col("vec_id") < nSeeds)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        dbl(col("embedding")).as("qvec"))
+    val scored = emb
+      .select(col("vec_id"), col("label"), dbl(col("embedding")).as("vec"))
+      .crossJoin(broadcast(seeds))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        bround(cosine(col("vec"), col("qvec")), 6).as("sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val top = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
+    val term = bround(col("rel").cast("double")
+      / log2(col("rk").cast("double") + 1.0) * lit(1e12)).cast("long")
+    val agg = top.groupBy("qid", "qlabel").agg(
+      sum("rel").cast("long").as("n_rel"),
+      min(when(col("rel") === 1, col("rk"))).as("fr"),
+      sum(term).as("dcg_picos"))
+    val ideal = s.range(1, k.toLong + 1)
+      .select(col("id").cast("int").as("i"))
+      .withColumn("t", bround(lit(1e12)
+        / log2(col("i").cast("double") + 1.0)).cast("long"))
+      .withColumn("cum", sum("t").over(Window.orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("i", "cum")
+    agg.join(broadcast(ideal), col("n_rel") === col("i"), "left")
+      .select(col("qid"), col("qlabel"), col("n_rel"),
+        when(col("fr").isNotNull, bround(lit(1.0) / col("fr"), 6))
+          .otherwise(0.0).as("mrr"),
+        when(col("cum").isNotNull, bround(col("dcg_picos").cast("double")
+          / col("cum").cast("double"), 6)).otherwise(0.0).as("ndcg"))
+      .orderBy("qid")
+  }
+
   /** Approximate top-k via bucketed random-projection LSH (euclidean).
     * `approxSimilarityJoin` of the 1-row query frame against the corpus
     * equi-joins on hash buckets — candidate count stays ~constant per

@@ -392,6 +392,51 @@ object Analytics {
         .orderBy("o_orderkey")
     }),
 
+    // MERGE with DELETES — [[merge_upsert]] covers matched-update and
+    // not-matched-insert; this adds the third MERGE clause (matched →
+    // DELETE, the CDC tombstone path) and audits the whole batch as
+    // one row: per-action counts plus the survivors' exact cents
+    // checksum, so a mis-applied tombstone changes the hash. Same
+    // single full-outer co-partitioned shuffle; the op sets are
+    // disjoint by construction (D: key%7=3; U: key%10=0 minus D;
+    // I: negated keys).
+    "merge_cdc_delete" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+      val ops = base.filter(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey"), lit("D").as("op"),
+          lit(null).cast("double").as("u_price"))
+        .unionByName(base
+          .filter(col("o_orderkey") % 10 === 0 &&
+            col("o_orderkey") % 7 =!= 3)
+          .select(col("o_orderkey"), lit("U").as("op"),
+            (money("o_totalprice") + 100).cast("double").as("u_price")))
+        .unionByName(base.filter(col("o_orderkey") % 1000 === 7)
+          .select((-col("o_orderkey") - 1L).as("o_orderkey"),
+            lit("I").as("op"), lit(1.0).as("u_price")))
+      val merged = base.join(ops, Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"), col("op"), col("o_totalprice"),
+          when(col("op") === "D", lit(null).cast("double"))
+            .when(col("op").isNotNull, col("u_price"))
+            .otherwise(col("o_totalprice")).as("price"),
+          when(col("op") === "D", "delete")
+            .when(col("op") === "I", "insert")
+            .when(col("op") === "U", "update")
+            .otherwise("keep").as("action"))
+      merged.agg(
+        sum(when(col("action") === "keep", 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("action") === "update", 1L).otherwise(0L))
+          .as("n_update"),
+        sum(when(col("action") === "delete", 1L).otherwise(0L))
+          .as("n_delete"),
+        sum(when(col("action") === "insert", 1L).otherwise(0L))
+          .as("n_insert"),
+        sum(when(col("action") =!= "delete", 1L).otherwise(0L))
+          .as("n_survivors"),
+        sum(when(col("action") =!= "delete",
+          bround(col("price") * 100).cast("long"))).as("survivor_cents"))
+    }),
+
     // time-weighted average: Σ value·Δt / Σ Δt per user, Δt in integer
     // microseconds and value in DECIMAL so both sums are exact and
     // order-independent; one window pass shares the final groupBy's
@@ -883,6 +928,43 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "merge_cdc_delete" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |ops AS (
+        |  SELECT o_orderkey, 'D' AS op, CAST(NULL AS DOUBLE) AS u_price
+        |  FROM base WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U',
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS DOUBLE)
+        |  FROM base WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 3
+        |  UNION ALL
+        |  SELECT -o_orderkey - 1, 'I', 1.0
+        |  FROM base WHERE o_orderkey % 1000 = 7),
+        |m AS (SELECT coalesce(b.o_orderkey, o.o_orderkey) AS k, o.op,
+        |    CASE WHEN o.op = 'D' THEN NULL
+        |         WHEN o.op IS NOT NULL THEN o.u_price
+        |         ELSE b.o_totalprice END AS price,
+        |    CASE WHEN o.op = 'D' THEN 'delete'
+        |         WHEN o.op = 'I' THEN 'insert'
+        |         WHEN o.op = 'U' THEN 'update'
+        |         ELSE 'keep' END AS action
+        |  FROM base b FULL OUTER JOIN ops o
+        |    ON b.o_orderkey = o.o_orderkey)
+        |SELECT
+        |  CAST(sum(CASE WHEN action = 'keep' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_keep,
+        |  CAST(sum(CASE WHEN action = 'update' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_update,
+        |  CAST(sum(CASE WHEN action = 'delete' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_delete,
+        |  CAST(sum(CASE WHEN action = 'insert' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_insert,
+        |  CAST(sum(CASE WHEN action <> 'delete' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_survivors,
+        |  CAST(sum(CASE WHEN action <> 'delete' THEN
+        |    CAST(round_even(price * 100, 0) AS BIGINT) END) AS BIGINT)
+        |    AS survivor_cents
+        |FROM m""".stripMargin,
     "tpch_q18_like" ->
       """WITH bo AS (SELECT l_orderkey,
         |    CAST(sum(CAST(round_even(l_quantity * 100, 0) AS BIGINT))

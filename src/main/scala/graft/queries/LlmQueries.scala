@@ -262,6 +262,26 @@ object LlmQueries {
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(emb(s, dir))),
     // closest impostors per seed (contrastive hard negatives)
     "hard_negatives" -> ((s, dir) => Similarity.hardNegatives(emb(s, dir))),
+    "retrieval_eval" -> ((s, dir) => Similarity.retrievalEval(emb(s, dir))),
+    // tokenizer fertility per language — the "how many BPE pieces per
+    // word does this language cost" readout that drives tokenizer
+    // vocab decisions; pure aggregation over the two shared token
+    // counters
+    "tokenizer_fertility" -> ((s, dir) =>
+      docs(s, dir).groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("ws_tokens"),
+          sum(TextAnalysis.bpeTokenCount(col("text")).cast("long"))
+            .as("bpe_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"),
+          col("bpe_tokens"), col("n_chars"),
+          bround(col("bpe_tokens").cast("double")
+            / col("ws_tokens").cast("double"), 6).as("fertility"),
+          bround(col("n_chars").cast("double")
+            / col("bpe_tokens").cast("double"), 6).as("chars_per_token"))
+        .orderBy("lang")),
     // the COMPOSED higher-order-function dot product, written the way a
     // plain-SQL user would — the FuseArrayDot optimizer rule must fuse
     // it into the native codegen'd strict expression (asserted in
@@ -1348,6 +1368,63 @@ object LlmQueries {
         |WHERE e.vec_id <> 0 GROUP BY e.vec_id)
         |SELECT vec_id, round(sqrt(d2), 6) AS dist
         |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "retrieval_eval" ->
+      """WITH s AS (SELECT vec_id AS qid, label AS qlabel,
+        |    embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT s.qid, s.qlabel, e.vec_id, e.label,
+        |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(s.qe[i] AS DOUBLE))
+        |      AS dot,
+        |    sum(CAST(e.embedding[i] AS DOUBLE)
+        |      * CAST(e.embedding[i] AS DOUBLE)) AS na2,
+        |    sum(CAST(s.qe[i] AS DOUBLE) * CAST(s.qe[i] AS DOUBLE)) AS nb2
+        |  FROM embeddings e, s, range(1, 65) t(i)
+        |  WHERE e.vec_id <> s.qid GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT qid, qlabel, vec_id, label,
+        |    round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim FROM d),
+        |rk AS (SELECT qid, qlabel,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, vec_id) AS rk,
+        |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+        |  FROM r QUALIFY rk <= 10),
+        |a AS (SELECT qid, qlabel, CAST(sum(rel) AS BIGINT) AS n_rel,
+        |    min(CASE WHEN rel = 1 THEN rk END) AS fr,
+        |    CAST(sum(CAST(round_even(CAST(rel AS DOUBLE)
+        |      / log2(CAST(rk AS DOUBLE) + 1.0) * 1000000000000.0, 0)
+        |      AS BIGINT)) AS BIGINT) AS dcg
+        |  FROM rk GROUP BY 1, 2),
+        |ic AS (SELECT i, CAST(sum(t) OVER (ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM (SELECT t.i, CAST(round_even(1000000000000.0
+        |      / log2(CAST(t.i AS DOUBLE) + 1.0), 0) AS BIGINT) AS t
+        |    FROM range(1, 11) t(i)))
+        |SELECT a.qid, a.qlabel, a.n_rel,
+        |  CASE WHEN a.fr IS NOT NULL
+        |    THEN CAST(round_even(1.0 / a.fr, 6) AS DOUBLE)
+        |    ELSE 0.0 END AS mrr,
+        |  CASE WHEN ic.cum IS NOT NULL
+        |    THEN CAST(round_even(CAST(a.dcg AS DOUBLE)
+        |      / CAST(ic.cum AS DOUBLE), 6) AS DOUBLE)
+        |    ELSE 0.0 END AS ndcg
+        |FROM a LEFT JOIN ic ON ic.i = a.n_rel
+        |ORDER BY a.qid""".stripMargin,
+    "tokenizer_fertility" -> {
+      val pat = TextAnalysis.bpeTokenPattern.replace("'", "''")
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         |    AS ws_tokens,
+         |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT)
+         |    AS bpe_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(round_even(
+         |    CAST(sum(len(regexp_extract_all(text, '$pat'))) AS DOUBLE)
+         |    / CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS DOUBLE),
+         |    6) AS DOUBLE) AS fertility,
+         |  CAST(round_even(CAST(sum(length(text)) AS DOUBLE)
+         |    / CAST(sum(len(regexp_extract_all(text, '$pat'))) AS DOUBLE),
+         |    6) AS DOUBLE) AS chars_per_token
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // same normalize-once spelling as Similarity.exactCosinePairs, over
     // the same deterministic 512-vector md5-order hash-sample the gate
     // bounds its exact side to (≡ the whole corpus at sf ≤ 0.01)

@@ -196,6 +196,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("rel_error") === 0.0)
   }
 
+  test("merge_cdc_delete: tombstones drop rows, survivors checksum") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_del").toString
+    // 3 → delete (3%7=3); 20 → update +100 (20%10=0, 20%7=6);
+    // 7 → keep AND spawns insert -8 @1.00 (7%1000=7); 5 → keep
+    Seq((3L, 1.00), (20L, 4.00), (7L, 3.00), (5L, 2.00))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("merge_cdc_delete")(spark, dir)
+      .collect()(0)
+    assert((r.getAs[Long]("n_keep"), r.getAs[Long]("n_update"),
+      r.getAs[Long]("n_delete"), r.getAs[Long]("n_insert"),
+      r.getAs[Long]("n_survivors")) === ((2L, 1L, 1L, 1L, 4L)))
+    // 200 (key 5) + 300 (key 7) + 10400 (key 20) + 100 (insert -8)
+    assert(r.getAs[Long]("survivor_cents") === 11000L)
+  }
+
   test("bloom_join_reduction: no false negatives, exact join untouched") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bloom_join").toString

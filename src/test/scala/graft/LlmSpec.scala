@@ -265,6 +265,44 @@ class LlmSpec extends AnyFunSuite {
     assert(top.head.getDouble(1) > 0.99)
   }
 
+  test("retrieval_eval: axis-aligned labels give exact MRR and NDCG") {
+    import spark.implicits._
+    // even ids on e1 / odd on e2; labels follow the axis EXCEPT vec 2
+    // (e1 direction, label 2) — so seed 0 retrieves it first as an
+    // irrelevant hit: fr = 2 ⇒ MRR = 0.5, n_rel = 4
+    val e = (0L to 11L).map { id =>
+      val onE1 = id % 2 == 0
+      val label = if (id == 2L) 2 else if (onE1) 1 else 2
+      (id, if (onE1) Array(1f, 0f) else Array(0f, 1f), label)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.retrievalEval(e).collect()
+      .map(r => r.getAs[Long]("qid") -> ((r.getAs[Long]("n_rel"),
+        r.getAs[Double]("mrr"), r.getAs[Double]("ndcg")))).toMap
+    assert(out.size === 8)
+    // full mini-oracle over the same fixture: sim ∈ {1, 0} by axis,
+    // ties break by vec_id, pico-quantized DCG terms
+    def axis(id: Long) = id % 2 == 0
+    def lbl(id: Long) = if (id == 2L) 2 else if (axis(id)) 1 else 2
+    def picos(r: Int) = BigDecimal(1e12 / (math.log(r + 1.0) / math.log(2.0)))
+      .setScale(0, BigDecimal.RoundingMode.HALF_EVEN).toLong
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    for (q <- 0L to 7L) {
+      val ranked = (0L to 11L).filter(_ != q)
+        .sortBy(id => (if (axis(id) == axis(q)) 0 else 1, id))
+        .take(10)
+      val rels = ranked.map(id => if (lbl(id) == lbl(q)) 1 else 0)
+      val nRel = rels.sum.toLong
+      val fr = rels.indexOf(1) + 1
+      val mrr = if (fr == 0) 0.0 else r6(1.0 / fr)
+      val dcg = rels.zipWithIndex.collect {
+        case (1, i) => picos(i + 1) }.sum.toDouble
+      val idcg = (1 to nRel.toInt).map(picos).sum.toDouble
+      val ndcg = if (nRel == 0) 0.0 else r6(dcg / idcg)
+      assert(out(q) === ((nRel, mrr, ndcg)), s"seed $q")
+    }
+  }
+
   test("ann LSH top-10 overlaps exact top-10 heavily on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.cosineTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
