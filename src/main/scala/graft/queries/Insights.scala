@@ -579,6 +579,42 @@ object Insights {
         .orderBy("event_type")
     }),
 
+    // Streaming CMS — the third streaming sketch beside stream_hll
+    // (distinct) and stream_quantile (percentiles): frequency
+    // estimation with CONSTANT 4×64-counter state per stream. Counters
+    // sum across micro-batches exactly as across partitions, so the
+    // materialized sketch equals the batch one-shot and
+    // cms_heavy_hitters' oracle serves unchanged; the probe and exact
+    // witnesses come from one batch pass beside the stream.
+    "stream_cms" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val depth = 4
+      val width = 64
+      val cmsU = udaf(new graft.functions.CountMinSketchAgg(depth, width),
+        org.apache.spark.sql.Encoders.STRING)
+      val ev = streamEvents(s, dir).select(col("event_type"))
+      val tbl = "stream_cms_" + Relational.sfTag(dir) + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val q = ev.groupBy().agg(cmsU(col("event_type")).as("sketch"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sketch = s.table(tbl).localCheckpoint()
+      val (h1, h2) =
+        graft.functions.CountMinSketchAgg.hashPairCols(col("event_type"))
+      val est = (0 until depth).map { i =>
+        element_at(col("sketch"),
+          (lit(i * width) + pmod(h1 + lit(i.toLong) * h2,
+            lit(width.toLong)) + 1).cast("int"))
+      }.reduce(least(_, _))
+      Relational.events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("true_cnt"))
+        .crossJoin(broadcast(sketch))
+        .select(col("event_type"), est.as("est_cnt"), col("true_cnt"))
+        .orderBy("event_type")
+    }),
+
     // Streaming stateful DEDUP under the value oracle: dropDuplicates
     // state keeps first-arrival per (user_id, event_type) across
     // micro-batches, and the downstream count per event_type must equal
@@ -918,6 +954,7 @@ object Insights {
     "stream_quantile" -> Signals.oracles("sketch_quantiles"),
     // register-identical to the batch sketch → the batch oracle serves
     "stream_hll" -> Relational.oracles("hll_distinct"),
+    "stream_cms" -> Relational.oracles("cms_heavy_hitters"),
     "tpch_q5_like" ->
       """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))

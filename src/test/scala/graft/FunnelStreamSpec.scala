@@ -470,6 +470,22 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(stream.toSeq === batch.toSeq)
   }
 
+  test("stream_cms counters equal the batch sketch's estimates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("fs_cms").toString
+    (1 to 200).map(i => (i.toLong * 1000000L,
+        Seq("a", "b", "c")(i % 3)))
+      .toDF("us", "event_type")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"))
+      .write.parquet(s"$dir/events.parquet")
+    val stream = graft.queries.Insights.queries("stream_cms")(spark, dir)
+      .collect().map(_.toSeq)
+    val batch = graft.queries.Relational.queries("cms_heavy_hitters")(
+      spark, dir).collect().map(_.toSeq)
+    assert(stream.toSeq === batch.toSeq)
+  }
+
   test("stream_quantile equals batch sketch_quantiles row for row") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -243,6 +243,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("aggregate("), "higher-order fold survived the rewrite")
   }
 
+  test("tpch_q5_like: both dim paths broadcast, date filter is pushed") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p = plan(q("tpch_q5_like"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"dim joins not broadcast\n${p.take(1500)}")
+    assert(p.contains("IsNotNull(o_orderdate)") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      "orders date filter not pushed to the scan")
+  }
+
+  test("batch_padding: both policy windows share ONE lang exchange") {
+    val p = plan(q("batch_padding"))
+    assert("hashpartitioning\\(lang".r.findAllIn(p).size === 1,
+      s"expected exactly one lang exchange\n${p.take(1500)}")
+  }
+
+  test("bloom_join_reduction: a single lineitem pass feeds all counters") {
+    val p = plan(q("bloom_join_reduction"))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    // the orders side is consumed by the eager localCheckpoint, so the
+    // executed plan may read parquet only for lineitem — and only once
+    assert(scans <= 1, s"fact table scanned more than once\n${p.take(1500)}")
+  }
+
   test("registry: module maps are disjoint and every query has an oracle") {
     // The SparkEntry map is a ++ of per-module maps, so a key
     // registered twice silently shadows the earlier query (and its

@@ -211,6 +211,37 @@ class PropertySpec extends AnyFunSuite {
     assert(got.toSeq === expect)
   }
 
+  test("assoc_rules matches a brute-force reference on random baskets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dir = java.nio.file.Files.createTempDirectory("prop_ar").toString
+    val baskets = (1 to 30).map(o =>
+      o.toLong -> rnd.shuffle((1L to 8L).toList).take(2 + rnd.nextInt(3)))
+    baskets.flatMap { case (o, ps) => ps.map(p => (o, p)) }
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    // brute-force reference with the identical rounding and ordering
+    val n = baskets.size.toDouble
+    val supp = baskets.flatMap(_._2).groupBy(identity)
+      .map { case (p, xs) => p -> xs.size.toLong }
+    val pairs = baskets.flatMap { case (_, ps) =>
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.groupBy(identity).collect { case (k, xs) if xs.size >= 2 =>
+      k -> xs.size.toLong }
+    def r0(x: Double) = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_EVEN).toLong
+    val expect = pairs.toSeq.map { case ((a, b), sab) =>
+      val (sa, sb) = (supp(a), supp(b))
+      (a, b, sab, sa, sb, r0(sab.toDouble * 1e6 / sa.toDouble),
+        r0(n * sab.toDouble * 1e6 / (sa.toDouble * sb.toDouble)))
+    }.sortBy { case (a, b, _, _, _, c, l) => (-l, -c, a, b) }.take(25)
+    val got = graft.queries.Signals.queries("assoc_rules")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("sab"), r.getAs[Long]("sa"), r.getAs[Long]("sb"),
+        r.getAs[Long]("conf_micros"), r.getAs[Long]("lift_micros")))
+    assert(got.toSeq === expect)
+  }
+
   test("batch_padding matches the packing mini-oracle on random lengths") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
