@@ -579,6 +579,55 @@ object Insights {
         .orderBy("event_type")
     }),
 
+    // Streaming Bloom — the fourth streaming sketch, closing the
+    // merge-algebra square: HLL registers merge by MAX, grid/CMS
+    // counters by SUM, and the Bloom bit array by OR — each the same
+    // operation across micro-batches as across partitions, so every
+    // streaming sketch is bit-identical to its batch twin. Here the
+    // purchase-audience membership filter accumulates on the stream
+    // (constant 256 Kib state), then a fixed 2000-key probe grid is
+    // tested against it: the md5 filter is deterministic, so pass,
+    // present, and even the false-positive count are hash-gated.
+    "stream_bloom" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val nBits = 262144
+      val k = 7
+      val bloomAgg = udaf(new graft.functions.BloomFilterAgg(nBits, k),
+        org.apache.spark.sql.Encoders.STRING)
+      val ev = streamEvents(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").cast("string").as("uid"))
+      val tbl = "stream_bloom_" + Relational.sfTag(dir) + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val q = ev.groupBy().agg(bloomAgg(col("uid")).as("bits"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val bits = s.table(tbl).localCheckpoint()
+      val present = Relational.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+        .withColumn("present", lit(1))
+      s.range(2000).select(col("id").as("user_id"))
+        .crossJoin(broadcast(bits))
+        .withColumn("pass", graft.functions.BloomFilterAgg.mayContain(
+          col("bits"), col("user_id").cast("string"), nBits, k))
+        .join(broadcast(present), Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("present").isNotNull, 1L).otherwise(0L))
+            .as("n_present"),
+          sum(when(col("pass") && col("present").isNull, 1L)
+            .otherwise(0L)).as("n_fp"))
+        .select(col("n_probes"), col("n_pass"), col("n_present"),
+          col("n_fp"),
+          when(col("n_probes") - col("n_present") > 0,
+            bround(col("n_fp").cast("double")
+              / (col("n_probes") - col("n_present")).cast("double"), 6))
+            .as("fpr"))
+    }),
+
     // Streaming CMS — the third streaming sketch beside stream_hll
     // (distinct) and stream_quantile (percentiles): frequency
     // estimation with CONSTANT 4×64-counter state per stream. Counters
@@ -955,6 +1004,47 @@ object Insights {
     // register-identical to the batch sketch → the batch oracle serves
     "stream_hll" -> Relational.oracles("hll_distinct"),
     "stream_cms" -> Relational.oracles("cms_heavy_hitters"),
+    // the stream-built filter is bit-identical to a batch build, so
+    // the oracle rebuilds the k=7 positions and replays all probes
+    "stream_bloom" ->
+      """WITH bl AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS kk
+        |  FROM events WHERE event_type = 'purchase'),
+        |blh AS (SELECT
+        |    CAST('0x' || substr(md5(kk), 1, 7) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(kk), 8, 7) AS BIGINT) | 1 AS h2
+        |  FROM bl),
+        |blpos AS (SELECT DISTINCT (h1 + t.i * h2) % 262144 AS pos
+        |  FROM blh, range(0, 7) t(i)),
+        |keys AS (SELECT t.u AS user_id FROM range(0, 2000) t(u)),
+        |kh AS (SELECT user_id,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7)
+        |      AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 8, 7)
+        |      AS BIGINT) | 1 AS h2
+        |  FROM keys),
+        |kpos AS (SELECT k.user_id, (k.h1 + t.i * k.h2) % 262144 AS pos
+        |  FROM kh k, range(0, 7) t(i)),
+        |hit AS (SELECT p.user_id, count(b.pos) AS nhit
+        |  FROM kpos p LEFT JOIN blpos b USING (pos)
+        |  GROUP BY 1),
+        |x AS (SELECT h.user_id, h.nhit = 7 AS pass,
+        |    h.user_id IN (SELECT CAST(kk AS BIGINT) FROM bl) AS present
+        |  FROM hit h)
+        |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pass,
+        |  CAST(sum(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_present,
+        |  CAST(sum(CASE WHEN pass AND NOT present THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_fp,
+        |  CASE WHEN count(*) - sum(CASE WHEN present THEN 1 ELSE 0 END)
+        |      > 0
+        |    THEN CAST(round_even(
+        |      CAST(sum(CASE WHEN pass AND NOT present THEN 1 ELSE 0 END)
+        |        AS DOUBLE)
+        |      / CAST(count(*) - sum(CASE WHEN present THEN 1 ELSE 0 END)
+        |        AS DOUBLE), 6) AS DOUBLE) END AS fpr
+        |FROM x""".stripMargin,
     "tpch_q5_like" ->
       """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))

@@ -470,6 +470,30 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(stream.toSeq === batch.toSeq)
   }
 
+  test("stream_bloom: no false negatives, probe counts reconcile") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("fs_bloom").toString
+    // purchase users 10..19 are inside the 0..1999 probe grid
+    val rows = (10L to 19L).map(u => (u, "purchase")) ++
+      (5000L to 5004L).map(u => (u, "purchase")) ++ // outside the grid
+      (1L to 5L).map(u => (u, "view"))
+    rows.zipWithIndex.map { case ((u, et), i) =>
+      (i.toLong * 1000000L, u, et) }
+      .toDF("us", "user_id", "event_type")
+      .select(timestamp_micros(col("us")).as("ts"), col("user_id"),
+        col("event_type"))
+      .write.parquet(s"$dir/events.parquet")
+    val r = graft.queries.Insights.queries("stream_bloom")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_probes") === 2000L)
+    assert(r.getAs[Long]("n_present") === 10L) // only in-grid members
+    // every present key must pass (no false negatives — the Bloom law)
+    assert(r.getAs[Long]("n_pass") >= 10L)
+    assert(r.getAs[Long]("n_fp") ===
+      r.getAs[Long]("n_pass") - 10L)
+  }
+
   test("stream_cms counters equal the batch sketch's estimates") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
