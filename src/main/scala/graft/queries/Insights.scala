@@ -579,6 +579,38 @@ object Insights {
         .orderBy("event_type")
     }),
 
+    // Streaming EXACT distinct via OR-merged bitmap words — the
+    // precise-count partner of stream_hll on the stream (the same
+    // pairing bitmap_distinct/hll_distinct make in batch): per
+    // (type, word) 62-bit masks bit_or across micro-batches, state is
+    // |types|·|keyspace/62| words (exactness costs keyspace-sized
+    // state where HLL pays 64 registers — both gated, that trade IS
+    // the readout), and popcounts must land exactly on the batch
+    // countDistinct.
+    "stream_bitmap" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = streamEvents(s, dir).select(col("event_type"),
+        expr("CAST(user_id DIV 62 AS BIGINT)").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
+          .as("m"))
+      val tbl = "stream_bitmap_" + Relational.sfTag(dir) + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val q = ev.groupBy("event_type", "w")
+        .agg(bit_or(col("m")).as("bm"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val counts = s.table(tbl).localCheckpoint()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_words"),
+          sum(bit_count(col("bm"))).cast("long").as("distinct_bitmap"))
+      val exact = Relational.events(s, dir).groupBy("event_type")
+        .agg(countDistinct("user_id").as("distinct_exact"))
+      counts.join(exact, Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
     // Streaming Bloom — the fourth streaming sketch, closing the
     // merge-algebra square: HLL registers merge by MAX, grid/CMS
     // counters by SUM, and the Bloom bit array by OR — each the same
@@ -1004,6 +1036,23 @@ object Insights {
     // register-identical to the batch sketch → the batch oracle serves
     "stream_hll" -> Relational.oracles("hll_distinct"),
     "stream_cms" -> Relational.oracles("cms_heavy_hitters"),
+    "stream_bitmap" ->
+      """WITH w AS (SELECT event_type,
+        |    CAST(user_id // 62 AS BIGINT) AS w,
+        |    CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT) AS m
+        |  FROM events),
+        |bm AS (SELECT event_type, w, bit_or(m) AS bm
+        |  FROM w GROUP BY 1, 2),
+        |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(bit_count(bm)) AS BIGINT) AS distinct_bitmap
+        |  FROM bm GROUP BY 1),
+        |e AS (SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_exact
+        |  FROM events GROUP BY 1)
+        |SELECT c.event_type, c.n_words, c.distinct_bitmap,
+        |  e.distinct_exact
+        |FROM c JOIN e USING (event_type)
+        |ORDER BY c.event_type""".stripMargin,
     // the stream-built filter is bit-identical to a batch build, so
     // the oracle rebuilds the k=7 positions and replays all probes
     "stream_bloom" ->

@@ -470,6 +470,27 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(stream.toSeq === batch.toSeq)
   }
 
+  test("stream_bitmap: OR-merged words count exactly, straddling a word") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("fs_bmap").toString
+    // users straddle the 62-bit word boundary (61 | 62) and repeat
+    val rows = Seq((0L, "a"), (61L, "a"), (62L, "a"), (61L, "a"),
+      (124L, "a"), (5L, "b"))
+    rows.zipWithIndex.map { case ((u, et), i) =>
+      (i.toLong * 1000000L, u, et) }
+      .toDF("us", "user_id", "event_type")
+      .select(timestamp_micros(col("us")).as("ts"), col("user_id"),
+        col("event_type"))
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.queries.Insights.queries("stream_bitmap")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("distinct_bitmap"),
+          r.getAs[Long]("distinct_exact")))).toMap
+    assert(out("a") === ((3L, 4L, 4L))) // words 0, 1, 2; users {0,61,62,124}
+    assert(out("b") === ((1L, 1L, 1L)))
+  }
+
   test("stream_bloom: no false negatives, probe counts reconcile") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
