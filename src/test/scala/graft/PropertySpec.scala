@@ -242,6 +242,37 @@ class PropertySpec extends AnyFunSuite {
     assert(got.toSeq === expect)
   }
 
+  test("weighted_median matches a brute-force reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val dir = java.nio.file.Files.createTempDirectory("prop_wm").toString
+    val rows = (1 to 200).map { _ =>
+      (Seq("A", "B", "C")(rnd.nextInt(3)),
+        (1 + rnd.nextInt(50)).toDouble, (1 + rnd.nextInt(9)).toDouble)
+    }
+    rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    // reference: smallest price whose cumulative weight clears ⌈W/2⌉
+    val expect = rows.groupBy(_._1).map { case (g, xs) =>
+      val grid = xs.groupBy(x => (x._2 * 100).round)
+        .map { case (v, ys) => v -> ys.map(y => (y._3 * 100).round).sum }
+        .toSeq.sortBy(_._1)
+      val tw = grid.map(_._2).sum
+      val cut = (tw + 1) / 2
+      var cum = 0L
+      var med = 0L
+      grid.find { case (v, w) => cum += w; cum >= cut }
+        .foreach { case (v, _) => med = v }
+      g -> ((tw, grid.size.toLong, med))
+    }
+    val got = graft.queries.Inference.queries("weighted_median")(
+        spark, dir).collect()
+      .map(r => r.getAs[String]("g") -> ((r.getAs[Long]("total_weight"),
+        r.getAs[Long]("n_prices"), r.getAs[Long]("wmedian_cents"))))
+      .toMap
+    assert(got === expect)
+  }
+
   test("batch_padding matches the packing mini-oracle on random lengths") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
