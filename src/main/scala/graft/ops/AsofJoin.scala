@@ -51,8 +51,6 @@ object AsofJoin {
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
     val merged = lPadded.unionByName(rPadded)
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // ONE atomic payload struct per right row: last(ignoreNulls) over
     // the struct picks the most recent right ROW even when some of its
     // members are null — filling each value column independently would
@@ -60,6 +58,16 @@ object AsofJoin {
     // row" indistinguishable from "preceding row with a null value")
     val payload = when(col("__tag") === 0,
       struct(rightValues.map(v => col(s"__rv_$v")): _*))
+    // payload as the FINAL sort key pins the tie rule: several right
+    // rows sharing (key, time) would otherwise surface an arbitrary
+    // one (order-nondeterministic across runs and engines); ascending
+    // struct order makes last() carry the GREATEST (rightValues...)
+    // tuple — a documented total order (Spark struct comparison is
+    // field-by-field, nulls smallest). Left rows all carry a null
+    // payload, so their relative order is untouched.
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t"), col("__tag"), payload.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = merged
       .withColumn("__asof", last(payload, ignoreNulls = true).over(w))
     filled.filter(col("__tag") === 1)
@@ -98,13 +106,16 @@ object AsofJoin {
     val rPadded = leftCols.filterNot(_ == key).foldLeft(r0)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val merged = lPadded.unionByName(rPadded)
-    // descending time; tag 0 first at equal __t keeps <= right rows
-    // (now "at or after") visible to the left row
-    val w = Window.partitionBy(key)
-      .orderBy(col("__t").desc, col("__tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val payload = when(col("__tag") === 0,
       struct(rightValues.map(v => col(s"__rv_$v")): _*))
+    // descending time; tag 0 first at equal __t keeps <= right rows
+    // (now "at or after") visible to the left row. payload as the
+    // final key = the same deterministic tie rule as the backward
+    // variant: equal (key, time) right rows resolve to the GREATEST
+    // (rightValues...) tuple instead of an arbitrary pick.
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t").desc, col("__tag"), payload.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = merged
       .withColumn("__asof", last(payload, ignoreNulls = true).over(w))
     filled.filter(col("__tag") === 1)

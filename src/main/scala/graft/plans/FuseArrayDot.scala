@@ -40,7 +40,12 @@ object FuseArrayDot extends Rule[LogicalPlan] {
   }
 
   private def isZeroD(e: Expression): Boolean = e match {
-    case Literal(v: Double, DoubleType) => v == 0.0
+    // bit-exact +0.0 only: `v == 0.0` would also accept a -0.0 literal,
+    // and aggregate(zip_with(a,b,*), -0.0, +) over two EMPTY arrays
+    // returns -0.0 while the fused dot product returns +0.0 — a
+    // bit-level divergence the rewrite must not introduce
+    case Literal(v: Double, DoubleType) =>
+      java.lang.Double.doubleToRawLongBits(v) == 0L
     case _ => false
   }
 

@@ -446,9 +446,15 @@ object Inference {
             .cast(DecimalType(38, 0)).as("num"),
           sum(col("et") * col("et")).cast(DecimalType(38, 0)).as("den"))
         .select(col("event_type"), col("n_days"),
+          // chk() BOTH aggregates: a DECIMAL(38,0) overflow in num would
+          // silently NULL dw under ANSI-off while DuckDB's HUGEINT keeps
+          // computing — raise loudly instead of gate-mismatching quietly.
+          // num is LEGITIMATELY null for a 1-day series (empty lag sum),
+          // so the overflow check only arms when a lagged pair existed.
           when(chk(col("den"), "durbin_watson") =!= 0,
-            bround(col("num").cast("double") / col("den").cast("double"),
-              6)).as("dw"))
+            bround(when(col("n_days") > 1,
+                chk(col("num"), "durbin_watson")).cast("double")
+              / col("den").cast("double"), 6)).as("dw"))
         .orderBy("event_type")
     }),
 

@@ -1833,19 +1833,30 @@ object Relational {
         |FROM events e JOIN m USING (event_type)
         |GROUP BY e.event_type, m.mean, m.sd
         |ORDER BY e.event_type""".stripMargin,
-    // DuckDB has NATIVE ASOF JOIN — the ideal oracle for our composed one
+    // DuckDB has NATIVE ASOF JOIN — the ideal oracle for our composed
+    // one. Native ASOF picks an ARBITRARY right row when several share
+    // (user_id, ts), so the right side first dedupes to the max-value
+    // row per (user_id, ts) — the exact tie rule AsofJoin pins with its
+    // payload-struct sort key (greatest (ts, value) tuple, nulls
+    // smallest) — making both engines deterministic on any fixture.
     "asof_forward" ->
       """SELECT a.event_id, a.user_id,
         |  epoch_us(b.ts) AS purchase_us, b.value AS purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'view') a
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |ASOF LEFT JOIN (
+        |  SELECT * FROM events WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |    ORDER BY value DESC NULLS LAST) = 1) b
         |  ON a.user_id = b.user_id AND a.ts <= b.ts
         |ORDER BY a.event_id""".stripMargin,
     "asof_join" ->
       """SELECT a.event_id, a.user_id,
         |  epoch_us(b.ts) AS view_us, b.value AS view_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+        |ASOF LEFT JOIN (
+        |  SELECT * FROM events WHERE event_type = 'view'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |    ORDER BY value DESC NULLS LAST) = 1) b
         |  ON a.user_id = b.user_id AND a.ts >= b.ts
         |ORDER BY a.event_id""".stripMargin,
     // the salted (key, salt) join must equal the plain inner join

@@ -272,8 +272,10 @@ object Scoring {
     // ("h e l l o"), each round counts adjacent symbol pairs weighted
     // by word frequency (one shuffle on the pair), picks the top pair
     // (count desc, pair asc — the deterministic BPE tie rule), and
-    // merges it corpus-wide via greedy left-to-right string replace —
-    // so round 2 can merge a symbol round 1 created (the property the
+    // merges it corpus-wide via a DELIMITED greedy left-to-right
+    // replace (double-space boundaries, so the pattern can never match
+    // across symbol boundaries — exact BPE token semantics) — so round
+    // 2 can merge a symbol round 1 created (the property the
     // single-step query cannot show). Word state localCheckpoints per
     // round (the kcore lesson: iteration r+1 reads materialized state,
     // not a replay of rounds 0..r); the chosen pair stays IN-PLAN as a
@@ -299,9 +301,22 @@ object Scoring {
         val top = pairs(words)
           .orderBy(col("cnt").desc, col("pr").asc).limit(1)
           .localCheckpoint()
+        // token-boundary-exact merge: a plain replace(w, pr, ...) can
+        // match ACROSS symbol boundaries once multi-char symbols exist
+        // (pair "l l" inside "x ll l y" would corrupt the "ll" symbol).
+        // Doubling the inter-symbol spaces gives every boundary two
+        // delimiter chars, so each single-space-padded pattern match
+        // consumes one half of each flanking boundary and adjacent
+        // occurrences still match (" l  l  l  l " → "ll ll", the greedy
+        // left-to-right non-overlapping scan true BPE specifies); the
+        // trailing normalize collapses the mixed spacing back.
         words = words.crossJoin(broadcast(top.select("pr")))
-          .select(expr("replace(w, pr, replace(pr, ' ', ''))").as("w"),
-            col("wc"))
+          .select(expr(
+            "regexp_replace(trim(replace(" +
+              "concat(' ', replace(w, ' ', '  '), ' '), " +
+              "concat(' ', replace(pr, ' ', '  '), ' '), " +
+              "concat(' ', replace(pr, ' ', ''), ' '))), ' +', ' ')")
+            .as("w"), col("wc"))
           .localCheckpoint()
         top.select(lit(r).as("round"), col("pr").as("merged_pair"),
           col("cnt"))
@@ -359,7 +374,11 @@ object Scoring {
         |t1 AS MATERIALIZED (SELECT pr, cnt FROM p1
         |  ORDER BY cnt DESC, pr LIMIT 1),
         |w1 AS MATERIALIZED (SELECT
-        |    replace(w, t1.pr, replace(t1.pr, ' ', '')) AS w, wc
+        |    regexp_replace(trim(replace(
+        |      ' ' || replace(w, ' ', '  ') || ' ',
+        |      ' ' || replace(t1.pr, ' ', '  ') || ' ',
+        |      ' ' || replace(t1.pr, ' ', '') || ' ')), ' +', ' ', 'g')
+        |      AS w, wc
         |  FROM w0 CROSS JOIN t1),
         |p2 AS (SELECT pr, CAST(sum(wc) AS BIGINT) AS cnt FROM (
         |    SELECT wc, unnest(list_transform(range(1, len(sy)),
@@ -369,7 +388,11 @@ object Scoring {
         |t2 AS MATERIALIZED (SELECT pr, cnt FROM p2
         |  ORDER BY cnt DESC, pr LIMIT 1),
         |w2 AS MATERIALIZED (SELECT
-        |    replace(w, t2.pr, replace(t2.pr, ' ', '')) AS w, wc
+        |    regexp_replace(trim(replace(
+        |      ' ' || replace(w, ' ', '  ') || ' ',
+        |      ' ' || replace(t2.pr, ' ', '  ') || ' ',
+        |      ' ' || replace(t2.pr, ' ', '') || ' ')), ' +', ' ', 'g')
+        |      AS w, wc
         |  FROM w1 CROSS JOIN t2),
         |p3 AS (SELECT pr, CAST(sum(wc) AS BIGINT) AS cnt FROM (
         |    SELECT wc, unnest(list_transform(range(1, len(sy)),

@@ -19,11 +19,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     are accepted in [[SeqScanBuilder.pushFilters]] and used in
   *     [[SeqBatch.planInputPartitions]] to drop whole slices whose
   *     [lo, hi) range cannot match, and to clamp the surviving slices'
-  *     bounds. The filters are also re-applied per row (pushdown is an
-  *     optimization, never a semantics change), but the WORK — slices
-  *     planned, rows generated — shrinks with the predicate, which is
-  *     what `PushedFilters` means at a real source (PlanSpec asserts
-  *     both the pushed list and the pruned partition count).
+  *     bounds. Accepted filters are NOT re-evaluated per row — pushFilters
+  *     returns only the unaccepted residuals, so Spark trusts the source
+  *     for the accepted ones and correctness rests entirely on the bounds
+  *     clamp in [[SeqBatch.planInputPartitions]] (loosen that clamp and
+  *     rows leak; PlanSpec asserts both the pushed list and the pruned
+  *     partition count, and the row-level results are oracle-gated).
   *  2. **Column pruning** — [[SeqScanBuilder.pruneColumns]] narrows the
   *     produced schema; a projection of `bucket` alone never
   *     materializes `id` into row storage.

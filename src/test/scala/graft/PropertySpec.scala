@@ -201,8 +201,21 @@ class PropertySpec extends AnyFunSuite {
         sy.indices.dropRight(1).map(i => s"${sy(i)} ${sy(i + 1)}" -> wc)
       }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
       val (pr, cnt) = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+      // true BPE merge: greedy left-to-right non-overlapping scan over
+      // the SYMBOL list (never a raw substring replace, which could
+      // match across symbol boundaries once multi-char symbols exist)
+      val Array(pa, pb) = pr.split(" ", 2)
       state = state.map { case (w, wc) =>
-        w.replace(pr, pr.replace(" ", "")) -> wc }
+        val sy = w.split(" ")
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < sy.length) {
+          if (i + 1 < sy.length && sy(i) == pa && sy(i + 1) == pb) {
+            buf += pa + pb; i += 2
+          } else { buf += sy(i); i += 1 }
+        }
+        buf.mkString(" ") -> wc
+      }
       (pr, cnt)
     }
     val got = graft.queries.Scoring.queries("bpe_train_rounds")(spark, dir)
