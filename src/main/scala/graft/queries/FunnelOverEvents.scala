@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
@@ -75,12 +75,22 @@ object FunnelOverEvents {
   /** [[query]] with the aggregation run as a STREAM: readStream over the
     * events parquet, the same 21 conditional aggregates as a global
     * complete-mode aggregate (state = one row of counters — the shape
-    * that stays tiny at 100 TB/day), AvailableNow trigger into a memory
+    * that stays tiny at 100 TB/day), AvailableNow trigger into a FILE
     * sink, then the identical wide→rows projection over the settled
-    * 1-row result. Same oracle as the batch path: stream/batch parity
-    * for the funnel table itself is a hash-checked gate, not a spec
-    * claim. The ts/schema normalization branches exactly like
-    * [[Insights]]' stream_daily_counts (the round-9 lesson).
+    * 1-row result read back from parquet. Same oracle as the batch
+    * path: stream/batch parity for the funnel table itself is a
+    * hash-checked gate, not a spec claim. The ts/schema normalization
+    * branches exactly like [[Insights]]' stream_daily_counts (the
+    * round-9 lesson).
+    *
+    * Sink choice: Spark's native parquet sink is append-only, which a
+    * complete-mode global aggregate cannot use, so the canonical file
+    * path is foreachBatch + idempotent per-batch OVERWRITE — executors
+    * write the parquet, the driver holds nothing, and the last batch's
+    * overwrite is the settled result. Unlike the memory sink this
+    * verification path itself survives any scale (the written table is
+    * one row regardless of input size, and a restart simply rewrites
+    * it).
     */
   def streamQuery(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -94,14 +104,19 @@ object FunnelOverEvents {
         s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
     val aggs = funnelAggs
-    val tbl = "stream_funnel_" + Relational.sfTag(dir) + "_" +
-      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val sink = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_funnel_" + Relational.sfTag(dir) + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12))
+      .getAbsolutePath
     val q = raw.agg(aggs.head, aggs.tail: _*)
-      .writeStream.format("memory").queryName(tbl)
+      .writeStream
       .outputMode("complete").trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(sink)
+      }
       .start()
     q.awaitTermination()
-    FunnelTable.rows(FunnelTable.wideFromJoined(s.table(tbl)))
+    FunnelTable.rows(FunnelTable.wideFromJoined(s.read.parquet(sink)))
       .orderBy("row_idx")
   }
 

@@ -235,6 +235,33 @@ class InsightsSpec extends AnyFunSuite {
       ("1970-01-03", "view", 1L)))
   }
 
+  test("stream_stream_join: in-stream rollup, sink holds only the day grid") {
+    import spark.implicits._
+    val day = 86400000000L
+    // user 1: view d1 → purchases d2 (×2, one day) and d5; user 2's
+    // purchase at d20 is outside the 7-day horizon of its d1 view;
+    // user 3 purchases with no view at all → never joins
+    val rows = Seq(
+      (1L, 1L, "view", 1 * day), (1L, 2L, "purchase", 2 * day + 5L),
+      (1L, 3L, "purchase", 2 * day + 6L), (1L, 4L, "purchase", 5 * day),
+      (2L, 5L, "view", 1 * day), (2L, 6L, "purchase", 20 * day),
+      (3L, 7L, "purchase", 2 * day + 9L))
+    val dir = java.nio.file.Files.createTempDirectory("ins_ssj").toString
+    rows.toDF("user_id", "event_id", "event_type", "us")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val tbl = Insights.streamStreamJoinDailyTable(spark, dir)
+    // THE bounded-sink claim (the round-11 weak item): the append-mode
+    // memory table holds the aggregated ≤ n_days grid, not the joined
+    // pairs — 4 qualifying pairs collapse to 2 day rows before the sink
+    assert(spark.table(tbl).count() === 2L)
+    val got = spark.table(tbl).orderBy("p_day").collect()
+      .map(r => (r.getAs[String]("p_day"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_users")))
+    assert(got === Array(("1970-01-03", 2L, 1L), ("1970-01-06", 1L, 1L)))
+  }
+
   test("dedup_threshold_sweep: identical pair lands in the top bin") {
     import spark.implicits._
     val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
