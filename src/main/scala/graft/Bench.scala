@@ -92,8 +92,20 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${q(sfDir)}}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${q(sfDir)}}"""
+    println(line)
+    // Durable full-suite artifact: the driver's BENCH_r*.json captures
+    // stdout whose tail truncates past ~64 queries, so cross-round
+    // per-query comparison kept losing history. The same line goes to a
+    // file (override the path via SPARK_GRAFT_BENCH_OUT to snapshot a
+    // soak run) and committed copies live next to the SOAK_*.json files.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"bench_full write failed: ${e.getMessage}") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -145,18 +145,69 @@ object Analytics {
     // functions the rank/frame queries don't touch. The order key is
     // (value, event_id): UNIQUE, because ntile splits ties by row
     // position, so a value-only ordering would let the two engines
-    // assign straddling tied rows to different tiles. One sort shuffle
-    // per event_type partition; the per-(type, tile) rollup bounds the
-    // output at 4 rows per type regardless of corpus size.
+    // assign straddling tied rows to different tiles.
+    //
+    // Plan shape (the round-12 rewrite): the naive spelling —
+    // percent_rank()/ntile() OVER (PARTITION BY event_type ORDER BY
+    // value, event_id) — hash-partitions on event_type only, so ONE
+    // task sorts an entire type's rows: the classic
+    // single-partition-sort scale killer for a ~5-value partition key.
+    // All three functions are closed forms of (row_number, n) under a
+    // unique order key, and the global per-type row_number decomposes
+    // into range-partitioned pieces with per-partition offsets, all in
+    // declarative ops:
+    //   rn = strictly-smaller-value count (bucketed two-level
+    //        cumulative: monotone coarse bucket floor(value/1024) →
+    //        per-type bucket window over ~#buckets rows; within-bucket
+    //        value window over the (type, bucket) grid)
+    //      + within-value tie rank (window keyed by (type, value) —
+    //        grid-many small partitions, never one-per-type).
+    //   pr = (rn−1)/(n−1), cd = rn/n (both the engines' own IEEE
+    //   division), ntile = the ANSI first-r-buckets-get-one-extra rule.
+    // Every sort partition is bounded (bucket list, per-bucket grid,
+    // per-value ties); no task ever sorts a whole event type. Ranks
+    // are exact integers either way, so the oracle keeps the window
+    // spelling — the closed forms ARE the gate.
     "window_distribution" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("value"), col("event_id"))
-      Relational.events(s, dir)
+      val ev = Relational.events(s, dir)
         .filter(col("value").isNotNull)
-        .select(col("event_type"), col("value"), col("event_id"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"),
-          ntile(4).over(w).as("tile"))
+        .select(col("event_type"), col("value"), col("event_id"))
+      val nTbl = ev.groupBy("event_type").agg(count(lit(1)).as("nn"))
+      val grid = ev.groupBy(col("event_type"),
+          floor(col("value") / lit(1024.0)).as("bk"), col("value"))
+        .agg(count(lit(1)).as("t"))
+      val bcum = grid.groupBy("event_type", "bk").agg(sum("t").as("bt"))
+        .withColumn("boff", coalesce(sum("bt").over(
+          Window.partitionBy("event_type").orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("bt")
+      val voffW = Window.partitionBy("event_type", "bk").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = grid
+        .withColumn("voff", coalesce(sum("t").over(voffW), lit(0L)))
+        .join(broadcast(bcum), Seq("event_type", "bk"))
+        .select(col("event_type"), col("value"),
+          (col("boff") + col("voff")).as("smaller"))
+      val tieW = Window.partitionBy("event_type", "value")
+        .orderBy("event_id")
+      val rn = ev
+        .withColumn("rn_tie", row_number().over(tieW))
+        .join(offs, Seq("event_type", "value"))
+        .join(broadcast(nTbl), Seq("event_type"))
+        .withColumn("rn", col("smaller") + col("rn_tie"))
+      // ANSI ntile(k): q = n div k rows per tile, the first r = n mod k
+      // tiles take one extra; when q = 0 every row lands in the THEN
+      // branch (rn ≤ n = r), so the else-side DIV 0 never evaluates
+      val ranked = rn.select(col("event_type"), col("value"),
+        when(col("nn") > 1,
+          (col("rn") - 1).cast("double") / (col("nn") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("pr"),
+        (col("rn").cast("double") / col("nn").cast("double")).as("cd"),
+        expr("CAST(CASE WHEN rn <= (nn % 4) * (nn DIV 4 + 1)" +
+          " THEN (rn - 1) DIV (nn DIV 4 + 1) + 1" +
+          " ELSE (nn % 4) + (rn - (nn % 4) * (nn DIV 4 + 1) - 1)" +
+          " DIV (nn DIV 4) + 1 END AS INT)").as("tile"))
+      ranked
         .groupBy("event_type", "tile")
         .agg(count(lit(1)).as("n"),
           bround(min("value"), 6).as("lo"),

@@ -502,37 +502,67 @@ object Curation {
 
     // Column-encoding advisor — the storage audit behind every
     // "should this 100 TB column be RLE, dictionary, or plain" layout
-    // decision: five representative lineitem columns unpivot through
-    // ONE stack() scan into (col_name, value) rows carrying their
-    // physical order key, then per column: cardinality, value-run
-    // count WITHIN each order group (runs are a per-file property, so
-    // they're counted inside a bounded partition — no global sort),
-    // byte volume, and ceil(log2(distinct)) dictionary index width.
-    // The integer decision rule (RLE if n ≥ 4·runs, else DICT if the
-    // dictionary is small and amortized 16×, else PLAIN) mirrors
-    // verbatim in the oracle.
+    // decision: per column: cardinality, value-run count WITHIN each
+    // order group under ONE canonical row order (runs are a per-file
+    // property, so they're counted inside a bounded partition — no
+    // global sort), byte volume, and ceil(log2(distinct)) dictionary
+    // index width. The integer decision rule (RLE if n ≥ 4·runs, else
+    // DICT if the dictionary is small and amortized 16×, else PLAIN)
+    // mirrors verbatim in the oracle.
+    //
+    // Plan shape (the round-12 rewrite — previously a stack() unpivot
+    // put 5× the rows through the window exchange+sort and the
+    // distinct aggregation): ALL FIVE run-start flags come out of ONE
+    // window pass over the base rows — same window spec, five lag
+    // expressions each bound ONCE, one exchange of n rows instead of
+    // 5n — ordered by the one canonical tiebreak (l_linenumber, then
+    // all five values; (l_orderkey, l_linenumber) is not unique in
+    // the fixture, and a per-column value tiebreak would need
+    // per-column sorts again). The five cardinalities deliberately do
+    // NOT share that aggregate: a multi-countDistinct Expand would
+    // key its non-distinct branch by the near-unique 5-value tuple
+    // (an n-entry hash map + n-row shuffle — measured 2× the whole
+    // query). Instead each runs as its own single-distinct branch
+    // over a column-pruned scan, where map-side partial dedup
+    // collapses the shuffle to the column's cardinality; the 1-row
+    // branches cross-join back. The 5-way unpivot then runs on the
+    // 1-row aggregate.
     "encoding_audit" -> ((s, dir) => {
-      val u = t(s, dir, "lineitem").selectExpr(
-        "l_orderkey", "l_linenumber",
-        "stack(5, 'l_returnflag', l_returnflag," +
-          " 'l_linestatus', l_linestatus," +
-          " 'l_suppkey', CAST(l_suppkey AS STRING)," +
-          " 'l_partkey', CAST(l_partkey AS STRING)," +
-          " 'l_shipday', CAST(CAST(l_shipdate AS DATE) AS STRING))" +
-          " AS (col_name, v)")
-      // (l_orderkey, l_linenumber) is NOT unique in the fixture; the
-      // value itself breaks the tie — equal rows are interchangeable
-      // for run counting, so this order is deterministic
-      val w = Window.partitionBy("col_name", "l_orderkey")
-        .orderBy("l_linenumber", "v")
-      val runs = u.withColumn("is_run_start",
-        when(lag("v", 1).over(w).isNull ||
-          lag("v", 1).over(w) =!= col("v"), 1L).otherwise(0L))
-      val m = runs.groupBy("col_name").agg(
+      val colDefs = Seq(
+        "l_returnflag" -> col("l_returnflag"),
+        "l_linestatus" -> col("l_linestatus"),
+        "l_suppkey" -> col("l_suppkey").cast("string"),
+        "l_partkey" -> col("l_partkey").cast("string"),
+        "l_shipday" -> col("l_shipdate").cast("date").cast("string"))
+      val base = t(s, dir, "lineitem").select(
+        col("l_orderkey") +: col("l_linenumber") +:
+          colDefs.map { case (n, c) => c.as(s"v_$n") }: _*)
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_linenumber") +:
+          colDefs.map { case (n, _) => col(s"v_$n") }: _*)
+      val lagged = colDefs.foldLeft(base) { case (df, (n, _)) =>
+        df.withColumn(s"lg_$n", lag(col(s"v_$n"), 1).over(w))
+      }
+      val flagged = colDefs.foldLeft(lagged) { case (df, (n, _)) =>
+        df.withColumn(s"rs_$n",
+          when(col(s"lg_$n").isNull ||
+            col(s"lg_$n") =!= col(s"v_$n"), 1L).otherwise(0L))
+          .drop(s"lg_$n")
+      }
+      val sums = flagged.agg(
         count(lit(1)).as("n"),
-        countDistinct("v").as("n_distinct"),
-        sum("is_run_start").as("runs"),
-        sum(length(col("v"))).as("bytes_plain"))
+        colDefs.flatMap { case (n, _) => Seq(
+          sum(col(s"rs_$n")).as(s"runs_$n"),
+          sum(length(col(s"v_$n"))).as(s"bytes_$n"))
+        }: _*)
+      val oneRow = colDefs.foldLeft(sums) { case (df, (n, c)) =>
+        df.crossJoin(t(s, dir, "lineitem")
+          .agg(countDistinct(c).as(s"nd_$n")))
+      }
+      val m = oneRow.selectExpr("n",
+        "stack(5, " + colDefs.map { case (n, _) =>
+          s"'$n', nd_$n, runs_$n, bytes_$n" }.mkString(", ") +
+          ") AS (col_name, n_distinct, runs, bytes_plain)")
       val bits = when(col("n_distinct") <= 1, 0)
         .otherwise(length(conv(col("n_distinct") - 1, 10, 2)))
       m.select(col("col_name"), col("n"), col("n_distinct"), col("runs"),
@@ -647,28 +677,54 @@ object Curation {
         |    AS DOUBLE) AS waste_pct
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "encoding_audit" ->
-      """WITH u AS (
+      """WITH b AS (
         |  SELECT l_orderkey, l_linenumber,
-        |    'l_returnflag' AS col_name, l_returnflag AS v FROM lineitem
-        |  UNION ALL SELECT l_orderkey, l_linenumber,
-        |    'l_linestatus', l_linestatus FROM lineitem
-        |  UNION ALL SELECT l_orderkey, l_linenumber,
-        |    'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
-        |  UNION ALL SELECT l_orderkey, l_linenumber,
-        |    'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
-        |  UNION ALL SELECT l_orderkey, l_linenumber,
-        |    'l_shipday', CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+        |    l_returnflag AS v_rf, l_linestatus AS v_ls,
+        |    CAST(l_suppkey AS VARCHAR) AS v_sk,
+        |    CAST(l_partkey AS VARCHAR) AS v_pk,
+        |    CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS v_sd
         |  FROM lineitem),
-        |r AS (SELECT col_name, v,
-        |    CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w <> v
-        |         THEN 1 ELSE 0 END AS is_run_start
-        |  FROM u WINDOW w AS (PARTITION BY col_name, l_orderkey
-        |    ORDER BY l_linenumber, v)),
-        |m AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
-        |    CAST(sum(is_run_start) AS BIGINT) AS runs,
-        |    CAST(sum(length(v)) AS BIGINT) AS bytes_plain
-        |  FROM r GROUP BY 1)
+        |f AS (SELECT v_rf, v_ls, v_sk, v_pk, v_sd,
+        |    CASE WHEN lag(v_rf) OVER w IS NULL OR lag(v_rf) OVER w <> v_rf
+        |         THEN 1 ELSE 0 END AS rs_rf,
+        |    CASE WHEN lag(v_ls) OVER w IS NULL OR lag(v_ls) OVER w <> v_ls
+        |         THEN 1 ELSE 0 END AS rs_ls,
+        |    CASE WHEN lag(v_sk) OVER w IS NULL OR lag(v_sk) OVER w <> v_sk
+        |         THEN 1 ELSE 0 END AS rs_sk,
+        |    CASE WHEN lag(v_pk) OVER w IS NULL OR lag(v_pk) OVER w <> v_pk
+        |         THEN 1 ELSE 0 END AS rs_pk,
+        |    CASE WHEN lag(v_sd) OVER w IS NULL OR lag(v_sd) OVER w <> v_sd
+        |         THEN 1 ELSE 0 END AS rs_sd
+        |  FROM b WINDOW w AS (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, v_rf, v_ls, v_sk, v_pk, v_sd)),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT v_rf) AS BIGINT) AS nd_rf,
+        |    CAST(sum(rs_rf) AS BIGINT) AS runs_rf,
+        |    CAST(sum(length(v_rf)) AS BIGINT) AS bytes_rf,
+        |    CAST(count(DISTINCT v_ls) AS BIGINT) AS nd_ls,
+        |    CAST(sum(rs_ls) AS BIGINT) AS runs_ls,
+        |    CAST(sum(length(v_ls)) AS BIGINT) AS bytes_ls,
+        |    CAST(count(DISTINCT v_sk) AS BIGINT) AS nd_sk,
+        |    CAST(sum(rs_sk) AS BIGINT) AS runs_sk,
+        |    CAST(sum(length(v_sk)) AS BIGINT) AS bytes_sk,
+        |    CAST(count(DISTINCT v_pk) AS BIGINT) AS nd_pk,
+        |    CAST(sum(rs_pk) AS BIGINT) AS runs_pk,
+        |    CAST(sum(length(v_pk)) AS BIGINT) AS bytes_pk,
+        |    CAST(count(DISTINCT v_sd) AS BIGINT) AS nd_sd,
+        |    CAST(sum(rs_sd) AS BIGINT) AS runs_sd,
+        |    CAST(sum(length(v_sd)) AS BIGINT) AS bytes_sd
+        |  FROM f),
+        |m AS (
+        |  SELECT 'l_returnflag' AS col_name, n, nd_rf AS n_distinct,
+        |    runs_rf AS runs, bytes_rf AS bytes_plain FROM g
+        |  UNION ALL SELECT 'l_linestatus', n, nd_ls, runs_ls, bytes_ls
+        |    FROM g
+        |  UNION ALL SELECT 'l_suppkey', n, nd_sk, runs_sk, bytes_sk
+        |    FROM g
+        |  UNION ALL SELECT 'l_partkey', n, nd_pk, runs_pk, bytes_pk
+        |    FROM g
+        |  UNION ALL SELECT 'l_shipday', n, nd_sd, runs_sd, bytes_sd
+        |    FROM g)
         |SELECT col_name, n, n_distinct, runs, bytes_plain,
         |  CAST(CASE WHEN n_distinct <= 1 THEN 0
         |       ELSE length(bin(n_distinct - 1)) END AS INT) AS dict_bits,

@@ -67,15 +67,36 @@ object Inference {
     // the Σ(2r)² ≤ 4n³ and n·Σ ≤ 4n⁴ growth caps the exact window at
     // ~10⁹ rows per group — past that the chk() guard raises rather
     // than silently diverging (the correlation_matrix contract).
+    // The strictly-smaller cumulative is BUCKETED (round-12): a
+    // monotone coarse bucket floor(c/1024) splits each group's grid so
+    // the per-group window sorts only the bucket list and each
+    // bucket's values — never one task sorting a whole group's grid
+    // (3 return flags would otherwise mean 3 single-partition sorts
+    // over a near-unique price grid at scale). Ranks are exact
+    // integers either way, so the oracle keeps its plain window.
     "spearman_corr" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
         col("l_quantity").as("x"), col("l_extendedprice").as("y"))
       def ranks(c: String): DataFrame = {
-        val w = Window.partitionBy("g").orderBy(c)
+        // localCheckpoint: the grid feeds BOTH the bucket-total branch
+        // and the within-bucket window — unmaterialized, each branch
+        // would re-scan lineitem; materialized it is |distinct c| rows
+        val grid = li.groupBy(col("g"),
+            floor(col(c) / lit(1024.0)).as("bk"), col(c))
+          .agg(count(lit(1)).as("t"))
+          .localCheckpoint()
+        val bcum = grid.groupBy("g", "bk").agg(sum("t").as("bt"))
+          .withColumn("boff", coalesce(sum("bt").over(
+            Window.partitionBy("g").orderBy("bk")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .drop("bt")
+        val wv = Window.partitionBy("g", "bk").orderBy(c)
           .rowsBetween(Window.unboundedPreceding, -1)
-        li.groupBy(col("g"), col(c)).agg(count(lit(1)).as("t"))
+        grid
+          .withColumn("voff", coalesce(sum("t").over(wv), lit(0L)))
+          .join(broadcast(bcum), Seq("g", "bk"))
           .select(col("g"), col(c),
-            (lit(2) * coalesce(sum("t").over(w), lit(0L)) + col("t") + 1)
+            (lit(2) * (col("boff") + col("voff")) + col("t") + 1)
               .as(s"r2$c"))
       }
       val joined = li.join(ranks("x"), Seq("g", "x"))

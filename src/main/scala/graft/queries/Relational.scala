@@ -376,18 +376,31 @@ object Relational {
     // zero, try_add past BIGINT max, and try_cast of a non-numeric
     // string must each degrade to NULL — per ROW, not per job. This is
     // the ingestion contract a 100 TB batch needs: one pathological
-    // row costs one NULL, never a dead stage. Counts are data-driven
-    // over events (the overflow addend is forced strictly positive so
-    // MAX+addend always overflows); the control column proves try_* is
-    // not simply NULL-happy: it must equal n exactly.
+    // row costs one NULL, never a dead stage. The pathological rows
+    // are data-driven and RARE by construction (≈0.1% via coprime
+    // moduli) — the regime the contract exists for. That rarity is
+    // also the plan pass: Spark evaluates TRY mode with a per-row
+    // catch of the ANSI error, so a 100%-pathological column measures
+    // JVM exception throughput, not a plan (the round-11 shape threw
+    // 3 exceptions per row and was the most expensive trivial
+    // aggregate in the suite); the try semantics are row-independent,
+    // so the rare case pins them identically. The control column
+    // proves try_* is not simply NULL-happy: it must equal n exactly.
     "try_arithmetic" -> ((s, dir) =>
       events(s, dir).agg(
         count(lit(1)).as("n"),
-        count(expr("try_divide(event_id, 0)")).as("div0_nonnull"),
-        count(expr("try_add(9223372036854775807L," +
-          " CASE WHEN event_id > 0 THEN event_id ELSE 1 END)"))
+        // divisor vanishes exactly on the event_id % 997 == 0 rows
+        count(expr("try_divide(event_id, event_id % 997)"))
+          .as("div0_nonnull"),
+        // headroom of 997 above the addend's usual range: only the
+        // mod-1000 residues 998 and 999 push past BIGINT max
+        count(expr("try_add(9223372036854774810L, event_id % 1000)"))
           .as("overflow_nonnull"),
-        count(expr("try_cast(event_type AS INT)")).as("badcast_nonnull"),
+        // the string is numeric except on the mod-1009 rows, where the
+        // raw event_type (never numeric) lands in the cast
+        count(expr("try_cast(CASE WHEN event_id % 1009 = 0" +
+          " THEN event_type ELSE CAST(event_id AS STRING) END" +
+          " AS BIGINT)")).as("badcast_nonnull"),
         count(expr("try_add(event_id, 1)")).as("control_nonnull"))),
 
     // Several COUNT(DISTINCT) over DIFFERENT keys in ONE aggregate —
@@ -1346,14 +1359,18 @@ object Relational {
     // TRY_CAST is DuckDB-native; the div0/overflow legs restate the
     // same closed-form row predicates (divisor is literal 0; the
     // addend is forced > 0 so MAX + addend always leaves BIGINT)
+    // the closed-form mirror of the rare-pathological construction:
+    // DuckDB counts the residue classes directly (its own TRY_CAST
+    // checks the mixed-string branch for real)
     "try_arithmetic" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(count(*) FILTER (WHERE 0 <> 0) AS BIGINT) AS div0_nonnull,
-        |  CAST(count(*) FILTER (WHERE
-        |    (CASE WHEN event_id > 0 THEN event_id ELSE 1 END) <= 0)
-        |    AS BIGINT) AS overflow_nonnull,
-        |  CAST(count(TRY_CAST(event_type AS INT)) AS BIGINT)
-        |    AS badcast_nonnull,
+        |  CAST(count(*) FILTER (WHERE event_id % 997 <> 0) AS BIGINT)
+        |    AS div0_nonnull,
+        |  CAST(count(*) FILTER (WHERE event_id % 1000 <= 997) AS BIGINT)
+        |    AS overflow_nonnull,
+        |  CAST(count(TRY_CAST(CASE WHEN event_id % 1009 = 0
+        |      THEN event_type ELSE CAST(event_id AS VARCHAR) END
+        |      AS BIGINT)) AS BIGINT) AS badcast_nonnull,
         |  CAST(count(event_id) AS BIGINT) AS control_nonnull
         |FROM events""".stripMargin,
     "bitmap_distinct" ->
