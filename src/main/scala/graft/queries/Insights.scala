@@ -52,6 +52,68 @@ object Insights {
     }
   }
 
+  /** [[queries]]' `connected_components` body, returning (result,
+    * propagation rounds actually RUN) so InsightsSpec can gate the
+    * early exit.
+    *
+    * Connected components on the supplier–part bipartite graph by k=3
+    * rounds of min-label propagation (nodes: supplier→2k, part→2k+1;
+    * label = smallest node id seen within 3 hops; deterministic whether
+    * or not propagation has converged). Each round is ONE equi-join
+    * (edges ⋈ labels on dst) + min-aggregate; localCheckpoint truncates
+    * the iterative lineage (the pagerank_iter precedent). At 100 TB
+    * both sides hash-partition on the join key and the label table
+    * keeps that partitioning across rounds — no per-round re-shuffle
+    * of the edge table beyond the first.
+    *
+    * DELTA propagation (the cluster-scale lever PLANS.md called):
+    * each round joins edges against only the labels that CHANGED
+    * last round, not the whole label table. Per-round results are
+    * IDENTICAL to full propagation — an unchanged neighbor's label
+    * already contributed to the running min in an earlier round and
+    * labels only decrease — so the fixed-3-round oracle still
+    * hash-matches while the frontier (and the join's stream side)
+    * shrinks as components settle. Round 1's frontier is every node
+    * (initialization counts as a change). An EMPTY delta ends the
+    * schedule early (round-12): no label changed, so every remaining
+    * round would propagate nothing — the convergence detection a
+    * sparse graph's fixed schedule wastes.
+    */
+  private[graft] def connectedComponents(
+      s: SparkSession, dir: String): (DataFrame, Int) = {
+    val e0 = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .distinct()
+      .select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
+    val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var lbl = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    var delta = lbl
+    var rounds = 0
+    var r = 1
+    var live = true
+    while (r <= 3 && live) {
+      val cand = edges.join(delta, edges("dst") === delta("node"))
+        .select(edges("src").as("node"), col("lbl"))
+        .groupBy("node").agg(min("lbl").as("cand"))
+      val joined = lbl.join(cand, Seq("node"), "left")
+      val next = joined.select(col("node"),
+          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      delta = joined.filter(col("cand") < col("lbl"))
+        .select(col("node"), col("cand").as("lbl")).localCheckpoint()
+      lbl = next
+      rounds = r
+      if (delta.isEmpty) live = false
+      r += 1
+    }
+    (lbl.groupBy("lbl").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_groups"))
+      .orderBy("sz"), rounds)
+  }
+
   /** The watermarked view⇄purchase interval join with the per-day
     * rollup run ENTIRELY inside the stream — three chained stateful
     * operators in append mode (Spark's multi-stateful-operator support:
@@ -237,42 +299,8 @@ object Insights {
     // both sides hash-partition on the join key and the label table
     // keeps that partitioning across rounds — no per-round re-shuffle
     // of the edge table beyond the first.
-    "connected_components" -> ((s, dir) => {
-      val e0 = t(s, dir, "lineitem")
-        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
-        .distinct()
-        .select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
-      // DELTA propagation (the cluster-scale lever PLANS.md called):
-      // each round joins edges against only the labels that CHANGED
-      // last round, not the whole label table. Per-round results are
-      // IDENTICAL to full propagation — an unchanged neighbor's label
-      // already contributed to the running min in an earlier round and
-      // labels only decrease — so the fixed-3-round oracle still
-      // hash-matches while the frontier (and the join's stream side)
-      // shrinks as components settle. Round 1's frontier is every node
-      // (initialization counts as a change).
-      val edges = e0.unionByName(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
-      var lbl = edges.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node")).localCheckpoint()
-      var delta = lbl
-      for (_ <- 1 to 3) {
-        val cand = edges.join(delta, edges("dst") === delta("node"))
-          .select(edges("src").as("node"), col("lbl"))
-          .groupBy("node").agg(min("lbl").as("cand"))
-        val joined = lbl.join(cand, Seq("node"), "left")
-        val next = joined.select(col("node"),
-            least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        delta = joined.filter(col("cand") < col("lbl"))
-          .select(col("node"), col("cand").as("lbl")).localCheckpoint()
-        lbl = next
-      }
-      lbl.groupBy("lbl").agg(count(lit(1)).as("sz"))
-        .groupBy("sz").agg(count(lit(1)).as("n_groups"))
-        .orderBy("sz")
-    }),
+    "connected_components" -> ((s, dir) =>
+      connectedComponents(s, dir)._1),
 
     // Flesch-style readability per language over the documents corpus.
     // Per-doc word/sentence/syllable counts are exact regexp counts

@@ -67,6 +67,61 @@ object Signals {
       .orderBy("event_type")
   }
 
+  /** [[queries]]' `bfs_levels` body, returning (result, expansion
+    * rounds actually RUN) so SignalsSpec can gate the early exit: the
+    * level-4 schedule stops as soon as a frontier comes back empty
+    * (the graph is exhausted — every later round would join an empty
+    * frontier for nothing; on a sparse or fully-explored component
+    * that is most of the schedule). `isEmpty` on the just-
+    * localCheckpoint-ed frontier reads one materialized partition
+    * head, not a recompute. Identical output either way: an empty
+    * frontier can never add rows.
+    */
+  private[graft] def bfsLevels(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val li = t(s, dir, "lineitem")
+    val e0 = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .distinct()
+      .select(concat(lit("s"), col("sk").cast("string")).as("src"),
+        concat(lit("p"), col("pk").cast("string")).as("dst"))
+    val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val seed = "s" + li.agg(min("l_suppkey")).head().getLong(0)
+    var visited = s.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(seed, 0)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("lvl",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    var frontier = visited
+    var rounds = 0
+    var l = 1
+    var live = true
+    while (l <= 4 && live) {
+      // broadcast the FRONTIER (≤ node-count rows), never shuffle the
+      // edge table — the textbook distributed-BFS join order; at the
+      // 10× fixture this was the difference between re-shuffling 12M
+      // edges four times (21.6 s) and four map-side hash probes. The
+      // visited anti-join broadcasts for the same reason.
+      val next = edges
+        .join(broadcast(frontier), frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(broadcast(visited), Seq("node"), "left_anti")
+        .select(col("node"), lit(l).as("lvl"))
+        .localCheckpoint()
+      if (next.isEmpty) live = false
+      else {
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+        rounds = l
+      }
+      l += 1
+    }
+    (visited.groupBy("lvl").agg(count(lit(1)).as("n")).orderBy("lvl"),
+      rounds)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bounded-window EWMA per user over purchase values: weights α^o
     // (α = 0.5) over the last ≤7 observations, normalized by the
@@ -284,41 +339,7 @@ object Signals {
     // FRONTIER shape, where per-round state is (node, level) and the
     // watermark against re-expansion is the visited anti-join. Levels
     // are exact min-hop distances; DuckDB mirrors with a recursive CTE.
-    "bfs_levels" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val e0 = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
-        .distinct()
-        .select(concat(lit("s"), col("sk").cast("string")).as("src"),
-          concat(lit("p"), col("pk").cast("string")).as("dst"))
-      val edges = e0.unionByName(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
-      val seed = "s" + li.agg(min("l_suppkey")).head().getLong(0)
-      var visited = s.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(seed, 0)),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("node",
-            org.apache.spark.sql.types.StringType, nullable = false),
-          org.apache.spark.sql.types.StructField("lvl",
-            org.apache.spark.sql.types.IntegerType, nullable = false))))
-      var frontier = visited
-      for (l <- 1 to 4) {
-        // broadcast the FRONTIER (≤ node-count rows), never shuffle the
-        // edge table — the textbook distributed-BFS join order; at the
-        // 10× fixture this was the difference between re-shuffling 12M
-        // edges four times (21.6 s) and four map-side hash probes. The
-        // visited anti-join broadcasts for the same reason.
-        val next = edges
-          .join(broadcast(frontier), frontier("node") === edges("src"))
-          .select(col("dst").as("node")).distinct()
-          .join(broadcast(visited), Seq("node"), "left_anti")
-          .select(col("node"), lit(l).as("lvl"))
-          .localCheckpoint()
-        visited = visited.unionByName(next).localCheckpoint()
-        frontier = next
-      }
-      visited.groupBy("lvl").agg(count(lit(1)).as("n")).orderBy("lvl")
-    }),
+    "bfs_levels" -> ((s, dir) => bfsLevels(s, dir)._1),
     // 2-D skyline (Pareto frontier) of orders: points not dominated in
     // (max price, min order day). Distributive, so the plan is the
     // scalable two-phase shape — a bucket-local skyline (parallel

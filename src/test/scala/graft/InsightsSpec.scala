@@ -73,6 +73,19 @@ class InsightsSpec extends AnyFunSuite {
     assert(got === Map(2L -> 1L, 3L -> 1L))
   }
 
+  test("connected_components: empty delta exits the 3-round schedule") {
+    import spark.implicits._
+    // single edge s1 - p1 (nodes 2, 3): round 1 relabels node 3, round
+    // 2 changes nothing -> empty delta must stop before round 3
+    val dir = java.nio.file.Files.createTempDirectory("ins_cc_ee").toString
+    Seq((1L, 1L)).toDF("l_suppkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val (res, rounds) = Insights.connectedComponents(spark, dir)
+    assert(res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(2L -> 1L))
+    assert(rounds === 2)
+  }
+
   test("readability_score: regexp count definitions on a known text") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ins_read").toString

@@ -239,6 +239,19 @@ class SignalsSpec extends AnyFunSuite {
     assert(out === Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L, 4 -> 1L))
   }
 
+  test("bfs levels: exhausted frontier exits the schedule early") {
+    import spark.implicits._
+    // single edge s1 - p1: level 1 exhausts the graph; round 2's empty
+    // frontier must stop the 4-round schedule (rounds == 1 expansions)
+    val dir = java.nio.file.Files.createTempDirectory("sig_bfs_ee").toString
+    Seq((1L, 1L)).toDF("l_suppkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val (res, rounds) = graft.queries.Signals.bfsLevels(spark, dir)
+    assert(res.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      === Map(0 -> 1L, 1 -> 1L))
+    assert(rounds === 1)
+  }
+
   test("skyline: dominated points drop, Pareto ties collapse with counts") {
     import spark.implicits._
     val day0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
