@@ -160,6 +160,66 @@ class RenderSinksSpec extends AnyFunSuite {
     Files.delete(Paths.get(path))
   }
 
+  test("styled workbook round-trips the reference's format table, no golden read") {
+    // The inverse of the golden diff: OUR workbook, parsed back, must
+    // match a format table transcribed INDEPENDENTLY from
+    // run_reports.py:74-125 (widths :74-80, format defs :82-89, summary
+    // merges :91-94, the r6-24 cell loop :96-112 with its c==4/header
+    // quirk, summary cells :114-120, stage merges :122-125) — so
+    // styling parity survives refactors even without the reference
+    // artifact on disk.
+    val path = Files.createTempFile("funnel-rt", ".xlsx").toString
+    val blank = org.apache.spark.sql.Row.fromSeq(Seq.fill(7)(""))
+    Sinks.xlsxFunnel(blank +: grid.drop("ord").collect().toSeq, path)
+    val (cells, merges, widths) = parseWorkbook(path)
+
+    assert(merges === Set("D2:E2", "D3:E3", "C6:D6", "F6:G6",
+      "A10:A13", "A14:A18", "A20:A22"))
+    // set_column widths + xlsxwriter's +0.7109375 char-to-pixel pad
+    assert(widths === Map(1 -> 45.7109375, 2 -> 45.7109375,
+      3 -> 14.7109375, 4 -> 15.7109375, 5 -> 55.7109375,
+      6 -> 14.7109375, 7 -> 16.7109375))
+
+    // resolved (fillRgb, bordered, wrap) per named xlsxwriter format
+    val f = Map(
+      "gray"   -> (("FFD9D9D9", true, false)),
+      "green"  -> (("FFAAECC6", true, false)),
+      "dark"   -> (("FFF5C8A7", true, false)),
+      "light"  -> (("FFFAE4D3", true, false)),
+      "border" -> (("", true, false)),
+      "note_g" -> (("FFD9D9D9", true, true)),
+      "note_w" -> (("", true, true)),
+      "stage"  -> (("FFD9D9D9", true, true)))
+    val success = Set(7, 8, 9, 13, 18, 19, 22, 23, 24)
+    val sub = Set(10, 11, 12, 14, 15, 16, 17, 20, 21)
+    val exp = scala.collection.mutable.Map[(Int, Int), String]()
+    for (r <- 6 to 24; c <- 0 to 6) {
+      var s = "border"
+      if (r == 6 || c == 0) s = "gray"
+      if ((c == 1 || c == 2 || c == 3) && success(r)) s = "green"
+      if (c == 4) s = if (success(r)) "dark"
+        else if (sub(r)) "light" else "border"
+      if ((c == 5 || c == 6) && success(r)) s = "dark"
+      exp((r, c)) = s
+    }
+    exp((1, 0)) = "gray"; exp((1, 1)) = "gray"
+    for (r <- 2 to 3; c <- 0 to 1) exp((r, c)) = "border"
+    for (c <- 3 to 4) { exp((1, c)) = "note_g"; exp((2, c)) = "note_w" }
+    for (c <- 2 to 3) exp((5, c)) = "gray"
+    for (c <- 5 to 6) exp((5, c)) = "gray"
+    for (r <- 9 to 12) exp((r, 0)) = "stage"
+    for (r <- 13 to 17) exp((r, 0)) = "stage"
+    for (r <- 19 to 21) exp((r, 0)) = "stage"
+
+    def ref(r: Int, c: Int) = s"${('A' + c).toChar}${r + 1}"
+    assert(cells.keySet === exp.keySet.map { case (r, c) => ref(r, c) })
+    exp.foreach { case ((r, c), name) =>
+      assert(cells(ref(r, c))._2 === f(name),
+        s"style mismatch at ${ref(r, c)}: expected $name")
+    }
+    Files.delete(Paths.get(path))
+  }
+
   test("recipients.json parses to/cc maps with default-cc fallback") {
     val r = Recipients.parse(
       """{"to": {"a": ["x@e.com"], "b": ["y@e.com", "z@e.com"]},
