@@ -218,6 +218,27 @@ object Analytics {
         .orderBy("event_type", "tile")
     }),
 
+    // Spark's NATIVE session window TVF (the operator behind streaming
+    // sessionization) run in batch: groupBy(user, session_window(ts,
+    // 30 min)) merges events into dynamic-gap sessions inside the
+    // aggregate itself — no lag/running-sum window pass, one shuffle
+    // on user_id. Boundary semantics are pinned EMPIRICALLY by
+    // AnalyticsSpec: the merge test is next <= last + gap (an event at
+    // exactly 30 min EXTENDS the session — window ends are inclusive
+    // at the merge check, same break rule as the gaps-and-islands
+    // sessionize), and the emitted window end is last_ts + gap, not
+    // last_ts. The rollup output is session-grid-sized.
+    "session_window_agg" -> ((s, dir) => {
+      val sw = Relational.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+      sw.select(col("user_id"), col("n_events"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // Markov transition counts over each user's event sequence: ONE
     // window pass (lead) keyed by user, then a small (from, to) rollup —
     // the path-analysis primitive behind funnel mining. The window and
@@ -979,6 +1000,27 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // gaps-and-islands mirror of session_window's boundary rule:
+    // break at diff > gap (boundary-inclusive merge, the rule
+    // AnalyticsSpec pins empirically), end = last + gap
+    "session_window_agg" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN coalesce(
+        |      epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000,
+        |      true) THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS sess_no
+        |  FROM g)
+        |SELECT user_id, count(*) AS n_events,
+        |  epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts)) + 1800000000 AS end_us
+        |FROM s GROUP BY user_id, sess_no
+        |ORDER BY user_id, start_us""".stripMargin,
     "merge_cdc_delete" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
         |ops AS (

@@ -403,6 +403,59 @@ object Relational {
           " AS BIGINT)")).as("badcast_nonnull"),
         count(expr("try_add(event_id, 1)")).as("control_nonnull"))),
 
+    // Dataset.unpivot — the NATIVE melt operator (an Unpivot plan
+    // node → Expand, not a stack() projection): three lineitem
+    // measures become (metric, v) rows in one scan, then a per-(flag,
+    // metric) rollup. The id column stays typed; value columns must
+    // share a type, so the integral quantity casts to double up
+    // front. Micros-quantized sums keep the cross-engine compare
+    // exact.
+    "unpivot_metrics" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")), "metric", "v")
+        .groupBy("l_returnflag", "metric")
+        .agg(count(lit(1)).as("n"),
+          sum(bround(col("v") * lit(1000000.0)).cast("long"))
+            .as("sum_micros"),
+          bround(min("v"), 6).as("lo"),
+          bround(max("v"), 6).as("hi"))
+        .orderBy("l_returnflag", "metric")),
+
+    // Spark 4 VARIANT — the semi-structured 100 TB staple: rows
+    // round-trip through an actual JSON document (to_json → parse_json
+    // → binary variant), fields come back out with typed variant_get
+    // paths (nested object, top-level scalars, and a MISSING path that
+    // must yield null, counted to prove it). Double values survive
+    // bit-exactly (Double.toString shortest-repr round-trip), so the
+    // micros quantization matches the oracle computed straight off the
+    // source columns — the gate checks extraction fidelity, not JSON
+    // formatting.
+    "variant_json" -> ((s, dir) =>
+      events(s, dir)
+        .select(parse_json(to_json(struct(
+          col("event_id").as("id"),
+          col("event_type").as("type"),
+          struct(col("user_id").as("id")).as("user"),
+          col("value").as("amount")))).as("v"))
+        .select(
+          expr("variant_get(v, '$.type', 'string')").as("event_type"),
+          expr("variant_get(v, '$.user.id', 'bigint')").as("uid"),
+          expr("variant_get(v, '$.amount', 'double')").as("amount"),
+          expr("variant_get(v, '$.missing.path', 'string')").as("nope"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("uid").as("n_users"),
+          sum(bround(col("amount") * lit(1000000.0)).cast("long"))
+            .as("amount_micros"),
+          count("nope").as("missing_nonnull"))
+        .orderBy("event_type")),
+
     // Several COUNT(DISTINCT) over DIFFERENT keys in ONE aggregate —
     // the plan Catalyst rewrites through an Expand (one input row fans
     // to one row per distinct group), so all three distinct sets and
@@ -1359,6 +1412,30 @@ object Relational {
     // TRY_CAST is DuckDB-native; the div0/overflow legs restate the
     // same closed-form row predicates (divisor is literal 0; the
     // addend is forced > 0 so MAX + addend always leaves BIGINT)
+    "unpivot_metrics" ->
+      """WITH u AS (
+        |  SELECT l_returnflag, 'l_quantity' AS metric,
+        |    CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice',
+        |    CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount',
+        |    CAST(l_discount AS DOUBLE) FROM lineitem)
+        |SELECT l_returnflag, metric, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round_even(v * 1000000.0, 0) AS BIGINT))
+        |    AS BIGINT) AS sum_micros,
+        |  CAST(round_even(min(v), 6) AS DOUBLE) AS lo,
+        |  CAST(round_even(max(v), 6) AS DOUBLE) AS hi
+        |FROM u GROUP BY 1, 2 ORDER BY l_returnflag, metric""".stripMargin,
+    // straight off the source columns: the variant path is pure
+    // extraction fidelity, so the oracle never touches JSON
+    "variant_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(round_even(value * 1000000.0, 0) AS BIGINT))
+        |    AS BIGINT) AS amount_micros,
+        |  CAST(count(*) FILTER (WHERE false) AS BIGINT)
+        |    AS missing_nonnull
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the closed-form mirror of the rare-pathological construction:
     // DuckDB counts the residue classes directly (its own TRY_CAST
     // checks the mixed-string branch for real)

@@ -340,6 +340,32 @@ object Signals {
     // watermark against re-expansion is the visited anti-join. Levels
     // are exact min-hop distances; DuckDB mirrors with a recursive CTE.
     "bfs_levels" -> ((s, dir) => bfsLevels(s, dir)._1),
+
+    // Spark 4's native RECURSIVE CTE on the shape it is built for: a
+    // TREE walk (org chart / bill-of-materials), where UNION ALL
+    // recursion is linear because every node has exactly one parent —
+    // each iteration is one equi-join of the previous frontier against
+    // the child table (UnionLoop in the plan; dedup-UNION recursion is
+    // not supported in 4.1, which is also why [[bfsLevels]] keeps the
+    // explicit frontier loop for GRAPHS, where UNION ALL would
+    // enumerate paths, not nodes). The forest is deterministic from
+    // supplier keys: parent(k) = k DIV 7, roots k < 7; depth is
+    // log₇-bounded so the engine's recursion limit never nears.
+    // Output: per-depth node count, key checksum, and per-root spread
+    // — the readout a hierarchy rollup wants.
+    "recursive_cte" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("sup_rec")
+      s.sql("""
+        WITH RECURSIVE tree(k, root, depth) AS (
+          SELECT s_suppkey, s_suppkey, 0 FROM sup_rec WHERE s_suppkey < 7
+          UNION ALL
+          SELECT c.s_suppkey, t.root, t.depth + 1
+          FROM tree t JOIN sup_rec c
+            ON c.s_suppkey DIV 7 = t.k AND c.s_suppkey >= 7)
+        SELECT depth, count(*) AS n, sum(k) AS key_sum,
+          count(DISTINCT root) AS n_roots
+        FROM tree GROUP BY depth ORDER BY depth""")
+    }),
     // 2-D skyline (Pareto frontier) of orders: points not dominated in
     // (max price, min order day). Distributive, so the plan is the
     // scalable two-phase shape — a bucket-local skyline (parallel
@@ -1379,6 +1405,20 @@ object Signals {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same tree walk — DuckDB's recursive CTE has been the oracle
+    // for the frontier loop (bfs_levels) all along; here both engines
+    // run their NATIVE recursion
+    "recursive_cte" ->
+      """WITH RECURSIVE tree(k, root, depth) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM supplier WHERE s_suppkey < 7
+        |  UNION ALL
+        |  SELECT c.s_suppkey, t.root, t.depth + 1
+        |  FROM tree t JOIN supplier c
+        |    ON c.s_suppkey // 7 = t.k AND c.s_suppkey >= 7)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(count(DISTINCT root) AS BIGINT) AS n_roots
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin,
     "ewma_smooth" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, value,

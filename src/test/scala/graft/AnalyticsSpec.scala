@@ -51,14 +51,78 @@ class AnalyticsSpec extends AnyFunSuite {
   test("try_arithmetic: row-level NULL degradation, not job failure") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("try_arith").toString
-    // event_type "7" is the only castable string; event_id 0 exercises
-    // the forced-positive overflow addend branch
-    Seq((1L, "a", 0L), (2L, "7", 1000000000L), (0L, "b", 2000000000L))
+    // event_id 0 hits ALL THREE pathological residues (0 % m = 0): its
+    // divisor vanishes and its cast input is the non-numeric
+    // event_type; ids 997 % 1000 = 997 stays under the overflow
+    // headroom while 998 pushes past BIGINT max
+    Seq((1L, "a", 0L), (998L, "7", 1000000000L), (0L, "b", 2000000000L))
       .toDF("event_id", "event_type", "ts")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val r = SparkEntry.queries("try_arithmetic")(spark, dir).collect()(0)
+    // n=3; div0: ids 1,998 fine, id 0 divides by zero -> 2; overflow:
+    // id 998's addend 998 > 997 headroom -> NULL -> 2; badcast: id 0
+    // lands the raw event_type in the cast -> 2; control: never nulls
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-      r.getLong(4)) === ((3L, 0L, 0L, 1L, 3L)))
+      r.getLong(4)) === ((3L, 2L, 2L, 2L, 3L)))
+  }
+
+  test("session_window_agg: exact-gap event merges, gap+1µs splits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sess_win").toString
+    val gap = 1800000000L // 30 min in µs
+    // the empirical boundary pin: u2's event at EXACTLY last+gap still
+    // merges (session_window's merge test is next <= last + gap — the
+    // same break-on-`>` rule as the batch sessionize), while u3's
+    // event one µs past the boundary starts a new session; emitted
+    // ends are last_ts + gap
+    Seq((1L, 1L, 0L), (1L, 2L, gap - 1),
+        (2L, 3L, 0L), (2L, 4L, gap),
+        (3L, 5L, 0L), (3L, 6L, gap + 1))
+      .toDF("user_id", "event_id", "us")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Analytics.queries("session_window_agg")(
+        spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("start_us"), r.getAs[Long]("end_us")))
+    assert(got === Array(
+      (1L, 2L, 0L, gap - 1 + gap),
+      (2L, 2L, 0L, 2 * gap),
+      (3L, 1L, 0L, gap),
+      (3L, 1L, gap + 1, 2 * gap + 1)))
+  }
+
+  test("recursive_cte: planted 2-level forest walks to exact depths") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rec_cte").toString
+    // roots 1..3 (< 7); 8 DIV 7 = 1, 15 DIV 7 = 2, 21 DIV 7 = 3 parent
+    // them; 57 DIV 7 = 8 chains one level deeper
+    Seq(1L, 2L, 3L, 8L, 15L, 21L, 57L).toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = graft.queries.Signals.queries("recursive_cte")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getAs[Long]("n"),
+        r.getAs[Long]("key_sum"), r.getAs[Long]("n_roots")))
+    assert(got === Array(
+      (0, 3L, 6L, 3L),      // roots 1+2+3
+      (1, 3L, 44L, 3L),     // 8+15+21, one per root
+      (2, 1L, 57L, 1L)))    // 57 under root 1 via 8
+  }
+
+  test("variant_json: missing path extracts null, fields round-trip typed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("var_json").toString
+    Seq((1L, 10L, "view", 0.125, 0L), (2L, 11L, "view", 2.5, 0L))
+      .toDF("event_id", "user_id", "event_type", "value", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.Relational.queries("variant_json")(spark, dir)
+      .collect()(0)
+    assert((r.getAs[String]("event_type"), r.getAs[Long]("n"),
+      r.getAs[Long]("n_users"), r.getAs[Long]("amount_micros"),
+      r.getAs[Long]("missing_nonnull"))
+      === (("view", 2L, 2L, 2625000L, 0L)))
   }
 
   test("peak_concurrency: sweep-line peak, inclusive ends, midnight-spanning session") {
