@@ -1110,7 +1110,44 @@ object Insights {
     }),
 
     "stream_stream_join" -> ((s, dir) =>
-      s.table(streamStreamJoinDailyTable(s, dir)).orderBy("p_day"))
+      s.table(streamStreamJoinDailyTable(s, dir)).orderBy("p_day")),
+
+    // Spark 4's STATE STORE READER — the ops surface a 100 TB/day
+    // streaming deployment lives on (state audits, skew diagnosis,
+    // migration dry-runs): run the per-type complete-mode aggregate
+    // with an explicit checkpoint, then read the aggregation operator's
+    // STATE back as a DataFrame (`spark.read.format("statestore")`)
+    // and emit the answer FROM THE STATE, never from the sink. The
+    // oracle is the plain batch GROUP BY — so the gate proves the
+    // persisted state holds exactly the aggregate's (count, sum)
+    // buffer per key. Fresh checkpoint per run (uuid) keeps bench
+    // passes identical; the state read is partition-parallel (one
+    // state file per shuffle partition, `partition_id` exposed).
+    "stream_state_read" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ckpt = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ss_read_" + Relational.sfTag(dir) + "_" +
+          java.util.UUID.randomUUID.toString.replace("-", "").take(12))
+        .getAbsolutePath
+      val tbl = "stream_ssr_" + Relational.sfTag(dir) + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val counts = streamEvents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(bround(col("value") * lit(1000000.0)).cast("long"))
+            .as("value_micros"))
+      val q = counts.writeStream.format("memory").queryName(tbl)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("statestore").load(ckpt)
+        .select(col("key.event_type").as("event_type"),
+          col("value.count").as("cnt"),
+          col("value.sum").as("value_micros"))
+        .orderBy("event_type")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1524,6 +1561,13 @@ object Insights {
     // watermarked stream-stream join ≡ batch self-join with the same
     // event-time range predicate (AvailableNow delivers every row before
     // the watermark can drop any, so the match set is exact)
+    // the state store must hold exactly the batch aggregate — the
+    // oracle never sees a stream or a checkpoint
+    "stream_state_read" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round_even(value * 1000000.0, 0) AS BIGINT))
+        |    AS BIGINT) AS value_micros
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_stream_join" ->
       """SELECT strftime(CAST(p.ts AS DATE), '%Y-%m-%d') AS p_day,
         |  CAST(count(*) AS BIGINT) AS n_pairs,

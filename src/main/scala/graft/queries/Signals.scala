@@ -353,7 +353,7 @@ object Signals {
     // log₇-bounded so the engine's recursion limit never nears.
     // Output: per-depth node count, key checksum, and per-root spread
     // — the readout a hierarchy rollup wants.
-    "recursive_cte" -> ((s, dir) => {
+    "recursive_tree" -> ((s, dir) => {
       t(s, dir, "supplier").createOrReplaceTempView("sup_rec")
       s.sql("""
         WITH RECURSIVE tree(k, root, depth) AS (
@@ -1408,7 +1408,7 @@ object Signals {
     // the same tree walk — DuckDB's recursive CTE has been the oracle
     // for the frontier loop (bfs_levels) all along; here both engines
     // run their NATIVE recursion
-    "recursive_cte" ->
+    "recursive_tree" ->
       """WITH RECURSIVE tree(k, root, depth) AS (
         |  SELECT s_suppkey, s_suppkey, 0 FROM supplier WHERE s_suppkey < 7
         |  UNION ALL

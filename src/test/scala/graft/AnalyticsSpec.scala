@@ -93,14 +93,14 @@ class AnalyticsSpec extends AnyFunSuite {
       (3L, 1L, gap + 1, 2 * gap + 1)))
   }
 
-  test("recursive_cte: planted 2-level forest walks to exact depths") {
+  test("recursive_tree: planted 2-level forest walks to exact depths") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("rec_cte").toString
     // roots 1..3 (< 7); 8 DIV 7 = 1, 15 DIV 7 = 2, 21 DIV 7 = 3 parent
     // them; 57 DIV 7 = 8 chains one level deeper
     Seq(1L, 2L, 3L, 8L, 15L, 21L, 57L).toDF("s_suppkey")
       .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
-    val got = graft.queries.Signals.queries("recursive_cte")(spark, dir)
+    val got = graft.queries.Signals.queries("recursive_tree")(spark, dir)
       .collect().map(r => (r.getInt(0), r.getAs[Long]("n"),
         r.getAs[Long]("key_sum"), r.getAs[Long]("n_roots")))
     assert(got === Array(
