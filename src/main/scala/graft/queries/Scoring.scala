@@ -165,15 +165,23 @@ object Scoring {
             .as("outliers"))
         .orderBy("lang")
     }),
-    // equi-depth deciles of order value: ntile over a total order. The
-    // global window is the honest exact form (single-partition sort —
-    // fine for a report-sized output; at 100 TB the production path is
-    // approx_percentile boundaries + a broadcast bin join, which
-    // histogram_bins/quantile_gate already cover); sums stay DECIMAL.
+    // equi-depth deciles of order value: an EXACT global ntile, now
+    // via [[graft.ops.DistributedRank]] (bucketed row_number +
+    // closed-form tile — the former Window.orderBy single-partition
+    // sort over every order is gone; at 100 TB the APPROXIMATE path
+    // is approx_percentile boundaries + a broadcast bin join, which
+    // histogram_bins/quantile_gate already cover — this is the exact
+    // form at the same scale posture); sums stay DECIMAL.
     "bucketize_depth" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, dir, "orders")
-        .select(col("o_totalprice"), ntile(10).over(w).as("bucket"))
+      import graft.ops.DistributedRank.{ntileOf, withRowNumber}
+      val o = t(s, dir, "orders")
+        .select(col("o_totalprice"), col("o_orderkey"))
+        .localCheckpoint() // feeds the rank pass and the count
+      withRowNumber(o, col("o_totalprice"), col("o_orderkey"),
+          "rn", width = 65536)
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("nn"))))
+        .select(col("o_totalprice"),
+          ntileOf(col("rn"), col("nn"), 10).as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("cnt"),
           min("o_totalprice").as("lo"),

@@ -1327,13 +1327,25 @@ object Signals {
           datediff(col("end_d"), col("last_d")).as("recency"),
           col("freq"), col("mon"))
       // 5 = best on every axis: recency sorts DESC (stalest first, so
-      // the last tile = most recent), frequency/monetary sort ASC
-      val r5 = ntile(5).over(Window.orderBy(
-        col("recency").desc, col("o_custkey")))
-      val f5 = ntile(5).over(Window.orderBy(col("freq"), col("o_custkey")))
-      val m5 = ntile(5).over(Window.orderBy(col("mon"), col("o_custkey")))
-      cust.select(col("o_custkey"), col("mon"),
-          r5.as("r"), f5.as("f"), m5.as("m"))
+      // the last tile = most recent — ranked via the NEGATED value,
+      // floor stays monotone), frequency/monetary sort ASC. Ranks run
+      // through DistributedRank (bucketed row_number + closed-form
+      // ntile): per-customer rows are row-scale at 100 TB, so the
+      // former three `Window.orderBy(metric)` single-partition sorts
+      // are gone; ranks are exact integers, oracle unchanged.
+      val custM = cust.localCheckpoint() // feeds 3 rank passes + count
+      import graft.ops.DistributedRank.{ntileOf, withRowNumber}
+      val ranked = withRowNumber(
+        withRowNumber(
+          withRowNumber(custM,
+            -col("recency"), col("o_custkey"), "rn_r", width = 64),
+          col("freq"), col("o_custkey"), "rn_f", width = 64),
+        col("mon"), col("o_custkey"), "rn_m")
+        .crossJoin(broadcast(custM.agg(count(lit(1)).as("nn"))))
+      ranked.select(col("o_custkey"), col("mon"),
+          ntileOf(col("rn_r"), col("nn"), 5).as("r"),
+          ntileOf(col("rn_f"), col("nn"), 5).as("f"),
+          ntileOf(col("rn_m"), col("nn"), 5).as("m"))
         .groupBy("r", "f", "m").agg(
           count(lit(1)).as("n_customers"),
           // final scalar cast to double (exact decimal → IEEE once):
@@ -1376,14 +1388,16 @@ object Signals {
     // one whale dominate" check that decides salting and sampling
     // strategy. Rank·revenue products stay exact (DECIMAL × int) so
     // both Σi·xᵢ and Σx enter the final chain as exact decimals; the
-    // rank window runs over the |customers| table with an id tiebreak
-    // (deterministic across engines, same caveat as rfm_segments).
+    // rank comes from [[graft.ops.DistributedRank]] (bucketed
+    // row_number with the o_custkey tiebreak — per-customer rows are
+    // row-scale at 100 TB, so no single-partition revenue sort);
+    // identical integer ranks, oracle unchanged.
     "concentration" -> ((s, dir) => {
       val cust = t(s, dir, "orders").groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
-      val w = Window.orderBy(col("x"), col("o_custkey"))
-      val ranked = cust.select(col("x"),
-        row_number().over(w).as("i"))
+      val ranked = graft.ops.DistributedRank.withRowNumber(
+          cust, col("x"), col("o_custkey"), "i", width = 65536)
+        .select(col("x"), col("i"))
       val agg = ranked.agg(
         count(lit(1)).as("n"),
         sum("x").cast("decimal(38,2)").as("total"),
