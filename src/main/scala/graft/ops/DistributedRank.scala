@@ -65,6 +65,52 @@ object DistributedRank {
       .drop(reserved.filterNot(_ == rnCol): _*)
   }
 
+  private val cumReserved = Seq("__dcv", "__dcbk")
+
+  /** GRID-level bucketed cumulative: for each input row (one row per
+    * (partition, value) — aggregate first), adds `cum_<w>` = the sum
+    * of weight column `w` over rows of the same partition with
+    * STRICTLY SMALLER value. The at-scale CDF idiom (ks_test /
+    * mannwhitney_u / quantile_align): the only per-partition
+    * unpartitioned-ish window runs over the BUCKET LIST (bounded by
+    * value-range/width), the within-bucket running sum is keyed by
+    * (partition, bucket) — no task ever sorts a whole partition's
+    * grid even when values are near-unique doubles. Add the row's own
+    * weight for an inclusive CDF. `value` non-null numeric.
+    */
+  def withCumBefore(grid: DataFrame, partCols: Seq[String],
+      value: Column, weights: Seq[String],
+      width: Double = 1024.0): DataFrame = {
+    val clashes = grid.columns.filter(c =>
+      cumReserved.contains(c) || weights.exists(w =>
+        c == s"__dcb_$w" || c == s"__dco_$w" || c == s"__dcw_$w" ||
+          c == s"cum_$w"))
+    require(clashes.isEmpty,
+      s"withCumBefore reserves ${clashes.mkString(", ")}")
+    val p = partCols.map(col)
+    val d = grid.withColumn("__dcv", value)
+      .withColumn("__dcbk", floor(col("__dcv") / lit(width)))
+    val bAgg = d.groupBy((p :+ col("__dcbk")): _*)
+      .agg(sum(weights.head).as(s"__dcb_${weights.head}"),
+        weights.tail.map(w => sum(w).as(s"__dcb_$w")): _*)
+    val bw = Window.partitionBy(p: _*).orderBy("__dcbk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bcum = weights.foldLeft(bAgg)((df, w) =>
+        df.withColumn(s"__dco_$w",
+          coalesce(sum(s"__dcb_$w").over(bw), lit(0L))))
+      .select((p :+ col("__dcbk")) ++
+        weights.map(w => col(s"__dco_$w")): _*)
+    val vw = Window.partitionBy((p :+ col("__dcbk")): _*)
+      .orderBy("__dcv").rowsBetween(Window.unboundedPreceding, -1)
+    val out = weights.foldLeft(d)((df, w) =>
+        df.withColumn(s"__dcw_$w", coalesce(sum(w).over(vw), lit(0L))))
+      .join(broadcast(bcum), partCols :+ "__dcbk")
+    weights.foldLeft(out)((df, w) =>
+        df.withColumn(s"cum_$w", col(s"__dco_$w") + col(s"__dcw_$w")))
+      .drop(cumReserved ++
+        weights.flatMap(w => Seq(s"__dcb_$w", s"__dco_$w", s"__dcw_$w")): _*)
+  }
+
   /** ANSI ntile(k) as a closed form of (rn, n): q = n div k rows per
     * tile, the first r = n mod k tiles take one extra. Bit-identical
     * to `ntile(k).over(...)` under the same total order. Both inputs

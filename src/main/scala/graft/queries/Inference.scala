@@ -192,11 +192,13 @@ object Inference {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("c1"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
-      val w = Window.orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = grid.select(col("c1"), col("c2"),
-        (col("c1") + col("c2")).as("t"),
-        coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)).as("cum"))
+        .withColumn("t", col("c1") + col("c2"))
+      // bucketed strictly-before cumulative (round-12): the grid's
+      // running sum no longer funnels through one unpartitioned sort
+      // when values are near-unique — same exact integers
+      val ranked = graft.ops.DistributedRank.withCumBefore(
+          grid, Seq.empty, col("value"), Seq("t"))
+        .select(col("c1"), col("c2"), col("t"), col("cum_t").as("cum"))
       val a = ranked.agg(
         sum("c1").as("n1"), sum("c2").as("n2"),
         sum(col("c1").cast(D38) *
@@ -519,10 +521,13 @@ object Inference {
       val grid = ev.groupBy("event_type", "v")
         .agg(count(lit(1)).as("c"))
         .localCheckpoint() // feeds the per-type AND pooled CDFs
-      val wT = Window.partitionBy("event_type").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cumT = grid.select(col("event_type"), col("v"),
-        sum("c").over(wT).as("cum"))
+      // bucketed inclusive CDFs (round-12): per-type and pooled
+      // cumulatives through DistributedRank.withCumBefore + own
+      // weight — no one-task-per-type sort on a near-unique grid
+      val cumT = graft.ops.DistributedRank.withCumBefore(
+          grid, Seq("event_type"), col("v"), Seq("c"), width = 1 << 20)
+        .select(col("event_type"), col("v"),
+          (col("cum_c") + col("c")).as("cum"))
       val nT = grid.groupBy("event_type").agg(sum("c").as("n"))
       def rk(p: Int) = expr(s"CAST(($p * n + 99) DIV 100 AS BIGINT)")
       def qcol(p: Int, as: String) =
@@ -533,9 +538,9 @@ object Inference {
         .groupBy("event_type")
         .agg(qcol(10, "q10"), qcol(50, "q50"), qcol(90, "q90"))
       val gGrid = grid.groupBy("v").agg(sum("c").as("c"))
-      val wG = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cumG = gGrid.select(col("v"), sum("c").over(wG).as("cum"))
+      val cumG = graft.ops.DistributedRank.withCumBefore(
+          gGrid, Seq.empty, col("v"), Seq("c"), width = 1 << 20)
+        .select(col("v"), (col("cum_c") + col("c")).as("cum"))
       val qG = cumG.crossJoin(broadcast(gGrid.agg(sum("c").as("n"))
           .select(rk(10).as("rk10"), rk(50).as("rk50"), rk(90).as("rk90"))))
         .agg(qcol(10, "g10"), qcol(50, "g50"), qcol(90, "g90"))

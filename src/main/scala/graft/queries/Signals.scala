@@ -741,9 +741,11 @@ object Signals {
     // on INTEGERS — |cum0·n1 − cum1·n0| — so tie handling and the max
     // are exact on both engines, and D pays exactly one IEEE division
     // at the end. Plan shape: one hash-agg to the distinct-value grid,
-    // one cumulative window per type over that grid (bounded by value
-    // cardinality, not row count — the at-scale CDF idiom), broadcast
-    // of the |types|-row margin table.
+    // then the BUCKETED cumulative (graft.ops.DistributedRank
+    // .withCumBefore — bounded by value cardinality AND never one
+    // task per type even on a near-unique grid: bucket-list window +
+    // per-bucket running sums), broadcast of the |types|-row margin
+    // table. Round-12: same exact integers, oracle unchanged.
     "ks_test" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("event_type"),
         bround(col("value") * lit(1000000.0)).cast("long").as("v"),
@@ -752,10 +754,12 @@ object Signals {
       val g = ev.groupBy("event_type", "v").agg(
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
-      val w = Window.partitionBy("event_type").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = g.select(col("event_type"),
-        sum("c0").over(w).as("f0"), sum("c1").over(w).as("f1"))
+      val cum = graft.ops.DistributedRank.withCumBefore(
+          g, Seq("event_type"), col("v"), Seq("c0", "c1"),
+          width = 1 << 20)
+        .select(col("event_type"),
+          (col("cum_c0") + col("c0")).as("f0"),
+          (col("cum_c1") + col("c1")).as("f1"))
       val tot = g.groupBy("event_type")
         .agg(sum("c0").as("n0"), sum("c1").as("n1"))
       val d = cum.join(broadcast(tot), "event_type")
