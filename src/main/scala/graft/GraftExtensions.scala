@@ -49,6 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "hash_fp60 takes exactly 1 argument")
         HashFingerprint(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_index"),
+      graft.functions.HilbertIndex.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "hilbert_index takes exactly 2 arguments")
+        graft.functions.HilbertIndex(children.head, children(1))
+      }))
     // optimizer: fuse the composed aggregate(zip_with(*)) dot-product
     // spelling into the native codegen'd strict expression
     ext.injectOptimizerRule(_ => graft.plans.FuseArrayDot)

@@ -139,6 +139,103 @@ object Ranking {
       .limit(k)
   }
 
+  /** Stupid-backoff trigram scoring (Brants, Popat, Xu, Och, Dean,
+    * EMNLP 2007 — the LM smoothing DESIGNED for corpus-scale
+    * distributed training: no discount normalization pass, scores are
+    * raw count ratios with a fixed 0.4 back-off penalty, so the whole
+    * "model" is three mergeable count tables). Counts train on the
+    * non-`src0` sources; `src0` documents are scored — the held-out
+    * split is what makes the back-off tiers actually fire (a model
+    * scored on its own training corpus never backs off: every trigram
+    * has count ≥ 1).
+    *
+    * S(w₃|w₁w₂) = c₃/c₂(w₁w₂) when the trigram was seen; else
+    * 0.4·c₂(w₂w₃)/c₁(w₂); else 0.4·0.4·(c₁(w₃)+1)/(N+V) — an add-one
+    * floor at the unigram base so OOV tokens score finitely (Brants
+    * leaves the base case open; the floor is the standard choice).
+    * Per-tier hit counts ride along, so the result also measures
+    * train/eval n-gram coverage.
+    *
+    * Scale shape: three map-side-combinable count aggregates keyed by
+    * vocabulary terms, one distinct-gram table, five vocabulary-sized
+    * left joins (Zipf-hot heads are AQE skew-join territory), one
+    * corpus-sized scoring join carrying per-(doc, gram) multiplicities.
+    * Same determinism recipe as [[bigramDocLogprob]]: ONE fixed IEEE
+    * chain per distinct gram over exact integer counts, quantized to
+    * micro-units (0.4·(0.4·x) stays NESTED — a pre-folded 0.16 literal
+    * would differ from the oracle's decimal product in the last ulp);
+    * doc sums are integer.
+    */
+  def stupidBackoffScore(docs: DataFrame, k: Int = 30): DataFrame = {
+    val tk = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.tokens(lower(col("text"))).as("tk"))
+    val train = tk.filter(col("source") =!= "src0")
+    val evalD = tk.filter(col("source") === "src0")
+    val uni = train.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val nv = uni.agg(sum("c1").cast("double").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    val bi = train.filter(size(col("tk")) >= 2)
+      .select(explode(Dedup.tokenNgrams(col("tk"), 2)).as("g2"))
+      .groupBy("g2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val tri = train.filter(size(col("tk")) >= 3)
+      .select(explode(Dedup.tokenNgrams(col("tk"), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c3"))
+    val dt = evalD.filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(Dedup.tokenNgrams(col("tk"), 3)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val grams = dt.select("g").distinct()
+      .withColumn("ws", split(col("g"), " "))
+      .select(col("g"),
+        concat_ws(" ", col("ws").getItem(0), col("ws").getItem(1)).as("ctx"),
+        concat_ws(" ", col("ws").getItem(1), col("ws").getItem(2)).as("g23"),
+        col("ws").getItem(1).as("w2"), col("ws").getItem(2).as("w3"))
+    // seen-trigram ⇒ its context bigram is a train bigram, and
+    // seen-right-bigram ⇒ w2 is train vocabulary: the tier guards make
+    // every division's denominator non-null by construction
+    val scored = grams
+      .join(tri, Seq("g"), "left")
+      .join(bi.select(col("g2").as("ctx"), col("c2").as("c2ctx")),
+        Seq("ctx"), "left")
+      .join(bi.select(col("g2").as("g23"), col("c2").as("c2r")),
+        Seq("g23"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1ctx")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c1").as("c1w")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("g"),
+        when(col("c3").isNotNull, lit(3))
+          .when(col("c2r").isNotNull, lit(2))
+          .otherwise(lit(1)).as("tier"),
+        bround(log(
+          when(col("c3").isNotNull,
+            col("c3").cast("double") / col("c2ctx").cast("double"))
+            .when(col("c2r").isNotNull,
+              lit(0.4) * (col("c2r").cast("double") /
+                col("c1ctx").cast("double")))
+            .otherwise(lit(0.4) * (lit(0.4) *
+              ((coalesce(col("c1w"), lit(0L)).cast("double") + lit(1.0)) /
+                (col("n") + col("v")))))
+        ) * lit(1000000.0)).cast("long").as("lp_micros"))
+    dt.join(scored, Seq("g"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_trigrams"),
+        sum(col("k") * col("lp_micros")).as("sum_lp_micros"),
+        sum(when(col("tier") === 3, col("k")).otherwise(lit(0L))).as("hits3"),
+        sum(when(col("tier") === 2, col("k")).otherwise(lit(0L))).as("hits2"),
+        sum(when(col("tier") === 1, col("k")).otherwise(lit(0L))).as("hits1"))
+      .select(col("doc_id"), col("n_trigrams"), col("sum_lp_micros"),
+        col("hits3"), col("hits2"), col("hits1"),
+        round(col("sum_lp_micros").cast("double") / col("n_trigrams")
+          / lit(1000000.0), 6).as("avg_logprob"))
+      .orderBy(col("avg_logprob"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Pointwise mutual information of adjacent-token bigrams over the
     * whole corpus: PMI = ln(p(xy) / (p(x)·p(y))), keeping pairs seen at
     * least `minCount` times, top-k by PMI.

@@ -39,6 +39,30 @@ object Analytics {
         s"(((CAST($yc AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " | ", ")")
 
+  /** The 16-level Hilbert xy→d walk as chained integer CTEs — the
+    * oracle-side replay of [[graft.functions.HilbertIndex]]'s loop,
+    * generated level-by-level so both engines execute the identical
+    * arithmetic: quadrant term `s²·(ry | 3−ry by rx)` (the
+    * XOR-free spelling), then the reflect-and-transpose frame update.
+    * Input CTE `h0` must provide (o_custkey, d0, x, y, hd).
+    */
+  private[graft] def hilbertOracleCtes: String =
+    (0 until 16).map { i =>
+      val s = 1 << (15 - i)
+      val s2 = s.toLong * s
+      s"""h${i + 1} AS (SELECT o_custkey, d0,
+         |  hd + $s2 * (CASE WHEN (x & $s) <> 0
+         |    THEN 3 - (CASE WHEN (y & $s) <> 0 THEN 1 ELSE 0 END)
+         |    ELSE (CASE WHEN (y & $s) <> 0 THEN 1 ELSE 0 END) END) AS hd,
+         |  CASE WHEN (y & $s) = 0 THEN
+         |    (CASE WHEN (x & $s) <> 0 THEN 65535 - y ELSE y END)
+         |    ELSE x END AS x,
+         |  CASE WHEN (y & $s) = 0 THEN
+         |    (CASE WHEN (x & $s) <> 0 THEN 65535 - x ELSE x END)
+         |    ELSE y END AS y
+         |  FROM h$i)""".stripMargin
+    }.mkString(",\n")
+
   /** The canonical per-mille md5 bucket, shared with split/mixture
     * sampling ([[graft.llm.Dedup.hashBucket1000]]) under this query's
     * own salt.
@@ -636,6 +660,39 @@ object Analytics {
           (max("o_custkey") - min("o_custkey")).as("cust_width"),
           (max("d") - min("d")).as("day_width"))
         .orderBy("zb")
+    }),
+
+    // Hilbert-curve layout metric — the OTHER clustering curve
+    // lakehouse formats offer next to Z-order, computed by the native
+    // codegen'd [[graft.functions.HilbertIndex]] expression (a nested
+    // CASE spelling of the 16-level walk would blow up ~4× per level
+    // under projection collapse; the custom Expression is the scalable
+    // form, and is also injected as SQL `hilbert_index` via
+    // GraftExtensions). Same grid, same `>> 12` bucket granularity,
+    // and same per-bucket width metric as `zorder_layout`, so the two
+    // curves' locality is directly comparable row-for-row: Hilbert has
+    // no Z-jump, so bucket widths stay bounded where Morton buckets
+    // straddle quadrant seams. The oracle replays the identical
+    // integer walk as 16 chained CTEs built by the SAME generator
+    // contract ([[hilbertOracleCtes]]) — pure integer arithmetic, no
+    // IEEE anywhere; SketchSpec proves the curve theorems (bijection,
+    // unit Manhattan steps) exhaustively on a small grid.
+    "hilbert_layout" -> ((s, dir) => {
+      val hx = (a: Column, b: Column) =>
+        org.apache.spark.sql.graftbridge.GraftBridge.column(
+          graft.functions.HilbertIndex(
+            org.apache.spark.sql.graftbridge.GraftBridge.expression(a),
+            org.apache.spark.sql.graftbridge.GraftBridge.expression(b)))
+      t(s, dir, "orders")
+        .withColumn("d", expr("datediff(to_date(o_orderdate), date'1995-01-01')"))
+        .withColumn("hb", shiftright(
+          hx(expr("CAST(o_custkey % 65536 AS BIGINT)"), col("d").cast("long")),
+          12))
+        .groupBy("hb").agg(
+          count(lit(1)).as("n_rows"),
+          (max("o_custkey") - min("o_custkey")).as("cust_width"),
+          (max("d") - min("d")).as("day_width"))
+        .orderBy("hb")
     }),
 
     // quality-weighted deterministic sampling: keep probability scales
@@ -1389,6 +1446,20 @@ object Analytics {
         |  max(o_custkey) - min(o_custkey) AS cust_width,
         |  max(d) - min(d) AS day_width
         |FROM o GROUP BY 1 ORDER BY zb""".stripMargin,
+    "hilbert_layout" ->
+      s"""WITH h0 AS (SELECT o_custkey,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      AS d0,
+        |    CAST(o_custkey % 65536 AS BIGINT) AS x,
+        |    CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+        |    CAST(0 AS BIGINT) AS hd
+        |  FROM orders),
+        |${hilbertOracleCtes}
+        |SELECT hd >> 12 AS hb, count(*) AS n_rows,
+        |  max(o_custkey) - min(o_custkey) AS cust_width,
+        |  max(d0) - min(d0) AS day_width
+        |FROM h16 GROUP BY 1 ORDER BY hb""".stripMargin,
     "quality_sample" ->
       """WITH d AS (
         |  SELECT lang, n_chars,

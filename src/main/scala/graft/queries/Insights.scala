@@ -803,6 +803,36 @@ object Insights {
         .orderBy("event_type")
     }),
 
+    // streaming Misra–Gries top-k: the deterministic-guarantee member
+    // of the streaming sketch square (exact bitmap / HLL / CMS / Bloom
+    // / quantile / MG). Complete-mode single-group aggregate whose
+    // state is the ≤capacity-entry counter map — the PODS-2012 merge
+    // makes micro-batch partials associative, so the replayed stream
+    // ends register-identical to the batch summary and reuses the
+    // batch oracle (same exact-regime capacity: 16 ≥ ~5 event types).
+    "stream_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val mgU = udaf(new graft.functions.SpaceSavingAgg(16),
+        org.apache.spark.sql.Encoders.STRING)
+      val ev = streamEvents(s, dir).select(col("event_type"))
+      val tbl = "stream_topk_" + Relational.sfTag(dir) + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val q = ev.groupBy().agg(mgU(col("event_type")).as("summary"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val summary = s.table(tbl).localCheckpoint()
+      Relational.events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("true_cnt"))
+        .crossJoin(broadcast(summary))
+        .select(col("event_type"),
+          element_at(col("summary"), col("event_type")).as("est_cnt"),
+          col("true_cnt"),
+          size(col("summary")).as("summary_size"))
+        .orderBy("event_type")
+    }),
+
     // Streaming stateful DEDUP under the value oracle: dropDuplicates
     // state keeps first-arrival per (user_id, event_type) across
     // micro-batches, and the downstream count per event_type must equal
@@ -1157,6 +1187,7 @@ object Insights {
     // register-identical to the batch sketch → the batch oracle serves
     "stream_hll" -> Relational.oracles("hll_distinct"),
     "stream_cms" -> Relational.oracles("cms_heavy_hitters"),
+    "stream_topk" -> Relational.oracles("space_saving_topk"),
     "stream_bitmap" ->
       """WITH w AS (SELECT event_type,
         |    CAST(user_id // 62 AS BIGINT) AS w,

@@ -572,6 +572,33 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Misra–Gries heavy-hitter summary (graft.functions.SpaceSavingAgg
+    // — mergeable-summaries merge per Agarwal et al., PODS 2012): the
+    // DETERMINISTIC-guarantee member of the sketch family (CMS
+    // overestimates probabilistically; MG brackets truth two-sidedly:
+    // true − n/(cap+1) ≤ counter ≤ true, and every key above that
+    // threshold is present). Run here in its exact regime — capacity 16
+    // over the ~5-value event_type column, so no eviction fires,
+    // counters equal plain counts, and the gate is order-free; the
+    // eviction/merge path (where counter values are arrival-order-
+    // dependent, as in any MG) is property-tested in SketchSpec
+    // against a brute-force reference on random orders. At 100 TB the
+    // 16-entry map per partition replaces the unbounded key shuffle.
+    "space_saving_topk" -> ((s, dir) => {
+      import s.implicits._
+      val mg = new graft.functions.SpaceSavingAgg(16)
+      val ev = events(s, dir)
+      val summary = ev.select(col("event_type")).as[String]
+        .select(mg.toColumn.name("summary"))
+      ev.groupBy("event_type").agg(count(lit(1)).as("true_cnt"))
+        .crossJoin(broadcast(summary))
+        .select(col("event_type"),
+          element_at(col("summary"), col("event_type")).as("est_cnt"),
+          col("true_cnt"),
+          size(col("summary")).as("summary_size"))
+        .orderBy("event_type")
+    }),
+
     // event-time tumbling windows in BATCH (the same window() operator
     // the streaming paths use): epoch-aligned 6-hour buckets, emitted
     // as epoch micros (raw timestamps break ns/µs parquet parity)
@@ -1515,6 +1542,17 @@ object Relational {
         |  CAST(k.true_cnt AS BIGINT) AS true_cnt
         |FROM est e JOIN keys k ON e.event_type = k.event_type
         |ORDER BY e.event_type""".stripMargin,
+    // exact regime (capacity ≥ distinct): MG counters are plain
+    // counts and the summary holds every key — the oracle is the
+    // group-by it degenerates to
+    "space_saving_topk" ->
+      """WITH keys AS (SELECT event_type, count(*) AS true_cnt
+        |             FROM events GROUP BY event_type),
+        |n AS (SELECT count(*) AS sz FROM keys)
+        |SELECT k.event_type, CAST(k.true_cnt AS BIGINT) AS est_cnt,
+        |  CAST(k.true_cnt AS BIGINT) AS true_cnt,
+        |  CAST(n.sz AS INT) AS summary_size
+        |FROM keys k, n ORDER BY k.event_type""".stripMargin,
     "string_agg_group" ->
       """SELECT o_orderpriority,
         |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)

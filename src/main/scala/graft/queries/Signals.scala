@@ -168,6 +168,11 @@ object Signals {
       TextAnalysis.featureHashHistogram(t(s, dir, "documents"))),
     "bigram_logprob" -> ((s, dir) =>
       Ranking.bigramDocLogprob(t(s, dir, "documents"))),
+    // stupid-backoff trigram scoring on a held-out split — see
+    // llm/Ranking.stupidBackoffScore for the tier semantics and the
+    // distributed-LM citation (Brants et al. 2007)
+    "stupid_backoff" -> ((s, dir) =>
+      Ranking.stupidBackoffScore(t(s, dir, "documents"))),
     "prefix_jaccard" -> ((s, dir) =>
       Dedup.prefixJaccardPairs(t(s, dir, "documents"))),
     // Winsorized per-group mean: clip to the exact [p05, p95] quantiles
@@ -520,6 +525,52 @@ object Signals {
         out = out.unionByName(stats(r, e))
       }
       out.orderBy("rnd")
+    }),
+
+    // Label propagation community detection (Raghavan, Albert, Kumara
+    // 2007) on the same support-2 co-purchase part graph as
+    // `kcore_decompose`/`triangle_count` — the COMMUNITY member of the
+    // graph family (connected_components finds reachability classes;
+    // LPA splits them along dense sub-structure). Three SYNCHRONOUS
+    // rounds: every vertex adopts the most frequent label among its
+    // neighbors, ties broken to the SMALLEST label — both choices are
+    // what make distributed LPA deterministic (async update order and
+    // random tie-breaks, the textbook defaults, are not replayable;
+    // sync + min-tie is, and is the BSP form a 1000-executor run uses
+    // anyway). Scale shape per round: one |E|-sized equi-join onto the
+    // label table + two keyed aggregates (count, argmax) — the same
+    // keyed-shuffle budget as a pagerank step; argmax is
+    // max(struct(count, −label)), no window, no global sort. Edge list
+    // and per-round labels localCheckpoint (the kcore/pagerank
+    // precedent for iteration state).
+    "label_propagation" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val und = op.select(col("o"), col("p").as("p1"))
+        .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("p1", "p2")
+      val e = und.select(col("p1").as("v"), col("p2").as("u"))
+        .unionByName(und.select(col("p2").as("v"), col("p1").as("u")))
+        .localCheckpoint()
+      var labels = e.select(col("v")).distinct()
+        .withColumn("label", col("v").cast("long"))
+      for (_ <- 1 to 3) {
+        val cnt = e
+          .join(labels.select(col("v").as("u"), col("label")), "u")
+          .groupBy("v", "label").agg(count(lit(1)).as("c"))
+        labels = cnt.groupBy("v")
+          .agg(max(struct(col("c").as("c"),
+            (col("label") * lit(-1L)).as("nl"))).as("m"))
+          .select(col("v"), (col("m.nl") * lit(-1L)).as("label"))
+          .localCheckpoint()
+      }
+      labels.groupBy("label")
+        .agg(count(lit(1)).as("members"))
+        .orderBy(col("members").desc, col("label"))
+        .limit(20)
     }),
 
     // DSIR data selection (Xie et al. 2023): importance weights of the
@@ -1496,6 +1547,64 @@ object Signals {
         |    AS avg_logprob
         |FROM db JOIN lp USING (gram)
         |GROUP BY db.doc_id ORDER BY avg_logprob, doc_id LIMIT 20""".stripMargin,
+    // same tier arithmetic in DuckDB spelling: round_even ≙ bround,
+    // ln ≙ log, nested 0.4·(0.4·x); the tier CASE mirrors the
+    // null-guard structure so both engines take identical branches
+    "stupid_backoff" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM (
+        |    SELECT unnest(tk) AS w FROM tk WHERE source <> 'src0')
+        |  GROUP BY 1),
+        |nv AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,
+        |    CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |bi AS (SELECT g2, CAST(count(*) AS BIGINT) AS c2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS g2
+        |    FROM tk WHERE source <> 'src0' AND len(tk) >= 2) GROUP BY 1),
+        |tri AS (SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        |    FROM tk WHERE source <> 'src0' AND len(tk) >= 3) GROUP BY 1),
+        |dt AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS k FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        |    FROM tk WHERE source = 'src0' AND len(tk) >= 3) GROUP BY 1, 2),
+        |grams AS (SELECT g,
+        |    split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS ctx,
+        |    split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS g23,
+        |    split_part(g, ' ', 2) AS w2, split_part(g, ' ', 3) AS w3
+        |  FROM (SELECT DISTINCT g FROM dt)),
+        |sc AS (SELECT gr.g,
+        |    CASE WHEN t.c3 IS NOT NULL THEN 3
+        |         WHEN b2.c2 IS NOT NULL THEN 2 ELSE 1 END AS tier,
+        |    CAST(round_even(ln(
+        |      CASE WHEN t.c3 IS NOT NULL
+        |        THEN CAST(t.c3 AS DOUBLE) / CAST(b1.c2 AS DOUBLE)
+        |      WHEN b2.c2 IS NOT NULL
+        |        THEN 0.4 * (CAST(b2.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+        |      ELSE 0.4 * (0.4 * ((CAST(coalesce(u3.c1, 0) AS DOUBLE) + 1.0)
+        |        / (nv.n + nv.v))) END) * 1000000.0, 0) AS BIGINT)
+        |      AS lp_micros
+        |  FROM grams gr
+        |  LEFT JOIN tri t ON gr.g = t.g
+        |  LEFT JOIN bi b1 ON gr.ctx = b1.g2
+        |  LEFT JOIN bi b2 ON gr.g23 = b2.g2
+        |  LEFT JOIN uni u2 ON gr.w2 = u2.w
+        |  LEFT JOIN uni u3 ON gr.w3 = u3.w, nv)
+        |SELECT dt.doc_id, CAST(sum(dt.k) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(dt.k * sc.lp_micros) AS BIGINT) AS sum_lp_micros,
+        |  CAST(sum(CASE WHEN sc.tier = 3 THEN dt.k ELSE 0 END) AS BIGINT)
+        |    AS hits3,
+        |  CAST(sum(CASE WHEN sc.tier = 2 THEN dt.k ELSE 0 END) AS BIGINT)
+        |    AS hits2,
+        |  CAST(sum(CASE WHEN sc.tier = 1 THEN dt.k ELSE 0 END) AS BIGINT)
+        |    AS hits1,
+        |  round(CAST(sum(dt.k * sc.lp_micros) AS DOUBLE) / sum(dt.k)
+        |    / 1000000.0, 6) AS avg_logprob
+        |FROM dt JOIN sc USING (g)
+        |GROUP BY dt.doc_id ORDER BY avg_logprob, doc_id LIMIT 30"""
+        .stripMargin,
     // shingles carry as the shared 60-bit md5-prefix fingerprint (the
     // multimodal checksum recipe) in BOTH engines — see
     // Dedup.prefixJaccardPairs; the positional filter is Spark-side
@@ -1722,6 +1831,35 @@ object Signals {
           .stripMargin
       }.mkString("\nUNION ALL\n")
       s"$base$rounds\n$stats\nORDER BY rnd"
+    },
+
+    // three unrolled synchronous LPA rounds; argmax-with-min-tie is
+    // spelled as (max count per vertex) ⋈ (min label at that count) —
+    // an independent derivation of the engine's max(struct(c, −label))
+    "label_propagation" -> {
+      val base =
+        """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem),
+          |pe AS (SELECT a.p AS p1, b.p AS p2
+          |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |e AS MATERIALIZED (SELECT p1 AS v, p2 AS u FROM pe
+          |  UNION ALL SELECT p2, p1 FROM pe),
+          |l0 AS (SELECT DISTINCT v, CAST(v AS BIGINT) AS label FROM e)"""
+          .stripMargin
+      val rounds = (1 to 3).map { i =>
+        s""",
+           |c$i AS (SELECT e.v, l.label, count(*) AS c
+           |  FROM e JOIN l${i - 1} l ON e.u = l.v GROUP BY 1, 2),
+           |m$i AS (SELECT v, max(c) AS mc FROM c$i GROUP BY v),
+           |l$i AS MATERIALIZED (SELECT c.v, min(c.label) AS label
+           |  FROM c$i c JOIN m$i m ON c.v = m.v AND c.c = m.mc
+           |  GROUP BY c.v)""".stripMargin
+      }.mkString
+      s"""$base$rounds
+         |SELECT label, CAST(count(*) AS BIGINT) AS members
+         |FROM l3 GROUP BY 1
+         |ORDER BY members DESC, label LIMIT 20""".stripMargin
     },
 
     "dsir_select" ->

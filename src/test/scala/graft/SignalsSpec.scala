@@ -1021,4 +1021,63 @@ class SignalsSpec extends AnyFunSuite {
         r.getAs[Long]("n"), r.getAs[Double]("t_emd")))
     assert(out.toSeq === Seq(("s1", 4L, 0.5), ("s2", 4L, 0.5)))
   }
+
+  test("label propagation: two planted triangles keep separate communities") {
+    import spark.implicits._
+    // support-2 edges: triangle {1,2,3}, triangle {10,11,12}, and a
+    // bridge (3,10). Hand-walked sync rounds with min-tie:
+    //   r1: 1→2 2→1 3→1 10→3 11→10 12→10
+    //   r2: 1→1 2→1 3→1 10→10 11→3 12→3
+    //   r3: 1→1 2→1 3→1 10→3 11→3 12→3
+    // → communities {1,2,3} under label 1 and {10,11,12} under label 3:
+    // the bridge feeds label 1 into vertex 10 but never outvotes the
+    // triangle majority — exactly the community/component distinction.
+    val rows = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),
+      (200L, 1L), (200L, 2L), (200L, 3L),
+      (300L, 10L), (300L, 11L), (300L, 12L),
+      (400L, 10L), (400L, 11L), (400L, 12L),
+      (500L, 3L), (500L, 10L), (600L, 3L), (600L, 10L))
+    val dir = java.nio.file.Files.createTempDirectory("sig_lpa").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Signals.queries("label_propagation")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("members")))
+    assert(out.toSeq === Seq((1L, 3L), (3L, 3L)))
+  }
+
+  test("stupid backoff: the three tiers fire and match JVM closed forms") {
+    import spark.implicits._
+    // train "a b c a b c": c1(a,b,c)=2, N=6, V=3; bi: "a b"2 "b c"2
+    // "c a"1; tri: "a b c"2 "b c a"1 "c a b"1
+    val rows = Seq(
+      (1L, "a b c a b c", "tr"),
+      (2L, "a b c d", "src0"),   // tier3 ("a b c") + tier1 ("b c d": OOV d)
+      (3L, "x b c a", "src0"))   // tier2 ("x b c") + tier3 ("b c a")
+    val dir = java.nio.file.Files.createTempDirectory("sig_sb").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    def lp(s: Double): Long = math.rint(math.log(s) * 1000000.0).toLong
+    val t3 = lp(2.0 / 2.0)                                  // "a b c"
+    val t1 = lp(0.4 * (0.4 * ((0.0 + 1.0) / (6.0 + 3.0)))) // "b c d"
+    val t2 = lp(0.4 * (2.0 / 2.0))                          // "x b c"
+    val t3b = lp(1.0 / 2.0)                                 // "b c a"
+    val out = Signals.queries("stupid_backoff")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_trigrams") === 2L)
+    assert(d2.getAs[Long]("sum_lp_micros") === t3 + t1)
+    assert((d2.getAs[Long]("hits3"), d2.getAs[Long]("hits2"),
+      d2.getAs[Long]("hits1")) === ((1L, 0L, 1L)))
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("sum_lp_micros") === t2 + t3b)
+    assert((d3.getAs[Long]("hits3"), d3.getAs[Long]("hits2"),
+      d3.getAs[Long]("hits1")) === ((1L, 1L, 0L)))
+    // doc 2 is the lower-likelihood doc: the OOV tier dominates
+    val order = Signals.queries("stupid_backoff")(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(order === Seq(2L, 3L))
+  }
 }
