@@ -209,6 +209,50 @@ object Curation {
         .orderBy("i", "j")
     }),
 
+    // Power iteration for the TOP PRINCIPAL COMPONENT of the embedding
+    // covariance — the eigen-step that turns embed_covariance's matrix
+    // into an actual PCA direction, run entirely IN-PLAN (no driver
+    // linear algebra): three unrolled rounds of w = M·v as a
+    // 4096-row-matrix ⋈ 64-row-vector join + keyed sum, ∞-norm
+    // normalization each round. Covariance is PSD, so the dominant
+    // eigenvalue is ≥ 0 and max-abs normalization needs no sign
+    // bookkeeping; the uniform start vector has nonzero overlap with
+    // the top eigenvector for any non-degenerate corpus. Determinism:
+    // the matrix is the ALREADY-GATED embed_covariance output
+    // re-quantized to integer nanos, each w is an exact BIGINT dot
+    // product (|w| ≤ 64·10⁹·10⁶ < 2⁶³), and the one division per
+    // round runs on the same int64→double conversions in both engines,
+    // absorbed by bround to micros. At 100 TB the corpus pass is the
+    // covariance build (already map-only); each eigen-round touches
+    // d² = 4096 rows — free — which is exactly why power iteration is
+    // THE distributed PCA primitive.
+    "embed_power_iter" -> ((s, dir) => {
+      val cu = Curation.queries("embed_covariance")(s, dir)
+        .select(col("i"), col("j"),
+          bround(col("cov") * lit(1e9)).cast("long").as("m"))
+        .localCheckpoint() // mirrored below; 2080 rows
+      val m = cu.unionByName(cu.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("m")))
+        .localCheckpoint() // consumed by 3 rounds
+      var v = m.select(col("i").as("dim")).distinct()
+        .withColumn("v", lit(1000000L))
+      var lastMx: DataFrame = null
+      for (_ <- 1 to 3) {
+        val w = m.join(v.select(col("dim").as("j"), col("v")), "j")
+          .groupBy("i").agg(sum(col("m") * col("v")).as("w"))
+        lastMx = w.agg(max(abs(col("w"))).as("mx"))
+        v = w.crossJoin(broadcast(lastMx))
+          .select(col("i").as("dim"),
+            bround(col("w").cast("double") * lit(1000000.0) /
+              col("mx").cast("double")).cast("long").as("v"))
+          .localCheckpoint()
+      }
+      v.crossJoin(broadcast(lastMx))
+        .select(col("dim"), col("v").as("v_micros"),
+          col("mx").as("lambda_nanos"))
+        .orderBy("dim")
+    }),
+
     // Heaps-law vocabulary-growth curve: distinct-type count and token
     // count at 10 corpus checkpoints (doc_id deciles) — the "is the
     // corpus still contributing new vocabulary?" saturation diagnostic
@@ -876,6 +920,50 @@ object Curation {
         |    AS cov
         |FROM c JOIN s si ON si.i = c.i JOIN s sj ON sj.i = c.j
         |ORDER BY c.i, c.j""".stripMargin,
+
+    // the covariance CTEs are the embed_covariance oracle verbatim;
+    // the three eigen-rounds unroll with the same nanos/micros
+    // quantization as the engine (int64→double conversions of
+    // identical integers are identical in any IEEE engine)
+    "embed_power_iter" -> {
+      val covBase =
+        """WITH e AS (SELECT vec_id,
+          |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+          |    CAST(round_even(CAST(unnest(embedding) AS DOUBLE)
+          |      * 1000000.0, 0) AS BIGINT) AS xm
+          |  FROM embeddings),
+          |s AS (SELECT i, CAST(sum(xm) AS BIGINT) AS sv FROM e GROUP BY 1),
+          |c AS (SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CAST(a.xm AS HUGEINT) * b.xm) AS HUGEINT) AS sij
+          |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+          |  GROUP BY 1, 2),
+          |cov AS (SELECT c.i, c.j,
+          |    round_even(CAST(CAST(c.n AS HUGEINT) * c.sij
+          |        - CAST(si.sv AS HUGEINT) * sj.sv AS DOUBLE)
+          |      / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)) / 1e12, 9)
+          |      AS cov
+          |  FROM c JOIN s si ON si.i = c.i JOIN s sj ON sj.i = c.j),
+          |cu AS (SELECT i, j,
+          |    CAST(round_even(cov * 1e9, 0) AS BIGINT) AS m FROM cov),
+          |mm AS MATERIALIZED (SELECT i, j, m FROM cu
+          |  UNION ALL SELECT j, i, m FROM cu WHERE i <> j),
+          |v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS BIGINT) AS v
+          |  FROM mm)""".stripMargin
+      val rounds = (1 to 3).map { r =>
+        s""",
+           |w$r AS MATERIALIZED (SELECT mm.i,
+           |    CAST(sum(mm.m * v.v) AS BIGINT) AS w
+           |  FROM mm JOIN v${r - 1} v ON mm.j = v.dim GROUP BY 1),
+           |x$r AS (SELECT max(abs(w)) AS mx FROM w$r),
+           |v$r AS MATERIALIZED (SELECT w$r.i AS dim,
+           |    CAST(round_even(CAST(w$r.w AS DOUBLE) * 1000000.0
+           |      / CAST(x$r.mx AS DOUBLE), 0) AS BIGINT) AS v
+           |  FROM w$r, x$r)""".stripMargin
+      }.mkString
+      s"""$covBase$rounds
+         |SELECT v3.dim, v3.v AS v_micros, x3.mx AS lambda_nanos
+         |FROM v3, x3 ORDER BY dim""".stripMargin
+    },
 
     "benford_audit" ->
       """WITH c AS (SELECT CAST(round_even(o_totalprice * 100.0, 0)

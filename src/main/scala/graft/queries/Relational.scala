@@ -711,6 +711,58 @@ object Relational {
           (col("bloom_pass") - col("joined_rows")).as("fp_passed"))
     }),
 
+    // HLL sketch over a SLIDING window — the sketch answer to
+    // rolling_distinct (Scoring): 7-day rolling distinct-user reach
+    // where each window's registers are the slot-wise MAX of its days'
+    // registers (max is associative and idempotent, so merged-window
+    // registers are IDENTICAL to a sketch built from the window's
+    // distinct pairs — which is exactly what the oracle rebuilds).
+    // Scale contrast that motivates it: rolling_distinct shuffles
+    // distinct (user, day) pairs × 7 — user-cardinality-sized;
+    // here the daily sketches build in ONE keyed pass and the 7-way
+    // window fanout ships n_days × 7 × 64-int registers — CONSTANT in
+    // user count. At 100 TB reach dashboards this is the only shape
+    // that survives. Same days-present window semantics as
+    // rolling_distinct (window d covers [d−6, d], emitted for observed
+    // days), true_reach carried for the honesty compare.
+    "rolling_hll_reach" -> ((s, dir) => {
+      val hll = udaf(new graft.functions.HyperLogLogAgg(),
+        org.apache.spark.sql.Encoders.STRING)
+      val ev = events(s, dir)
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
+      val daily = ev.groupBy("d")
+        .agg(hll(col("user_id").cast("string")).as("regs"))
+        .localCheckpoint() // fanout + days semi-join both consume it
+      val days = daily.select(col("d").as("od"))
+      val merged = daily
+        .select(explode(sequence(col("d"), col("d") + 6)).as("od"),
+          col("regs"))
+        .join(days, Seq("od"), "left_semi")
+        .select(col("od"), posexplode(col("regs")).as(Seq("pos", "reg")))
+        .groupBy("od", "pos").agg(max("reg").as("reg"))
+        .groupBy("od")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("reg")))),
+          x => x.getField("reg")).as("regs"))
+      val exact = ev.distinct()
+        .select(col("user_id"),
+          explode(sequence(col("d"), col("d") + 6)).as("od"))
+        .distinct()
+        .join(days, Seq("od"), "left_semi")
+        .groupBy("od").agg(count_distinct(col("user_id")).as("true_reach"))
+      merged.join(exact, "od")
+        .select(col("od").as("d"),
+          graft.functions.HyperLogLogAgg.estimate(col("regs"))
+            .as("est_reach"),
+          col("true_reach"),
+          graft.functions.HyperLogLogAgg.regWeight(col("regs"))
+            .as("reg_weight"),
+          graft.functions.HyperLogLogAgg.zeroRegs(col("regs"))
+            .as("zero_regs"))
+        .orderBy("d")
+    }),
+
     // HLL sketch SET ALGEBRA — the third member of the sketch-merge
     // family (hll_rollup merges UP a hierarchy; this merges ACROSS
     // sets): audience overlap between 'view' users and 'purchase'
@@ -1663,6 +1715,50 @@ object Relational {
         |  e.reg_weight, e.zero_regs
         |FROM est e JOIN cal c USING (event_type) JOIN tru t USING (event_type)
         |ORDER BY e.event_type""".stripMargin,
+    // max-merge associativity means window registers ≡ registers of the
+    // window's distinct (day, user) pairs — the oracle builds them
+    // directly from those pairs, never simulating per-day sketches
+    "rolling_hll_reach" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |days AS (SELECT DISTINCT d FROM ud),
+        |wu AS (SELECT DISTINCT u.user_id, u.d + t.o AS od
+        |  FROM ud u, range(0, 7) t(o)),
+        |wud AS (SELECT w.user_id, w.od FROM wu w
+        |  JOIN days ON days.d = w.od),
+        |h AS (SELECT od,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS x
+        |  FROM wud),
+        |br AS (SELECT od, x % 64 AS bucket,
+        |    55 - (CASE WHEN x // 64 = 0 THEN 0
+        |               ELSE length(bin(x // 64)) END) AS rho
+        |  FROM h),
+        |regs AS (SELECT od, bucket, max(rho) AS reg FROM br GROUP BY 1, 2),
+        |grid AS (SELECT w.od, t.b AS bucket
+        |  FROM (SELECT DISTINCT od FROM wud) w, range(0, 64) t(b)),
+        |fr AS (SELECT g.od, coalesce(r.reg, 0) AS reg
+        |  FROM grid g LEFT JOIN regs r
+        |    ON r.od = g.od AND r.bucket = g.bucket),
+        |agg AS (SELECT od,
+        |    CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT)
+        |      AS reg_weight,
+        |    CAST(count(*) FILTER (WHERE reg = 0) AS INT) AS zero_regs
+        |  FROM fr GROUP BY od),
+        |est AS (SELECT od, reg_weight, zero_regs,
+        |    (0.709 * 4096) * pow(2.0, 55) / CAST(reg_weight AS DOUBLE)
+        |      AS raw
+        |  FROM agg),
+        |tru AS (SELECT od, count(DISTINCT user_id) AS true_reach
+        |  FROM wud GROUP BY od)
+        |SELECT e.od AS d,
+        |  round(CASE WHEN e.raw <= 160.0 AND e.zero_regs > 0
+        |             THEN 64.0 * ln(64.0 / e.zero_regs) ELSE e.raw END, 4)
+        |    AS est_reach,
+        |  CAST(t.true_reach AS BIGINT) AS true_reach,
+        |  e.reg_weight, e.zero_regs
+        |FROM est e JOIN tru t USING (od) ORDER BY d""".stripMargin,
     // merged-by-sum counters ≡ one-shot counters (associativity), so
     // the oracle rebuilds them day-blind; weights are exact integers
     "cms_rollup" ->

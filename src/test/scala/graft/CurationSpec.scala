@@ -126,6 +126,23 @@ class CurationSpec extends AnyFunSuite {
       Set((0, 0), (0, 1), (1, 1)))
   }
 
+  test("embed_power_iter: dominant axis converges to the unit basis vector") {
+    val dir = tmp("cur_pow")
+    // centered data lives entirely on dim 0: x = ±1, ±0.5 → cov =
+    // [[0.625, 0], [0, 0]] → M nanos = [[625e6, 0], [0, 0]]. Round 1:
+    // w = (625e6·1e6, 0), so v snaps to (1e6, 0) and stays; lambda =
+    // max|w| = 6.25e14 exactly.
+    Seq((1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)),
+      (3L, Array(0.5f, 0.0f)), (4L, Array(-0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Curation.queries("embed_power_iter")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("dim"), r.getAs[Long]("v_micros"),
+        r.getAs[Long]("lambda_nanos")))
+    assert(out.toSeq === Seq((0, 1000000L, 625000000000000L),
+      (1, 0L, 625000000000000L)))
+  }
+
   test("vocab_coverage: OOV tokens and types against the src0 vocab") {
     val dir = tmp("cur_voc")
     Seq(

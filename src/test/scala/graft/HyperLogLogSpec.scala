@@ -88,6 +88,42 @@ class HyperLogLogSpec extends AnyFunSuite {
     assert(roll.getAs[Double]("est_distinct") === flat.getAs[Double]("est_distinct"))
   }
 
+  test("rolling_hll_reach: window registers equal a one-shot sketch of the window") {
+    import spark.implicits._
+    // day 0: users {1,2}; day 1: {2,3}; day 2: {4} → 7-day windows
+    // ending on observed days reach {1,2} / {1,2,3} / {1,2,3,4}
+    val base = 1704067200L * 1000000L // 2024-01-01 UTC, micros
+    val day = 86400L * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("hll_reach").toString
+    Seq((base + 1, 1L), (base + 2, 2L),
+      (base + day + 1, 2L), (base + day + 2, 3L),
+      (base + 2 * day + 1, 4L))
+      .toDF("us", "user_id")
+      .select(timestamp_micros(col("us")).as("ts"), col("user_id"),
+        lit("a").as("event_type"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Relational.queries("rolling_hll_reach")(spark, dir)
+      .collect().map(r => r.getAs[Int]("d") -> r).toMap
+    assert(out.keySet === Set(0, 1, 2))
+    assert(out(0).getAs[Long]("true_reach") === 2L)
+    assert(out(1).getAs[Long]("true_reach") === 3L)
+    assert(out(2).getAs[Long]("true_reach") === 4L)
+    // max-merge associativity: the day-2 window's registers must be
+    // IDENTICAL to a one-shot sketch of its distinct users
+    val agg = new HyperLogLogAgg()
+    val oneShot = Seq("1", "2", "3", "4").foldLeft(agg.zero)(agg.reduce)
+    val s = oneShot.map(r => 1L << (55 - r)).sum
+    val zeros = oneShot.count(_ === 0)
+    assert(out(2).getAs[Long]("reg_weight") === s)
+    assert(out(2).getAs[Int]("zero_regs") === zeros)
+    val raw = HyperLogLogAgg.alphaM2 * math.pow(2.0, 55) / s.toDouble
+    val est = if (raw <= 160.0 && zeros > 0)
+      64.0 * math.log(64.0 / zeros) else raw
+    val est4 = BigDecimal(est)
+      .setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    assert(out(2).getAs[Double]("est_reach") === est4)
+  }
+
   test("hll_set_ops: exact witnesses and the inclusion–exclusion identity") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("hll_set").toString
