@@ -122,6 +122,41 @@ object Signals {
       rounds)
   }
 
+  /** Support-2 co-purchase part graph and 3 synchronous min-tie LPA
+    * rounds — shared by `label_propagation` (community sizes) and
+    * `modularity_score` (community quality). Returns (canonical
+    * p1<p2 edge list, symmetric (v,u) edge list, final (v, label)).
+    * See the `label_propagation` registration for the determinism and
+    * scale rationale.
+    */
+  private def lpaLabels(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val und = op.select(col("o"), col("p").as("p1"))
+      .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("p1", "p2")
+      .localCheckpoint() // consumed by sym edges + modularity's 3 readers
+    val e = und.select(col("p1").as("v"), col("p2").as("u"))
+      .unionByName(und.select(col("p2").as("v"), col("p1").as("u")))
+    var labels = e.select(col("v")).distinct()
+      .withColumn("label", col("v").cast("long"))
+    for (_ <- 1 to 3) {
+      val cnt = e
+        .join(labels.select(col("v").as("u"), col("label")), "u")
+        .groupBy("v", "label").agg(count(lit(1)).as("c"))
+      labels = cnt.groupBy("v")
+        .agg(max(struct(col("c").as("c"),
+          (col("label") * lit(-1L)).as("nl"))).as("m"))
+        .select(col("v"), (col("m.nl") * lit(-1L)).as("label"))
+        .localCheckpoint()
+    }
+    (und, e, labels)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bounded-window EWMA per user over purchase values: weights α^o
     // (α = 0.5) over the last ≤7 observations, normalized by the
@@ -544,33 +579,54 @@ object Signals {
     // and per-round labels localCheckpoint (the kcore/pagerank
     // precedent for iteration state).
     "label_propagation" -> ((s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val und = op.select(col("o"), col("p").as("p1"))
-        .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
-        .filter(col("p1") < col("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2).select("p1", "p2")
-      val e = und.select(col("p1").as("v"), col("p2").as("u"))
-        .unionByName(und.select(col("p2").as("v"), col("p1").as("u")))
-        .localCheckpoint()
-      var labels = e.select(col("v")).distinct()
-        .withColumn("label", col("v").cast("long"))
-      for (_ <- 1 to 3) {
-        val cnt = e
-          .join(labels.select(col("v").as("u"), col("label")), "u")
-          .groupBy("v", "label").agg(count(lit(1)).as("c"))
-        labels = cnt.groupBy("v")
-          .agg(max(struct(col("c").as("c"),
-            (col("label") * lit(-1L)).as("nl"))).as("m"))
-          .select(col("v"), (col("m.nl") * lit(-1L)).as("label"))
-          .localCheckpoint()
-      }
+      val (_, _, labels) = lpaLabels(s, dir)
       labels.groupBy("label")
         .agg(count(lit(1)).as("members"))
         .orderBy(col("members").desc, col("label"))
         .limit(20)
+    }),
+
+    // Newman–Girvan modularity of the LPA communities — the standard
+    // "are these real communities?" score (Q = Σ_c [L_c/m − (D_c/2m)²];
+    // random graphs score ≈ 0, strong structure 0.3-0.7), computed over
+    // exact integer witnesses (intra-edge counts, degree sums, m). The
+    // per-community contribution quantizes to micros INDIVIDUALLY and
+    // the global Q is their integer sum — no cross-community float
+    // summation, so the result is partitioning- and order-free in both
+    // engines. Scale shape: two label joins onto the canonical edge
+    // list + three keyed aggregates; community count ≤ vertex count,
+    // everything after the joins is community-sized.
+    "modularity_score" -> ((s, dir) => {
+      val (und, _, labels) = lpaLabels(s, dir)
+      val mTot = und.agg(count(lit(1)).as("m"))
+      val sizes = labels.groupBy("label")
+        .agg(count(lit(1)).as("members"))
+      val intra = und
+        .join(labels.select(col("v").as("p1"), col("label").as("la")), "p1")
+        .join(labels.select(col("v").as("p2"), col("label").as("lb")), "p2")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("intra_edges"))
+      val degSum = und.select(col("p1").as("v"))
+        .unionByName(und.select(col("p2").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .join(labels, "v")
+        .groupBy("label").agg(sum("deg").as("degree_sum"))
+      val md = col("m").cast("double")
+      val dd = col("degree_sum").cast("double") / (lit(2.0) * md)
+      val contrib = sizes
+        .join(intra, Seq("label"), "left")
+        .join(degSum, Seq("label"))
+        .crossJoin(broadcast(mTot))
+        .select(col("label"), col("members"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          col("degree_sum"),
+          bround((coalesce(col("intra_edges"), lit(0L)).cast("double") / md
+            - dd * dd) * lit(1000000.0)).cast("long").as("q_contrib_micros"))
+        .localCheckpoint() // global sum + top-10 readout both consume it
+      val globalQ = contrib.agg(sum("q_contrib_micros").as("global_q_micros"))
+      contrib.crossJoin(broadcast(globalQ))
+        .orderBy(col("members").desc, col("label"))
+        .limit(10)
     }),
 
     // DSIR data selection (Xie et al. 2023): importance weights of the
@@ -1473,6 +1529,33 @@ object Signals {
     })
   )
 
+  /** Shared DuckDB CTE chain for the LPA family: support-2 co-purchase
+    * edges (`pe` canonical, `e` symmetric) and three unrolled
+    * synchronous min-tie rounds ending in `l3 (v, label)`.
+    */
+  private def lpaOracleCtes: String = {
+    val base =
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |pe AS MATERIALIZED (SELECT a.p AS p1, b.p AS p2
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT p1 AS v, p2 AS u FROM pe
+        |  UNION ALL SELECT p2, p1 FROM pe),
+        |l0 AS (SELECT DISTINCT v, CAST(v AS BIGINT) AS label FROM e)"""
+        .stripMargin
+    val rounds = (1 to 3).map { i =>
+      s""",
+         |c$i AS (SELECT e.v, l.label, count(*) AS c
+         |  FROM e JOIN l${i - 1} l ON e.u = l.v GROUP BY 1, 2),
+         |m$i AS (SELECT v, max(c) AS mc FROM c$i GROUP BY v),
+         |l$i AS MATERIALIZED (SELECT c.v, min(c.label) AS label
+         |  FROM c$i c JOIN m$i m ON c.v = m.v AND c.c = m.mc
+         |  GROUP BY c.v)""".stripMargin
+    }.mkString
+    base + rounds
+  }
+
   val oracles: Map[String, String] = Map(
     // the same tree walk — DuckDB's recursive CTE has been the oracle
     // for the frontier loop (bfs_levels) all along; here both engines
@@ -1836,31 +1919,44 @@ object Signals {
     // three unrolled synchronous LPA rounds; argmax-with-min-tie is
     // spelled as (max count per vertex) ⋈ (min label at that count) —
     // an independent derivation of the engine's max(struct(c, −label))
-    "label_propagation" -> {
-      val base =
-        """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-          |  FROM lineitem),
-          |pe AS (SELECT a.p AS p1, b.p AS p2
-          |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-          |  GROUP BY 1, 2 HAVING count(*) >= 2),
-          |e AS MATERIALIZED (SELECT p1 AS v, p2 AS u FROM pe
-          |  UNION ALL SELECT p2, p1 FROM pe),
-          |l0 AS (SELECT DISTINCT v, CAST(v AS BIGINT) AS label FROM e)"""
-          .stripMargin
-      val rounds = (1 to 3).map { i =>
-        s""",
-           |c$i AS (SELECT e.v, l.label, count(*) AS c
-           |  FROM e JOIN l${i - 1} l ON e.u = l.v GROUP BY 1, 2),
-           |m$i AS (SELECT v, max(c) AS mc FROM c$i GROUP BY v),
-           |l$i AS MATERIALIZED (SELECT c.v, min(c.label) AS label
-           |  FROM c$i c JOIN m$i m ON c.v = m.v AND c.c = m.mc
-           |  GROUP BY c.v)""".stripMargin
-      }.mkString
-      s"""$base$rounds
+    "label_propagation" ->
+      s"""$lpaOracleCtes
          |SELECT label, CAST(count(*) AS BIGINT) AS members
          |FROM l3 GROUP BY 1
-         |ORDER BY members DESC, label LIMIT 20""".stripMargin
-    },
+         |ORDER BY members DESC, label LIMIT 20""".stripMargin,
+
+    // same LPA CTEs, then Q = Σ_c [L_c/m − (D_c/2m)²] with each
+    // community term quantized to micros before the integer global sum
+    "modularity_score" ->
+      s"""$lpaOracleCtes,
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pe),
+         |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS members
+         |  FROM l3 GROUP BY 1),
+         |intra AS (SELECT la.label, CAST(count(*) AS BIGINT) AS intra_edges
+         |  FROM pe JOIN l3 la ON pe.p1 = la.v JOIN l3 lb ON pe.p2 = lb.v
+         |  WHERE la.label = lb.label GROUP BY 1),
+         |deg AS (SELECT v, count(*) AS deg FROM (
+         |    SELECT p1 AS v FROM pe UNION ALL SELECT p2 FROM pe)
+         |  GROUP BY 1),
+         |ds AS (SELECT l3.label, CAST(sum(deg.deg) AS BIGINT) AS degree_sum
+         |  FROM deg JOIN l3 ON deg.v = l3.v GROUP BY 1),
+         |contrib AS (SELECT s.label, s.members,
+         |    coalesce(i.intra_edges, 0) AS intra_edges, ds.degree_sum,
+         |    CAST(round_even((CAST(coalesce(i.intra_edges, 0) AS DOUBLE)
+         |        / CAST(m.m AS DOUBLE)
+         |      - (CAST(ds.degree_sum AS DOUBLE)
+         |          / (2.0 * CAST(m.m AS DOUBLE)))
+         |        * (CAST(ds.degree_sum AS DOUBLE)
+         |          / (2.0 * CAST(m.m AS DOUBLE)))) * 1000000.0, 0)
+         |      AS BIGINT) AS q_contrib_micros
+         |  FROM sizes s LEFT JOIN intra i ON s.label = i.label
+         |    JOIN ds ON s.label = ds.label, m),
+         |g AS (SELECT CAST(sum(q_contrib_micros) AS BIGINT)
+         |    AS global_q_micros FROM contrib)
+         |SELECT c.label, c.members, c.intra_edges, c.degree_sum,
+         |  c.q_contrib_micros, g.global_q_micros
+         |FROM contrib c, g
+         |ORDER BY c.members DESC, c.label LIMIT 10""".stripMargin,
 
     "dsir_select" ->
       """WITH tk AS (SELECT doc_id, source,

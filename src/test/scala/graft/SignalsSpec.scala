@@ -1046,6 +1046,32 @@ class SignalsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 3L), (3L, 3L)))
   }
 
+  test("modularity: two triangles with one bridge score the closed form") {
+    import spark.implicits._
+    // same fixture as the LPA test: m = 7 edges, communities {1,2,3}
+    // and {10,11,12} each hold L_c = 3 intra edges and D_c = 7 degree
+    // (the bridge endpoints 3 and 10 carry degree 3). Per community:
+    // Q_c = 3/7 − (7/14)² → 178571 micros; global = 357142.
+    val rows = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),
+      (200L, 1L), (200L, 2L), (200L, 3L),
+      (300L, 10L), (300L, 11L), (300L, 12L),
+      (400L, 10L), (400L, 11L), (400L, 12L),
+      (500L, 3L), (500L, 10L), (600L, 3L), (600L, 10L))
+    val dir = java.nio.file.Files.createTempDirectory("sig_mod").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val qc = math.rint((3.0 / 7.0 - (7.0 / 14.0) * (7.0 / 14.0))
+      * 1000000.0).toLong
+    val out = Signals.queries("modularity_score")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("members"),
+        r.getAs[Long]("intra_edges"), r.getAs[Long]("degree_sum"),
+        r.getAs[Long]("q_contrib_micros"), r.getAs[Long]("global_q_micros")))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 3L, 7L, qc, 2 * qc),
+      (3L, 3L, 3L, 7L, qc, 2 * qc)))
+  }
+
   test("stupid backoff: the three tiers fire and match JVM closed forms") {
     import spark.implicits._
     // train "a b c a b c": c1(a,b,c)=2, N=6, V=3; bi: "a b"2 "b c"2
