@@ -122,6 +122,71 @@ object Signals {
       rounds)
   }
 
+  /** [[queries]]' `sssp_weighted` body, returning (result, relaxation
+    * rounds actually RUN) so SignalsSpec can gate the convergence exit.
+    * Bellman–Ford over the weighted supplier↔part graph (w = min
+    * integral quantity per edge): each round relaxes ONLY from the
+    * frontier — the nodes whose distance improved last round — which
+    * is distance-identical to full relaxation (any shorter path
+    * through a non-improved node was already applied the round that
+    * node improved) but joins a frontier-sized table instead of |V|.
+    * Frontier broadcasts into the edge join (the [[bfsLevels]]
+    * precedent: never re-shuffle the edge table); the min-merge with
+    * the running distances is a keyed left join on candidate dsts
+    * (≤ frontier-degree rows). Distances are exact BIGINT sums, so
+    * the cross-engine compare is bit-exact. An empty frontier ends
+    * the schedule: Bellman–Ford improvements are monotone, so every
+    * later round is a no-op, and the 4-round oracle unroll still
+    * matches.
+    */
+  private[graft] def ssspWeighted(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val li = t(s, dir, "lineitem")
+    val ew = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("sk", "pk").agg(min("q").as("w"))
+    val edges = ew.select(
+        concat(lit("s"), col("sk").cast("string")).as("src"),
+        concat(lit("p"), col("pk").cast("string")).as("dst"), col("w"))
+      .unionByName(ew.select(
+        concat(lit("p"), col("pk").cast("string")).as("src"),
+        concat(lit("s"), col("sk").cast("string")).as("dst"), col("w")))
+      .localCheckpoint()
+    val seed = "s" + li.agg(min("l_suppkey")).head().getLong(0)
+    var dist = s.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(seed, 0L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("dist",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    var frontier = dist
+    var rounds = 0
+    var r = 1
+    var live = true
+    while (r <= 4 && live) {
+      val cand = edges
+        .join(broadcast(frontier), frontier("node") === edges("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("dist") + col("w")).as("cd"))
+      val improved = cand
+        .join(dist.select(col("node"), col("dist").as("od")), Seq("node"), "left")
+        .filter(col("od").isNull || col("cd") < col("od"))
+        .select(col("node"), col("cd").as("dist"))
+        .localCheckpoint()
+      if (improved.isEmpty) live = false
+      else {
+        dist = dist.join(improved.select(col("node").as("inode")),
+            col("node") === col("inode"), "left_anti")
+          .unionByName(improved).localCheckpoint()
+        frontier = improved
+        rounds = r
+      }
+      r += 1
+    }
+    (dist.groupBy("dist").agg(count(lit(1)).as("n")).orderBy("dist"),
+      rounds)
+  }
+
   /** Support-2 co-purchase part graph and 3 synchronous min-tie LPA
     * rounds — shared by `label_propagation` (community sizes) and
     * `modularity_score` (community quality). Returns (canonical
@@ -380,6 +445,17 @@ object Signals {
     // watermark against re-expansion is the visited anti-join. Levels
     // are exact min-hop distances; DuckDB mirrors with a recursive CTE.
     "bfs_levels" -> ((s, dir) => bfsLevels(s, dir)._1),
+
+    // Single-source shortest paths with WEIGHTS — the Bellman–Ford
+    // frontier iteration (see [[ssspWeighted]]): per-round state is
+    // (node, best-known dist), relaxation only fans out from nodes
+    // that just improved, and the oracle unrolls the same four
+    // min-plus rounds as materialized CTEs. Completes the traversal
+    // family: bfs_levels is hop-count SSSP, this is the weighted
+    // generalization every routing / cost-propagation query reduces
+    // to. Readout: exact-integer distance histogram over all reached
+    // nodes.
+    "sssp_weighted" -> ((s, dir) => ssspWeighted(s, dir)._1),
 
     // Spark 4's native RECURSIVE CTE on the shape it is built for: a
     // TREE walk (org chart / bill-of-materials), where UNION ALL
@@ -1804,6 +1880,36 @@ object Signals {
         |SELECT lvl, CAST(count(*) AS BIGINT) AS n FROM (
         |  SELECT node, CAST(min(lvl) AS INT) AS lvl FROM lv GROUP BY node)
         |GROUP BY lvl ORDER BY lvl""".stripMargin,
+    // four unrolled min-plus relaxation rounds, each a full relax of
+    // the previous distance table — value-identical to the engine's
+    // frontier Bellman–Ford (relaxing from non-improved nodes only
+    // re-derives distances already merged in an earlier round)
+    "sssp_weighted" -> {
+      val base =
+        """WITH ew AS (SELECT l_suppkey AS sk, l_partkey AS pk,
+          |    min(CAST(l_quantity AS BIGINT)) AS w
+          |  FROM lineitem GROUP BY 1, 2),
+          |e AS MATERIALIZED (
+          |  SELECT 's' || CAST(sk AS VARCHAR) AS src,
+          |    'p' || CAST(pk AS VARCHAR) AS dst, w FROM ew
+          |  UNION ALL
+          |  SELECT 'p' || CAST(pk AS VARCHAR),
+          |    's' || CAST(sk AS VARCHAR), w FROM ew),
+          |d0 AS (SELECT 's' || CAST((SELECT min(l_suppkey) FROM lineitem)
+          |    AS VARCHAR) AS node, CAST(0 AS BIGINT) AS dist)"""
+          .stripMargin
+      val rounds = (1 to 4).map { i =>
+        s""",
+           |d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst, d.dist + e.w FROM d${i - 1} d
+           |    JOIN e ON d.node = e.src) GROUP BY 1)""".stripMargin
+      }.mkString
+      s"""$base$rounds
+         |SELECT dist, CAST(count(*) AS BIGINT) AS n
+         |FROM d4 GROUP BY 1 ORDER BY dist""".stripMargin
+    },
     "skyline" ->
       """WITH pts AS (
         |  SELECT o_totalprice AS price,

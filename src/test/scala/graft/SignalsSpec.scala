@@ -252,6 +252,24 @@ class SignalsSpec extends AnyFunSuite {
     assert(rounds === 1)
   }
 
+  test("sssp: weighted relaxation beats the direct edge, exits early") {
+    import spark.implicits._
+    // weighted square: s1-p1 w=1 (min of dup rows 4,1), p1-s2 w=2,
+    // s2-p2 w=5, s1-p2 w=10. Shortest to p2 is the 3-hop 1+2+5=8,
+    // not the direct 10. Dists {s1:0, p1:1, s2:3, p2:8}; p2 improves
+    // in round 3, round 4 relaxes from it and finds nothing → the
+    // convergence exit records 3 improving rounds.
+    val li = Seq((1L, 1L, 4.0), (1L, 1L, 1.0), (2L, 1L, 2.0),
+      (2L, 2L, 5.0), (1L, 2L, 10.0))
+      .toDF("l_suppkey", "l_partkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("sig_sssp").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val (res, rounds) = graft.queries.Signals.ssspWeighted(spark, dir)
+    assert(res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(0L -> 1L, 1L -> 1L, 3L -> 1L, 8L -> 1L))
+    assert(rounds === 3)
+  }
+
   test("skyline: dominated points drop, Pareto ties collapse with counts") {
     import spark.implicits._
     val day0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
