@@ -515,6 +515,43 @@ object LlmQueries {
           bround(jw(col("ta"), col("tb")), 6).as("jw"))
         .orderBy("doc_a", "doc_b")
     }),
+    // Sorted-neighborhood entity resolution — the SORT-based
+    // alternative to hash blocking (minhash/simhash band-joins):
+    // block on the first token, range-sort each block by the compare
+    // key (80-char text prefix, doc_id tiebreak for duplicate keys),
+    // and score only the w=2 forward neighbors via lead() — linear
+    // candidates per row instead of all-pairs, and the sort + window
+    // distribute by block with no further shuffle. Jaro–Winkler via
+    // OUR codegen'd expression, thresholded and ordered on the
+    // 6-dp-rounded value on BOTH sides so boundary pairs can't flap
+    // across engines. The classic survey shape: Herzog/Scheuren/
+    // Winkler's sorted neighborhood with a window of 3.
+    "sorted_neighborhood" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val jw = (a: Column, b: Column) =>
+        org.apache.spark.sql.graftbridge.GraftBridge.column(
+          graft.functions.JaroWinkler(
+            org.apache.spark.sql.graftbridge.GraftBridge.expression(a),
+            org.apache.spark.sql.graftbridge.GraftBridge.expression(b)))
+      val p = docs(s, dir).select(
+        col("doc_id").as("k"),
+        substring(col("text"), 1, 80).as("nm"),
+        split(col("text"), " ").getItem(0).as("blk"))
+      val win = Window.partitionBy("blk").orderBy("nm", "k")
+      val w = p.select(col("blk"), col("k"), col("nm"),
+        lead("nm", 1).over(win).as("n1"), lead("k", 1).over(win).as("k1"),
+        lead("nm", 2).over(win).as("n2"), lead("k", 2).over(win).as("k2"))
+      val cand = w.filter(col("k1").isNotNull)
+        .select(col("blk"), col("k").as("a"), col("k1").as("b"),
+          bround(jw(col("nm"), col("n1")), 6).as("jw"))
+        .unionByName(w.filter(col("k2").isNotNull)
+          .select(col("blk"), col("k").as("a"), col("k2").as("b"),
+            bround(jw(col("nm"), col("n2")), 6).as("jw")))
+      cand.filter(col("jw") >= 0.90)
+        .orderBy(col("jw").desc, col("a"), col("b"))
+        .limit(50)
+    }),
+
     // higher-order array functions over the token array — transform /
     // filter / aggregate / max evaluate per-row (interpreted, but with
     // NO shuffle) where an explode would multiply the row count by
@@ -1038,6 +1075,26 @@ object LlmQueries {
          |JOIN documents da ON c.doc_a = da.doc_id
          |JOIN documents db ON c.doc_b = db.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // same blocked sort + w=2 lead window; jw rounded BEFORE the
+    // threshold and the ordering, as on the engine side
+    "sorted_neighborhood" ->
+      """WITH p AS (SELECT doc_id AS k, substr(text, 1, 80) AS nm,
+        |    split_part(text, ' ', 1) AS blk FROM documents),
+        |w AS (SELECT blk, k, nm,
+        |    lead(nm, 1) OVER win AS n1, lead(k, 1) OVER win AS k1,
+        |    lead(nm, 2) OVER win AS n2, lead(k, 2) OVER win AS k2
+        |  FROM p WINDOW win AS (PARTITION BY blk ORDER BY nm, k)),
+        |cand AS (
+        |  SELECT blk, k AS a, k1 AS b,
+        |    round_even(jaro_winkler_similarity(nm, n1), 6) AS jw
+        |  FROM w WHERE k1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT blk, k, k2,
+        |    round_even(jaro_winkler_similarity(nm, n2), 6)
+        |  FROM w WHERE k2 IS NOT NULL)
+        |SELECT blk, a, b, jw FROM cand WHERE jw >= 0.90
+        |ORDER BY jw DESC, a, b LIMIT 50""".stripMargin,
+
     "array_functions" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks

@@ -636,4 +636,23 @@ class LlmSpec extends AnyFunSuite {
       (1L, 3L, 3 * 9163L, 9163L),
       (2L, 2L, 9163L + 16094L, (9163L + 16094L) / 2)))
   }
+
+  test("sorted neighborhood: adjacent near-dup scores, distant pair drops") {
+    // block 'alpha' sorts 1 < 2 < 3 by prefix; window 3 scores (1,2),
+    // (1,3), (2,3); only the planted near-dup clears 0.90 (DuckDB's
+    // independent jaro_winkler_similarity gives 0.981818 / 0.610606 /
+    // 0.640572). Block 'zulu' is a singleton — no candidates at all.
+    val d = docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delte",
+      3L -> "alpha completely different text here",
+      4L -> "zulu something else")
+    val dir = java.nio.file.Files.createTempDirectory("llm_snm").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.LlmQueries.queries("sorted_neighborhood")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("blk"), r.getAs[Long]("a"),
+        r.getAs[Long]("b"), r.getAs[Double]("jw")))
+    assert(out.toSeq === Seq(("alpha", 1L, 2L, 0.981818)))
+  }
 }
