@@ -331,4 +331,69 @@ object Ranking {
       .orderBy(col("logw_micros").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** TF-IDF query scorer — the second, deliberately different lexical
+    * ranker [[rrfFusion]] fuses with BM25: score(d) = Σ_t tf·ln²(N/df)
+    * (raw tf, squared-idf ltc-style weighting, no length
+    * normalization — so it disagrees with BM25 exactly where BM25's
+    * saturation and dl-normalization bite, which is what makes the
+    * fusion non-trivial). Same one-pass scale shape as
+    * [[bm25TopDocs]]: the explode feeds one (doc, query-term)
+    * aggregate (non-query terms are filtered BEFORE the shuffle —
+    * tf-idf needs no doc length, so the null bucket isn't carried),
+    * df and N broadcast, top-k is a TakeOrdered. Per-(doc, term)
+    * micros quantize before the per-doc sum.
+    */
+  def tfidfTopDocs(docs: DataFrame, queryTerms: Seq[String], k: Int = 20)
+      : DataFrame = {
+    val nd = docs.filter(col("doc_id").isNotNull)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(col("n_docs") / col("df"))
+    val score = col("tf").cast("double") * idf * idf * lit(1000000.0)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), bround(score).cast("long").as("s"))
+      .groupBy("doc_id").agg(sum("s").as("score_micros"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of the
+    * BM25 and TF-IDF top-`n` lists: rrf(d) = Σ_lists 1/(k₀+rank_d),
+    * the standard hybrid-retrieval combiner (in production usually
+    * lexical ⊕ dense; here both constituent rankers are
+    * oracle-replayable, so the FUSION arithmetic itself is under the
+    * hash gate). Each 1/(k₀+r) term quantizes to integer micros
+    * before the sum. Scale shape: both constituent rankers end in a
+    * TakeOrdered top-n, so ranking and fusing happen on two bounded
+    * n-row lists — the row_number windows and the full-outer join
+    * never see table-scale data.
+    */
+  def rrfFusion(docs: DataFrame, queryTerms: Seq[String], n: Int = 50,
+      k0: Int = 60, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(list: DataFrame, rankCol: String) = list.select(
+      col("doc_id"),
+      row_number().over( // bounded: input is the post-limit n-row list
+        Window.orderBy(col("score_micros").desc, col("doc_id")))
+        .cast("long").as(rankCol))
+    val a = ranked(bm25TopDocs(docs, queryTerms, k = n), "rank_bm25")
+    val b = ranked(tfidfTopDocs(docs, queryTerms, k = n), "rank_tfidf")
+    val contrib = (r: org.apache.spark.sql.Column) =>
+      when(r.isNull, lit(0L)).otherwise(
+        bround(lit(1000000.0) / (lit(k0.toDouble) + r.cast("double")))
+          .cast("long"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_bm25"), col("rank_tfidf"),
+        (contrib(col("rank_bm25")) + contrib(col("rank_tfidf")))
+          .as("rrf_micros"))
+      .orderBy(col("rrf_micros").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -34,6 +34,10 @@ object Scoring {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_rank" -> ((s, dir) =>
       Ranking.bm25TopDocs(t(s, dir, "documents"), bm25Terms, k = 20)),
+    // hybrid-retrieval fusion: BM25 ⊕ TF-IDF top-50 lists combined by
+    // reciprocal rank — see [[Ranking.rrfFusion]]
+    "rank_fusion" -> ((s, dir) =>
+      Ranking.rrfFusion(t(s, dir, "documents"), bm25Terms)),
     "pmi_bigrams" -> ((s, dir) =>
       Ranking.pmiBigrams(t(s, dir, "documents"), minCount = 5, k = 20)),
     "entropy_score" -> ((s, dir) =>
@@ -454,6 +458,55 @@ object Scoring {
          |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), stats)
          |SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micros FROM sc
          |GROUP BY 1 ORDER BY score_micros DESC, doc_id LIMIT 20""".stripMargin
+    },
+    // both constituent rankers replayed at n=50, ranked by
+    // (score DESC, doc_id), fused with per-term micro-quantized
+    // 1/(60+rank); bm25's N counts tokenized docs (dl), tf-idf's N
+    // counts all docs — mirroring the two engines' definitions
+    "rank_fusion" -> {
+      val terms = bm25Terms.map(q => s"'$q'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |  CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+         |qt AS (SELECT unnest([$terms]) AS term),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM t JOIN qt USING (term) GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |bm AS (
+         |  SELECT doc_id, CAST(sum(CAST(round_even(
+         |      ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+         |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf.tf AS DOUBLE)
+         |         + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl))
+         |      * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS score_micros
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), stats
+         |  GROUP BY doc_id ORDER BY score_micros DESC, doc_id LIMIT 50),
+         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |ti AS (
+         |  SELECT doc_id, CAST(sum(CAST(round_even(
+         |      CAST(tf.tf AS DOUBLE) * ln(nd.n_docs / df.df)
+         |        * ln(nd.n_docs / df.df) * 1000000.0, 0) AS BIGINT))
+         |    AS BIGINT) AS score_micros
+         |  FROM tf JOIN df USING (term), nd
+         |  GROUP BY doc_id ORDER BY score_micros DESC, doc_id LIMIT 50),
+         |ra AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rank_bm25
+         |  FROM bm),
+         |rb AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rank_tfidf
+         |  FROM ti)
+         |SELECT doc_id, rank_bm25, rank_tfidf,
+         |  coalesce(CAST(round_even(1000000.0
+         |      / (60.0 + CAST(rank_bm25 AS DOUBLE)), 0) AS BIGINT), 0)
+         |  + coalesce(CAST(round_even(1000000.0
+         |      / (60.0 + CAST(rank_tfidf AS DOUBLE)), 0) AS BIGINT), 0)
+         |    AS rrf_micros
+         |FROM ra FULL JOIN rb USING (doc_id)
+         |ORDER BY rrf_micros DESC, doc_id LIMIT 20""".stripMargin
     },
     "pmi_bigrams" ->
       """WITH t AS (SELECT regexp_extract_all(lower(text), '\S+') AS tk

@@ -36,6 +36,53 @@ class ScoringSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) > 0), "+1 idf keeps scores positive")
   }
 
+  test("tfidf scorer: closed-form micros for a single-hit doc") {
+    // N = 4 docs, df(data) = 3 → doc 4's score is exactly
+    // round_even(1·ln²(4/3)·1e6); doc 1 (tf=3) is 3× that plus its
+    // filter term; doc ordering is by total micros.
+    val d = docs(
+      1L -> "data data data filter",
+      2L -> "data filter pad pad pad pad pad pad pad pad",
+      3L -> "nothing here",
+      4L -> "data")
+    val idfD = math.log(4.0 / 3.0)
+    val idfF = math.log(4.0 / 2.0)
+    def m(x: Double) = math.rint(x * 1e6).toLong
+    val out = Ranking.tfidfTopDocs(d, Seq("data", "filter"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq(
+      (2L, m(idfD * idfD) + m(idfF * idfF)),
+      (1L, 3 * m(idfD * idfD) + m(idfF * idfF)),
+      (4L, m(idfD * idfD))).sortBy(-_._2))
+  }
+
+  test("rrf fusion: micros recompose from the constituent ranks, " +
+      "and the rankers genuinely disagree on the fixture") {
+    // doc 1 is term-dense and short (bm25 favorite); doc 2 repeats the
+    // terms in a long diluted doc (raw-tf tfidf favorite, bm25
+    // saturates + length-normalizes it down) — so the two rank columns
+    // must differ somewhere, and every rrf_micros must equal the
+    // independent driver-side 1/(60+r) arithmetic on those ranks.
+    val d = docs(
+      1L -> "data filter data",
+      2L -> ("data data data data filter filter filter filter " +
+        Seq.fill(40)("pad").mkString(" ")),
+      3L -> "data pad",
+      4L -> "filter pad pad")
+    val out = Ranking.rrfFusion(d, Seq("data", "filter"), n = 50, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3)))
+    def c(r: Option[Long]) =
+      r.map(v => math.rint(1e6 / (60.0 + v)).toLong).getOrElse(0L)
+    out.foreach { case (_, ra, rb, rrf) => assert(rrf === c(ra) + c(rb)) }
+    assert(out.exists { case (_, ra, rb, _) => ra != rb },
+      "fixture must make bm25 and tfidf disagree")
+    // expected rrf order: descending, doc_id tiebreak
+    val sorted = out.sortBy(t => (-t._4, t._1))
+    assert(out.toSeq === sorted.toSeq)
+  }
+
   test("pmi is ln(1/p(x)) for a bigram that always follows its head") {
     // "zig zag" occurs 6 times; zig and zag occur only in that bigram.
     // With U unigrams total and B bigrams total: pmi = ln((6/B)/((6/U)^2)).
