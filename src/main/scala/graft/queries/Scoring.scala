@@ -38,6 +38,13 @@ object Scoring {
     // reciprocal rank — see [[Ranking.rrfFusion]]
     "rank_fusion" -> ((s, dir) =>
       Ranking.rrfFusion(t(s, dir, "documents"), bm25Terms)),
+    // multinomial NB training as pure aggregation; readout = per-class
+    // discriminative vocabulary — see [[graft.llm.NaiveBayes]]
+    "naive_bayes_train" -> ((s, dir) =>
+      graft.llm.NaiveBayes.trainTopTerms(t(s, dir, "documents"))),
+    // the self-trained model applied back: argmax confusion matrix
+    "naive_bayes_score" -> ((s, dir) =>
+      graft.llm.NaiveBayes.confusion(t(s, dir, "documents"))),
     "pmi_bigrams" -> ((s, dir) =>
       Ranking.pmiBigrams(t(s, dir, "documents"), minCount = 5, k = 20)),
     "entropy_score" -> ((s, dir) =>
@@ -508,6 +515,73 @@ object Scoring {
          |FROM ra FULL JOIN rb USING (doc_id)
          |ORDER BY rrf_micros DESC, doc_id LIMIT 20""".stripMargin
     },
+    // NB sufficient statistics + Laplace-smoothed LLR, top-5 per class
+    "naive_bayes_train" ->
+      """WITH tok AS (SELECT lang AS cls,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |cc AS (SELECT cls, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |nc AS (SELECT cls, CAST(sum(c) AS BIGINT) AS nc FROM cc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ntot,
+        |  CAST(count(DISTINCT term) AS BIGINT) AS v FROM cc),
+        |tc AS (SELECT term, CAST(sum(c) AS BIGINT) AS tc FROM cc GROUP BY 1),
+        |llr AS (SELECT cc.cls, cc.term, cc.c,
+        |    CAST(round_even((ln(CAST(cc.c + 1 AS DOUBLE)
+        |        / CAST(nc.nc + tot.v AS DOUBLE))
+        |      - ln(CAST(tc.tc - cc.c + 1 AS DOUBLE)
+        |        / CAST(tot.ntot - nc.nc + tot.v AS DOUBLE)))
+        |      * 1000000.0, 0) AS BIGINT) AS llr_micros
+        |  FROM cc JOIN nc USING (cls) JOIN tc USING (term), tot),
+        |r AS (SELECT cls, term, c, llr_micros, row_number() OVER (
+        |    PARTITION BY cls ORDER BY llr_micros DESC, term) AS rn
+        |  FROM llr)
+        |SELECT cls, term, c, llr_micros FROM r WHERE rn <= 5
+        |ORDER BY cls, llr_micros DESC, term""".stripMargin,
+    // score every doc under the model (seen pairs from cc, per-class
+    // smoothed-zero fallback), argmax with lexicographic tiebreak,
+    // aggregate to the confusion matrix
+    "naive_bayes_score" ->
+      """WITH tok AS (SELECT lang AS cls,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |cc AS (SELECT cls, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |nc AS (SELECT cls, CAST(sum(c) AS BIGINT) AS nc FROM cc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ntot,
+        |  CAST(count(DISTINCT term) AS BIGINT) AS v FROM cc),
+        |pri AS (SELECT lang AS cls, CAST(round_even(
+        |    ln(CAST(count(*) AS DOUBLE) / CAST((SELECT count(*)
+        |      FROM documents WHERE doc_id IS NOT NULL) AS DOUBLE))
+        |    * 1000000.0, 0) AS BIGINT) AS prior_micros
+        |  FROM documents WHERE doc_id IS NOT NULL GROUP BY 1),
+        |lp AS (SELECT cc.cls, cc.term, CAST(round_even(
+        |    ln(CAST(cc.c + 1 AS DOUBLE) / CAST(nc.nc + tot.v AS DOUBLE))
+        |    * 1000000.0, 0) AS BIGINT) AS lp_micros
+        |  FROM cc JOIN nc USING (cls), tot),
+        |lp0 AS (SELECT cls, CAST(round_even(
+        |    ln(1.0 / CAST(nc.nc + tot.v AS DOUBLE)) * 1000000.0, 0)
+        |    AS BIGINT) AS lp0_micros
+        |  FROM nc, tot),
+        |dt AS (SELECT doc_id, lang AS truth, term,
+        |    CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |    FROM documents WHERE doc_id IS NOT NULL)
+        |  GROUP BY 1, 2, 3),
+        |scored AS (SELECT dt.doc_id, dt.truth, lp0.cls,
+        |    CAST(sum(dt.tf * coalesce(lp.lp_micros, lp0.lp0_micros))
+        |      AS BIGINT) + any_value(pri.prior_micros) AS score_micros
+        |  FROM dt CROSS JOIN lp0
+        |  LEFT JOIN lp ON lp.cls = lp0.cls AND lp.term = dt.term
+        |  JOIN pri ON pri.cls = lp0.cls
+        |  GROUP BY 1, 2, 3),
+        |am AS (SELECT doc_id, truth, cls, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_micros DESC, cls) AS rn
+        |  FROM scored)
+        |SELECT truth, cls AS pred, CAST(count(*) AS BIGINT) AS docs
+        |FROM am WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY truth, pred""".stripMargin,
     "pmi_bigrams" ->
       """WITH t AS (SELECT regexp_extract_all(lower(text), '\S+') AS tk
         |  FROM documents),

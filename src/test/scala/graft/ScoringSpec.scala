@@ -83,6 +83,31 @@ class ScoringSpec extends AnyFunSuite {
     assert(out.toSeq === sorted.toSeq)
   }
 
+  test("naive bayes: hand-walked LLR vocabulary and confusion matrix") {
+    import spark.implicits._
+    // class a = "x x y", class b = "y z": cc {(a,x,2),(a,y,1),(b,y,1),
+    // (b,z,1)}, nc {a:3, b:2}, N=5, V=3, tc {x:2, y:2, z:1}
+    val d = Seq((1L, "x x y", "a"), (2L, "y z", "b"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def m(x: Double) = math.rint(x * 1e6).toLong
+    def llr(p: Double, q: Double) = m(math.log(p) - math.log(q))
+    val train = graft.llm.NaiveBayes.trainTopTerms(d, "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(train === Seq(
+      ("a", "x", 2L, llr(3.0 / 6, 1.0 / 5)),
+      ("a", "y", 1L, llr(2.0 / 6, 2.0 / 5)),
+      ("b", "z", 1L, llr(2.0 / 5, 1.0 / 6)),
+      ("b", "y", 1L, llr(2.0 / 5, 2.0 / 6))))
+    // scores: doc1 a: ln½+2·ln½+ln⅓ beats b's ln½+2·ln⅕+ln⅖ (x is
+    // unseen in b → smoothed-zero fallback); doc2 symmetric → diagonal
+    val conf = graft.llm.NaiveBayes.confusion(d, "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(conf === Seq(("a", "a", 1L), ("b", "b", 1L)))
+  }
+
   test("pmi is ln(1/p(x)) for a bigram that always follows its head") {
     // "zig zag" occurs 6 times; zig and zag occur only in that bigram.
     // With U unigrams total and B bigrams total: pmi = ln((6/B)/((6/U)^2)).
