@@ -922,4 +922,62 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Grid-cell DBSCAN over the first two embedding dimensions — the
+    * density-clustering shape that survives scale: points bin into
+    * h-sized cells (one aggregate), only cells with ≥ `minPts` points
+    * are core, core cells link to their 8 grid neighbors (an EQUI-join
+    * on the shifted cell key — the offset fan-out replaces the ε-range
+    * all-pairs scan, the same bucketed-not-all-pairs move as minhash
+    * banding), and clusters are `rounds` bounded min-label propagation
+    * passes over that cell graph ([[graft.queries.Insights]]'
+    * connected_components contract: deterministic whether or not
+    * propagation has converged, so the oracle unrolls the same
+    * rounds). Points in sub-threshold cells report as noise
+    * (label −1) — grid-DBSCAN's border approximation, stated rather
+    * than hidden. State is CELL-sized everywhere after the first
+    * aggregate; the per-round joins key on cell ids.
+    */
+  def dbscanGrid(emb: DataFrame, h: Double = 0.08, minPts: Int = 5,
+      rounds: Int = 3): DataFrame = {
+    val cells = emb.filter(col("vec_id").isNotNull)
+      .select(
+        floor(col("embedding").getItem(0).cast("double") / lit(h)).as("cx"),
+        floor(col("embedding").getItem(1).cast("double") / lit(h)).as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // consumed by core cells AND the noise readout
+    val core = cells.filter(col("n") >= minPts)
+      .select(col("cx"), col("cy"), col("n"),
+        ((col("cx") + lit(100L)) * lit(1000L) + col("cy") + lit(100L))
+          .as("id"))
+      .localCheckpoint() // adjacency probes it twice + label seed
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    val adj = core
+      .select(col("id").as("src"), col("cx"), col("cy"),
+        explode(array(offsets: _*)).as("o"))
+      .select(col("src"), (col("cx") + col("o.dx")).as("tx"),
+        (col("cy") + col("o.dy")).as("ty"))
+      .join(core.select(col("cx").as("tx"), col("cy").as("ty"),
+        col("id").as("dst")), Seq("tx", "ty"))
+      .select("src", "dst")
+    var lbl = core.select(col("id").as("node"), col("id").as("lbl"))
+    for (_ <- 1 to rounds) {
+      lbl = lbl.unionByName(
+          adj.join(lbl.select(col("node").as("dst"), col("lbl")), "dst")
+            .select(col("src").as("node"), col("lbl")))
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+    }
+    val clusters = core.join(lbl, core("id") === lbl("node"))
+      .groupBy("lbl").agg(count(lit(1)).as("n_cells"),
+        sum("n").as("n_points"))
+      .select(col("lbl").as("label"), col("n_cells"), col("n_points"))
+    val noise = cells.filter(col("n") < minPts)
+      .agg(count(lit(1)).as("n_cells"),
+        coalesce(sum("n"), lit(0L)).as("n_points"))
+      .select(lit(-1L).as("label"), col("n_cells"), col("n_points"))
+    clusters.unionByName(noise)
+      .orderBy(col("n_points").desc, col("label"))
+  }
 }

@@ -306,6 +306,9 @@ object LlmQueries {
     // one Lloyd iteration from the deterministic flat seeds — the
     // oracle-checkable K-means training step
     "kmeans_step" -> ((s, dir) => Similarity.kmeansStep(emb(s, dir))),
+    // grid-cell DBSCAN: density clusters + noise over the first two
+    // embedding dims — see [[Similarity.dbscanGrid]]
+    "dbscan_grid" -> ((s, dir) => Similarity.dbscanGrid(emb(s, dir))),
     "embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(emb(s, dir))),
     // seeded MLlib euclidean LSH under the recall gate: emits the exact
@@ -1371,6 +1374,47 @@ object LlmQueries {
          |  count(*) AS members
          |FROM embeddings e JOIN asn a ON e.vec_id = a.vec_id, range(1, 65) t(i)
          |GROUP BY a.cell, i ORDER BY a.cell, pos""".stripMargin,
+    // cells → core (n ≥ 5) → 8-neighbor adjacency (the oracle may use
+    // the quadratic abs-join; core cells are grid-bounded) → the same
+    // 3 unrolled min-label rounds as connected_components → sizes+noise
+    "dbscan_grid" -> {
+      val base =
+        """WITH pts AS (SELECT
+          |    CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.08) AS BIGINT)
+          |      AS cx,
+          |    CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.08) AS BIGINT)
+          |      AS cy
+          |  FROM embeddings WHERE vec_id IS NOT NULL),
+          |cells AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n
+          |  FROM pts GROUP BY 1, 2),
+          |core AS MATERIALIZED (SELECT cx, cy, n,
+          |    (cx + 100) * 1000 + cy + 100 AS id
+          |  FROM cells WHERE n >= 5),
+          |adj AS MATERIALIZED (SELECT a.id AS src, b.id AS dst
+          |  FROM core a JOIN core b
+          |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+          |    AND a.id <> b.id),
+          |l0 AS (SELECT id AS node, id AS lbl FROM core)""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        s""",
+           |l$i AS (SELECT node, min(lbl) AS lbl FROM (
+           |    SELECT node, lbl FROM l${i - 1}
+           |    UNION ALL SELECT adj.src AS node, t.lbl
+           |    FROM adj JOIN l${i - 1} t ON adj.dst = t.node) u
+           |  GROUP BY node)""".stripMargin
+      }.mkString
+      s"""$base$rounds,
+         |cl AS (SELECT l3.lbl AS label, CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(sum(core.n) AS BIGINT) AS n_points
+         |  FROM core JOIN l3 ON core.id = l3.node GROUP BY 1),
+         |noise AS (SELECT CAST(-1 AS BIGINT) AS label,
+         |    CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(coalesce(sum(n), 0) AS BIGINT) AS n_points
+         |  FROM cells WHERE n < 5)
+         |SELECT label, n_cells, n_points FROM (
+         |  SELECT * FROM cl UNION ALL SELECT * FROM noise)
+         |ORDER BY n_points DESC, label""".stripMargin
+    },
     "embedding_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS pos,
         |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m,

@@ -637,6 +637,26 @@ class LlmSpec extends AnyFunSuite {
       (2L, 2L, 9163L + 16094L, (9163L + 16094L) / 2)))
   }
 
+  test("dbscan grid: adjacent core cells merge, sparse cell is noise") {
+    import spark.implicits._
+    // cells (0,0) n=6 and (1,0) n=5 are core and 8-adjacent → one
+    // cluster of 11 points / 2 cells labeled min-id 100100; (-4,-4)
+    // n=5 is core but isolated → its own 5-point cluster 96096;
+    // (3,-4) n=2 misses minPts → 2 noise points
+    def pt(id: Long, x: Float, y: Float) =
+      (id, Array(x, y, 0.0f, 0.0f), 0)
+    val rows =
+      (1L to 6L).map(i => pt(i, 0.01f, 0.01f)) ++
+      (7L to 11L).map(i => pt(i, 0.09f, 0.01f)) ++
+      (12L to 16L).map(i => pt(i, -0.3f, -0.3f)) ++
+      Seq(pt(17L, 0.3f, -0.3f), pt(18L, 0.3f, -0.3f))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.dbscanGrid(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (100100L, 2L, 11L), (96096L, 1L, 5L), (-1L, 1L, 2L)))
+  }
+
   test("sorted neighborhood: adjacent near-dup scores, distant pair drops") {
     // block 'alpha' sorts 1 < 2 < 3 by prefix; window 3 scores (1,2),
     // (1,3), (2,3); only the planted near-dup clears 0.90 (DuckDB's
