@@ -228,6 +228,45 @@ object Inference {
     // calendar-date equi-join (gap days simply contribute no pair —
     // identical in both engines); the whole computation runs on the
     // |days|-row series.
+    // Holt double exponential smoothing (α=0.5, β=0.3) of the daily
+    // event count series, forecast horizons 1..7 — the level+trend
+    // forecaster one notch past ewma_smooth. Inherently sequential, so
+    // it runs as ONE in-plan `aggregate` fold over the array_sort-ed
+    // |days|-element series (bounded GRID, one row — never
+    // corpus-scale), init l₁=y₁, b₁=y₂−y₁, then lₜ=αyₜ+(1−α)(lₜ₋₁+bₜ₋₁),
+    // bₜ=β(lₜ−lₜ₋₁)+(1−β)bₜ₋₁. Every arithmetic node (literals, op
+    // order, the recomputed lₜ inside bₜ) is mirrored token-for-token
+    // in the oracle's recursive CTE, so the IEEE trajectories are
+    // identical and only the readout rounds.
+    "holt_linear" -> ((s, dir) => {
+      val dd = dailySeries(s, dir)
+      val ys = dd
+        .agg(array_sort(collect_list(struct(col("day"),
+          col("x").cast("double").as("y")))).as("sd"))
+        .select(transform(col("sd"), e => e.getField("y")).as("ys"))
+      val y1 = element_at(col("ys"), 1)
+      val y2 = element_at(col("ys"), 2)
+      val fold = aggregate(
+        slice(col("ys"), lit(2), size(col("ys")) - 1),
+        struct(y1.as("l"), (y2 - y1).as("b")),
+        (acc, y) => {
+          val lp = lit(0.5) * y + lit(0.5) *
+            (acc.getField("l") + acc.getField("b"))
+          struct(lp.as("l"),
+            (lit(0.3) * (lp - acc.getField("l")) +
+              lit(0.7) * acc.getField("b")).as("b"))
+        })
+      ys.select(fold.getField("l").as("l"), fold.getField("b").as("b"))
+        .select(explode(sequence(lit(1), lit(7))).as("h"),
+          col("l"), col("b"))
+        .select(col("h").cast("long").as("h"),
+          bround(col("l"), 6).as("level"),
+          bround(col("b"), 6).as("trend"),
+          bround(col("l") + col("h").cast("double") * col("b"), 6)
+            .as("forecast"))
+        .orderBy("h")
+    }),
+
     "acf_daily" -> ((s, dir) => {
       val dd = dailySeries(s, dir)
       val base = dd.agg(count(lit(1)).cast(D38).as("n"),
@@ -856,6 +895,29 @@ object Inference {
         |         (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))), 6)
         |  END AS z
         |FROM a""".stripMargin,
+    // the same fold as a single-row recursive CTE: state after prefix
+    // j, stepped by y_{j+1}; arithmetic mirrored node-for-node
+    "holt_linear" ->
+      """WITH RECURSIVE d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |s AS MATERIALIZED (SELECT CAST(x AS DOUBLE) AS y,
+        |    row_number() OVER (ORDER BY day) AS i
+        |  FROM d),
+        |hw(j, l, b) AS (
+        |  SELECT 1, (SELECT y FROM s WHERE i = 1),
+        |    (SELECT y FROM s WHERE i = 2) - (SELECT y FROM s WHERE i = 1)
+        |  UNION ALL
+        |  SELECT hw.j + 1,
+        |    0.5 * s.y + 0.5 * (hw.l + hw.b),
+        |    0.3 * (0.5 * s.y + 0.5 * (hw.l + hw.b) - hw.l) + 0.7 * hw.b
+        |  FROM hw JOIN s ON s.i = hw.j + 1),
+        |last AS (SELECT l, b FROM hw
+        |  WHERE j = (SELECT max(i) FROM s))
+        |SELECT CAST(h AS BIGINT) AS h, round_even(l, 6) AS level,
+        |  round_even(b, 6) AS trend,
+        |  round_even(l + CAST(h AS DOUBLE) * b, 6) AS forecast
+        |FROM last, range(1, 8) t(h) ORDER BY h""".stripMargin,
     "acf_daily" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS x

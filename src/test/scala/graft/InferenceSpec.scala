@@ -27,6 +27,29 @@ class InferenceSpec extends AnyFunSuite {
     dir
   }
 
+  test("holt_linear: fold matches the hand-replicated recurrence") {
+    // daily counts 10, 12, 11, 15 (event multiplicity per day); the
+    // expected trajectory is re-derived here with the SAME double ops
+    // (init l=10 b=2; lp=0.5y+0.5(l+b); b'=0.3(lp−l)+0.7b)
+    val rows = (Seq.fill(10)(0) ++ Seq.fill(12)(1) ++ Seq.fill(11)(2) ++
+      Seq.fill(15)(3)).map(d => (ns(d), 1L, "view", 1.0))
+    val dir = eventsDir(rows)
+    var l = 10.0; var b = 12.0 - 10.0
+    for (y <- Seq(12.0, 11.0, 15.0)) {
+      val lp = 0.5 * y + 0.5 * (l + b)
+      b = 0.3 * (lp - l) + 0.7 * b
+      l = lp
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    val out = graft.queries.Inference.queries("holt_linear")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.toSeq === (1 to 7).map(h =>
+      (h.toLong, r6(l), r6(b), r6(l + h.toDouble * b))))
+  }
+
   test("mannwhitney_u: tied samples produce exact doubled-U and z") {
     // purchase values {1,2}, view values {2,3}: doubled avg ranks
     // 2/5/8, R1·2 = 7, U1·2 = 1, ties Σ(t³−t) = 6,
