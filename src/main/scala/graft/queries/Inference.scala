@@ -228,6 +228,45 @@ object Inference {
     // calendar-date equi-join (gap days simply contribute no pair —
     // identical in both engines); the whole computation runs on the
     // |days|-row series.
+    // One Newton/IRLS step for logistic regression (purchase vs rest
+    // on the event value) from β = 0 — the in-plan "training step"
+    // family member for classification, next to ols_fit (closed-form
+    // regression), kmeans_step and als_step. At β=0 every μ is exactly
+    // ½, so the step needs NO per-row transcendentals:
+    // β' = 2·(XᵀX)⁻¹·[Σt, Σxt] with t = ±1 — five exact integer
+    // moments (the ols_fit discipline: DECIMAL(38,0) ≙ HUGEINT, chk()
+    // fail-loudly on overflow), one mirrored IEEE chain for the betas
+    // and the sigmoid readout at the mean. One aggregation pass,
+    // map-side combinable; the only reduce is a 1-row moment tuple.
+    "logistic_irls_step" -> ((s, dir) => {
+      val ev = Relational.events(s, dir).select(
+        when(col("event_type") === "purchase", 1L).otherwise(-1L).as("t"),
+        bround(col("value") * lit(1000000.0)).cast("long").as("x"))
+      val m = ev.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("t").as("st"),
+        sum(col("x").cast(D38) * col("x")).as("sxx"),
+        sum(col("x").cast(D38) * col("t")).as("sxt"))
+      val det = chk(col("n").cast(D38) * col("sxx")
+        - col("sx").cast(D38) * col("sx"), "logistic_irls_step")
+        .cast("double")
+      val num0 = chk(col("sxx") * col("st").cast(D38)
+        - col("sx").cast(D38) * col("sxt"), "logistic_irls_step")
+        .cast("double")
+      val num1 = chk(col("n").cast(D38) * col("sxt")
+        - col("sx").cast(D38) * col("st").cast(D38), "logistic_irls_step")
+        .cast("double")
+      val b0 = lit(2.0) * num0 / det
+      val b1 = lit(2.0) * num1 / det // per value-MICRO
+      val xbar = col("sx").cast("double") / col("n").cast("double")
+      val eta = b0 + b1 * xbar
+      val p = lit(1.0) / (lit(1.0) + exp(-eta))
+      m.select(col("n"),
+        when(det =!= 0.0, bround(b0, 6)).as("beta0"),
+        when(det =!= 0.0, bround(b1 * lit(1000000.0), 6))
+          .as("beta1_per_unit"),
+        when(det =!= 0.0, bround(p, 6)).as("p_at_mean"))
+    }),
+
     // Holt double exponential smoothing (α=0.5, β=0.3) of the daily
     // event count series, forecast horizons 1..7 — the level+trend
     // forecaster one notch past ewma_smooth. Inherently sequential, so
@@ -895,6 +934,38 @@ object Inference {
         |         (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))), 6)
         |  END AS z
         |FROM a""".stripMargin,
+    // same five HUGEINT moments, same closed-form 2×2 solve chain
+    "logistic_irls_step" ->
+      """WITH ev AS (SELECT
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS t,
+        |    CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS x
+        |  FROM events),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(t) AS BIGINT) AS st,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * t) AS sxt
+        |  FROM ev),
+        |c AS (SELECT n, sx, st,
+        |    CAST(CAST(n AS HUGEINT) * sxx
+        |      - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS det,
+        |    CAST(sxx * CAST(st AS HUGEINT)
+        |      - CAST(sx AS HUGEINT) * sxt AS DOUBLE) AS num0,
+        |    CAST(CAST(n AS HUGEINT) * sxt
+        |      - CAST(sx AS HUGEINT) * CAST(st AS HUGEINT) AS DOUBLE)
+        |      AS num1
+        |  FROM m)
+        |SELECT n,
+        |  CASE WHEN det <> 0 THEN CAST(round_even(
+        |    2.0 * num0 / det, 6) AS DOUBLE) END AS beta0,
+        |  CASE WHEN det <> 0 THEN CAST(round_even(
+        |    2.0 * num1 / det * 1000000.0, 6) AS DOUBLE) END
+        |    AS beta1_per_unit,
+        |  CASE WHEN det <> 0 THEN CAST(round_even(
+        |    1.0 / (1.0 + exp(-(2.0 * num0 / det
+        |      + 2.0 * num1 / det
+        |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))), 6)
+        |    AS DOUBLE) END AS p_at_mean
+        |FROM c""".stripMargin,
     // the same fold as a single-row recursive CTE: state after prefix
     // j, stepped by y_{j+1}; arithmetic mirrored node-for-node
     "holt_linear" ->

@@ -27,6 +27,22 @@ class InferenceSpec extends AnyFunSuite {
     dir
   }
 
+  test("logistic irls step: closed-form betas on a two-point fixture") {
+    // view@1.0 (t=−1), purchase@3.0 (t=+1): in micros sx=4e6, st=0,
+    // sxx=1e13, sxt=2e6 → det=4e12, β0=2·(−8e12)/4e12=−4,
+    // β1=2·4e6/4e12=2e−6/micro → 2.0/unit; η at x̄=2e6 is 0 → p=½
+    val dir = eventsDir(Seq(
+      (ns(0), 1L, "view", 1.0), (ns(0), 2L, "purchase", 3.0)))
+    val out = graft.queries.Inference.queries("logistic_irls_step")(
+      spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 2L)
+    assert(r.getDouble(1) === -4.0)
+    assert(r.getDouble(2) === 2.0)
+    assert(r.getDouble(3) === 0.5)
+  }
+
   test("holt_linear: fold matches the hand-replicated recurrence") {
     // daily counts 10, 12, 11, 15 (event multiplicity per day); the
     // expected trajectory is re-derived here with the SAME double ops
