@@ -446,6 +446,60 @@ object Signals {
     // are exact min-hop distances; DuckDB mirrors with a recursive CTE.
     "bfs_levels" -> ((s, dir) => bfsLevels(s, dir)._1),
 
+    // Spatial radius join — the geo family's bucketed-not-all-pairs
+    // shape: points (deterministic md5-derived lat∈[−60,60),
+    // lon∈[−180,180) per customer — the testdata carries no
+    // coordinates, so the geometry is hash-synthesized the same way
+    // negative_sample synthesizes partners) bin into 3°×3° grid
+    // cells, candidate pairs come from an EQUI-join of each point's
+    // 5×5 neighbor-cell fan-out (2 cells ≥ the 300 km radius at the
+    // worst-case 60° latitude, where one lon-degree is 55.66 km —
+    // never a cross join), and the exact haversine refines. A pair
+    // meets in exactly one target cell, so no dedup pass is needed;
+    // antimeridian wrap is out of scope on both engines. Threshold
+    // and ordering compare the 6-dp-ROUNDED distance so boundary
+    // pairs can't flap across libm implementations. Readout: pair
+    // count + the 20 closest pairs.
+    "geo_cell_join" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(col("c_custkey").as("k"),
+          (Dedup.hashBucket(concat(lit("lat:"),
+              col("c_custkey").cast("string")), 120000L).cast("double")
+            / lit(1000.0) - lit(60.0)).as("lat"),
+          (Dedup.hashBucket(concat(lit("lon:"),
+              col("c_custkey").cast("string")), 360000L).cast("double")
+            / lit(1000.0) - lit(180.0)).as("lon"))
+        .select(col("k"), col("lat"), col("lon"),
+          floor(col("lon") / lit(3.0)).as("cx"),
+          floor(col("lat") / lit(3.0)).as("cy"))
+        .localCheckpoint() // probe fan-out + build side share it
+      val offs = for (dx <- -2 to 2; dy <- -2 to 2)
+        yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+      val cand = pts
+        .select(col("k").as("a"), col("lat").as("lat1"),
+          col("lon").as("lon1"), col("cx"), col("cy"),
+          explode(array(offs: _*)).as("o"))
+        .select(col("a"), col("lat1"), col("lon1"),
+          (col("cx") + col("o.dx")).as("cx"),
+          (col("cy") + col("o.dy")).as("cy"))
+        .join(pts.select(col("k").as("b"), col("lat").as("lat2"),
+          col("lon").as("lon2"), col("cx"), col("cy")), Seq("cx", "cy"))
+        .filter(col("a") < col("b"))
+      val rl1 = radians(col("lat1"))
+      val rl2 = radians(col("lat2"))
+      val s1 = sin((rl2 - rl1) / lit(2.0))
+      val s2 = sin((radians(col("lon2")) - radians(col("lon1"))) / lit(2.0))
+      val d = lit(2.0) * lit(6371.0) *
+        asin(sqrt(s1 * s1 + cos(rl1) * cos(rl2) * (s2 * s2)))
+      val pairs = cand
+        .select(col("a"), col("b"), bround(d, 6).as("dist_km"))
+        .filter(col("dist_km") <= lit(300.0))
+        .localCheckpoint() // count + top-20 readout both consume it
+      pairs.crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+        .select(col("n_pairs"), col("a"), col("b"), col("dist_km"))
+        .orderBy(col("dist_km"), col("a"), col("b"))
+        .limit(20)
+    }),
+
     // Single-source shortest paths with WEIGHTS — the Bellman–Ford
     // frontier iteration (see [[ssspWeighted]]): per-round state is
     // (node, best-known dist), relaxation only fans out from nodes
@@ -1880,6 +1934,38 @@ object Signals {
         |SELECT lvl, CAST(count(*) AS BIGINT) AS n FROM (
         |  SELECT node, CAST(min(lvl) AS INT) AS lvl FROM lv GROUP BY node)
         |GROUP BY lvl ORDER BY lvl""".stripMargin,
+    // same md5 geometry; the neighbor fan-out becomes a ±2-cell
+    // BETWEEN join (DuckDB's IEJoin — equivalent candidate set);
+    // haversine mirrored node-for-node, thresholded on the round
+    "geo_cell_join" ->
+      """WITH pts AS (SELECT c_custkey AS k,
+        |    CAST(CAST('0x' || substr(md5('lat:'
+        |        || CAST(c_custkey AS VARCHAR)), 1, 7) AS BIGINT)
+        |      % 120000 AS DOUBLE) / 1000.0 - 60.0 AS lat,
+        |    CAST(CAST('0x' || substr(md5('lon:'
+        |        || CAST(c_custkey AS VARCHAR)), 1, 7) AS BIGINT)
+        |      % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+        |  FROM customer),
+        |cp AS MATERIALIZED (SELECT k, lat, lon,
+        |    CAST(floor(lon / 3.0) AS BIGINT) AS cx,
+        |    CAST(floor(lat / 3.0) AS BIGINT) AS cy
+        |  FROM pts),
+        |prs AS MATERIALIZED (SELECT a.k AS a, b.k AS b,
+        |    round_even(2.0 * 6371.0 * asin(sqrt(
+        |      sin((radians(b.lat) - radians(a.lat)) / 2.0)
+        |        * sin((radians(b.lat) - radians(a.lat)) / 2.0)
+        |      + cos(radians(a.lat)) * cos(radians(b.lat))
+        |        * (sin((radians(b.lon) - radians(a.lon)) / 2.0)
+        |          * sin((radians(b.lon) - radians(a.lon)) / 2.0)))),
+        |      6) AS dist_km
+        |  FROM cp a JOIN cp b
+        |  ON b.cx BETWEEN a.cx - 2 AND a.cx + 2
+        |    AND b.cy BETWEEN a.cy - 2 AND a.cy + 2
+        |    AND a.k < b.k),
+        |hit AS (SELECT a, b, dist_km FROM prs WHERE dist_km <= 300.0)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_pairs,
+        |  a, b, dist_km
+        |FROM hit ORDER BY dist_km, a, b LIMIT 20""".stripMargin,
     // four unrolled min-plus relaxation rounds, each a full relax of
     // the previous distance table — value-identical to the engine's
     // frontier Bellman–Ford (relaxing from non-improved nodes only

@@ -252,6 +252,45 @@ class SignalsSpec extends AnyFunSuite {
     assert(rounds === 1)
   }
 
+  test("geo cell join: cell fan-out loses no pair vs brute-force haversine") {
+    import spark.implicits._
+    // 400 hash-placed points; reference = exact all-pairs haversine in
+    // plain Scala (same md5-bucket coords, same formula), so the 5×5
+    // neighbor-cell candidate generation is checked for completeness,
+    // not just determinism
+    val dir = java.nio.file.Files.createTempDirectory("sig_geo").toString
+    (1L to 400L).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    def bucket(key: String, m: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString
+        .take(7), 16) % m
+    }
+    val pts = (1L to 400L).map { k =>
+      (k, bucket(s"lat:$k", 120000L) / 1000.0 - 60.0,
+        bucket(s"lon:$k", 360000L) / 1000.0 - 180.0)
+    }
+    def hav(a: (Long, Double, Double), b: (Long, Double, Double)) = {
+      def r(x: Double) = math.toRadians(x)
+      val s1 = math.sin((r(b._2) - r(a._2)) / 2.0)
+      val s2 = math.sin((r(b._3) - r(a._3)) / 2.0)
+      2.0 * 6371.0 * math.asin(math.sqrt(
+        s1 * s1 + math.cos(r(a._2)) * math.cos(r(b._2)) * (s2 * s2)))
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    val expect = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d = r6(hav(a, b)) if d <= 300.0
+    } yield (a._1, b._1, d)).sortBy(t => (t._3, t._1, t._2))
+    val out = graft.queries.Signals.queries("geo_cell_join")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.forall(_._1 === expect.size.toLong))
+    assert(out.map(t => (t._2, t._3, t._4)).toSeq === expect.take(20))
+  }
+
   test("sssp: weighted relaxation beats the direct edge, exits early") {
     import spark.implicits._
     // weighted square: s1-p1 w=1 (min of dup rows 4,1), p1-s2 w=2,
