@@ -1373,6 +1373,59 @@ object Signals {
     // keeps the oracle struct-free. Values quantize to exact micros
     // before the per-channel sum. Scale: the window shuffles once on
     // user_id; output is |channels| rows.
+    // Exact Shapley-value attribution over the three touch channels
+    // (view=1, click=2, signup=4; conversion = purchase). The game:
+    // v(T) = converted users whose touched-channel set ⊆ T (users
+    // with NO touches form the v(∅) baseline no channel is credited
+    // for). With n=3 the Shapley sum is exact: φ_i = Σ_{T∌i}
+    // |T|!(2−|T|)!/3! · (v(T∪{i}) − v(T)), weights {2,1,2}/6 by |T|.
+    // Scale shape: ONE user-keyed aggregate folds the corpus to a
+    // ≤8-row mask histogram; the subset-lattice walk (8 coalitions ×
+    // ≤8 masks), the 3-channel marginal sum, and the 1/6 division all
+    // run on that bounded grid — broadcast joins, zero further
+    // shuffles, so 100× data only widens the first aggregate. φ stays
+    // an exact integer in sixths until the final readout division;
+    // Σφ_i = v(full) − v(∅) (efficiency) is emitted as a cross-check.
+    "shapley_attribution" -> ((s, dir) => {
+      val perUser = Relational.events(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .groupBy("user_id").agg(
+          (max(when(col("event_type") === "view", 1).otherwise(0)) +
+            max(when(col("event_type") === "click", 2).otherwise(0)) +
+            max(when(col("event_type") === "signup", 4).otherwise(0)))
+            .as("mask"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("conv"))
+      val cm = perUser.filter(col("conv") === 1)
+        .groupBy("mask").agg(count(lit(1)).as("c")) // ≤8 rows
+      val coalitions = s.range(8)
+        .select(col("id").cast("int").as("t"))
+      // mask ⊆ t within 3 bits ⇔ mask & (7−t) = 0 (t ⊆ 0b111 so 7−t
+      // is the 3-bit complement)
+      val v = coalitions.join(broadcast(cm),
+          (col("mask").bitwiseAND(lit(7) - col("t"))) === 0, "left")
+        .groupBy("t").agg(coalesce(sum("c"), lit(0L)).as("v"))
+      val channels = s.createDataFrame(Seq(
+        ("click", 2), ("signup", 4), ("view", 1)))
+        .toDF("channel", "bit")
+      val pop = (col("t").bitwiseAND(lit(1))) +
+        (col("t").bitwiseAND(lit(2)) / lit(2)).cast("int") +
+        (col("t").bitwiseAND(lit(4)) / lit(4)).cast("int")
+      val wNum = when(pop === 1, 1L).otherwise(2L) // |T|∈{0,2} → 2/6
+      val vT = v.select(col("t"), col("v").as("v_t"))
+      val vTi = v.select(col("t").as("ti"), col("v").as("v_ti"))
+      channels
+        .crossJoin(broadcast(vT))
+        .filter(col("t").bitwiseAND(col("bit")) === 0)
+        .join(broadcast(vTi), col("ti") === col("t") + col("bit"))
+        .groupBy("channel")
+        .agg(sum(wNum * (col("v_ti") - col("v_t"))).as("phi_sixths"))
+        .select(col("channel"), col("phi_sixths"),
+          round(col("phi_sixths").cast("double") / lit(6.0), 6)
+            .as("phi"))
+        .orderBy("channel")
+    }),
+
     "attribution" -> ((s, dir) => {
       val lookbackUs = 259200000000L // 3 days in µs
       val ev = Relational.events(s, dir).select(col("user_id"),
@@ -2652,6 +2705,34 @@ object Signals {
         |  max(CASE WHEN pname = 'p90' THEN v END) AS p90,
         |  max(CASE WHEN pname = 'p99' THEN v END) AS p99
         |FROM hit GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // same mask histogram → subset-lattice v(T) → weighted marginals;
+    // DuckDB's & | bit ops mirror Spark's bitwiseAND node-for-node
+    "shapley_attribution" ->
+      """WITH pu AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      + max(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+        |      + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+        |      AS mask,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1),
+        |cm AS (SELECT mask, count(*) AS c FROM pu
+        |  WHERE conv = 1 GROUP BY 1),
+        |co AS (SELECT CAST(range AS INT) AS t FROM range(8)),
+        |v AS (SELECT t, CAST(coalesce(sum(c), 0) AS BIGINT) AS v
+        |  FROM co LEFT JOIN cm ON (mask & (7 - t)) = 0 GROUP BY 1),
+        |ch AS (SELECT * FROM (VALUES ('click', 2), ('signup', 4),
+        |    ('view', 1)) AS x(channel, bit)),
+        |marg AS (SELECT channel,
+        |    CASE WHEN ((vt.t & 1) + ((vt.t & 2) // 2)
+        |        + ((vt.t & 4) // 4)) = 1 THEN 1 ELSE 2 END
+        |      * (vti.v - vt.v) AS contrib
+        |  FROM ch JOIN v vt ON (vt.t & bit) = 0
+        |  JOIN v vti ON vti.t = vt.t + bit)
+        |SELECT channel, CAST(sum(contrib) AS BIGINT) AS phi_sixths,
+        |  round(CAST(sum(contrib) AS DOUBLE) / 6.0, 6) AS phi
+        |FROM marg GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "attribution" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,

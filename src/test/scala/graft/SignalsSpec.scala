@@ -252,6 +252,32 @@ class SignalsSpec extends AnyFunSuite {
     assert(rounds === 1)
   }
 
+  test("shapley attribution: exact 3-channel values on a lattice fixture") {
+    import spark.implicits._
+    // converted masks: u1 view(1), u2 click(2), u3 view+click(3),
+    // u4 all(7), u6 none(0 baseline); u5 views but never converts.
+    // Hand Shapley: φ_view = φ_click = 11/6, φ_signup = 2/6, and
+    // Σφ = 4 = v(full)−v(∅) (efficiency).
+    val ev = Seq(
+      (1L, 1L, 10L, "view"), (1L, 2L, 20L, "purchase"),
+      (2L, 3L, 10L, "click"), (2L, 4L, 20L, "purchase"),
+      (3L, 5L, 10L, "view"), (3L, 6L, 15L, "click"),
+      (3L, 7L, 20L, "purchase"),
+      (4L, 8L, 10L, "view"), (4L, 9L, 12L, "click"),
+      (4L, 10L, 14L, "signup"), (4L, 11L, 20L, "purchase"),
+      (5L, 12L, 10L, "view"),
+      (6L, 13L, 20L, "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("sig_shap").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Signals.queries("shapley_attribution")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      ("click", 11L, 1.833333), ("signup", 2L, 0.333333),
+      ("view", 11L, 1.833333)))
+    assert(out.map(_._2).sum === 24L) // efficiency: 24/6 = v(7)−v(0)
+  }
+
   test("geo cell join: cell fan-out loses no pair vs brute-force haversine") {
     import spark.implicits._
     // 400 hash-placed points; reference = exact all-pairs haversine in
