@@ -126,6 +126,40 @@ object Scoring {
         .orderBy(col("pr_micros").desc, col("node"))
         .limit(20)
     }),
+    // HITS mutual reinforcement on the directed supplier→part graph
+    // (hubs = suppliers, authorities = parts) — the OTHER classic
+    // link-analysis operator next to PageRank, and a different
+    // propagation: unnormalized two-hop sums instead of
+    // degree-normalized one-hop. From h₀ ≡ 1: a₁(p) = indeg(p),
+    // h₁(s) = Σ_{p∈N(s)} a₁(p), a₂(p) = Σ_{s∈N(p)} h₁(s) — all
+    // integer-exact (no normalization drift), so the oracle is a hard
+    // value MATCH. Readout: top-20 hubs by h₁ ∪ top-20 authorities by
+    // a₂. Scale shape: one distinct + localCheckpoint (three
+    // consumers), then keyed aggregate→join→aggregate chains — the
+    // same shuffle budget as one sparse-matrix-squared multiply.
+    "hits_scores" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint()
+      val a1 = e0.groupBy("pk").agg(count(lit(1)).as("a1"))
+      val h1 = e0.join(a1, "pk")
+        .groupBy("sk").agg(sum("a1").as("h1"))
+      val a2 = e0.join(h1, "sk")
+        .groupBy("pk").agg(sum("h1").as("a2"))
+      val hubs = h1
+        .select(lit("hub").as("kind"),
+          concat(lit("s"), col("sk").cast("string")).as("node"),
+          col("h1").as("score"))
+        .orderBy(col("score").desc, col("node")).limit(20)
+      val auths = a2
+        .select(lit("auth").as("kind"),
+          concat(lit("p"), col("pk").cast("string")).as("node"),
+          col("a2").as("score"))
+        .orderBy(col("score").desc, col("node")).limit(20)
+      auths.unionByName(hubs)
+        .orderBy(col("kind"), col("score").desc, col("node"))
+    }),
     // rolling 7-day distinct-user reach per day. COUNT DISTINCT has no
     // window form in either engine; the scalable relational spelling is
     // a bounded 7-way explode of the distinct (user, day) pairs — the
@@ -727,6 +761,24 @@ object Scoring {
         |    AS BIGINT) AS pr_micros
         |FROM nodes LEFT JOIN contrib ON node = contrib.dst
         |ORDER BY pr_micros DESC, node LIMIT 20""".stripMargin,
+    // same integer propagation; top-k per side via two LIMITed CTEs
+    "hits_scores" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem),
+        |a1 AS (SELECT pk, CAST(count(*) AS BIGINT) AS a1
+        |  FROM e0 GROUP BY 1),
+        |h1 AS (SELECT sk, CAST(sum(a1) AS BIGINT) AS h1
+        |  FROM e0 JOIN a1 USING (pk) GROUP BY 1),
+        |a2 AS (SELECT pk, CAST(sum(h1) AS BIGINT) AS a2
+        |  FROM e0 JOIN h1 USING (sk) GROUP BY 1),
+        |hubs AS (SELECT 'hub' AS kind, 's' || CAST(sk AS VARCHAR) AS node,
+        |    h1 AS score
+        |  FROM h1 ORDER BY score DESC, node LIMIT 20),
+        |auths AS (SELECT 'auth' AS kind, 'p' || CAST(pk AS VARCHAR) AS node,
+        |    a2 AS score
+        |  FROM a2 ORDER BY score DESC, node LIMIT 20)
+        |SELECT * FROM (SELECT * FROM auths UNION ALL SELECT * FROM hubs)
+        |ORDER BY kind, score DESC, node""".stripMargin,
     "rolling_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d

@@ -197,6 +197,21 @@ class ScoringSpec extends AnyFunSuite {
     assert(out("p2") === 150000L + math.round(0.85 * 250000.0))
   }
 
+  test("hits: two-hop integer propagation, dup edge collapsed") {
+    import spark.implicits._
+    // s1→{p1,p2}, s2→{p2} (duplicated row exercises the distinct).
+    // a1: p1=1, p2=2; h1: s1=3, s2=2; a2: p1=3, p2=5.
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 2L))
+      .toDF("l_suppkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("hits").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.queries.Scoring.queries("hits_scores")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("auth", "p2", 5L), ("auth", "p1", 3L),
+      ("hub", "s1", 3L), ("hub", "s2", 2L)))
+  }
+
   test("rolling 7-day distinct counts a user once across the window") {
     import spark.implicits._
     // user 1 active days 0 and 3 (one distinct in any 7-day window
