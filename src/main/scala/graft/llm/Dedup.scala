@@ -620,6 +620,52 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+    * MOSS algorithm): hash every character k-gram, slide a w-hash
+    * window, keep each window's MINIMUM hash. The guarantee: any
+    * verbatim match of length ≥ k + w − 1 shares at least one selected
+    * fingerprint, and selection density is ~2/(w+1) — position-robust
+    * where [[substringPairs]]' stride sampling is alignment-lucky.
+    * Ties inside a window share the same hash VALUE, so no positional
+    * tiebreak is needed for the per-doc fingerprint SET.
+    *
+    * Scale shape: the per-position hash explode is one map pass
+    * (corpus-chars rows, same budget as tokenization); the winnow is a
+    * doc-partitioned w-row window min; the pair stage reuses the
+    * [[substringPairs]] playbook — distinct (doc, fp), hot-fp stop
+    * guard (boilerplate defense), fp equi-join, map-side shared
+    * counts. No stage is quadratic in corpus size.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+      maxDf: Int = 32, minShared: Int = 2): DataFrame = {
+    val base = docs
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("t"))
+      .filter(length(col("t")) >= k + w - 1)
+    val ph = base.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), length(col("t")) - lit(k - 1)),
+          p => fingerprint60(col("t").substr(p, lit(k))))))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
+    val fr = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(w - 1), 0)
+    val sel = ph
+      .select(col("doc_id"), col("p"), min("h").over(fr).as("fp"))
+      .filter(col("p") >= w) // full windows only
+      .select("doc_id", "fp")
+      .distinct()
+    val g = sel
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    g.as("a").join(g.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Prefix-filtered set-similarity join (the PPJoin family, Xiao et
     * al. 2008) over 3-token shingle sets: EXACT Jaccard ≥ `threshold`
     * pairs, without LSH's recall loss and without the all-pairs join.

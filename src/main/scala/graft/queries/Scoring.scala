@@ -51,6 +51,11 @@ object Scoring {
       TextAnalysis.charEntropy(t(s, dir, "documents"))),
     "substring_dedup" -> ((s, dir) =>
       Dedup.substringPairs(t(s, dir, "documents"), k = 40, stride = 10)),
+    // MOSS winnowing (see [[Dedup.winnowPairs]]) — guaranteed-recall
+    // fingerprint selection where substring_dedup's stride sampling is
+    // alignment-dependent
+    "winnow_fingerprint" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"))),
     "bpe_merge_step" -> ((s, dir) =>
       TextAnalysis.bpeMergeStep(t(s, dir, "documents"), k = 20)),
     "mixture_weights" -> ((s, dir) =>
@@ -662,6 +667,31 @@ object Scoring {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
         |FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+    // same normalize → per-position 60-bit k-gram hash → 4-row window
+    // min → distinct → ≤32-df guard → pair counts; range() is the
+    // lateral position generator (upper exclusive: p ∈ 1..len−7)
+    "winnow_fingerprint" ->
+      """WITH nm AS (SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+        |  FROM documents),
+        |ph AS (SELECT doc_id, CAST(pp AS INT) AS p,
+        |    CAST('0x' || substr(md5(substr(t, CAST(pp AS INT), 8)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM (SELECT doc_id, t,
+        |      unnest(range(1, length(t) - 6)) AS pp
+        |    FROM nm WHERE length(t) >= 11)),
+        |wn AS (SELECT doc_id, p,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM ph),
+        |sel AS (SELECT DISTINCT doc_id, fp FROM wn WHERE p >= 4),
+        |g AS (SELECT * FROM sel
+        |  QUALIFY count(*) OVER (PARTITION BY fp) <= 32)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS shared
+        |FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "bpe_merge_step" ->
       """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word

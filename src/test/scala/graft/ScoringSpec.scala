@@ -147,6 +147,47 @@ class ScoringSpec extends AnyFunSuite {
     assert(out(0).getLong(2) >= 4, "several aligned grams shared")
   }
 
+  test("winnowing: pair counts equal a brute-force fingerprint-set " +
+      "intersection, and docs sharing an 11+ char run always pair") {
+    val shared =
+      "the quick brown fox jumps over the lazy dog while seventeen wild geese fly south"
+    val d = docs(
+      1L -> ("prefix one " + shared + " tail one"),
+      2L -> (shared + " an entirely different continuation"),
+      3L -> "completely unrelated text with no common runs whatsoever")
+    // brute winnowing reference: same normalize, same 60-bit md5-prefix
+    // hash, full O(n·w) scan per doc
+    def fp60(sub: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(sub.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        h.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def winnow(text: String, k: Int = 8, w: Int = 4): Set[Long] = {
+      val t = text.toLowerCase.replaceAll("[^a-z0-9]", "")
+      if (t.length < k + w - 1) Set.empty
+      else {
+        val hs = (0 to t.length - k).map(i => fp60(t.substring(i, i + k)))
+        (w - 1 until hs.length).map(e => hs.slice(e - w + 1, e + 1).min)
+          .toSet
+      }
+    }
+    val sets = Map(
+      1L -> winnow("prefix one " + shared + " tail one"),
+      2L -> winnow(shared + " an entirely different continuation"),
+      3L -> winnow("completely unrelated text with no common runs whatsoever"))
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      n = (sets(a) intersect sets(b)).size if n >= 2
+    } yield (a, b, n.toLong)).toSeq.sorted
+    val out = Dedup.winnowPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === expect)
+    assert(out.exists(p => p._1 === 1L && p._2 === 2L),
+      "the 81-char verbatim run must survive winnowing selection")
+    assert(!out.exists(p => p._2 === 3L), "unrelated doc pairs with no one")
+  }
+
   test("substring stop-gram guard drops corpus-boilerplate fingerprints") {
     val boiler =
       "standard license header appears identically at the top of every file"
