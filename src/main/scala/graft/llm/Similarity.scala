@@ -261,6 +261,55 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x), 6)
 
+  /** Greedy k-center coreset selection (the Gonzalez farthest-point
+    * traversal — the classic 2-approximation of the k-center
+    * objective, and the diversity-sampling pass a training-data
+    * curator runs before labeling/retention budgets): seed at vec 0,
+    * then k−1 rounds of "pick the point farthest from everything
+    * selected so far".
+    *
+    * Scale shape: the selected set is ≤ k vectors (driver-held and
+    * broadcast — the IVF-centroid precedent), and each round is ONE
+    * map pass folding the new center into a running per-point min
+    * distance plus a top-1 readout; k scans total, no pairwise stage.
+    * The running state lives in integer MICROS (one quantization of
+    * the sequential double fold per distance), so `least()` chains and
+    * the (dmin, vec_id) argmax tiebreak are exact across engines.
+    * localCheckpoint truncates the k-deep lineage per round (the
+    * pagerank_iter/dupClusters precedent).
+    */
+  def kcenterSelect(emb: DataFrame, k: Int = 6): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def q2(a: Column, b: Column): Column =
+      bround(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x) * lit(1000000.0), 0).cast("long")
+    val base = emb.select(col("vec_id"), dbl(col("embedding")).as("vec"))
+    val seed = base.filter(col("vec_id") === 0L)
+      .select(col("vec")).collect()(0).getSeq[Double](0)
+    var state = base
+      .withColumn("dmin", q2(col("vec"), typedlit(seed)))
+      .localCheckpoint()
+    val sel = scala.collection.mutable.ArrayBuffer((0, 0L, 0L))
+    for (i <- 1 until k) {
+      val top = state
+        .filter(!col("vec_id").isInCollection(sel.map(_._2)))
+        .orderBy(col("dmin").desc, col("vec_id").asc)
+        .select(col("vec_id"), col("dmin"), col("vec"))
+        .limit(1).collect()(0)
+      sel += ((i, top.getLong(0), top.getLong(1)))
+      if (i < k - 1) {
+        val cv = top.getSeq[Double](2)
+        state = state
+          .withColumn("dmin",
+            least(col("dmin"), q2(col("vec"), typedlit(cv))))
+          .localCheckpoint()
+      }
+    }
+    sel.toSeq.toDF("sel_order", "vec_id", "dist_micros")
+      .orderBy("sel_order")
+  }
+
   /** The deterministic md5-sampled seed table shared by [[ivfFlatTopK]]
     * and [[kmeansStep]].
     */

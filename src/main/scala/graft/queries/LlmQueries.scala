@@ -260,6 +260,9 @@ object LlmQueries {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(emb(s, dir))),
+    // greedy k-center coreset (diversity selection; see
+    // [[Similarity.kcenterSelect]])
+    "kcenter_select" -> ((s, dir) => Similarity.kcenterSelect(emb(s, dir))),
     // closest impostors per seed (contrastive hard negatives)
     "hard_negatives" -> ((s, dir) => Similarity.hardNegatives(emb(s, dir))),
     "retrieval_eval" -> ((s, dir) => Similarity.retrievalEval(emb(s, dir))),
@@ -1422,6 +1425,7 @@ object LlmQueries {
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "cosine_topk" -> cosineTopKOracle,
+    "kcenter_select" -> kcenterOracle,
     "sql_dot_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings
         |  WHERE vec_id = 0),
@@ -1750,6 +1754,49 @@ object LlmQueries {
         |  CAST(floor(CAST(sum(s) AS DOUBLE) / count(*)) AS BIGINT) AS per_tok
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** The kcenter_select oracle, built by unrolling the k−1 greedy
+    * rounds (the bpe_train_rounds playbook) — each round is the same
+    * (state ⊳ new-center distance fold ⊳ top-1) template, so the SQL
+    * is GENERATED rather than hand-repeated. The distance is the same
+    * sequential double fold as Spark's `aggregate(zip_with(...))`
+    * (DuckDB `list_reduce` folds left-to-right), quantized once to
+    * micros, so the running `least()` state is exact integers on both
+    * engines.
+    */
+  private lazy val kcenterOracle: String = {
+    val k = 6
+    def dist = """CAST(round_even(list_reduce(list_transform(range(1, 65),
+      |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.emb[i])
+      |        * (CAST(e.embedding[i] AS DOUBLE) - c.emb[i])),
+      |      (x, y) -> x + y) * 1000000.0, 0) AS BIGINT)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= "WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),\n"
+    sb ++= ("d0 AS MATERIALIZED (SELECT e.vec_id, " + dist + " AS dmin\n" +
+      "  FROM e, (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))" +
+      " AS emb FROM e WHERE vec_id = 0) c),\n")
+    for (i <- 1 until k) {
+      val excl = (Seq("vec_id <> 0") ++
+        (1 until i).map(j => s"vec_id NOT IN (SELECT vec_id FROM s$j)"))
+        .mkString(" AND ")
+      sb ++= (s"s$i AS MATERIALIZED (SELECT vec_id, dmin FROM d${i - 1}\n" +
+        s"  WHERE $excl ORDER BY dmin DESC, vec_id LIMIT 1),\n")
+      if (i < k - 1)
+        sb ++= (s"d$i AS MATERIALIZED (SELECT e.vec_id," +
+          s" least(d${i - 1}.dmin, " + dist + ") AS dmin\n" +
+          s"  FROM d${i - 1} JOIN e ON e.vec_id = d${i - 1}.vec_id,\n" +
+          "    (SELECT list_transform(e2.embedding, x -> CAST(x AS DOUBLE))" +
+          s" AS emb FROM e e2 JOIN s$i USING (vec_id)) c),\n")
+    }
+    // drop the trailing ",\n" of the last CTE
+    sb.setLength(sb.length - 2)
+    sb ++= "\nSELECT CAST(0 AS INT) AS sel_order, CAST(0 AS BIGINT) AS vec_id," +
+      " CAST(0 AS BIGINT) AS dist_micros"
+    for (i <- 1 until k)
+      sb ++= s"\nUNION ALL SELECT $i, vec_id, dmin FROM s$i"
+    sb ++= "\nORDER BY sel_order"
+    sb.toString
+  }
 
   /** Brute-force exact cosine top-10 from vec 0 — the oracle for
     * `cosine_topk` and for both gated IVF registrations (their emitted

@@ -265,6 +265,24 @@ class LlmSpec extends AnyFunSuite {
     assert(top.head.getDouble(1) > 0.99)
   }
 
+  test("kcenter: greedy farthest-point order and radii on a 1-D line") {
+    import spark.implicits._
+    // points on dim 0 at 0, 100, 50, 99, 1, 0.25; seed = vec 0.
+    // Gonzalez order: 100 (d²=10000), 50 (2500), then the 1e6-micros
+    // tie between 99 and 1 breaks to the lower vec_id (3), then 4,
+    // then 0.25 (d²=0.0625 from the seed).
+    val e = Seq(
+      (0L, Array(0f, 0f), 0), (1L, Array(100f, 0f), 0),
+      (2L, Array(50f, 0f), 0), (3L, Array(99f, 0f), 0),
+      (4L, Array(1f, 0f), 0), (5L, Array(0.25f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.kcenterSelect(e, k = 6).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (0, 0L, 0L), (1, 1L, 10000000000L), (2, 2L, 2500000000L),
+      (3, 3L, 1000000L), (4, 4L, 1000000L), (5, 5L, 62500L)))
+  }
+
   test("retrieval_eval: axis-aligned labels give exact MRR and NDCG") {
     import spark.implicits._
     // even ids on e1 / odd on e2; labels follow the axis EXCEPT vec 2
