@@ -1364,6 +1364,40 @@ object Signals {
         ev.groupBy("event_type", "bin").agg(count(lit(1)).as("c")))
     }),
 
+    // AMS second-moment (F₂ = Σ_k f_k², the self-join size) sketch —
+    // the Alon-Matias-Szegedy tug-of-war estimator next to the
+    // HLL/CMS/Bloom square: 8 independent ±1 sign hashes, X_j =
+    // (Σ_rows sign_j(key))², E[X_j] = F₂. Everything is exact
+    // integers until the final readout ratio: the 8 signed sums ride
+    // ONE map-side-combined aggregate over the scan (mergeable — the
+    // per-partition partials are the sketch), and exact F₂ is one
+    // keyed count + a DECIMAL(38,0) square sum (overflow-proof at
+    // 100 TB key multiplicities). rel gate: 8 estimators give relative
+    // std ≈ √(2/8) = 0.5; ratio is emitted rounded, not thresholded —
+    // drift trips the hash oracle.
+    "ams_f2_sketch" -> ((s, dir) => {
+      val keys = t(s, dir, "lineitem")
+        .select(col("l_partkey").cast("string").as("k"))
+      def sgn(j: Int) =
+        Dedup.hashBucket(concat(lit(s"ams$j:"), col("k")), 2L) * 2L - 1L
+      val sums = keys.agg(
+        sum(sgn(0)).as("s0"),
+        (1 until 8).map(j => sum(sgn(j)).as(s"s$j")): _*)
+      val est = sums.select(
+        (0 until 8).map(j =>
+            (col(s"s$j").cast("decimal(38,0)") * col(s"s$j")))
+          .reduce(_ + _).cast("long").as("est_sum8"))
+      val exact = keys.groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(sum((col("c") * col("c")).cast("decimal(38,0)")).as("f2d"))
+        .select(col("f2d").cast("long").as("exact_f2"))
+      exact.crossJoin(broadcast(est))
+        .select(col("exact_f2"), col("est_sum8"),
+          round(col("est_sum8").cast("double") / lit(8.0), 6)
+            .as("est_f2"),
+          round(col("est_sum8").cast("double") / lit(8.0)
+            / col("exact_f2").cast("double"), 6).as("ratio"))
+    }),
+
     // Last-touch attribution: every purchase credits the LAST
     // click/view by the same user within a 3-day lookback; purchases
     // with no qualifying touch report as channel "none". ONE window
@@ -2705,6 +2739,29 @@ object Signals {
         |  max(CASE WHEN pname = 'p90' THEN v END) AS p90,
         |  max(CASE WHEN pname = 'p99' THEN v END) AS p99
         |FROM hit GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // same 8 sign hashes (md5-bucket parity), HUGEINT-safe squares
+    "ams_f2_sketch" -> {
+      val sgns = (0 until 8).map(j =>
+        s"""CAST(sum(CAST('0x' || substr(md5('ams$j:' || k), 1, 7)
+           |      AS BIGINT) % 2 * 2 - 1) AS BIGINT) AS s$j""".stripMargin)
+        .mkString(",\n")
+      val sq = (0 until 8).map(j => s"CAST(s$j AS HUGEINT) * s$j")
+        .mkString(" + ")
+      s"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+         |s AS (SELECT
+         |$sgns
+         |  FROM k),
+         |e AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT)
+         |    AS exact_f2
+         |  FROM (SELECT count(*) AS c FROM k GROUP BY k)),
+         |m AS (SELECT CAST($sq AS BIGINT) AS est_sum8 FROM s)
+         |SELECT exact_f2, est_sum8,
+         |  round(CAST(est_sum8 AS DOUBLE) / 8.0, 6) AS est_f2,
+         |  round(CAST(est_sum8 AS DOUBLE) / 8.0
+         |    / CAST(exact_f2 AS DOUBLE), 6) AS ratio
+         |FROM e, m""".stripMargin
+    },
 
     // same mask histogram → subset-lattice v(T) → weighted marginals;
     // DuckDB's & | bit ops mirror Spark's bitwiseAND node-for-node

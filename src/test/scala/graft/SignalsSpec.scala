@@ -252,6 +252,29 @@ class SignalsSpec extends AnyFunSuite {
     assert(rounds === 1)
   }
 
+  test("ams f2: exact self-join size and brute-force sketch agreement") {
+    import spark.implicits._
+    // keys a,a,b → F2 = 2² + 1² = 5; the sketch sum is recomputed
+    // against a plain-Scala walk of the same md5-parity sign hashes
+    val li = Seq(7L, 7L, 9L).toDF("l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("ams").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def sign(j: Int, k: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ams$j:$k".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        h.take(4).map("%02x".format(_)).mkString.take(7), 16) % 2 * 2 - 1
+    }
+    val expSum8 = (0 until 8).map { j =>
+      val s = Seq("7", "7", "9").map(sign(j, _)).sum
+      s * s
+    }.sum
+    val out = Signals.queries("ams_f2_sketch")(spark, dir).collect()(0)
+    assert(out.getLong(0) === 5L)
+    assert(out.getLong(1) === expSum8)
+    assert(out.getDouble(2) === expSum8 / 8.0)
+  }
+
   test("shapley attribution: exact 3-channel values on a lattice fixture") {
     import spark.implicits._
     // converted masks: u1 view(1), u2 click(2), u3 view+click(3),
