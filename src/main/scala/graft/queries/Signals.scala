@@ -692,6 +692,53 @@ object Signals {
       out.orderBy("rnd")
     }),
 
+    // Bounded-round k-truss peeling (k=4: every edge must sit in ≥ 2
+    // triangles) of the same support-2 co-purchase graph — the
+    // EDGE-centric cohesion sparsifier next to kcore_decompose's
+    // vertex peeling (a 4-truss is strictly denser than a 3-core;
+    // trusses are the standard community-seed extractor at web scale).
+    // Per round: one oriented closure join emits each triangle a<b<c
+    // once, Σsupp = 3·triangles folds the census out of the SAME
+    // aggregate that peels (no second pass), and edges below support
+    // drop via left-semi. 3 synchronous rounds (kcore's fixed-schedule
+    // contract: convergence shows as a repeated trajectory row), state
+    // localCheckpointed per round.
+    "ktruss_edges" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      var e = op.select(col("o"), col("p").as("p1"))
+        .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("p1", "p2")
+        .localCheckpoint()
+      var out: DataFrame = null
+      for (r <- 1 to 3) {
+        val tri = e.select(col("p1").as("a"), col("p2").as("b"))
+          .join(e.select(col("p1").as("b"), col("p2").as("c")), Seq("b"))
+          .join(e.select(col("p1").as("a"), col("p2").as("c")),
+            Seq("a", "c"))
+        val supp = tri.select(col("a").as("x"), col("b").as("y"))
+          .unionByName(tri.select(col("b").as("x"), col("c").as("y")))
+          .unionByName(tri.select(col("a").as("x"), col("c").as("y")))
+          .groupBy("x", "y").agg(count(lit(1)).as("supp"))
+          .localCheckpoint() // feeds the census AND the peel
+        e = e.join(
+            supp.filter(col("supp") >= 2)
+              .select(col("x").as("p1"), col("y").as("p2")),
+            Seq("p1", "p2"), "left_semi")
+          .localCheckpoint()
+        val row = e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(supp.agg(
+            (coalesce(sum("supp"), lit(0L)) / lit(3)).cast("long")
+              .as("n_triangles"))))
+          .select(lit(r).as("rnd"), col("n_triangles"), col("n_edges"))
+        out = if (out == null) row else out.unionByName(row)
+      }
+      out.orderBy("rnd")
+    }),
+
     // Label propagation community detection (Raghavan, Albert, Kumara
     // 2007) on the same support-2 co-purchase part graph as
     // `kcore_decompose`/`triangle_count` — the COMMUNITY member of the
@@ -2190,6 +2237,38 @@ object Signals {
            |  CAST(count(DISTINCT v) AS BIGINT) AS n_vertices,
            |  CAST(count(*) // 2 AS BIGINT) AS n_edges
            |FROM (SELECT p1 AS v FROM e$i UNION ALL SELECT p2 FROM e$i)"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$base$rounds\n$stats\nORDER BY rnd"
+    },
+
+    // same generated-unroll discipline as kcore_decompose; triangle
+    // census from Σsupp // 3 of the same support table that peels
+    "ktruss_edges" -> {
+      val base =
+        """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem),
+          |e0 AS MATERIALIZED (SELECT a.p AS p1, b.p AS p2
+          |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        s""",
+           |t$i AS (SELECT ab.p1 AS a, ab.p2 AS b, bc.p2 AS c
+           |  FROM e${i - 1} ab JOIN e${i - 1} bc ON ab.p2 = bc.p1
+           |  JOIN e${i - 1} ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2),
+           |s$i AS MATERIALIZED (SELECT x, y, count(*) AS supp FROM (
+           |    SELECT a AS x, b AS y FROM t$i
+           |    UNION ALL SELECT b, c FROM t$i
+           |    UNION ALL SELECT a, c FROM t$i) GROUP BY 1, 2),
+           |e$i AS MATERIALIZED (SELECT p1, p2 FROM e${i - 1}
+           |  WHERE EXISTS (SELECT 1 FROM s$i
+           |    WHERE x = p1 AND y = p2 AND supp >= 2))""".stripMargin
+      }.mkString
+      val stats = (1 to 3).map { i =>
+        s"""SELECT CAST($i AS INT) AS rnd,
+           |  CAST(coalesce((SELECT sum(supp) FROM s$i), 0) // 3
+           |    AS BIGINT) AS n_triangles,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM e$i) AS n_edges"""
           .stripMargin
       }.mkString("\nUNION ALL\n")
       s"$base$rounds\n$stats\nORDER BY rnd"

@@ -252,6 +252,23 @@ class SignalsSpec extends AnyFunSuite {
     assert(rounds === 1)
   }
 
+  test("ktruss: lone triangle and pendant edge peel; K4 is the 4-truss") {
+    import spark.implicits._
+    // co-purchase graph: K4 on parts 1-4 (each edge in 2 triangles),
+    // a lone triangle 7-8-9 (each edge in 1), an edge 5-6 (in 0).
+    // Round 1 census sees 5 triangles, then peels to K4's 6 edges;
+    // rounds 2-3 fixpoint at (4 triangles, 6 edges).
+    val li = (Seq(101L, 102L).flatMap(o => (1L to 4L).map(p => (o, p))) ++
+      Seq(201L, 202L).flatMap(o => (7L to 9L).map(p => (o, p))) ++
+      Seq(301L, 302L).flatMap(o => Seq((o, 5L), (o, 6L))))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("truss").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Signals.queries("ktruss_edges")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, 5L, 6L), (2, 4L, 6L), (3, 4L, 6L)))
+  }
+
   test("ams f2: exact self-join size and brute-force sketch agreement") {
     import spark.implicits._
     // keys a,a,b → F2 = 2² + 1² = 5; the sketch sum is recomputed
