@@ -131,6 +131,49 @@ object Scoring {
         .orderBy(col("pr_micros").desc, col("node"))
         .limit(20)
     }),
+    // Personalized PageRank (α = 0.15 restart pinned on supplier 1) —
+    // the seeded-relevance member of the link-analysis family:
+    // pagerank_iter propagates from a UNIFORM start (global
+    // importance), this propagates from a restart vector (relevance TO
+    // the seed), and the state stays FRONTIER-SPARSE: round 1 touches
+    // only N(seed), round 2 only the 2-hop ball — at 100 TB a seeded
+    // query never materializes corpus-wide rank state. Two unrolled
+    // rounds on the supplier↔part bipartite graph, per-edge
+    // contributions round_even-quantized to micros (order-independent
+    // sums, the pagerank_iter discipline); suppliers and parts keep
+    // integer keys separately, labels appear only in the readout.
+    "ppr_seeded" -> ((s, dir) => {
+      import s.implicits._
+      val e0 = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint() // degree aggregates + three propagation joins
+      val degS = e0.groupBy("sk").agg(count(lit(1)).as("degs"))
+      val degP = e0.groupBy("pk").agg(count(lit(1)).as("degp"))
+      // round 1: mass leaves the seed; restart keeps 150000 on it
+      val p1p = e0.join(degS, "sk").filter(col("sk") === 1)
+        .select(col("pk"),
+          bround(lit(850000.0) / col("degs")).cast("long").as("m"))
+      // round 2, part side: the seed's retained 150000 fans out again
+      val p2p = e0.join(degS, "sk").filter(col("sk") === 1)
+        .select(col("pk"),
+          bround(lit(150000L) * lit(0.85) / col("degs")).cast("long")
+            .as("c"))
+        .groupBy("pk").agg(sum("c").as("m"))
+      // round 2, supplier side: round-1 part mass + the seed restart
+      val p2s = e0.join(p1p, "pk").join(degP, "pk")
+        .select(col("sk"),
+          bround(col("m") * lit(0.85) / col("degp")).cast("long").as("c"))
+        .unionByName(Seq((1L, 150000L)).toDF("sk", "c"))
+        .groupBy("sk").agg(sum("c").as("m"))
+      p2s.select(concat(lit("s"), col("sk").cast("string")).as("node"),
+          col("m").as("ppr_micros"))
+        .unionByName(p2p.select(
+          concat(lit("p"), col("pk").cast("string")).as("node"),
+          col("m").as("ppr_micros")))
+        .orderBy(col("ppr_micros").desc, col("node"))
+        .limit(20)
+    }),
     // HITS mutual reinforcement on the directed supplier→part graph
     // (hubs = suppliers, authorities = parts) — the OTHER classic
     // link-analysis operator next to PageRank, and a different
@@ -791,6 +834,32 @@ object Scoring {
         |    AS BIGINT) AS pr_micros
         |FROM nodes LEFT JOIN contrib ON node = contrib.dst
         |ORDER BY pr_micros DESC, node LIMIT 20""".stripMargin,
+    // same two quantized frontier rounds; the seed restart joins the
+    // supplier aggregate as a UNION ALL row (present even when no
+    // part mass reaches back)
+    "ppr_seeded" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem),
+        |degs AS (SELECT sk, count(*) AS degs FROM e0 GROUP BY 1),
+        |degp AS (SELECT pk, count(*) AS degp FROM e0 GROUP BY 1),
+        |p1p AS (SELECT pk,
+        |    CAST(round_even(850000.0 / degs, 0) AS BIGINT) AS m
+        |  FROM e0 JOIN degs USING (sk) WHERE sk = 1),
+        |p2p AS (SELECT pk, CAST(sum(c) AS BIGINT) AS m FROM (
+        |    SELECT pk,
+        |      CAST(round_even(150000 * 0.85 / degs, 0) AS BIGINT) AS c
+        |    FROM e0 JOIN degs USING (sk) WHERE sk = 1) GROUP BY pk),
+        |p2s AS (SELECT sk, CAST(sum(c) AS BIGINT) AS m FROM (
+        |    SELECT e0.sk,
+        |      CAST(round_even(p1p.m * 0.85 / degp, 0) AS BIGINT) AS c
+        |    FROM e0 JOIN p1p USING (pk) JOIN degp USING (pk)
+        |    UNION ALL SELECT 1, 150000) GROUP BY sk)
+        |SELECT node, ppr_micros FROM (
+        |  SELECT 's' || CAST(sk AS VARCHAR) AS node, m AS ppr_micros
+        |  FROM p2s
+        |  UNION ALL
+        |  SELECT 'p' || CAST(pk AS VARCHAR), m FROM p2p)
+        |ORDER BY ppr_micros DESC, node LIMIT 20""".stripMargin,
     // same integer propagation; top-k per side via two LIMITed CTEs
     "hits_scores" ->
       """WITH e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk

@@ -238,6 +238,23 @@ class ScoringSpec extends AnyFunSuite {
     assert(out("p2") === 150000L + math.round(0.85 * 250000.0))
   }
 
+  test("ppr: two frontier rounds from the seed on the star fixture") {
+    import spark.implicits._
+    // same star as the pagerank test: s1→p1..p4, s2→p1; seed s1.
+    // p1p: 850000/4 = 212500 on each part. p2 parts: ⌊150000·.85/4⌉ =
+    // 31875. p2 suppliers: p1 sends ⌊212500·.85/2⌉ = 90312 to s1,s2;
+    // p2..p4 send 180625 to s1; restart adds 150000 on s1.
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L))
+      .toDF("l_suppkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("ppr").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.queries.Scoring.queries("ppr_seeded")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(
+      ("s1", 90312L + 3 * 180625L + 150000L), ("s2", 90312L),
+      ("p1", 31875L), ("p2", 31875L), ("p3", 31875L), ("p4", 31875L)))
+  }
+
   test("hits: two-hop integer propagation, dup edge collapsed") {
     import spark.implicits._
     // s1→{p1,p2}, s2→{p2} (duplicated row exercises the distinct).
