@@ -50,6 +50,54 @@ object Inference {
       .localCheckpoint()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Split conformal prediction (Vovk; the distribution-free
+    // prediction-interval recipe an ML eval pipeline runs at release
+    // gates): calibrate on even order keys — residual = |price −
+    // segment mean| — take the k = ⌈0.9·(n+1)⌉-th smallest calibration
+    // residual as the threshold (the EXACT order statistic, integer k,
+    // no interpolated quantile), then measure empirical coverage on
+    // the odd-key split. The marginal-coverage guarantee ≥ 0.9 holds
+    // by exchangeability regardless of how bad the "model" is.
+    // Scale shape: prices quantize to exact cents; the segment-mean
+    // model is a 5-row broadcast; the order statistic rides
+    // [[graft.ops.DistributedRank.withRowNumber]] (bucketed — no
+    // single-partition sort); coverage is one more map-side aggregate.
+    "conformal_threshold" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        bround(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg"))
+      val j = o.join(c, "o_custkey")
+      val cal = j.filter(col("o_orderkey") % 2 === 0)
+      val mu = cal.groupBy("seg").agg(
+        bround(sum(col("cents").cast(DecimalType(38, 0))).cast("double")
+          / count(lit(1))).cast("long").as("m"))
+      val calR = cal.join(broadcast(mu), "seg")
+        .select(col("o_orderkey"), abs(col("cents") - col("m")).as("r"))
+      val nk = calR.agg(count(lit(1)).as("n_calib"))
+        .select(col("n_calib"),
+          expr("CAST(((n_calib + 1) * 9 + 9) DIV 10 AS BIGINT)").as("k"))
+      val q = graft.ops.DistributedRank
+        .withRowNumber(calR, col("r"), col("o_orderkey"), "rn")
+        .crossJoin(broadcast(nk))
+        .filter(col("rn") === col("k"))
+        .select(col("n_calib"), col("k"), col("r").as("q_cents"))
+      val cov = j.filter(col("o_orderkey") % 2 === 1)
+        .join(broadcast(mu), "seg")
+        .select(abs(col("cents") - col("m")).as("r"))
+        .crossJoin(broadcast(q))
+        .agg(max("n_calib").as("n_calib"), max("k").as("k"),
+          max("q_cents").as("q_cents"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("q_cents"), 1L).otherwise(0L))
+            .as("covered"))
+      cov.select(col("n_calib"), col("k"), col("q_cents"),
+        col("n_test"), col("covered"),
+        round(col("covered").cast("double")
+          / col("n_test").cast("double"), 6).as("coverage"))
+    }),
     // Mann–Whitney U rank-sum test (purchase vs view event values) —
     // the nonparametric sibling of welch_ttest. Computed entirely on
     // the DISTINCT-VALUE GRID (the ks_test idiom): one hash-agg to the
@@ -686,6 +734,36 @@ object Inference {
     }))
 
   val oracles: Map[String, String] = Map(
+    // the order statistic is a plain row_number here (DuckDB sorts
+    // globally anyway); k = ⌈0.9(n+1)⌉ in exact integers
+    "conformal_threshold" ->
+      """WITH j AS (SELECT o_orderkey,
+        |    CAST(round_even(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    c_mktsegment AS seg
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cal AS (SELECT * FROM j WHERE o_orderkey % 2 = 0),
+        |mu AS (SELECT seg,
+        |    CAST(round_even(CAST(sum(cents) AS DOUBLE) / count(*), 0)
+        |      AS BIGINT) AS m
+        |  FROM cal GROUP BY 1),
+        |r AS (SELECT o_orderkey, abs(cents - m) AS r
+        |  FROM cal JOIN mu USING (seg)),
+        |nk AS (SELECT CAST(count(*) AS BIGINT) AS n_calib,
+        |    CAST(((count(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k
+        |  FROM r),
+        |rk AS (SELECT r,
+        |    row_number() OVER (ORDER BY r, o_orderkey) AS rn FROM r),
+        |q AS (SELECT n_calib, k, r AS q_cents FROM rk, nk WHERE rn = k),
+        |ts AS (SELECT abs(cents - m) AS r FROM j JOIN mu USING (seg)
+        |  WHERE o_orderkey % 2 = 1)
+        |SELECT max(q.n_calib) AS n_calib, max(q.k) AS k,
+        |  max(q.q_cents) AS q_cents,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN ts.r <= q.q_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS covered,
+        |  round(CAST(sum(CASE WHEN ts.r <= q.q_cents THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 6) AS coverage
+        |FROM ts, q""".stripMargin,
     "permutation_test" ->
       """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c,
         |    CAST(sum(CAST(round_even(value * 1000000.0, 0) AS BIGINT))

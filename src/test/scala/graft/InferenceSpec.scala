@@ -20,6 +20,25 @@ class InferenceSpec extends AnyFunSuite {
   private def ns(d: Int): Long =
     (1704067200L + d * 86400L + 43200L) * 1000000000L
 
+  test("conformal: k-th order-statistic threshold and test coverage") {
+    // one segment; calibration prices $1..$19 on even keys → mean
+    // 1000 cents, sorted residuals [0,100,100,...,900,900], n=19,
+    // k = ⌈0.9·20⌉ = 18 → q = 900. Test: residuals 500, 1500, 0 →
+    // covered 2/3.
+    val cal = (1 to 19).map(i => (2L * i, 1L, i.toDouble))
+    val tst = Seq((101L, 1L, 15.0), (103L, 1L, 25.0), (105L, 1L, 10.0))
+    val dir = java.nio.file.Files.createTempDirectory("conf").toString
+    (cal ++ tst).toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "A")).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = Inference.queries("conformal_threshold")(spark, dir)
+      .collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4)) === ((19L, 18L, 900L, 3L, 2L)))
+    assert(out.getDouble(5) === 0.666667)
+  }
+
   private def eventsDir(rows: Seq[(Long, Long, String, Double)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("inf_ev").toString
     rows.toDF("ts", "user_id", "event_type", "value")
