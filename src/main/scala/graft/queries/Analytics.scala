@@ -721,6 +721,43 @@ object Analytics {
     // the fact table four times; at 100 TB the fold wins outright.
     "funnel_ordered" -> ((s, dir) => funnelOrdered(s, dir)),
 
+    // Exact SUBSEQUENCE counting (episode mining): per user, the
+    // number of index triples i<j<k with types view→click→purchase —
+    // funnel_ordered reports whether ONE strict path completed; this
+    // counts ALL of them (the combinatorial engagement-intensity
+    // signal, and the denominator of path-attribution rates). The DP
+    // c_v→c_vc→c_vcp unrolls into two STACKED cumulative windows over
+    // one user-keyed sort (Spark reuses the exchange+sort for both):
+    // views-so-far feeds each click's pair count, pairs-so-far feeds
+    // each purchase's triple count — no collect_list, no per-user
+    // memory, counts stay exact BIGINTs. Readout: top-10 users + the
+    // corpus total.
+    "subseq_count" -> ((s, dir) => {
+      val ev = Relational.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+      val wb = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val s1 = ev.withColumn("cv", coalesce(
+        sum(when(col("event_type") === "view", 1L)).over(wb), lit(0L)))
+      val s2 = s1.withColumn("cvc", coalesce(
+        sum(when(col("event_type") === "click", col("cv"))).over(wb),
+        lit(0L)))
+      val per = s2.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", col("cvc"))
+          .otherwise(0L)).as("subseqs"))
+      per.filter(col("subseqs") > 0)
+        .crossJoin(broadcast(
+          per.agg(sum("subseqs").as("total_subseqs"))))
+        .select(col("user_id"), col("n_events"), col("subseqs"),
+          col("total_subseqs"))
+        .orderBy(col("subseqs").desc, col("user_id"))
+        .limit(10)
+    }),
+
     // incremental materialization: daily rollups land in a
     // date-partitioned table in two increments (backfill + refresh);
     // reading the table back must equal the one-shot full aggregation —
@@ -1476,6 +1513,33 @@ object Analytics {
     // the oracle spells the funnel as chained first-occurrence joins
     // (each step strictly after, and within 6 h of, the previous) — an
     // independent derivation of the same greedy first-touch semantics
+    // same stacked cumulative windows (DuckDB nests them via two CTE
+    // hops, as Spark does via two window operators on one sort)
+    "subseq_count" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT *, coalesce(sum(CASE WHEN event_type = 'view'
+        |      THEN 1 END) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cv
+        |  FROM ev),
+        |s2 AS (SELECT *, coalesce(sum(CASE WHEN event_type = 'click'
+        |      THEN cv END) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cvc
+        |  FROM s1),
+        |per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN cvc
+        |      ELSE 0 END) AS BIGINT) AS subseqs
+        |  FROM s2 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(subseqs) AS BIGINT) AS total_subseqs
+        |  FROM per)
+        |SELECT user_id, n_events, subseqs, total_subseqs
+        |FROM per, tot WHERE subseqs > 0
+        |ORDER BY subseqs DESC, user_id LIMIT 10""".stripMargin,
     "funnel_ordered" ->
       """WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
         |  WHERE event_type = 'signup' GROUP BY user_id),

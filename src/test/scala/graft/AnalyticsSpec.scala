@@ -48,6 +48,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === Array((2025, 2L, 5L, 4L, 4L), (2026, 1L, 1L, 1L, 1L)))
   }
 
+  test("subseq_count: all view<click<purchase index triples, exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("subseq").toString
+    // user 1 timeline v v c p c p: triples = v{1,2}·c3·p{4,6} (4)
+    // + v{1,2}·c5·p6 (2) = 6; user 2 has a purchase but no prefix
+    val ev = Seq(
+      (1L, 1L, 1000L, "view"), (1L, 2L, 2000L, "view"),
+      (1L, 3L, 3000L, "click"), (1L, 4L, 4000L, "purchase"),
+      (1L, 5L, 5000L, "click"), (1L, 6L, 6000L, "purchase"),
+      (2L, 7L, 1000L, "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("subseq_count")(spark, dir).collect()
+    assert(out.length === 1)
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3)) === ((1L, 6L, 6L, 6L)))
+  }
+
   test("try_arithmetic: row-level NULL degradation, not job failure") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("try_arith").toString
