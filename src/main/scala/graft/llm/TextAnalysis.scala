@@ -130,6 +130,60 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal runs of content words between stopword breaks; each
+    * word's score is deg(w)/freq(w) where deg counts co-occurrence
+    * with every word of every phrase containing it (self included —
+    * deg(w) += phrase length), and a phrase scores the sum of its
+    * words' scores. The un-supervised sibling of [[tfidfTopTerms]]:
+    * TF-IDF ranks single terms by corpus contrast, RAKE surfaces
+    * multi-word phrases by intra-phrase cohesion.
+    *
+    * Phrase segmentation is the GAPS-AND-ISLANDS window (pos −
+    * row_number over content words per doc): one tokenize pass, one
+    * doc-keyed window, keyed aggregates after — no per-doc memory.
+    * Here punctuation separates WORDS (the corpus is normalized ASCII
+    * prose) and only the shared English stopword alternation breaks
+    * phrases; scores are exact integer (deg, freq) pairs until the
+    * final rounded division chain.
+    */
+  def rakeKeywords(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val stops = stopwords.head._2.split("\\|").toSeq
+    val content = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z0-9]+")))
+      .filter(col("col") =!= "" && !col("col").isInCollection(stops))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    val rn = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos"))
+    val isl = content.withColumn("grp", col("pos") - rn)
+    val ph = isl.groupBy("doc_id", "grp").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        _.getField("w")), " ").as("phrase"),
+      count(lit(1)).as("len"))
+    // per-word score quantizes to integer micros BEFORE the phrase
+    // sum (sum-order-proof, the tfidf integer-first discipline)
+    val wstat = isl.join(ph, Seq("doc_id", "grp"))
+      .groupBy("w").agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      .select(col("w"), bround(col("deg").cast("double") * lit(1000000.0)
+        / col("freq").cast("double")).cast("long").as("sw"))
+    val dp = ph.groupBy("phrase")
+      .agg(count(lit(1)).as("n"), max("len").as("n_words"))
+    dp.select(col("phrase"), col("n"), col("n_words"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wstat, "w")
+      .groupBy("phrase").agg(
+        max("n").as("n"), max("n_words").as("n_words"),
+        sum("sw").as("score_micros"))
+      .select(col("phrase"), col("n"), col("n_words"),
+        col("score_micros"),
+        round(col("score_micros").cast("double") / lit(1000000.0), 6)
+          .as("score"))
+      .orderBy(col("score_micros").desc, col("phrase"))
+      .limit(topK)
+  }
+
   /** Top-k corpus terms per language by TF-IDF. Deterministic across
     * engines by construction: the score is `idf(term) × Σtf` — the term
     * frequency sums as an INTEGER first and multiplies the idf once, so

@@ -248,6 +248,9 @@ object LlmQueries {
     "ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
+    // RAKE multi-word keyphrases (see [[TextAnalysis.rakeKeywords]])
+    "keyword_rake" -> ((s, dir) =>
+      TextAnalysis.rakeKeywords(docsFan(s, dir))),
     "quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")),
     "repetition_filter" -> ((s, dir) =>
@@ -1336,6 +1339,36 @@ object LlmQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "doc_fingerprint" ->
       s"SELECT doc_id, $fpSql AS fp FROM documents ORDER BY doc_id",
+    // same islands (pos − row_number), same integer-micros word scores
+    "keyword_rake" -> {
+      val stops = TextAnalysis.stopwords.head._2.split("\\|")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id,
+         |    CAST(generate_subscripts(a, 1) AS INT) AS pos,
+         |    unnest(a) AS w
+         |  FROM (SELECT doc_id,
+         |      string_split_regex(lower(text), '[^a-z0-9]+') AS a
+         |    FROM documents)),
+         |ct AS (SELECT * FROM tk WHERE w <> '' AND w NOT IN ($stops)),
+         |il AS (SELECT *, pos - row_number()
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM ct),
+         |ph AS (SELECT doc_id, grp,
+         |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+         |    CAST(count(*) AS BIGINT) AS len
+         |  FROM il GROUP BY 1, 2),
+         |ws AS (SELECT w, CAST(round_even(CAST(sum(len) AS DOUBLE)
+         |      * 1000000.0 / count(*), 0) AS BIGINT) AS sw
+         |  FROM il JOIN ph USING (doc_id, grp) GROUP BY 1),
+         |dp AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n,
+         |    max(len) AS n_words FROM ph GROUP BY 1),
+         |px AS (SELECT phrase, n, n_words,
+         |    unnest(string_split(phrase, ' ')) AS w FROM dp)
+         |SELECT phrase, max(n) AS n, max(n_words) AS n_words,
+         |  CAST(sum(sw) AS BIGINT) AS score_micros,
+         |  round(CAST(sum(sw) AS DOUBLE) / 1000000.0, 6) AS score
+         |FROM px JOIN ws USING (w) GROUP BY phrase
+         |ORDER BY score_micros DESC, phrase LIMIT 20""".stripMargin
+    },
     "token_count_bpe" -> {
       val pat = TextAnalysis.bpeTokenPattern.replace("'", "''")
       s"""SELECT doc_id,

@@ -147,6 +147,22 @@ class ScoringSpec extends AnyFunSuite {
     assert(out(0).getLong(2) >= 4, "several aligned grams shared")
   }
 
+  test("rake: stopwords segment phrases, deg/freq scores hand-check") {
+    // "of"/"the" break islands: doc1 → "deep learning" twice,
+    // doc2 → "deep models". deg(deep)=6 freq=3, deg(learning)=4
+    // freq=2, deg(models)=2 freq=1 → every word scores 2.0, both
+    // phrases 4.0; phrase tiebreak orders learning first.
+    val d = docs(
+      1L -> "deep learning of the deep learning",
+      2L -> "deep models")
+    val out = TextAnalysis.rakeKeywords(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      ("deep learning", 2L, 2L, 4000000L, 4.0),
+      ("deep models", 1L, 2L, 4000000L, 4.0)))
+  }
+
   test("winnowing: pair counts equal a brute-force fingerprint-set " +
       "intersection, and docs sharing an 11+ char run always pair") {
     val shared =
