@@ -561,6 +561,81 @@ object LlmQueries {
         .limit(50)
     }),
 
+    // Fellegi–Sunter probabilistic record linkage, one exact EM step
+    // (Winkler's EM for the m/u parameters) over the SAME
+    // sorted-neighborhood candidate pairs as above — blocking keeps
+    // the pair stage linear at 100 TB, and EM runs on the ≤8-row
+    // agreement-PATTERN histogram, not the pairs. Three agreement
+    // features: 6-dp JW ≥ 0.9, lang equality, source equality. With
+    // the fixed init (p=0.1, m=0.9, u=0.1 ∀i) the E-step posterior
+    // depends only on the agreement count k, and is the exact rational
+    // 9^k/(9^k + 9^(4−k)) — quantized ONCE to integer micros (no libm
+    // pow), so every EM sum is an exact BIGINT and the M-step is one
+    // rounded division per parameter.
+    "fellegi_sunter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val jw = (a: Column, b: Column) =>
+        org.apache.spark.sql.graftbridge.GraftBridge.column(
+          graft.functions.JaroWinkler(
+            org.apache.spark.sql.graftbridge.GraftBridge.expression(a),
+            org.apache.spark.sql.graftbridge.GraftBridge.expression(b)))
+      val wk = (0 to 3).map { k =>
+        val pm = math.pow(9.0, k); val pu = math.pow(9.0, 4 - k)
+        math.round(1000000.0 * pm / (pm + pu))
+      } // = 152, 12195, 500000, 987805
+      val p = docs(s, dir).select(col("doc_id").as("k"),
+        substring(col("text"), 1, 80).as("nm"),
+        split(col("text"), " ").getItem(0).as("blk"),
+        col("lang"), col("source"))
+      val win = Window.partitionBy("blk").orderBy("nm", "k")
+      val w = p.select(col("blk"), col("k"), col("nm"), col("lang"),
+        col("source"),
+        lead("nm", 1).over(win).as("n1"), lead("k", 1).over(win).as("k1"),
+        lead("lang", 1).over(win).as("l1"),
+        lead("source", 1).over(win).as("s1"),
+        lead("nm", 2).over(win).as("n2"), lead("k", 2).over(win).as("k2"),
+        lead("lang", 2).over(win).as("l2"),
+        lead("source", 2).over(win).as("s2"))
+      def gs(nc: String, lc: String, sc: String, kc: String) =
+        w.filter(col(kc).isNotNull).select(
+          when(bround(jw(col("nm"), col(nc)), 6) >= 0.90, 1L)
+            .otherwise(0L).as("g1"),
+          when(col("lang") === col(lc), 1L).otherwise(0L).as("g2"),
+          when(col("source") === col(sc), 1L).otherwise(0L).as("g3"))
+      val pat = gs("n1", "l1", "s1", "k1")
+        .unionByName(gs("n2", "l2", "s2", "k2"))
+        .groupBy("g1", "g2", "g3").agg(count(lit(1)).as("n")) // ≤8 rows
+      val kAgree = col("g1") + col("g2") + col("g3")
+      val wMicros = when(kAgree === 0, lit(wk(0)))
+        .when(kAgree === 1, lit(wk(1)))
+        .when(kAgree === 2, lit(wk(2)))
+        .otherwise(lit(wk(3)))
+      val feats = pat.select(col("n"), wMicros.as("w"),
+          explode(array(
+            struct(lit("jw90").as("feature"), col("g1").as("g")),
+            struct(lit("lang").as("feature"), col("g2").as("g")),
+            struct(lit("source").as("feature"), col("g3").as("g"))))
+            .as("f"))
+        .select(col("n"), col("w"), col("f.feature").as("feature"),
+          col("f.g").as("g"))
+      feats.groupBy("feature").agg(
+          sum(col("n") * col("w") * col("g")).as("mn"),
+          sum(col("n") * col("w")).as("md"),
+          sum(col("n") * (lit(1000000L) - col("w")) * col("g")).as("un"),
+          sum(col("n") * (lit(1000000L) - col("w"))).as("ud"),
+          sum(col("n")).as("n3"))
+        .select(col("feature"),
+          round(col("mn").cast("double") / col("md").cast("double"), 6)
+            .as("m_post"),
+          round(col("un").cast("double") / col("ud").cast("double"), 6)
+            .as("u_post"),
+          round(col("md").cast("double")
+            / (col("n3").cast("double") * lit(1000000.0)), 6)
+            .as("p_post"),
+          col("n3").as("n_pairs"))
+        .orderBy("feature")
+    }),
+
     // higher-order array functions over the token array — transform /
     // filter / aggregate / max evaluate per-row (interpreted, but with
     // NO shuffle) where an explode would multiply the row count by
@@ -1103,6 +1178,49 @@ object LlmQueries {
         |  FROM w WHERE k2 IS NOT NULL)
         |SELECT blk, a, b, jw FROM cand WHERE jw >= 0.90
         |ORDER BY jw DESC, a, b LIMIT 50""".stripMargin,
+
+    // same blocked pairs, same rational-in-micros posterior weights
+    // (k-agreement CASE; literals match the Scala-computed ones)
+    "fellegi_sunter" ->
+      """WITH p AS (SELECT doc_id AS k, substr(text, 1, 80) AS nm,
+        |    split_part(text, ' ', 1) AS blk, lang, source
+        |  FROM documents),
+        |w AS (SELECT blk, k, nm, lang, source,
+        |    lead(nm, 1) OVER win AS n1, lead(k, 1) OVER win AS k1,
+        |    lead(lang, 1) OVER win AS l1, lead(source, 1) OVER win AS s1,
+        |    lead(nm, 2) OVER win AS n2, lead(k, 2) OVER win AS k2,
+        |    lead(lang, 2) OVER win AS l2, lead(source, 2) OVER win AS s2
+        |  FROM p WINDOW win AS (PARTITION BY blk ORDER BY nm, k)),
+        |g AS (
+        |  SELECT CASE WHEN round_even(jaro_winkler_similarity(nm, n1), 6)
+        |      >= 0.90 THEN 1 ELSE 0 END AS g1,
+        |    CASE WHEN lang = l1 THEN 1 ELSE 0 END AS g2,
+        |    CASE WHEN source = s1 THEN 1 ELSE 0 END AS g3
+        |  FROM w WHERE k1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT CASE WHEN round_even(jaro_winkler_similarity(nm, n2), 6)
+        |      >= 0.90 THEN 1 ELSE 0 END,
+        |    CASE WHEN lang = l2 THEN 1 ELSE 0 END,
+        |    CASE WHEN source = s2 THEN 1 ELSE 0 END
+        |  FROM w WHERE k2 IS NOT NULL),
+        |pat AS (SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
+        |  FROM g GROUP BY 1, 2, 3),
+        |pw AS (SELECT *, CASE g1 + g2 + g3
+        |    WHEN 0 THEN 152 WHEN 1 THEN 12195
+        |    WHEN 2 THEN 500000 ELSE 987805 END AS w
+        |  FROM pat),
+        |f AS (SELECT n, w, 'jw90' AS feature, g1 AS g FROM pw
+        |  UNION ALL SELECT n, w, 'lang', g2 FROM pw
+        |  UNION ALL SELECT n, w, 'source', g3 FROM pw)
+        |SELECT feature,
+        |  round(CAST(sum(n * w * g) AS DOUBLE)
+        |    / CAST(sum(n * w) AS DOUBLE), 6) AS m_post,
+        |  round(CAST(sum(n * (1000000 - w) * g) AS DOUBLE)
+        |    / CAST(sum(n * (1000000 - w)) AS DOUBLE), 6) AS u_post,
+        |  round(CAST(sum(n * w) AS DOUBLE)
+        |    / (CAST(sum(n) AS DOUBLE) * 1000000.0), 6) AS p_post,
+        |  CAST(sum(n) AS BIGINT) AS n_pairs
+        |FROM f GROUP BY 1 ORDER BY feature""".stripMargin,
 
     "array_functions" ->
       """WITH t AS (

@@ -147,6 +147,36 @@ class ScoringSpec extends AnyFunSuite {
     assert(out(0).getLong(2) >= 4, "several aligned grams shared")
   }
 
+  test("fellegi-sunter: one EM step on a two-pattern fixture") {
+    import spark.implicits._
+    // block aaa: 3 identical docs → 3 pairs, pattern (1,1,1),
+    // w = 987805 micros; block bbb: 2 dissimilar docs with different
+    // lang+source → 1 pair, pattern (0,0,0), w = 152. Per feature:
+    // m = 2963415/2963567, u = 36585/1036433, p = 2963567/4e6.
+    val d = Seq(
+      (1L, "aaa common entity record", "en", "s1"),
+      (2L, "aaa common entity record", "en", "s1"),
+      (3L, "aaa common entity record", "en", "s1"),
+      (4L, "bbb zzzz qqqq wwww", "en", "s1"),
+      (5L, "bbb alpha beta gamma", "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("fs").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("fellegi_sunter")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    val m = BigDecimal(2963415.0 / 2963567.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val u = BigDecimal(36585.0 / 1036433.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p = 2963567.0 / 4000000.0
+    val pr = BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(out.toSeq === Seq(
+      ("jw90", m, u, pr, 4L), ("lang", m, u, pr, 4L),
+      ("source", m, u, pr, 4L)))
+  }
+
   test("rake: stopwords segment phrases, deg/freq scores hand-check") {
     // "of"/"the" break islands: doc1 → "deep learning" twice,
     // doc2 → "deep models". deg(deep)=6 freq=3, deg(learning)=4
