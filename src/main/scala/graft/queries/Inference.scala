@@ -98,6 +98,48 @@ object Inference {
         round(col("covered").cast("double")
           / col("n_test").cast("double"), 6).as("coverage"))
     }),
+    // Decision-stump training: the best Gini split of order price
+    // (binned to a bounded $1000 threshold grid) against a binary
+    // label (BUILDING-segment customer) — the inner loop of
+    // tree/forest training, run the way a distributed learner actually
+    // does it: ONE keyed aggregate folds the corpus to per-bin (n,
+    // positives), a cumulative window over the BOUNDED bin grid gives
+    // every left/right candidate simultaneously, and the weighted Gini
+    // 2/n·(pL(nL−pL)/nL + pR(nR−pR)/nR) stays in exact integers until
+    // one micro-quantized double chain per bin. Top-5 splits reported;
+    // at 100 TB only the first aggregate touches data.
+    "gini_split" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          bround(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+        .select(col("o_custkey"),
+          expr("CAST(cents DIV 100000 AS BIGINT)").as("bin"))
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("o_custkey"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+          .as("y"))
+      val bins = o.join(c, "o_custkey")
+        .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      val wc = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = bins // grid-sized: the window sorts |bins| rows, not rows
+        .select(col("bin"), sum("n").over(wc).as("nl"),
+          sum("pos").over(wc).as("pl"))
+        .crossJoin(broadcast(bins.agg(sum("n").as("nt"),
+          sum("pos").as("pt"))))
+        .filter(col("nl") < col("nt")) // right side must be non-empty
+      val nr = col("nt") - col("nl")
+      val pr2 = col("pt") - col("pl")
+      val gini = bround(lit(2000000.0) / col("nt").cast("double") *
+        (col("pl").cast("double") * (col("nl") - col("pl")).cast("double")
+            / col("nl").cast("double")
+          + pr2.cast("double") * (nr - pr2).cast("double")
+            / nr.cast("double"))).cast("long")
+      cum.select(col("bin"), col("nl"), col("pl"),
+          gini.as("gini_micros"))
+        .orderBy(col("gini_micros"), col("bin"))
+        .limit(5)
+    }),
     // Mann–Whitney U rank-sum test (purchase vs view event values) —
     // the nonparametric sibling of welch_ttest. Computed entirely on
     // the DISTINCT-VALUE GRID (the ks_test idiom): one hash-agg to the
@@ -734,6 +776,31 @@ object Inference {
     }))
 
   val oracles: Map[String, String] = Map(
+    // same bin grid, same cumulative, same integer-exact Gini chain
+    "gini_split" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(round_even(o_totalprice * 100, 0) AS BIGINT) // 100000
+        |      AS bin
+        |  FROM orders),
+        |c AS (SELECT c_custkey AS o_custkey,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        |  FROM customer),
+        |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos
+        |  FROM o JOIN c USING (o_custkey) GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(pos) AS BIGINT) AS pt FROM b),
+        |cum AS (SELECT bin,
+        |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS nl,
+        |    CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS pl
+        |  FROM b)
+        |SELECT bin, nl, pl,
+        |  CAST(round_even(2000000.0 / nt *
+        |    (CAST(pl AS DOUBLE) * (nl - pl) / nl
+        |      + CAST(pt - pl AS DOUBLE) * ((nt - nl) - (pt - pl))
+        |        / (nt - nl)), 0) AS BIGINT) AS gini_micros
+        |FROM cum, t WHERE nl < nt
+        |ORDER BY gini_micros, bin LIMIT 5""".stripMargin,
     // the order statistic is a plain row_number here (DuckDB sorts
     // globally anyway); k = ⌈0.9(n+1)⌉ in exact integers
     "conformal_threshold" ->

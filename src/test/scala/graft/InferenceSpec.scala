@@ -20,6 +20,23 @@ class InferenceSpec extends AnyFunSuite {
   private def ns(d: Int): Long =
     (1704067200L + d * 86400L + 43200L) * 1000000000L
 
+  test("gini split: best threshold separates the pure right bin") {
+    // bins (n, pos): b0 (2,1), b1 (1,1), b2 (2,0); nt=5, pt=2.
+    // split ≤ b1 → left 2/3 impure, right pure: 400000·(2/3) = 266667;
+    // split ≤ b0 → 400000·(1/2 + 2/3) = 466667.
+    val orders = Seq((1L, 1L, 500.0), (2L, 1L, 1500.0), (3L, 2L, 500.0),
+      (4L, 2L, 2500.0), (5L, 2L, 2600.0))
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    orders.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = Inference.queries("gini_split")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 3L, 2L, 266667L), (0L, 2L, 1L, 466667L)))
+  }
+
   test("conformal: k-th order-statistic threshold and test coverage") {
     // one segment; calibration prices $1..$19 on even keys → mean
     // 1000 cents, sorted residuals [0,100,100,...,900,900], n=19,
