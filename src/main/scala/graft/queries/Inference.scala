@@ -396,6 +396,44 @@ object Inference {
         .orderBy("h")
     }),
 
+    // Haar wavelet decomposition of the first-16-day event-count
+    // series — the multi-resolution summary next to acf (lag
+    // structure) / seasonal_decompose (fixed period): detail
+    // coefficients localize WHERE the series changes, per scale. The
+    // UNNORMALIZED integer Haar (a = x₂ᵢ+x₂ᵢ₊₁, d = x₂ᵢ−x₂ᵢ₊₁) keeps
+    // every coefficient an exact BIGINT — no √2 drift — and is
+    // invertible, so the 16 outputs carry the whole series. Scale
+    // shape: one day-keyed aggregate folds the corpus; the 4 pyramid
+    // levels run on the 16-row grid (each a 2-to-1 keyed fold; signs
+    // come from index parity, not row order).
+    "haar_decompose" -> ((s, dir) => {
+      val grid = s.range(16).select(col("id").cast("int").as("d"))
+      val daily = Relational.events(s, dir)
+        .select(expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
+        .filter(col("d") >= 0 && col("d") <= 15)
+        .groupBy("d").agg(count(lit(1)).as("x"))
+      var cur = grid.join(daily, Seq("d"), "left")
+        .select(col("d"), coalesce(col("x"), lit(0L)).as("x"))
+      var out: DataFrame = null
+      for (lvl <- 1 to 4) {
+        val g = cur.select(expr("CAST(d DIV 2 AS INT)").as("i"),
+            col("x"),
+            when(pmod(col("d"), lit(2)) === 0, col("x"))
+              .otherwise(-col("x"))
+              .as("sx"))
+          .groupBy("i").agg(sum("x").as("x"), sum("sx").as("det"))
+          .localCheckpoint() // next level + this level's readout
+        val rows = g.select(lit(lvl).as("level"), col("i").as("idx"),
+          lit("detail").as("kind"), col("det").as("coeff"))
+        out = if (out == null) rows else out.unionByName(rows)
+        cur = g.select(col("i").as("d"), col("x"))
+      }
+      out.unionByName(cur.select(lit(4).as("level"),
+          col("d").as("idx"), lit("approx").as("kind"),
+          col("x").as("coeff")))
+        .orderBy("level", "kind", "idx")
+    }),
+
     "acf_daily" -> ((s, dir) => {
       val dd = dailySeries(s, dir)
       val base = dd.agg(count(lit(1)).cast(D38).as("n"),
@@ -776,6 +814,30 @@ object Inference {
     }))
 
   val oracles: Map[String, String] = Map(
+    // unrolled 4-level integer pyramid; signs from index parity
+    "haar_decompose" -> {
+      val levels = (1 to 4).map { l =>
+        s""",
+           |l$l AS MATERIALIZED (SELECT i // 2 AS i,
+           |    CAST(sum(x) AS BIGINT) AS x,
+           |    CAST(sum(CASE WHEN i % 2 = 0 THEN x ELSE -x END)
+           |      AS BIGINT) AS det
+           |  FROM l${l - 1} GROUP BY 1)""".stripMargin
+      }.mkString
+      val dets = (1 to 4).map { l =>
+        s"""SELECT CAST($l AS INT) AS level, CAST(i AS INT) AS idx,
+           |  'detail' AS kind, det AS coeff FROM l$l""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH daily AS (SELECT
+         |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |l0 AS (SELECT CAST(g.range AS INT) AS i, coalesce(x, 0) AS x
+         |  FROM range(16) g LEFT JOIN daily ON daily.d = g.range)$levels
+         |$dets
+         |UNION ALL SELECT 4, CAST(i AS INT), 'approx', x FROM l4
+         |ORDER BY level, kind, idx""".stripMargin
+    },
     // same bin grid, same cumulative, same integer-exact Gini chain
     "gini_split" ->
       """WITH o AS (SELECT o_custkey,

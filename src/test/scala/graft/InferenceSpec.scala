@@ -20,6 +20,27 @@ class InferenceSpec extends AnyFunSuite {
   private def ns(d: Int): Long =
     (1704067200L + d * 86400L + 43200L) * 1000000000L
 
+  test("haar: integer pyramid over a 4-day-loaded 16-day grid") {
+    // day counts 8,4,6,2,0,...: l1 details (4,4,0...), l2 (4,0...),
+    // l3 (20,0), l4 detail 20, approx 20 (= total events, invariant)
+    val ev = (0 until 8).map(i => (i.toLong, ns(0))) ++
+      (8 until 12).map(i => (i.toLong, ns(1))) ++
+      (12 until 18).map(i => (i.toLong, ns(2))) ++
+      (18 until 20).map(i => (i.toLong, ns(3)))
+    val dir = java.nio.file.Files.createTempDirectory("haar").toString
+    ev.toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Inference.queries("haar_decompose")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val exp = Seq((4, 0, "approx", 20L)) ++
+      Seq((1, 0, 4L), (1, 1, 4L), (2, 0, 4L), (3, 0, 20L), (4, 0, 20L))
+        .map(t => (t._1, t._2, "detail", t._3)) ++
+      (2 to 7).map(i => (1, i, "detail", 0L)) ++
+      (1 to 3).map(i => (2, i, "detail", 0L)) ++ Seq((3, 1, "detail", 0L))
+    assert(out.toSet === exp.toSet)
+    assert(out.length === 16)
+  }
+
   test("gini split: best threshold separates the pure right bin") {
     // bins (n, pos): b0 (2,1), b1 (1,1), b2 (2,0); nt=5, pt=2.
     // split ≤ b1 → left 2/3 impure, right pure: 400000·(2/3) = 266667;
