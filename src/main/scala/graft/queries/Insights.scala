@@ -575,6 +575,61 @@ object Insights {
         .orderBy("channel")
     }),
 
+    // Time-decay multi-touch attribution — the fourth member of the
+    // attribution family (last-touch / U-shape / Shapley): each touch's
+    // raw weight HALVES per day of age (4/2/1 over the 3-day lookback —
+    // exact integers, no libm pow), each purchase distributes exactly
+    // 1,000,000 micro-credits by integer division with the remainder
+    // pinned to the LAST touch (the ushape discipline: credits always
+    // sum to 1e6). Same per-user-bounded range join, same anti-join
+    // "none" leg, same DECIMAL(38,0) value accumulation.
+    "attribution_decay" -> ((s, dir) => {
+      val lookbackUs = 259200000000L // 3 days in µs
+      val dayUs = 86400000000L
+      val ev = Relational.events(s, dir).select(col("user_id"),
+        col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"),
+        bround(col("value") * lit(1000000.0)).cast("long").as("v"))
+      val tou = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_uid"), col("event_id").as("t_eid"),
+          col("ts_us").as("t_ts"), col("event_type").as("ch"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_eid"),
+          col("ts_us").as("p_ts"), col("v"))
+      val windowCond = col("t_uid") === col("user_id") &&
+        (col("t_ts") < col("p_ts") ||
+          (col("t_ts") === col("p_ts") && col("t_eid") < col("p_eid"))) &&
+        col("t_ts") >= col("p_ts") - lit(lookbackUs)
+      val wk = Window.partitionBy("user_id", "p_eid")
+      val m = pur.join(tou, windowCond)
+        .select(col("user_id"), col("p_eid"), col("v"), col("ch"),
+          expr(s"CAST(4 DIV shiftleft(1, CAST(least((p_ts - t_ts) DIV $dayUs, 2) AS INT)) AS BIGINT)")
+            .as("r"),
+          row_number().over(wk.orderBy(col("t_ts"), col("t_eid")))
+            .as("rn"),
+          count(lit(1)).over(wk).as("k"))
+        .withColumn("rt", sum("r").over(wk))
+        .withColumn("fl", expr("CAST((1000000 * r) DIV rt AS BIGINT)"))
+        .withColumn("fs", sum("fl").over(wk))
+      val touched = m.select(col("ch").as("channel"),
+        (col("fl") + when(col("rn") === col("k"),
+          lit(1000000L) - col("fs")).otherwise(0L)).as("cr"),
+        col("v"))
+      val untouched = pur.join(tou, windowCond, "left_anti")
+        .select(lit("none").as("channel"), lit(1000000L).as("cr"),
+          col("v"))
+      touched.unionByName(untouched)
+        .groupBy("channel").agg(
+          count(lit(1)).as("touches"),
+          sum("cr").as("credit_micros"),
+          sum(col("v").cast(D38) * col("cr")).as("wv"))
+        .select(col("channel"), col("touches"), col("credit_micros"),
+          bround(col("credit_micros").cast("double") / 1e6, 6)
+            .as("credited_purchases"),
+          bround(col("wv").cast("double") / 1e12, 6).as("credited_value"))
+        .orderBy("channel")
+    }),
+
     // Structured Streaming, driver-gated: the SAME tumbling-day
     // aggregation the streaming module ships ([[FunnelStream
     // .dailyEventCounts]]) actually RUNS as a stream here —
@@ -1493,6 +1548,53 @@ object Insights {
         |      WHEN rn = k THEN 400000 + 200000 % (k - 2)
         |      ELSE 200000 // (k - 2) END AS cr, v
         |  FROM m),
+        |untouched AS (SELECT 'none' AS channel, 1000000 AS cr, p.v
+        |  FROM pur p WHERE NOT EXISTS (SELECT 1 FROM tou t
+        |    WHERE t.t_uid = p.user_id
+        |      AND (t.t_ts < p.p_ts
+        |        OR (t.t_ts = p.p_ts AND t.t_eid < p.p_eid))
+        |      AND t.t_ts >= p.p_ts - 259200000000)),
+        |u AS (SELECT * FROM touched UNION ALL SELECT * FROM untouched)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS touches,
+        |  CAST(sum(cr) AS BIGINT) AS credit_micros,
+        |  round_even(CAST(sum(cr) AS DOUBLE) / 1000000.0, 6)
+        |    AS credited_purchases,
+        |  round_even(CAST(sum(CAST(v AS HUGEINT) * cr) AS DOUBLE)
+        |    / 1000000000000.0, 6) AS credited_value
+        |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
+    // same halving weights (4 >> age-days), same floor+remainder
+    // integer split; the remainder window is a second cumulative over
+    // the identical partition
+    "attribution_decay" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    event_type,
+        |    CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+        |  FROM events),
+        |tou AS (SELECT user_id AS t_uid, event_id AS t_eid,
+        |    ts_us AS t_ts, event_type AS ch
+        |  FROM ev WHERE event_type IN ('click', 'view')),
+        |pur AS (SELECT user_id, event_id AS p_eid, ts_us AS p_ts, v
+        |  FROM ev WHERE event_type = 'purchase'),
+        |m AS (SELECT p.user_id, p.p_eid, p.v, t.ch,
+        |    CAST(4 // (1 << CAST(least((p.p_ts - t.t_ts) // 86400000000,
+        |      2) AS INT)) AS BIGINT) AS r,
+        |    row_number() OVER (PARTITION BY p.user_id, p.p_eid
+        |      ORDER BY t.t_ts, t.t_eid) AS rn,
+        |    count(*) OVER (PARTITION BY p.user_id, p.p_eid) AS k
+        |  FROM pur p JOIN tou t ON t.t_uid = p.user_id
+        |    AND (t.t_ts < p.p_ts OR (t.t_ts = p.p_ts AND t.t_eid < p.p_eid))
+        |    AND t.t_ts >= p.p_ts - 259200000000),
+        |m2 AS (SELECT *,
+        |    CAST(sum(r) OVER (PARTITION BY user_id, p_eid) AS BIGINT)
+        |      AS rt
+        |  FROM m),
+        |m3 AS (SELECT *, CAST((1000000 * r) // rt AS BIGINT) AS fl,
+        |    CAST(sum((1000000 * r) // rt)
+        |      OVER (PARTITION BY user_id, p_eid) AS BIGINT) AS fs
+        |  FROM m2),
+        |touched AS (SELECT ch AS channel,
+        |    fl + CASE WHEN rn = k THEN 1000000 - fs ELSE 0 END AS cr, v
+        |  FROM m3),
         |untouched AS (SELECT 'none' AS channel, 1000000 AS cr, p.v
         |  FROM pur p WHERE NOT EXISTS (SELECT 1 FROM tou t
         |    WHERE t.t_uid = p.user_id

@@ -306,6 +306,31 @@ class InsightsSpec extends AnyFunSuite {
       r.getAs[Double]("fpr")) === ((2L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("attribution_decay: halving weights, remainder to the last touch") {
+    import spark.implicits._
+    val h = 3600000000L
+    // u1 purchase at 72h: click 12h before (r=4), view 36h before
+    // (r=2), view 70h before (r=1); rt=7 → floors 571428/285714/142857,
+    // remainder +1 to the most recent touch (the click).
+    // u2: purchase(2.0) with no touches → none.
+    val rows = Seq(
+      (1L, 1L, "view", 2 * h, 0.0), (1L, 2L, "view", 36 * h, 0.0),
+      (1L, 3L, "click", 60 * h, 0.0), (1L, 4L, "purchase", 72 * h, 1.0),
+      (2L, 5L, "purchase", 0L, 2.0))
+    val dir = java.nio.file.Files.createTempDirectory("ins_dec").toString
+    rows.toDF("user_id", "event_id", "event_type", "us", "value")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Insights.queries("attribution_decay")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got === Map(
+      "click" -> ((1L, 571429L, 0.571429, 0.571429)),
+      "view" -> ((2L, 428571L, 0.428571, 0.428571)),
+      "none" -> ((1L, 1000000L, 1.0, 2.0))))
+  }
+
   test("attribution_ushape: range join stays an equi-join on user (plan)") {
     assume(new java.io.File("/root/testdata/sf0.001/events.parquet").exists())
     val plan = Insights.queries("attribution_ushape")(
