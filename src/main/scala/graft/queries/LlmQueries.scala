@@ -561,6 +561,57 @@ object LlmQueries {
         .limit(50)
     }),
 
+    // Greedy maximum-coverage selection (the (1−1/e) set-cover greedy;
+    // the "pick the 5 docs that teach the most new vocabulary"
+    // curation pass, the coverage-side complement of kcenter_select's
+    // embedding diversity): 5 rounds of argmax(new-words), each ONE
+    // anti-join + keyed count over the distinct (doc, word) table —
+    // the covered set grows by ≤ the chosen doc's vocabulary, and a
+    // selected doc re-emits NO rows (every word covered), so
+    // re-selection is structurally impossible. The per-round top-1
+    // collect is the kcenter/IVF driver-state precedent (≤5 rows
+    // total); state localCheckpoints per round.
+    "greedy_cover" -> ((s, dir) => {
+      import s.implicits._
+      // coverage unit = 3-token shingles (the dedup unit), NOT single
+      // words: the synthetic corpus draws from a ~31-word vocabulary,
+      // so word coverage saturates in one pick; the shingle universe
+      // scales with the corpus
+      val w = docs(s, dir)
+        .select(col("doc_id"),
+          explode(Dedup.shingles(lower(col("text")))).as("w"))
+        .distinct()
+        .localCheckpoint()
+      // the covered set keeps its own column name AND a fresh alias
+      // per round: both sides descend from the same checkpointed `w`
+      // plan, and without re-aliasing the anti-join's key attributes
+      // share exprIds — the self-join-branch dedup gotcha — which
+      // degenerates the condition and empties the join
+      var covered = s.emptyDataset[String].toDF("cw")
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+      var cum = 0L
+      var saturated = false
+      for (i <- 1 to 5 if !saturated) {
+        val top = w.join(covered, col("w") === col("cw"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id"))
+          .limit(1).collect()
+        if (top.isEmpty) saturated = true // nothing left to cover
+        else {
+          val (id, gain) = (top(0).getLong(0), top(0).getLong(1))
+          cum += gain
+          sel += ((i, id, gain, cum))
+          covered = covered
+            .unionByName(w.filter(col("doc_id") === id)
+              .select(col("w").as("cw")))
+            .distinct()
+            .localCheckpoint()
+        }
+      }
+      sel.toSeq.toDF("sel_order", "doc_id", "gain", "covered_cum")
+        .orderBy("sel_order")
+    }),
+
     // Fellegi–Sunter probabilistic record linkage, one exact EM step
     // (Winkler's EM for the m/u parameters) over the SAME
     // sorted-neighborhood candidate pairs as above — blocking keeps
@@ -1178,6 +1229,44 @@ object LlmQueries {
         |  FROM w WHERE k2 IS NOT NULL)
         |SELECT blk, a, b, jw FROM cand WHERE jw >= 0.90
         |ORDER BY jw DESC, a, b LIMIT 50""".stripMargin,
+
+    // generated unroll (the kcenter/kcore discipline): each round is
+    // argmax(uncovered-word count) + covered-set union; a chosen doc
+    // contributes no uncovered rows afterwards, so NOT-IN exclusion
+    // is unnecessary
+    "greedy_cover" -> {
+      val rounds = (1 to 5).map { i =>
+        val anti = if (i == 1) ""
+          else s" WHERE w NOT IN (SELECT w FROM c${i - 1})"
+        val prev = if (i == 1) "" else s", c${i - 1}"
+        val cover = if (i == 1)
+          s"""c1 AS MATERIALIZED (SELECT DISTINCT w.w
+             |  FROM w JOIN s1 USING (doc_id))""".stripMargin
+        else
+          s"""c$i AS MATERIALIZED (SELECT w FROM c${i - 1}
+             |  UNION SELECT w.w FROM w JOIN s$i USING (doc_id))"""
+            .stripMargin
+        s""",
+           |s$i AS MATERIALIZED (SELECT doc_id,
+           |    CAST(count(*) AS BIGINT) AS gain
+           |  FROM w$anti GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+           |$cover""".stripMargin
+      }.mkString
+      val rows = (1 to 5).map { i =>
+        s"""SELECT CAST($i AS INT) AS sel_order, doc_id, gain,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c$i) AS covered_cum
+           |FROM s$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tk AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '\\S+') AS tk
+         |  FROM documents),
+         |w AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS w
+         |  FROM tk WHERE len(tk) >= 3)$rounds
+         |$rows
+         |ORDER BY sel_order""".stripMargin
+    },
 
     // same blocked pairs, same rational-in-micros posterior weights
     // (k-agreement CASE; literals match the Scala-computed ones)

@@ -147,6 +147,22 @@ class ScoringSpec extends AnyFunSuite {
     assert(out(0).getLong(2) >= 4, "several aligned grams shared")
   }
 
+  test("greedy cover: argmax by NEW shingles, saturation stops rounds") {
+    import spark.implicits._
+    // shingles: d1 {abc,bcd,cde}, d2 {abc,bcx,cxy,xyz}, d3 {bcd}.
+    // greedy: d2 (4 new), then d1 (2 new: bcd,cde — abc covered),
+    // then d3 gains 0 → emits no rows → loop saturates at 2 picks.
+    val d = Seq(
+      (1L, "a b c d e"), (2L, "a b c x y z"), (3L, "b c d"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cover").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("greedy_cover")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1, 2L, 4L, 4L), (2, 1L, 2L, 6L)))
+  }
+
   test("fellegi-sunter: one EM step on a two-pattern fixture") {
     import spark.implicits._
     // block aaa: 3 identical docs → 3 pairs, pattern (1,1,1),
