@@ -577,7 +577,7 @@ object LlmQueries {
       // words: the synthetic corpus draws from a ~31-word vocabulary,
       // so word coverage saturates in one pick; the shingle universe
       // scales with the corpus
-      val w = docs(s, dir)
+      val w = docsFan(s, dir) // fanout: the shingle explode dominates
         .select(col("doc_id"),
           explode(Dedup.shingles(lower(col("text")))).as("w"))
         .distinct()

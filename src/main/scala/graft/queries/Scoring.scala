@@ -55,7 +55,9 @@ object Scoring {
     // fingerprint selection where substring_dedup's stride sampling is
     // alignment-dependent
     "winnow_fingerprint" -> ((s, dir) =>
-      Dedup.winnowPairs(t(s, dir, "documents"))),
+      // fanout: the per-position hash explode is the dominant stage
+      // (the repetition_filter/decontaminate_ngram precedent)
+      Dedup.winnowPairs(GraftSession.fanout(t(s, dir, "documents")))),
     "bpe_merge_step" -> ((s, dir) =>
       TextAnalysis.bpeMergeStep(t(s, dir, "documents"), k = 20)),
     "mixture_weights" -> ((s, dir) =>
