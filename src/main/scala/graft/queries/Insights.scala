@@ -1059,6 +1059,79 @@ object Insights {
         .orderBy("user_id", "sess_no")
     }),
 
+    // Watermark LATE-DATA semantics under the hash oracle — the
+    // dropped-rows contract itself becomes the gate: the replay
+    // (stream_sessionize's staggered-modtime fixture) feeds (1) every
+    // real event, (2) a far-future sentinel that jumps the event-time
+    // watermark past every real window, then (3) a DUPLICATE copy of
+    // the user_id%10=0 events — now strictly below the watermark. The
+    // append-mode tumbling-day aggregate must equal the BATCH daily
+    // counts of the original events: if the engine failed to drop the
+    // late batch, every 10th user's windows would double and the hash
+    // would trip. The sentinel's own window never finalizes, so it
+    // never reaches the sink. State = |days|·|types| windows, bounded
+    // by the watermark — the 100 TB streaming-agg posture.
+    "stream_late_data" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      GraftSession.tune(s)
+      val ev = Relational.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0)
+        .getLong(0)
+      val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_stream_late_" + Relational.sfTag(dir))
+      val p = scratch.getAbsolutePath
+      def dataFiles: Set[java.io.File] =
+        Option(scratch.listFiles).map(_.toSet).getOrElse(Set.empty)
+          .filter(f => !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+      val ready = new java.io.File(scratch, "_GRAFT_REPLAY_READY")
+      if (!ready.exists) {
+        ev.coalesce(1).write.mode("overwrite").parquet(p)
+        val t0 = System.currentTimeMillis
+        dataFiles.foreach(_.setLastModified(t0 - 60000))
+        val yearUs = 365L * 86400 * 1000000
+        def appendBatch(df: DataFrame, stamp: Long): Unit = {
+          val before = dataFiles
+          df.coalesce(1).write.mode("append").parquet(p)
+          (dataFiles -- before).foreach(_.setLastModified(stamp))
+        }
+        // TWO sentinels, the stream_sessionize lesson: the late-row
+        // filter of batch N uses the watermark committed one batch
+        // behind, so the jump needs a spacer batch before the late
+        // rows arrive for them to be filtered under it
+        def sentinel(us: Long, stamp: Long): Unit =
+          appendBatch(Seq((-1L, us)).toDF("user_id", "us")
+            .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+              lit("view").as("event_type")), stamp)
+        sentinel(maxUs + yearUs, t0 - 45000)
+        sentinel(maxUs + 2 * yearUs, t0 - 30000)
+        appendBatch(ev.filter(pmod(col("user_id"), lit(10)) === 0),
+          t0 - 15000)
+        ready.createNewFile()
+      }
+      val src = s.readStream.schema(s.read.parquet(p).schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val tbl = "stream_late_" + Relational.sfTag(dir) + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val q = src.withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // a finalized SENTINEL window (year-away) is fixture scaffolding,
+      // not data — the readout keeps only real-horizon days
+      s.table(tbl)
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("cnt"))
+        .filter(col("day") <=
+          date_format(timestamp_micros(lit(maxUs)), "yyyy-MM-dd"))
+        .orderBy("day", "event_type")
+    }),
+
     // Malformed-input accounting: a scratch CSV where every 13th line
     // carries a non-numeric token in a LONG column, read PERMISSIVE
     // with a corrupt-record column — the ingest-edge contract (bad rows
@@ -1678,6 +1751,12 @@ object Insights {
         |FROM u GROUP BY 1, 2, 3
         |ORDER BY events, purchases, converted""".stripMargin,
     "stream_daily_counts" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the duplicates the replay injects MUST have been dropped by the
+    // watermark for this to match the plain batch daily counts
+    "stream_late_data" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

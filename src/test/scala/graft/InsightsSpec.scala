@@ -331,6 +331,26 @@ class InsightsSpec extends AnyFunSuite {
       "none" -> ((1L, 1000000L, 1.0, 2.0))))
   }
 
+  test("stream_late_data: watermark drops the injected late duplicates") {
+    import spark.implicits._
+    val day = 86400000000L
+    // user 10 (%10=0) is replayed late by the fixture; if the
+    // watermark failed to drop the replay, day-0 would read 5 and
+    // day-1 would read 2
+    val rows = Seq(
+      (10L, 1L, "view", 1 * day), (10L, 2L, "view", 1 * day + 100L),
+      (10L, 3L, "view", 2 * day), (3L, 4L, "view", 1 * day + 200L))
+    val dir = java.nio.file.Files.createTempDirectory("ins_late").toString
+    rows.toDF("user_id", "event_id", "event_type", "us")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Insights.queries("stream_late_data")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("1970-01-02", "view", 3L), ("1970-01-03", "view", 1L)))
+  }
+
   test("attribution_ushape: range join stays an equi-join on user (plan)") {
     assume(new java.io.File("/root/testdata/sf0.001/events.parquet").exists())
     val plan = Insights.queries("attribution_ushape")(
