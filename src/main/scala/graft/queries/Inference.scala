@@ -811,6 +811,203 @@ object Inference {
         .agg(count(lit(1)).as("both_all_cnt"))
         .crossJoin(urgent.exceptAll(fstatus)
           .agg(count(lit(1)).as("only_urgent_all_cnt")))
+    }),
+
+    // Kendall τ-b between the two daily series (event count vs distinct
+    // users) — the rank-correlation companion of spearman_corr that
+    // needs NO global rank at all: concordance is a property of PAIRS,
+    // so the statistic is one bounded |days|² self-join (the theilsen
+    // posture — quadratic in the TIME SPAN, never the corpus) plus two
+    // tiny tie histograms. C, D, and the tie corrections n1/n2 are
+    // exact integers; τ-b spends them in one mirrored double chain
+    // ((C−D)/√((n0−n1)(n0−n2)), √ is correctly-rounded IEEE on both
+    // engines, so identical integer inputs give identical bits).
+    "kendall_tau" -> ((s, dir) => {
+      val dd = Relational.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"),
+          count_distinct(col("user_id")).as("y"))
+        .localCheckpoint() // pair join (both sides) + two tie histograms
+      val a = dd.select(col("day").as("da"), col("x").as("xa"),
+        col("y").as("ya"))
+      val b = dd.select(col("day").as("db"), col("x").as("xb"),
+        col("y").as("yb"))
+      val cd = a.join(b, col("da") < col("db"))
+        .agg(
+          sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+            (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+            .otherwise(0L)).as("concordant"),
+          sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+            (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+            .otherwise(0L)).as("discordant"))
+      // DIV, not `/`: Spark's `/` on integer columns is DOUBLE division
+      val n = dd.agg(count(lit(1)).as("n"))
+        .select(expr("CAST(n * (n - 1) DIV 2 AS BIGINT)").as("n0"),
+          col("n").as("n_days"))
+      val tx = dd.groupBy("x").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("CAST(c * (c - 1) DIV 2 AS BIGINT)")),
+          lit(0L)).as("n1"))
+      val ty = dd.groupBy("y").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("CAST(c * (c - 1) DIV 2 AS BIGINT)")),
+          lit(0L)).as("n2"))
+      cd.crossJoin(broadcast(n)).crossJoin(broadcast(tx))
+        .crossJoin(broadcast(ty))
+        .select(col("n_days"), col("concordant"), col("discordant"),
+          bround((col("concordant") - col("discordant")).cast("double") /
+            sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
+              .cast("double")), 6).as("tau_b"))
+    }),
+
+    // Wald–Wolfowitz runs test on the daily series: are above-mean and
+    // below-mean days randomly interleaved, or do they clump (the
+    // cheap seasonality/trend smoke alarm next to cusum_changepoint's
+    // level-shift scan)? Sign classification compares x·n against Σx —
+    // an exact integer inequality, no rational mean materializes; days
+    // exactly at the mean drop (the standard treatment). R counts sign
+    // flips via one lag over the bounded day grid; the z-score's μ and
+    // σ² terms (2n₁n₂, 2n₁n₂−n) stay exact integers until the single
+    // mirrored double chain.
+    "runs_test" -> ((s, dir) => {
+      val dd = dailySeries(s, dir)
+      val tot = dd.agg(count(lit(1)).as("nall"), sum("x").as("sx"))
+      val signed = dd.crossJoin(broadcast(tot))
+        .filter(col("x") * col("nall") =!= col("sx"))
+        .select(col("day"),
+          when(col("x") * col("nall") > col("sx"), 1L).otherwise(0L)
+            .as("sgn"))
+      val w = Window.orderBy("day") // bounded: one row per day
+      val runs = signed
+        .select(col("sgn"),
+          when(lag(col("sgn"), 1).over(w).isNull ||
+            lag(col("sgn"), 1).over(w) =!= col("sgn"), 1L).otherwise(0L)
+            .as("flip"))
+        .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_above"),
+          sum(when(col("sgn") === 0, 1L).otherwise(0L)).as("n_below"),
+          sum(col("flip")).as("runs"))
+      val nn = (col("n_above") + col("n_below")).cast("long")
+      val m2 = (lit(2L) * col("n_above") * col("n_below")).cast("long")
+      runs.select(col("n_above"), col("n_below"), col("runs"),
+        bround(when(col("n_above") > 0 && col("n_below") > 0 && nn > 1,
+          (col("runs").cast("double") -
+            (m2.cast("double") / nn.cast("double") + lit(1.0))) /
+            sqrt((m2 * (m2 - nn)).cast("double") /
+              (nn.cast("double") * nn.cast("double") *
+                (nn - 1).cast("double")))), 6).as("z"))
+    }),
+
+    // Isotonic calibration (PAVA) of the urgent-order rate over price
+    // bins — THE calibration fit (Zadrozny & Elkan) an eval pipeline
+    // runs on model scores; here the deterministic stand-in score is
+    // the price bin. The fit uses the minimax identity fit_i =
+    // max_{j≤i} min_{k≥i} avg(j..k) instead of the sequential
+    // pool-adjacent-violators loop: every block average is a ratio of
+    // CUMULATIVE-COUNT DIFFERENCES (exact integers), micro-quantized
+    // once, and the max-of-min runs over the bounded bin×bin×bin grid
+    // (≤19³ rows) via broadcast joins — corpus touches exactly one
+    // hash-agg. Monotonicity of the output is a theorem, and the spec
+    // gates it.
+    "isotonic_calibration" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      // bin on integer CENTS (decimal→long exact), never on a decimal
+      // division whose engine-specific result scale could flap a
+      // boundary price across the floor
+      val bins = o.select(
+          least(expr(
+            "CAST(CAST(bround(o_totalprice * 100) AS BIGINT) DIV 3000000" +
+              " AS BIGINT)"), lit(18L)).as("bin"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("u"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("u").as("k"))
+      val w = Window.orderBy("bin") // bounded: ≤19 bins
+      val cum = bins.select(col("bin"), col("n"), col("k"),
+          sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("cn"),
+          sum("k").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("ck"))
+        .localCheckpoint() // j-side, k-side, and i-grid all read it
+      val j = cum.select(col("bin").as("j"), (col("cn") - col("n")).as("pn"),
+        (col("ck") - col("k")).as("pk"))
+      val k = cum.select(col("bin").as("kk"), col("cn"), col("ck"))
+      val jk = j.join(k, col("j") <= col("kk"))
+        .select(col("j"), col("kk"),
+          bround(lit(1000000.0) * (col("ck") - col("pk")).cast("double") /
+            (col("cn") - col("pn")).cast("double")).cast("long").as("m"))
+      val fit = jk
+        .join(cum.select(col("bin").as("i")),
+          col("j") <= col("i") && col("i") <= col("kk"))
+        .groupBy("i", "j").agg(min("m").as("mn"))
+        .groupBy("i").agg(max("mn").as("iso_micro"))
+      cum.join(fit, col("bin") === col("i"))
+        .select(col("bin"), col("n"), col("k").as("urgent"),
+          bround(col("k").cast("double") / col("n").cast("double"), 6)
+            .as("raw_rate"),
+          bround(col("iso_micro").cast("double") / lit(1000000.0), 6)
+            .as("iso_rate"))
+        .orderBy("bin")
+    }),
+
+    // Matrix profile (UCR) of the daily series: for every length-7
+    // subsequence, the z-normalized distance to its nearest
+    // non-overlapping neighbor — the motif/discord primitive of
+    // time-series mining. Per-subsequence moments come from one
+    // 7-row window pass (S, ΣX² → den = 7·ΣX²−S², exact longs); dot
+    // products from a 7-way aligned-offset equi-join (7q² rows, q
+    // bounded by the TIME SPAN); the correlation numerator 7·dot−SᵢSⱼ
+    // stays an exact long, the den product goes through DECIMAL(38,0)
+    // ≙ HUGEINT before its single cast, and d² = 14(1−ρ) quantizes to
+    // 6dp BEFORE the per-i argmin (day tiebreak) so the nearest
+    // neighbor can't flap on ulps. Zero-variance subsequences are
+    // excluded both as queries and as neighbors.
+    "matrix_profile" -> ((s, dir) => {
+      val dd = dailySeries(s, dir)
+      val w = Window.orderBy("day") // bounded: one row per day
+      val idx = dd.select(col("day"), col("x"),
+          row_number().over(w).cast("long").as("t"))
+        .localCheckpoint() // moment window + 7 offset reads + day labels
+      val mom = idx
+        .select(col("day"), col("t"),
+          sum("x").over(w.rowsBetween(0, 6)).as("sS"),
+          sum(col("x") * col("x")).over(w.rowsBetween(0, 6)).as("ss2"),
+          count(lit(1)).over(w.rowsBetween(0, 6)).as("m"))
+        .filter(col("m") === 7)
+        .select(col("day"), col("t"), col("sS"),
+          (lit(7L) * col("ss2") - col("sS") * col("sS")).as("den"))
+        .filter(col("den") > 0)
+      val sub = idx.select(explode(sequence(lit(0L), lit(6L))).as("p"),
+          col("t"), col("x"))
+        .select((col("t") - col("p")).as("i"), col("p"), col("x"))
+        .filter(col("i") >= 1)
+      val dots = sub.select(col("i").as("ia"), col("p"), col("x").as("va"))
+        .join(sub.select(col("i").as("ib"), col("p"), col("x").as("vb")),
+          Seq("p"))
+        .filter(col("ia") + 7 <= col("ib"))
+        .groupBy("ia", "ib")
+        .agg(sum(col("va") * col("vb")).as("dot"),
+          count(lit(1)).as("terms"))
+        .filter(col("terms") === 7)
+      val ma = mom.select(col("t").as("ia"), col("day").as("da"),
+        col("sS").as("sa"), col("den").as("dena"))
+      val mb = mom.select(col("t").as("ib"), col("day").as("db"),
+        col("sS").as("sb"), col("den").as("denb"))
+      val pd = dots.join(ma, "ia").join(mb, "ib")
+        .select(col("da"), col("db"),
+          bround(lit(14.0) * (lit(1.0) -
+            (lit(7L) * col("dot") - col("sa") * col("sb")).cast("double") /
+              sqrt(chk(col("dena").cast(D38) * col("denb").cast(D38),
+                "matrix_profile").cast("double"))), 6).as("d2"))
+      val both = pd.select(col("da").as("qd"), col("db").as("nd"),
+          col("d2"))
+        .union(pd.select(col("db").as("qd"), col("da").as("nd"),
+          col("d2")))
+      val pick = Window.partitionBy("qd").orderBy(col("d2"), col("nd"))
+      both.select(col("qd"), col("nd"), col("d2"),
+          row_number().over(pick).as("rk"))
+        .filter(col("rk") === 1)
+        .select(date_format(col("qd"), "yyyy-MM-dd").as("sub_day"),
+          date_format(col("nd"), "yyyy-MM-dd").as("nn_day"),
+          col("d2").as("mp_dist"))
+        .orderBy("sub_day")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1354,5 +1551,143 @@ object Inference {
         |  WHERE o_orderpriority = '1-URGENT'
         |  EXCEPT ALL
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))"""
-        .stripMargin)
+        .stripMargin,
+
+    "kendall_tau" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |cd AS (SELECT
+        |    CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |        OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |        OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS discordant
+        |  FROM d a JOIN d b ON a.day < b.day),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n0 FROM d),
+        |t1 AS (SELECT COALESCE(CAST(sum(c * (c - 1) // 2) AS BIGINT),
+        |      0) AS n1
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM d GROUP BY x)),
+        |t2 AS (SELECT COALESCE(CAST(sum(c * (c - 1) // 2) AS BIGINT),
+        |      0) AS n2
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM d GROUP BY y))
+        |SELECT n_days, concordant, discordant,
+        |  round_even(CAST(concordant - discordant AS DOUBLE) /
+        |    sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)), 6) AS tau_b
+        |FROM cd, n, t1, t2""".stripMargin,
+
+    "runs_test" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nall,
+        |    CAST(sum(x) AS BIGINT) AS sx FROM d),
+        |sg AS (SELECT day,
+        |    CAST(CASE WHEN x * nall > sx THEN 1 ELSE 0 END AS BIGINT)
+        |      AS sgn
+        |  FROM d, tot WHERE x * nall <> sx),
+        |fl AS (SELECT sgn,
+        |    CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+        |      OR lag(sgn) OVER (ORDER BY day) <> sgn
+        |    THEN 1 ELSE 0 END AS flip
+        |  FROM sg),
+        |r AS (SELECT
+        |    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_above,
+        |    CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_below,
+        |    CAST(sum(flip) AS BIGINT) AS runs
+        |  FROM fl)
+        |SELECT n_above, n_below, runs,
+        |  round_even(CASE
+        |    WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1
+        |    THEN (CAST(runs AS DOUBLE) -
+        |        (CAST(2 * n_above * n_below AS DOUBLE) /
+        |          CAST(n_above + n_below AS DOUBLE) + 1.0)) /
+        |      sqrt(CAST((2 * n_above * n_below) *
+        |          (2 * n_above * n_below - (n_above + n_below))
+        |          AS DOUBLE) /
+        |        (CAST(n_above + n_below AS DOUBLE) *
+        |          CAST(n_above + n_below AS DOUBLE) *
+        |          CAST(n_above + n_below - 1 AS DOUBLE)))
+        |    END, 6) AS z
+        |FROM r""".stripMargin,
+
+    "isotonic_calibration" ->
+      """WITH b AS (SELECT
+        |    LEAST(CAST(round_even(o_totalprice * 100, 0) AS BIGINT)
+        |      // 3000000, 18) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT bin, n, k,
+        |    CAST(sum(n) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cn,
+        |    CAST(sum(k) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS ck
+        |  FROM b),
+        |jk AS (SELECT j.bin AS j, k2.bin AS kk,
+        |    CAST(round_even(1000000.0 *
+        |      CAST(k2.ck - (j.ck - j.k) AS DOUBLE) /
+        |      CAST(k2.cn - (j.cn - j.n) AS DOUBLE), 0) AS BIGINT) AS m
+        |  FROM c j JOIN c k2 ON j.bin <= k2.bin),
+        |mn AS (SELECT i.bin AS i, jk.j AS j, min(jk.m) AS mn
+        |  FROM jk JOIN c i ON jk.j <= i.bin AND i.bin <= jk.kk
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT i, CAST(max(mn) AS BIGINT) AS iso_micro
+        |  FROM mn GROUP BY 1)
+        |SELECT c.bin, c.n, c.k AS urgent,
+        |  round_even(CAST(c.k AS DOUBLE) / CAST(c.n AS DOUBLE), 6)
+        |    AS raw_rate,
+        |  round_even(CAST(iso_micro AS DOUBLE) / 1000000.0, 6)
+        |    AS iso_rate
+        |FROM c JOIN fit ON c.bin = fit.i
+        |ORDER BY bin""".stripMargin,
+
+    "matrix_profile" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |ix AS (SELECT day, x,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        |  FROM d),
+        |mom AS (SELECT day, t,
+        |    CAST(sum(x) OVER w7 AS BIGINT) AS ss,
+        |    CAST(sum(x * x) OVER w7 AS BIGINT) AS ss2,
+        |    count(*) OVER w7 AS m
+        |  FROM ix WINDOW w7 AS (ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
+        |momf AS (SELECT day, t, ss, 7 * ss2 - ss * ss AS den
+        |  FROM mom WHERE m = 7 AND 7 * ss2 - ss * ss > 0),
+        |sub AS (SELECT ix.t - p.p AS i, p.p AS p, ix.x AS v
+        |  FROM ix CROSS JOIN range(0, 7) p(p)
+        |  WHERE ix.t - p.p >= 1),
+        |dots AS (SELECT a.i AS ia, b.i AS ib,
+        |    CAST(sum(a.v * b.v) AS BIGINT) AS dot,
+        |    count(*) AS terms
+        |  FROM sub a JOIN sub b ON a.p = b.p AND a.i + 7 <= b.i
+        |  GROUP BY 1, 2),
+        |pd AS (SELECT ma.day AS da, mb.day AS db,
+        |    round_even(14.0 * (1.0 -
+        |      CAST(7 * dot - ma.ss * mb.ss AS DOUBLE) /
+        |      sqrt(CAST(CAST(ma.den AS HUGEINT) * mb.den AS DOUBLE))),
+        |      6) AS d2
+        |  FROM dots
+        |  JOIN momf ma ON dots.ia = ma.t
+        |  JOIN momf mb ON dots.ib = mb.t
+        |  WHERE terms = 7),
+        |bo AS (SELECT da AS qd, db AS nd, d2 FROM pd
+        |  UNION ALL SELECT db, da, d2 FROM pd),
+        |pk AS (SELECT qd, nd, d2,
+        |    row_number() OVER (PARTITION BY qd ORDER BY d2, nd) AS rk
+        |  FROM bo)
+        |SELECT strftime(qd, '%Y-%m-%d') AS sub_day,
+        |  strftime(nd, '%Y-%m-%d') AS nn_day, d2 AS mp_dist
+        |FROM pk WHERE rk = 1 ORDER BY sub_day""".stripMargin)
 }

@@ -500,6 +500,62 @@ object Signals {
         .limit(20)
     }),
 
+    // DBSCAN point census — the density-clustering triage (core /
+    // border / noise) over the same hash-synthesized geometry family
+    // as geo_cell_join, but on an INTEGER 1000×1000 grid so every
+    // distance compare is exact ((Δx)²+(Δy)² ≤ ε², no libm): cells are
+    // ε-sized (50), so the 3×3 neighbor fan-out provably covers the
+    // ε-ball, candidates come from one equi-join on the cell key
+    // (bucketed-not-all-pairs, the geo posture), and each ORDERED pair
+    // meets exactly once (the probe side's own offset reaches the
+    // build cell) so neighbor counts need no dedup. Core: ≥5 points
+    // within ε including self; border: non-core with a core ε-neighbor
+    // (one semi-join against the core set); noise: the rest. Readout =
+    // the one-row census + core key checksum. At scale the grid
+    // resolution is the knob: cells size to ε, density per cell stays
+    // bounded, and the fan-out is a constant ×9 map-side explode.
+    "dbscan_core" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(col("c_custkey").as("k"),
+          graft.llm.Dedup.hashBucket(concat(lit("dbx:"),
+            col("c_custkey").cast("string")), 1000L).as("ux"),
+          graft.llm.Dedup.hashBucket(concat(lit("dby:"),
+            col("c_custkey").cast("string")), 1000L).as("uy"))
+        .select(col("k"), col("ux"), col("uy"),
+          expr("CAST(ux DIV 50 AS BIGINT)").as("cx"),
+          expr("CAST(uy DIV 50 AS BIGINT)").as("cy"))
+        .localCheckpoint() // probe fan-out + build side share it
+      val offs = for (dx <- -1 to 1; dy <- -1 to 1)
+        yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+      val nbr = pts
+        .select(col("k").as("a"), col("ux").as("xa"), col("uy").as("ya"),
+          col("cx"), col("cy"), explode(array(offs: _*)).as("o"))
+        .select(col("a"), col("xa"), col("ya"),
+          (col("cx") + col("o.dx")).as("cx"),
+          (col("cy") + col("o.dy")).as("cy"))
+        .join(pts.select(col("k").as("b"), col("ux").as("xb"),
+          col("uy").as("yb"), col("cx"), col("cy")), Seq("cx", "cy"))
+        .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(2500L))
+        .select(col("a"), col("b"))
+        .localCheckpoint() // counts + the border semi-join both read it
+      val cnt = nbr.groupBy("a").agg(count(lit(1)).as("ncnt"))
+      val core = cnt.filter(col("ncnt") >= 5).select(col("a").as("ck"))
+        .localCheckpoint() // census + border probe
+      val border = nbr.filter(col("a") =!= col("b"))
+        .join(core.select(col("ck").as("b")), Seq("b"), "left_semi")
+        .select(col("a")).distinct()
+        .join(core.select(col("ck").as("a")), Seq("a"), "left_anti")
+      val nAll = pts.agg(count(lit(1)).as("n_points"))
+      val nCore = core.agg(count(lit(1)).as("n_core"),
+        coalesce(sum("ck"), lit(0L)).as("core_key_sum"))
+      val nBorder = border.agg(count(lit(1)).as("n_border"))
+      nAll.crossJoin(broadcast(nCore)).crossJoin(broadcast(nBorder))
+        .select(col("n_points"), col("n_core"), col("n_border"),
+          (col("n_points") - col("n_core") - col("n_border"))
+            .as("n_noise"),
+          col("core_key_sum"))
+    }),
+
     // Single-source shortest paths with WEIGHTS — the Bellman–Ford
     // frontier iteration (see [[ssspWeighted]]): per-round state is
     // (node, best-known dist), relaxation only fans out from nodes
@@ -2100,6 +2156,38 @@ object Signals {
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_pairs,
         |  a, b, dist_km
         |FROM hit ORDER BY dist_km, a, b LIMIT 20""".stripMargin,
+    // brute-force witness: an IEJoin range self-join on the raw integer
+    // coordinates (no cells) — an independent derivation of the same
+    // ε-neighborhoods the engine reaches through the 3×3 cell fan-out
+    "dbscan_core" ->
+      """WITH p AS MATERIALIZED (SELECT c_custkey AS k,
+        |    CAST('0x' || substr(md5('dbx:'
+        |      || CAST(c_custkey AS VARCHAR)), 1, 7) AS BIGINT)
+        |      % 1000 AS ux,
+        |    CAST('0x' || substr(md5('dby:'
+        |      || CAST(c_custkey AS VARCHAR)), 1, 7) AS BIGINT)
+        |      % 1000 AS uy
+        |  FROM customer),
+        |nbr AS MATERIALIZED (SELECT a.k AS a, b.k AS b
+        |  FROM p a JOIN p b
+        |  ON b.ux BETWEEN a.ux - 50 AND a.ux + 50
+        |    AND b.uy BETWEEN a.uy - 50 AND a.uy + 50
+        |    AND (a.ux - b.ux) * (a.ux - b.ux)
+        |      + (a.uy - b.uy) * (a.uy - b.uy) <= 2500),
+        |core AS MATERIALIZED (SELECT a AS ck FROM nbr GROUP BY a
+        |  HAVING count(*) >= 5),
+        |border AS (SELECT DISTINCT nbr.a FROM nbr
+        |  WHERE nbr.a <> nbr.b
+        |    AND nbr.b IN (SELECT ck FROM core)
+        |    AND nbr.a NOT IN (SELECT ck FROM core))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_points,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM core) AS n_core,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM border) AS n_border,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p)
+        |    - (SELECT CAST(count(*) AS BIGINT) FROM core)
+        |    - (SELECT CAST(count(*) AS BIGINT) FROM border) AS n_noise,
+        |  (SELECT COALESCE(CAST(sum(ck) AS BIGINT), 0) FROM core)
+        |    AS core_key_sum""".stripMargin,
     // four unrolled min-plus relaxation rounds, each a full relax of
     // the previous distance table — value-identical to the engine's
     // frontier Bellman–Ford (relaxing from non-improved nodes only

@@ -353,4 +353,82 @@ class InferenceSpec extends AnyFunSuite {
     assert(run1.getAs[Double]("p_value") === p)
     assert(run1.getAs[Double]("obs_diff_micros") >= 0.0)
   }
+
+  test("kendall_tau: hand-counted concordance with a y-tie correction") {
+    // daily (x,y): (2,2),(3,2),(1,1),(4,4) → of 6 pairs, 5 concordant,
+    // 0 discordant, 1 y-tie pair (d0,d1); n0=6, n1=0, n2=1 →
+    // τ-b = 5/√(6·5) = 0.912871
+    val dir = eventsDir(Seq(
+      (ns(0), 1L, "view", 1.0), (ns(0), 2L, "view", 1.0),
+      (ns(1), 1L, "view", 1.0), (ns(1), 1L, "view", 1.0),
+      (ns(1), 2L, "view", 1.0),
+      (ns(2), 5L, "view", 1.0),
+      (ns(3), 1L, "view", 1.0), (ns(3), 2L, "view", 1.0),
+      (ns(3), 3L, "view", 1.0), (ns(3), 4L, "view", 1.0)))
+    val out = Inference.queries("kendall_tau")(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 5L, 0L)))
+    assert(r.getDouble(3) === 0.912871)
+  }
+
+  test("runs_test: alternating days give R=6 and the exact z") {
+    // counts 5,1,5,1,5,1 (mean 3, no day at it): signs A,B,A,B,A,B →
+    // 6 runs, n1=n2=3, μ=4, σ²=2·9·(18−6)/(36·5)=1.2 →
+    // z = 2/√1.2 = 1.825742
+    val rows = (0 until 6).flatMap { d =>
+      val x = if (d % 2 == 0) 5 else 1
+      (0 until x).map(i => (ns(d), i.toLong, "view", 1.0))
+    }
+    val out = Inference.queries("runs_test")(spark, eventsDir(rows))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 3L, 6L)))
+    assert(r.getDouble(3) === 1.825742)
+  }
+
+  test("isotonic: the 1.0→0.0 violation pools all three bins to 0.5") {
+    import org.apache.spark.sql.functions._
+    // bins (n,k): b0 (4,2) rate .5, b1 (2,2) rate 1, b2 (2,0) rate 0;
+    // PAVA pools b1..b2 to .5, then b0 joins: fit = (.5,.5,.5) — each
+    // verified against the minimax identity by hand
+    val rows = Seq.fill(2)((10000.0, "1-URGENT")) ++
+      Seq.fill(2)((10000.0, "5-LOW")) ++
+      Seq.fill(2)((40000.0, "1-URGENT")) ++
+      Seq.fill(2)((70000.0, "5-LOW"))
+    val dir = java.nio.file.Files.createTempDirectory("inf_iso").toString
+    rows.toDF("o_totalprice", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = Inference.queries("isotonic_calibration")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq === Seq((0L, 4L, 2L, 0.5, 0.5),
+      (1L, 2L, 2L, 1.0, 0.5), (2L, 2L, 0L, 0.0, 0.5)))
+    // the theorem gate on real data: the fit is nondecreasing in bin
+    val sf = "/root/testdata/sf0.001"
+    if (new java.io.File(s"$sf/orders.parquet").exists()) {
+      val iso = Inference.queries("isotonic_calibration")(spark, sf)
+        .collect().map(_.getDouble(4))
+      assert(iso.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
+  test("matrix_profile: a planted repeat is its own zero-distance motif") {
+    // 14 days, counts 1..7,1..7: q=8 subsequences; only (i=1, j=8)
+    // clears the 7-day exclusion zone and they are IDENTICAL → the
+    // profile is exactly two rows at distance 0; i=2..7 have no
+    // admissible neighbor and stay silent
+    val rows = (0 until 14).flatMap { d =>
+      val x = d % 7 + 1
+      (0 until x).map(i => (ns(d), i.toLong, "view", 1.0))
+    }
+    val out = Inference.queries("matrix_profile")(spark, eventsDir(rows))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", "2024-01-08", 0.0),
+      ("2024-01-08", "2024-01-01", 0.0)))
+  }
 }

@@ -357,6 +357,42 @@ class SignalsSpec extends AnyFunSuite {
     assert(out.map(t => (t._2, t._3, t._4)).toSeq === expect.take(20))
   }
 
+  test("dbscan: 3×3 cell census equals exact all-pairs triage") {
+    import spark.implicits._
+    // 600 hash-placed integer points; reference = brute-force O(n²)
+    // ε-neighborhood triage in plain Scala (same md5 coords, same
+    // integer distance), so the ε-sized-cell candidate generation is
+    // checked for completeness, not just determinism
+    val dir = java.nio.file.Files.createTempDirectory("sig_db").toString
+    (1L to 600L).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    def bucket(key: String, m: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString
+        .take(7), 16) % m
+    }
+    val pts = (1L to 600L).map(k =>
+      (k, bucket(s"dbx:$k", 1000L), bucket(s"dby:$k", 1000L)))
+    def d2(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+    val core = pts.filter(a => pts.count(b => d2(a, b) <= 2500L) >= 5)
+      .map(_._1).toSet
+    val border = pts.filter(a => !core(a._1))
+      .filter(a => pts.exists(b =>
+        b._1 != a._1 && core(b._1) && d2(a, b) <= 2500L))
+      .map(_._1).toSet
+    val out = graft.queries.Signals.queries("dbscan_core")(spark, dir)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(core.nonEmpty && border.nonEmpty) // fixture exercises all 3
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) ===
+      ((600L, core.size.toLong, border.size.toLong,
+        600L - core.size - border.size, core.toSeq.sum)))
+  }
+
   test("sssp: weighted relaxation beats the direct edge, exits early") {
     import spark.implicits._
     // weighted square: s1-p1 w=1 (min of dup rows 4,1), p1-s2 w=2,
