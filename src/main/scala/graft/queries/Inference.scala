@@ -813,6 +813,141 @@ object Inference {
           .agg(count(lit(1)).as("only_urgent_all_cnt")))
     }),
 
+    // Cross-correlation function (lead–lag) between the view and
+    // purchase daily series at lags −7..+7 — acf_daily's two-series
+    // sibling, and the do-purchases-trail-views diagnostic. Per lag the
+    // Pearson correlation runs over the PAIRED days only (join on the
+    // shifted date), from exact integer moments (counts are integers;
+    // n·Σvp − Σv·Σp etc. in DECIMAL(38,0) with the chk() trap), spent
+    // in one mirrored double chain. Cost: |days|·15 exploded probe rows
+    // joined back to the bounded grid — quadratic in nothing.
+    "cross_corr" -> ((s, dir) => {
+      val ev = Relational.events(s, dir)
+      def daily(et: String, cn: String) = ev
+        .filter(col("event_type") === et)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as(cn))
+      val v = daily("view", "v").localCheckpoint() // 15-lag fan-out side
+      val p = daily("purchase", "p")
+      val pairs = v
+        .select(explode(sequence(lit(-7), lit(7))).as("lag"),
+          col("day"), col("v"))
+        .select(col("lag"), date_add(col("day"), col("lag")).as("pday"),
+          col("v"))
+        .join(p.select(col("day").as("pday"), col("p")), Seq("pday"))
+        .groupBy("lag").agg(
+          count(lit(1)).as("n_pairs"),
+          sum("v").cast(D38).as("sv"), sum("p").cast(D38).as("sp"),
+          sum(col("v").cast(D38) * col("v")).cast(D38).as("svv"),
+          sum(col("p").cast(D38) * col("p")).cast(D38).as("spp"),
+          sum(col("v").cast(D38) * col("p")).cast(D38).as("svp"))
+      val np = col("n_pairs").cast(D38)
+      val num = chk(np * col("svp") - col("sv") * col("sp"), "cross_corr")
+      val dv = chk(np * col("svv") - col("sv") * col("sv"), "cross_corr")
+      val dp = chk(np * col("spp") - col("sp") * col("sp"), "cross_corr")
+      pairs.select(col("lag").cast("long").as("lag"), col("n_pairs"),
+          bround(when(dv > 0 && dp > 0, num.cast("double") /
+            sqrt(chk(dv * dp, "cross_corr").cast("double"))), 6)
+            .as("r"))
+        .orderBy("lag")
+    }),
+
+    // Periodicity scan — seasonality strength of the daily series at
+    // every candidate period p ∈ 2..14 WITHOUT trigonometry: fold the
+    // series by t mod p and take the one-way-ANOVA R² of the folded
+    // groups ((SSB)/(SST)). Unlike a periodogram there is no libm sin/
+    // cos whose last-ulp disagreement could flap a quantized sum —
+    // every moment (S_g, n_g, ΣX², S, n) is an exact integer, the two
+    // rational terms Σ S_g²/n_g and S²/n floor-quantize via integer
+    // DIV (≤1 count²-unit of floor error against magnitudes ~1e9,
+    // mirrored by DuckDB's `//`), and each period's R² spends one
+    // double chain. The weekly cycle must dominate: the spec pins
+    // argmax = 7 on a planted grid, and all 13 rows emit (no top-k
+    // selection to flap on near-ties).
+    "period_scan" -> ((s, dir) => {
+      val dd = dailySeries(s, dir)
+      val w = Window.orderBy("day") // bounded: one row per day
+      val idx = dd.select(col("x"),
+          (row_number().over(w).cast("long") - 1).as("t"))
+        .localCheckpoint() // 13-period fan-out + global moments
+      val tot = idx.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val folded = idx
+        .select(explode(sequence(lit(2L), lit(14L))).as("p"), col("t"),
+          col("x"))
+        .select(col("p"), pmod(col("t"), col("p")).as("g"), col("x"))
+        .groupBy("p", "g")
+        .agg(count(lit(1)).as("ng"), sum("x").as("sg"))
+        .groupBy("p")
+        .agg(sum(expr("CAST(sg * sg DIV ng AS BIGINT)")).as("ssb_raw"))
+      val sst = col("sxx") - expr("CAST(sx * sx DIV n AS BIGINT)")
+      folded.crossJoin(broadcast(tot))
+        .select(col("p"),
+          bround(when(sst =!= 0,
+            (col("ssb_raw") - expr("CAST(sx * sx DIV n AS BIGINT)"))
+              .cast("double") / sst.cast("double")), 6).as("r2"))
+        .orderBy("p")
+    }),
+
+    // Hurst exponent by rescaled-range (R/S) analysis — long-range
+    // dependence of the daily series (H≈0.5 random walk increments,
+    // H→1 trending). Blocks of m ∈ {4,8,16} days (the fixture span is
+    // 30 days — 16 is the largest power of two with a full block); within each block
+    // the mean-adjusted cumulative deviation multiplies through by m
+    // (m·Z_j = m·cum_j − j·S, the cusum_changepoint integer trick) so
+    // the range R·m is an exact integer, and R/S = R·m/√(m·ΣX²−S²)
+    // is one correctly-rounded double chain per block (sqrt of an
+    // exact integer — no libm slack). Per-size means micro-quantize
+    // before the cross-block sum; H = (ln r̄₁₆ − ln r̄₄)/(2 ln 2), the
+    // equal-log-spacing least-squares slope. Output: per-size block
+    // counts + mean R/S and the fitted H.
+    "hurst_rs" -> ((s, dir) => {
+      val dd = dailySeries(s, dir)
+      val w = Window.orderBy("day") // bounded: one row per day
+      val idx = dd.select(col("x"),
+          (row_number().over(w).cast("long") - 1).as("t"))
+        .localCheckpoint() // 3 block sizes fan out of it
+      val blocks = idx
+        .select(explode(array(lit(4L), lit(8L), lit(16L))).as("m"),
+          col("t"), col("x"))
+        .select(col("m"), expr("CAST(t DIV m AS BIGINT)").as("blk"),
+          pmod(col("t"), col("m")).as("j"), col("x"))
+      val bw = Window.partitionBy("m", "blk").orderBy("j")
+      val z = blocks
+        .select(col("m"), col("blk"), col("j"), col("x"),
+          sum("x").over(bw.rowsBetween(Window.unboundedPreceding, 0))
+            .as("cum"))
+      val bs = z.groupBy("m", "blk").agg(count(lit(1)).as("len"),
+        sum("x").as("sb"), sum(col("x") * col("x")).as("ssqb"))
+      val zj = z.join(bs, Seq("m", "blk"))
+        .filter(col("len") === col("m")) // full blocks only
+        .select(col("m"), col("blk"), col("sb"), col("ssqb"),
+          (col("m") * col("cum") - (col("j") + 1) * col("sb")).as("mz"))
+      val rs = zj.groupBy("m", "blk")
+        .agg(max("sb").as("sb"), max("ssqb").as("ssqb"),
+          (greatest(max("mz"), lit(0L)) - least(min("mz"), lit(0L)))
+            .as("rm"))
+        .filter(col("m") * col("ssqb") - col("sb") * col("sb") > 0)
+        .select(col("m"),
+          bround(lit(1000000.0) * col("rm").cast("double") /
+            sqrt((col("m") * col("ssqb") - col("sb") * col("sb"))
+              .cast("double"))).cast("long").as("rs_micro"))
+      val bySize = rs.groupBy("m")
+        .agg(count(lit(1)).as("n_blocks"), sum("rs_micro").as("s_rs"))
+        .select(col("m"), col("n_blocks"),
+          (col("s_rs").cast("double") / col("n_blocks").cast("double") /
+            lit(1000000.0)).as("mean_rs"))
+        .localCheckpoint() // readout + the H pivot both consume it
+      val h = bySize.agg(
+        (log(max(when(col("m") === 16, col("mean_rs")))) -
+          log(max(when(col("m") === 4, col("mean_rs"))))).as("dln"))
+        .select((col("dln") / lit(2.0 * math.log(2.0))).as("hurst"))
+      bySize.crossJoin(broadcast(h))
+        .select(col("m"), col("n_blocks"), bround(col("mean_rs"), 6)
+          .as("mean_rs"), bround(col("hurst"), 6).as("hurst"))
+        .orderBy("m")
+    }),
+
     // Kendall τ-b between the two daily series (event count vs distinct
     // users) — the rank-correlation companion of spearman_corr that
     // needs NO global rank at all: concordance is a property of PAIRS,
@@ -1552,6 +1687,96 @@ object Inference {
         |  EXCEPT ALL
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))"""
         .stripMargin,
+
+    "cross_corr" ->
+      """WITH v AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS p
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |pr AS (SELECT l.lag AS lag,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(v.v) AS HUGEINT) AS sv,
+        |    CAST(sum(p.p) AS HUGEINT) AS sp,
+        |    CAST(sum(CAST(v.v AS HUGEINT) * v.v) AS HUGEINT) AS svv,
+        |    CAST(sum(CAST(p.p AS HUGEINT) * p.p) AS HUGEINT) AS spp,
+        |    CAST(sum(CAST(v.v AS HUGEINT) * p.p) AS HUGEINT) AS svp
+        |  FROM v CROSS JOIN range(-7, 8) l(lag)
+        |  JOIN p ON p.day = v.day + CAST(l.lag AS INT)
+        |  GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  round_even(CASE WHEN n_pairs * svv - sv * sv > 0
+        |      AND n_pairs * spp - sp * sp > 0
+        |    THEN CAST(n_pairs * svp - sv * sp AS DOUBLE) /
+        |      sqrt(CAST((n_pairs * svv - sv * sv)
+        |        * (n_pairs * spp - sp * sp) AS DOUBLE)) END, 6) AS r
+        |FROM pr ORDER BY lag""".stripMargin,
+
+    "period_scan" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |ix AS (SELECT x,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1 AS t
+        |  FROM d),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM ix),
+        |fold AS (SELECT pp.p AS p, ix.t % pp.p AS g,
+        |    CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(x) AS BIGINT) AS sg
+        |  FROM ix CROSS JOIN range(2, 15) pp(p)
+        |  GROUP BY 1, 2),
+        |ssb AS (SELECT p, CAST(sum(sg * sg // ng) AS BIGINT) AS ssb_raw
+        |  FROM fold GROUP BY 1)
+        |SELECT p, round_even(CASE WHEN sxx - sx * sx // n <> 0
+        |    THEN CAST(ssb_raw - sx * sx // n AS DOUBLE) /
+        |      CAST(sxx - sx * sx // n AS DOUBLE) END, 6) AS r2
+        |FROM ssb CROSS JOIN tot ORDER BY p""".stripMargin,
+
+    "hurst_rs" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |ix AS (SELECT x,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1 AS t
+        |  FROM d),
+        |bl AS (SELECT mm.m AS m, ix.t // mm.m AS blk, ix.t % mm.m AS j,
+        |    ix.x AS x
+        |  FROM ix CROSS JOIN (SELECT unnest([4, 8, 16]) AS m) mm),
+        |z AS (SELECT m, blk, j, x,
+        |    CAST(sum(x) OVER (PARTITION BY m, blk ORDER BY j
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM bl),
+        |bs AS (SELECT m, blk, CAST(count(*) AS BIGINT) AS len,
+        |    CAST(sum(x) AS BIGINT) AS sb,
+        |    CAST(sum(x * x) AS BIGINT) AS ssqb
+        |  FROM z GROUP BY 1, 2),
+        |zj AS (SELECT z.m, z.blk, bs.sb, bs.ssqb,
+        |    z.m * z.cum - (z.j + 1) * bs.sb AS mz
+        |  FROM z JOIN bs ON z.m = bs.m AND z.blk = bs.blk
+        |  WHERE bs.len = z.m),
+        |rs AS (SELECT m, blk,
+        |    CAST(round_even(1000000.0 *
+        |      CAST(greatest(max(mz), 0) - least(min(mz), 0) AS DOUBLE) /
+        |      sqrt(CAST(m * max(ssqb) - max(sb) * max(sb) AS DOUBLE)),
+        |      0) AS BIGINT) AS rs_micro
+        |  FROM zj GROUP BY 1, 2
+        |  HAVING m * max(ssqb) - max(sb) * max(sb) > 0),
+        |bysize AS (SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(rs_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      / 1000000.0 AS mean_rs
+        |  FROM rs GROUP BY 1),
+        |h AS (SELECT (ln(max(CASE WHEN m = 16 THEN mean_rs END)) -
+        |    ln(max(CASE WHEN m = 4 THEN mean_rs END))) / (2.0 * ln(2.0))
+        |    AS hurst
+        |  FROM bysize)
+        |SELECT CAST(m AS BIGINT) AS m, n_blocks,
+        |  round_even(mean_rs, 6) AS mean_rs,
+        |  round_even(hurst, 6) AS hurst
+        |FROM bysize CROSS JOIN h ORDER BY m""".stripMargin,
 
     "kendall_tau" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day,

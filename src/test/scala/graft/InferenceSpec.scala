@@ -415,6 +415,60 @@ class InferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("cross_corr: a shifted proportional series is perfect at its lag") {
+    // views d0..d2 = 1,2,3; purchases d1..d3 = 2,4,6 (2× views, +1 day):
+    // every lag with ≥2 pairs correlates exactly 1.0; single-pair lags
+    // (−1, +3) have zero variance → null r; empty lags emit no row
+    val rows =
+      (0 until 1).map(i => (ns(0), i.toLong, "view", 1.0)) ++
+      (0 until 2).map(i => (ns(1), i.toLong, "view", 1.0)) ++
+      (0 until 3).map(i => (ns(2), i.toLong, "view", 1.0)) ++
+      (0 until 2).map(i => (ns(1), 100L + i, "purchase", 1.0)) ++
+      (0 until 4).map(i => (ns(2), 100L + i, "purchase", 1.0)) ++
+      (0 until 6).map(i => (ns(3), 100L + i, "purchase", 1.0))
+    val out = Inference.queries("cross_corr")(spark, eventsDir(rows))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.toSeq === Seq(
+      (-1L, 1L, None), (0L, 2L, Some(1.0)), (1L, 3L, Some(1.0)),
+      (2L, 2L, Some(1.0)), (3L, 1L, None)))
+  }
+
+  test("period_scan: a planted weekly cycle saturates p=7 and p=14 only") {
+    // 28 days, x = 10 on t≡0 (mod 7) else 1: folding by 7 (and its
+    // multiple 14) explains ALL variance → r2 = 1; p=2 splits the
+    // spikes evenly → r2 = 0; every other period stays strictly below 1
+    val rows = (0 until 28).flatMap { d =>
+      val x = if (d % 7 == 0) 10 else 1
+      (0 until x).map(i => (ns(d), i.toLong, "view", 1.0))
+    }
+    val out = Inference.queries("period_scan")(spark, eventsDir(rows))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size === 13)
+    assert(out(7L) === 1.0)
+    assert(out(14L) === 1.0)
+    assert(out(2L) === 0.0)
+    assert((2L to 14L).filterNot(p => p == 7 || p == 14)
+      .forall(p => out(p) < 1.0))
+  }
+
+  test("hurst_rs: a strict alternation pins R/S = 1 at every size, H = 0") {
+    // x = 1,3,1,3,… for 64 days: every block's cusum bounces between
+    // −m and 0 in m-units (rm = m), den = m·ssq − S² = m² → R/S = 1
+    // exactly at m = 4/8/16, so the log-log slope H is exactly 0
+    val rows = (0 until 64).flatMap { d =>
+      val x = if (d % 2 == 0) 1 else 3
+      (0 until x).map(i => (ns(d), i.toLong, "view", 1.0))
+    }
+    val out = Inference.queries("hurst_rs")(spark, eventsDir(rows))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq((4L, 16L, 1.0, 0.0), (8L, 8L, 1.0, 0.0),
+      (16L, 4L, 1.0, 0.0)))
+  }
+
   test("matrix_profile: a planted repeat is its own zero-distance motif") {
     // 14 days, counts 1..7,1..7: q=8 subsequences; only (i=1, j=8)
     // clears the 7-day exclusion zone and they are IDENTICAL → the
