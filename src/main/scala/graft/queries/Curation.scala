@@ -692,10 +692,61 @@ object Curation {
             .as("n_tracked"),
           min("path").as("first_path"))
         .orderBy("host")
+    }),
+
+    // Smoothed target encoding (the empirical-Bayes category encoder a
+    // feature pipeline runs before training): segment → shrunk mean
+    // order value, enc = (n_g·mean_g + k·prior)/(n_g + k) with k=20
+    // and prior = the global mean. Common-denominator algebra keeps it
+    // EXACT until one double chain: enc = (N·sum_g + k·S)/(N·(n_g+k))
+    // over integer cents in DECIMAL(38,0) ≙ HUGEINT with the chk()
+    // trap (N·sum_g overflows BIGINT at ~100× this fixture). One
+    // broadcast-joined dimension + two hash-aggs; the small-category
+    // shrink toward the prior is the whole point — the spec plants a
+    // 1-order segment and watches it pulled to the middle.
+    "target_encode" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        expr("CAST(bround(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val byseg = o.join(broadcast(c), Seq("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      val glob = byseg.agg(sum("n").as("nn"), sum("sum_cents").as("ss"))
+      val num = chk(col("nn").cast(D38) * col("sum_cents").cast(D38) +
+        lit(20).cast(D38) * col("ss").cast(D38), "target_encode")
+      val den = chk(col("nn").cast(D38) *
+        (col("n") + lit(20L)).cast(D38), "target_encode")
+      byseg.crossJoin(broadcast(glob))
+        .select(col("c_mktsegment"), col("n"),
+          bround(col("sum_cents").cast("double") /
+            col("n").cast("double") / lit(100.0), 6).as("raw_mean"),
+          bround(num.cast("double") / den.cast("double") / lit(100.0), 6)
+            .as("encoded_mean"))
+        .orderBy("c_mktsegment")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "target_encode" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(round_even(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |byseg AS (SELECT c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM o JOIN customer ON o.o_custkey = customer.c_custkey
+        |  GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(sum_cents) AS BIGINT) AS ss FROM byseg)
+        |SELECT c_mktsegment, n,
+        |  round_even(CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 100.0, 6) AS raw_mean,
+        |  round_even(CAST(CAST(nn AS HUGEINT) * sum_cents
+        |      + 20 * CAST(ss AS HUGEINT) AS DOUBLE) /
+        |    CAST(CAST(nn AS HUGEINT) * (n + 20) AS DOUBLE) / 100.0, 6)
+        |    AS encoded_mean
+        |FROM byseg CROSS JOIN g ORDER BY c_mktsegment""".stripMargin,
     "batch_padding" ->
       """WITH d AS (SELECT lang, doc_id,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS len

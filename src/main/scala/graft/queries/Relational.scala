@@ -170,6 +170,43 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // Interval-overlap (temporal) join — the shape every
+    // validity-window reconciliation runs: shipment transit intervals
+    // [ship, ship+transit] of the SAME (supplier, part) that overlap
+    // in time. The equi-key IS the bucket: lineitem-per-(s,p) is a
+    // scale-invariant ~7 rows (TPC-H grows parts with volume), so the
+    // self-join is ONE (s,p)-keyed shuffle with per-group pair
+    // enumeration that never goes quadratic in the corpus — the
+    // bucketed-not-all-pairs discipline without a synthetic bucket.
+    // Transit is deterministic (5 + quantity % 25 days, integral
+    // doubles → exact); pair identity is a strict lexicographic tuple
+    // (both engines compare rows the same way), so duplicate-keyed
+    // fixture rows can't double-count. Readout: exact-integer
+    // histogram of overlap length.
+    "interval_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey").as("sk"), col("l_partkey").as("pk"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        to_date(col("l_shipdate")).as("sd"),
+        (lit(5L) + pmod(col("l_quantity").cast("long"), lit(25L)))
+          .cast("int").as("transit"))
+        .withColumn("ed", date_add(col("sd"), col("transit")))
+      val a = li.select(col("sk"), col("pk"), col("ok").as("oka"),
+        col("ln").as("lna"), col("sd").as("sda"), col("ed").as("eda"))
+      val b = li.select(col("sk"), col("pk"), col("ok").as("okb"),
+        col("ln").as("lnb"), col("sd").as("sdb"), col("ed").as("edb"))
+      a.join(b, Seq("sk", "pk"))
+        .filter(struct(col("oka"), col("lna"), col("sda"), col("eda")) <
+          struct(col("okb"), col("lnb"), col("sdb"), col("edb")))
+        .filter(col("sda") <= col("edb") && col("sdb") <= col("eda"))
+        .select((datediff(least(col("eda"), col("edb")),
+          greatest(col("sda"), col("sdb"))) + 1).cast("long")
+          .as("overlap_days"))
+        .groupBy("overlap_days")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("overlap_days")
+    }),
+
     // SQL front-end: the same engine through spark.sql text (the
     // reference's consumers wrote SQL strings; both surfaces must agree)
     "sql_topsegments" -> ((s, dir) => {
@@ -1377,6 +1414,20 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "interval_join" ->
+      """WITH li AS (SELECT l_suppkey AS sk, l_partkey AS pk,
+        |    l_orderkey AS ok, l_linenumber AS ln,
+        |    CAST(l_shipdate AS DATE) AS sd,
+        |    CAST(l_shipdate AS DATE)
+        |      + CAST(5 + CAST(l_quantity AS BIGINT) % 25 AS INT) AS ed
+        |  FROM lineitem)
+        |SELECT CAST(least(a.ed, b.ed) - greatest(a.sd, b.sd) + 1
+        |    AS BIGINT) AS overlap_days,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM li a JOIN li b ON a.sk = b.sk AND a.pk = b.pk
+        |  AND (a.ok, a.ln, a.sd, a.ed) < (b.ok, b.ln, b.sd, b.ed)
+        |  AND a.sd <= b.ed AND b.sd <= a.ed
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_lateral" ->
       """SELECT n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS bal
         |FROM nation n, LATERAL (

@@ -122,6 +122,91 @@ object Signals {
       rounds)
   }
 
+  /** [[queries]]' `mis_luby` body, returning (result, selection rounds
+    * actually RUN) so SignalsSpec can gate the convergence exit. Luby's
+    * maximal-independent-set algorithm over the supplier↔part graph —
+    * THE symmetry-breaking primitive of distributed graph processing
+    * (coloring, scheduling, correlation clustering all reduce to it):
+    * each round, an undecided node enters the MIS iff its priority is
+    * a strict minimum over its undecided neighborhood; neighbors of
+    * new members retire. Priorities are md5-derived (no rand()),
+    * encoded as zero-padded "pr:node" STRINGS so the strict tuple
+    * compare is plain min()/< on ONE column — the same spelling the
+    * DuckDB oracle uses, so the per-round selection cannot drift.
+    * Adjacent nodes can never both be local minima (strict order), so
+    * independence is structural; the spec gates independence AND
+    * maximality against the edge list. Each round: two broadcast
+    * hash probes of the (shrinking) undecided set against the
+    * checkpointed edge table, one min-aggregate, two anti-joins —
+    * frontier-shaped like [[bfsLevels]], no corpus-wide state beyond
+    * the node set. The 6-round schedule matches the oracle's unroll;
+    * empty rounds add nothing on either engine.
+    */
+  private[graft] def misLuby(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val li = t(s, dir, "lineitem")
+    val e0 = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .distinct()
+      .select(concat(lit("s"), col("sk").cast("string")).as("src"),
+        concat(lit("p"), col("pk").cast("string")).as("dst"))
+    val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    def pkeyOf(node: Column): Column = concat(
+      lpad(graft.llm.Dedup.hashBucket(concat(lit("mis:"), node),
+        1000000000L).cast("string"), 10, "0"), lit(":"), node)
+    var und = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), pkeyOf(col("node")).as("pkey"))
+      .localCheckpoint()
+    var inAcc: DataFrame = null
+    var outAcc: DataFrame = null
+    var rounds = 0
+    var r = 1
+    var live = true
+    while (r <= 6 && live) {
+      val u1 = und.select(col("node").as("src"))
+      val u2 = und.select(col("node").as("dst"), col("pkey").as("dkey"))
+      val mn = edges.join(broadcast(u1), Seq("src"))
+        .join(broadcast(u2), Seq("dst"))
+        .groupBy("src").agg(min("dkey").as("mk"))
+        .select(col("src").as("node"), col("mk"))
+      val newIn = und.join(broadcast(mn), Seq("node"), "left_outer")
+        .filter(col("mk").isNull || col("pkey") < col("mk"))
+        .select(col("node"), col("pkey"))
+        .localCheckpoint()
+      if (newIn.isEmpty) live = false
+      else {
+        val outNodes = edges
+          .join(broadcast(newIn.select(col("node").as("src"))), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+        val newOut = und
+          .join(broadcast(outNodes), Seq("node"), "left_semi")
+          .select(col("node"), col("pkey"))
+          .localCheckpoint()
+        inAcc = if (inAcc == null) newIn
+          else inAcc.unionByName(newIn).localCheckpoint()
+        outAcc = if (outAcc == null) newOut
+          else outAcc.unionByName(newOut).localCheckpoint()
+        und = und
+          .join(broadcast(newIn.select("node")), Seq("node"), "left_anti")
+          .join(broadcast(newOut.select("node")), Seq("node"), "left_anti")
+          .localCheckpoint()
+        rounds = r
+      }
+      r += 1
+    }
+    def prOf(c: Column): Column = substring(c, 1, 10).cast("long")
+    val inStats = inAcc.agg(count(lit(1)).as("n_in"),
+      sum(prOf(col("pkey"))).as("in_pr_sum"),
+      sum(when(col("node").startsWith("s"), 1L).otherwise(0L))
+        .as("in_suppliers"))
+    val outStats = outAcc.agg(count(lit(1)).as("n_out"))
+    val undStats = und.agg(count(lit(1)).as("n_undecided"))
+    (inStats.crossJoin(broadcast(outStats)).crossJoin(broadcast(undStats))
+      .select(col("n_in"), col("n_out"), col("n_undecided"),
+        col("in_pr_sum"), col("in_suppliers")),
+      rounds)
+  }
+
   /** [[queries]]' `sssp_weighted` body, returning (result, relaxation
     * rounds actually RUN) so SignalsSpec can gate the convergence exit.
     * Bellman–Ford over the weighted supplier↔part graph (w = min
@@ -445,6 +530,12 @@ object Signals {
     // watermark against re-expansion is the visited anti-join. Levels
     // are exact min-hop distances; DuckDB mirrors with a recursive CTE.
     "bfs_levels" -> ((s, dir) => bfsLevels(s, dir)._1),
+
+    // Luby maximal independent set — the distributed symmetry-breaking
+    // primitive; see [[misLuby]] (md5 priorities, strict string-tuple
+    // minima, frontier-shaped rounds, 6-round schedule ≡ the oracle's
+    // unroll)
+    "mis_luby" -> ((s, dir) => misLuby(s, dir)._1),
 
     // Spatial radius join — the geo family's bucketed-not-all-pairs
     // shape: points (deterministic md5-derived lat∈[−60,60),
@@ -2188,6 +2279,58 @@ object Signals {
         |    - (SELECT CAST(count(*) AS BIGINT) FROM border) AS n_noise,
         |  (SELECT COALESCE(CAST(sum(ck) AS BIGINT), 0) FROM core)
         |    AS core_key_sum""".stripMargin,
+    // six unrolled Luby rounds — the same schedule the engine runs
+    // (early-exit rounds are empty selections and add nothing); the
+    // zero-padded "pr:node" string IS the priority tuple on both
+    // engines, so min()/< agree byte-for-byte
+    "mis_luby" -> {
+      val base =
+        """WITH ew AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+          |  FROM lineitem),
+          |e AS MATERIALIZED (
+          |  SELECT 's' || CAST(sk AS VARCHAR) AS src,
+          |    'p' || CAST(pk AS VARCHAR) AS dst FROM ew
+          |  UNION ALL
+          |  SELECT 'p' || CAST(pk AS VARCHAR),
+          |    's' || CAST(sk AS VARCHAR) FROM ew),
+          |u0 AS MATERIALIZED (SELECT node,
+          |    concat(lpad(CAST(CAST('0x' || substr(md5('mis:' || node),
+          |        1, 7) AS BIGINT) % 1000000000 AS VARCHAR), 10, '0'),
+          |      ':', node) AS pkey
+          |  FROM (SELECT DISTINCT src AS node FROM e))"""
+          .stripMargin
+      val rounds = (1 to 6).map { k =>
+        s""",
+           |mn_$k AS MATERIALIZED (SELECT e.src AS node, min(u2.pkey) AS mk
+           |  FROM e JOIN u${k - 1} u1 ON e.src = u1.node
+           |  JOIN u${k - 1} u2 ON e.dst = u2.node
+           |  GROUP BY 1),
+           |in_$k AS MATERIALIZED (SELECT u.node, u.pkey FROM u${k - 1} u
+           |  LEFT JOIN mn_$k m ON u.node = m.node
+           |  WHERE m.mk IS NULL OR u.pkey < m.mk),
+           |out_$k AS MATERIALIZED (SELECT u.node, u.pkey FROM u${k - 1} u
+           |  WHERE u.node IN (SELECT e.dst FROM e
+           |    JOIN in_$k i ON e.src = i.node)),
+           |u$k AS MATERIALIZED (SELECT u.node, u.pkey FROM u${k - 1} u
+           |  WHERE u.node NOT IN (SELECT node FROM in_$k)
+           |    AND u.node NOT IN (SELECT node FROM out_$k))""".stripMargin
+      }.mkString
+      val ins = (1 to 6).map(k => s"SELECT node, pkey FROM in_$k")
+        .mkString(" UNION ALL ")
+      val outs = (1 to 6).map(k => s"SELECT node FROM out_$k")
+        .mkString(" UNION ALL ")
+      s"""$base$rounds,
+         |ins AS ($ins),
+         |outs AS ($outs)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ins) AS n_in,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM outs) AS n_out,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM u6) AS n_undecided,
+         |  (SELECT CAST(sum(CAST(substr(pkey, 1, 10) AS BIGINT))
+         |    AS BIGINT) FROM ins) AS in_pr_sum,
+         |  (SELECT CAST(sum(CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END)
+         |    AS BIGINT) FROM ins) AS in_suppliers""".stripMargin
+    },
     // four unrolled min-plus relaxation rounds, each a full relax of
     // the previous distance table — value-identical to the engine's
     // frontier Bellman–Ford (relaxing from non-improved nodes only

@@ -313,4 +313,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("bloom_pass") === 3L)
     assert(r.getAs[Long]("fp_passed") === 0L)
   }
+  test("interval_join: boundary touch counts as one overlap day") {
+    import spark.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 00:00:00")
+    // group (1,1): [01-01,01-11](q5), [01-08,01-13](q25), [02-01,02-07]
+    // (q1) -> one 4-day overlap; group (1,2): [01-01,01-11](q30) and
+    // [01-11,01-16](q25) touch on exactly one day
+    val rows = Seq(
+      (1L, 1, 1L, 1L, 5.0, ts("2024-01-01")),
+      (1L, 2, 1L, 1L, 25.0, ts("2024-01-08")),
+      (1L, 3, 1L, 1L, 1.0, ts("2024-02-01")),
+      (2L, 1, 1L, 2L, 30.0, ts("2024-01-01")),
+      (2L, 2, 1L, 2L, 25.0, ts("2024-01-11")))
+    val dir = java.nio.file.Files.createTempDirectory("an_ivj").toString
+    rows.toDF("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
+        "l_quantity", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("interval_join")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L), (4L, 1L)))
+  }
 }

@@ -299,4 +299,21 @@ class CurationSpec extends AnyFunSuite {
       (4, 2L, 2L, "a/bb", "b/aa"),
       (5, 1L, 6L, "b/bb", "b/bb")))
   }
+  test("target_encode: a 1-order segment shrinks hard toward the prior") {
+    import spark.implicits._
+    // A: 10 orders at $100; B: one $2000 order. N=11, S=$3000.
+    // enc = (N*sum_g + 20*S)/(N*(n_g+20)) cents:
+    // A → 7,100,000/330 = $215.151515; B → 8,200,000/231 = $354.978355
+    val dir = java.nio.file.Files.createTempDirectory("cur_te").toString
+    (Seq.fill(10)((1L, 100.0)) ++ Seq((2L, 2000.0)))
+      .toDF("o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, "AAA"), (2L, "BBB")).toDF("c_custkey", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val out = Curation.queries("target_encode")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq(("AAA", 10L, 100.0, 215.151515),
+      ("BBB", 1L, 2000.0, 354.978355)))
+  }
 }

@@ -393,6 +393,51 @@ class SignalsSpec extends AnyFunSuite {
         600L - core.size - border.size, core.toSeq.sum)))
   }
 
+  test("mis_luby: census equals a plain-Scala Luby replay; MIS is legal") {
+    import spark.implicits._
+    // 6-cycle s1-p1-s3-p3-s2-p2-s1: the reference below replays the
+    // SAME md5 priorities and round rule, then independence and
+    // maximality are asserted against the edge list as math
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L),
+      (3L, 1L))
+    val dir = java.nio.file.Files.createTempDirectory("sig_mis").toString
+    edges.toDF("l_suppkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def bucket(key: String, m: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString
+        .take(7), 16) % m
+    }
+    def pkey(n: String) = f"${bucket(s"mis:$n", 1000000000L)}%010d:$n"
+    val adj: Map[String, Set[String]] = edges
+      .flatMap { case (s0, p0) =>
+        Seq(s"s$s0" -> s"p$p0", s"p$p0" -> s"s$s0") }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var und = adj.keySet
+    var ins = Set.empty[String]
+    var outs = Set.empty[String]
+    for (_ <- 1 to 6 if und.nonEmpty) {
+      val newIn = und.filter(v =>
+        adj(v).intersect(und).forall(u => pkey(v) < pkey(u)))
+      if (newIn.nonEmpty) {
+        val newOut = und.filter(v => adj(v).exists(newIn))
+        ins ++= newIn; outs ++= newOut; und = und -- newIn -- newOut
+      }
+    }
+    // legality: no edge inside the MIS; every retired node sees one
+    assert(ins.forall(v => adj(v).intersect(ins).isEmpty))
+    assert(outs.forall(v => adj(v).exists(ins)))
+    val (res, rounds) = graft.queries.Signals.misLuby(spark, dir)
+    val r = res.collect()(0)
+    assert(rounds >= 1)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((ins.size.toLong, outs.size.toLong,
+      und.size.toLong,
+      ins.toSeq.map(n => bucket(s"mis:$n", 1000000000L)).sum,
+      ins.count(_.startsWith("s")).toLong)))
+  }
+
   test("sssp: weighted relaxation beats the direct edge, exits early") {
     import spark.implicits._
     // weighted square: s1-p1 w=1 (min of dup rows 4,1), p1-s2 w=2,
