@@ -813,6 +813,55 @@ object Inference {
           .agg(count(lit(1)).as("only_urgent_all_cnt")))
     }),
 
+    // Closed-form ridge regression (two features + intercept via
+    // centering) of line price on quantity and discount, with the OLS
+    // twins alongside — the regularized companion of ols_fit/
+    // logistic_irls_step, and the 2×2 normal-equation solve every
+    // distributed GLM reduces to per iteration. All nine moments are
+    // one hash-agg in DECIMAL(38,0) ≙ HUGEINT (chk-trapped); the
+    // centered Gram terms A = n·Σxx' − Σx·Σx' stay exact; the solve
+    // (det, Cramer) runs in ONE mirrored double chain with per-feature
+    // λ = A_ii/1000 (ridge on the feature's own scale — invariant to
+    // unit choice, deterministic, no tuning loop). Readout in dollars
+    // per unit so both coefficient magnitudes are readable.
+    "ridge_regression" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        expr("CAST(l_quantity AS BIGINT)").as("q"),
+        expr("CAST(bround(l_discount * 1000000) AS BIGINT)").as("d"),
+        expr("CAST(bround(l_extendedprice * 100) AS BIGINT)").as("y"))
+      val m = li.agg(count(lit(1)).as("n"),
+        sum("q").cast(D38).as("s1"), sum("d").cast(D38).as("s2"),
+        sum("y").cast(D38).as("sy"),
+        sum(col("q").cast(D38) * col("q")).cast(D38).as("s11"),
+        sum(col("d").cast(D38) * col("d")).cast(D38).as("s22"),
+        sum(col("q").cast(D38) * col("d")).cast(D38).as("s12"),
+        sum(col("q").cast(D38) * col("y")).cast(D38).as("s1y"),
+        sum(col("d").cast(D38) * col("y")).cast(D38).as("s2y"))
+      val nD = col("n").cast(D38)
+      def g(sab: Column, sa: Column, sb: Column, what: String) =
+        chk(nD * sab - sa * sb, what).cast("double")
+      val a11 = g(col("s11"), col("s1"), col("s1"), "ridge_regression")
+      val a22 = g(col("s22"), col("s2"), col("s2"), "ridge_regression")
+      val a12 = g(col("s12"), col("s1"), col("s2"), "ridge_regression")
+      val b1 = g(col("s1y"), col("s1"), col("sy"), "ridge_regression")
+      val b2 = g(col("s2y"), col("s2"), col("sy"), "ridge_regression")
+      val r11 = a11 + a11 / lit(1000.0)
+      val r22 = a22 + a22 / lit(1000.0)
+      val detR = r11 * r22 - a12 * a12
+      val det0 = a11 * a22 - a12 * a12
+      m.select(col("n"),
+        bround(when(detR =!= 0.0,
+          (r22 * b1 - a12 * b2) / detR / lit(100.0)), 6).as("ridge_qty"),
+        bround(when(detR =!= 0.0,
+          (r11 * b2 - a12 * b1) / detR * lit(10000.0)), 6)
+          .as("ridge_disc"),
+        bround(when(det0 =!= 0.0,
+          (a22 * b1 - a12 * b2) / det0 / lit(100.0)), 6).as("ols_qty"),
+        bround(when(det0 =!= 0.0,
+          (a11 * b2 - a12 * b1) / det0 * lit(10000.0)), 6)
+          .as("ols_disc"))
+    }),
+
     // Cross-correlation function (lead–lag) between the view and
     // purchase daily series at lags −7..+7 — acf_daily's two-series
     // sibling, and the do-purchases-trail-views diagnostic. Per lag the
@@ -1687,6 +1736,47 @@ object Inference {
         |  EXCEPT ALL
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))"""
         .stripMargin,
+
+    "ridge_regression" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round_even(l_discount * 1000000, 0) AS BIGINT) AS d,
+        |    CAST(round_even(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS HUGEINT) AS s1,
+        |    CAST(sum(d) AS HUGEINT) AS s2,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS s11,
+        |    CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS s22,
+        |    CAST(sum(CAST(q AS HUGEINT) * d) AS HUGEINT) AS s12,
+        |    CAST(sum(CAST(q AS HUGEINT) * y) AS HUGEINT) AS s1y,
+        |    CAST(sum(CAST(d AS HUGEINT) * y) AS HUGEINT) AS s2y
+        |  FROM li),
+        |gm AS (SELECT n,
+        |    CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE) AS a11,
+        |    CAST(CAST(n AS HUGEINT) * s22 - s2 * s2 AS DOUBLE) AS a22,
+        |    CAST(CAST(n AS HUGEINT) * s12 - s1 * s2 AS DOUBLE) AS a12,
+        |    CAST(CAST(n AS HUGEINT) * s1y - s1 * sy AS DOUBLE) AS b1,
+        |    CAST(CAST(n AS HUGEINT) * s2y - s2 * sy AS DOUBLE) AS b2
+        |  FROM m)
+        |SELECT n,
+        |  round_even(CASE WHEN (a11 + a11 / 1000.0) * (a22 + a22
+        |      / 1000.0) - a12 * a12 <> 0.0
+        |    THEN ((a22 + a22 / 1000.0) * b1 - a12 * b2) /
+        |      ((a11 + a11 / 1000.0) * (a22 + a22 / 1000.0) - a12 * a12)
+        |      / 100.0 END, 6) AS ridge_qty,
+        |  round_even(CASE WHEN (a11 + a11 / 1000.0) * (a22 + a22
+        |      / 1000.0) - a12 * a12 <> 0.0
+        |    THEN ((a11 + a11 / 1000.0) * b2 - a12 * b1) /
+        |      ((a11 + a11 / 1000.0) * (a22 + a22 / 1000.0) - a12 * a12)
+        |      * 10000.0 END, 6) AS ridge_disc,
+        |  round_even(CASE WHEN a11 * a22 - a12 * a12 <> 0.0
+        |    THEN (a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12)
+        |      / 100.0 END, 6) AS ols_qty,
+        |  round_even(CASE WHEN a11 * a22 - a12 * a12 <> 0.0
+        |    THEN (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12)
+        |      * 10000.0 END, 6) AS ols_disc
+        |FROM gm""".stripMargin,
 
     "cross_corr" ->
       """WITH v AS (SELECT CAST(ts AS DATE) AS day,

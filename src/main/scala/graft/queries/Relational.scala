@@ -170,6 +170,49 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // Bitmap-index SET ALGEBRA — bitmap_distinct's binary sibling and
+    // hll_set_ops' EXACT twin: the viewer and purchaser user sets
+    // materialize as 62-bit word bitmaps (one bit_or per side per
+    // word), then AND/& and OR/| on aligned words give |V∩P| and |V∪P|
+    // as exact popcount sums — the bitmap-index reconciliation every
+    // segment-overlap question (audience intersection, suppression
+    // lists) runs. Mergeable by construction: word maps OR across
+    // shards/days without rescanning raw keys. countDistinct twins
+    // ride along as the in-plan witness; the MATCH proves the bitmap
+    // algebra equals exact set algebra.
+    "bitmap_intersect" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_type"),
+          expr("CAST(user_id DIV 62 AS BIGINT)").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
+            .as("m"),
+          col("user_id"))
+      val words = ev.groupBy("w").agg(
+          bit_or(when(col("event_type") === "view", col("m"))
+            .otherwise(0L)).as("vbm"),
+          bit_or(when(col("event_type") === "purchase", col("m"))
+            .otherwise(0L)).as("pbm"))
+      val bm = words.agg(
+        sum(bit_count(col("vbm").bitwiseAND(col("pbm")))).cast("long")
+          .as("intersect_bitmap"),
+        sum(bit_count(col("vbm").bitwiseOR(col("pbm")))).cast("long")
+          .as("union_bitmap"))
+      val exact = events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy("user_id").agg(
+          max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("v"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("p"))
+        .agg(sum(when(col("v") === 1 && col("p") === 1, 1L)
+            .otherwise(0L)).as("intersect_exact"),
+          count(lit(1)).as("union_exact"))
+      bm.crossJoin(broadcast(exact))
+        .select(col("intersect_bitmap"), col("union_bitmap"),
+          col("intersect_exact"), col("union_exact"))
+    }),
+
     // Interval-overlap (temporal) join — the shape every
     // validity-window reconciliation runs: shipment transit intervals
     // [ship, ship+transit] of the SAME (supplier, part) that overlap
@@ -1414,6 +1457,36 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "bitmap_intersect" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(user_id // 62 AS BIGINT) AS w,
+        |    CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT) AS m,
+        |    user_id
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |words AS (SELECT w,
+        |    bit_or(CASE WHEN event_type = 'view' THEN m ELSE 0 END)
+        |      AS vbm,
+        |    bit_or(CASE WHEN event_type = 'purchase' THEN m ELSE 0 END)
+        |      AS pbm
+        |  FROM ev GROUP BY 1),
+        |bm AS (SELECT
+        |    CAST(sum(bit_count(vbm & pbm)) AS BIGINT)
+        |      AS intersect_bitmap,
+        |    CAST(sum(bit_count(vbm | pbm)) AS BIGINT) AS union_bitmap
+        |  FROM words),
+        |ex AS (SELECT
+        |    CAST(sum(CASE WHEN v = 1 AND p = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS intersect_exact,
+        |    CAST(count(*) AS BIGINT) AS union_exact
+        |  FROM (SELECT user_id,
+        |      max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |        AS p
+        |    FROM events WHERE event_type IN ('view', 'purchase')
+        |    GROUP BY 1))
+        |SELECT intersect_bitmap, union_bitmap, intersect_exact,
+        |  union_exact
+        |FROM bm CROSS JOIN ex""".stripMargin,
     "interval_join" ->
       """WITH li AS (SELECT l_suppkey AS sk, l_partkey AS pk,
         |    l_orderkey AS ok, l_linenumber AS ln,

@@ -333,4 +333,22 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq === Seq((1L, 1L), (4L, 1L)))
   }
+  test("bitmap_intersect: word AND/OR popcounts equal exact set algebra") {
+    import spark.implicits._
+    // viewers {1,63,100}, purchasers {63,100,200,201} spread across
+    // words 0,1,3 → |V∩P| = 2, |V∪P| = 5, and the exact twins agree
+    val rows = Seq((1L, "view"), (63L, "view"), (100L, "view"),
+      (63L, "purchase"), (100L, "purchase"), (200L, "purchase"),
+      (201L, "purchase"), (999L, "click")) // non-member type ignored
+      .map { case (u, t0) => (1704067200000000L + u, u, t0, 1.0) }
+    val dir = java.nio.file.Files.createTempDirectory("an_bmi").toString
+    rows.toDF("us", "user_id", "event_type", "value")
+      .select(timestamp_micros(col("us")).as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("bitmap_intersect")(spark, dir)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((2L, 5L, 2L, 5L)))
+  }
 }

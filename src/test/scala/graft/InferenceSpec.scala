@@ -415,6 +415,46 @@ class InferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("ridge_regression: matches the hand-replicated Cramer chain") {
+    import org.apache.spark.sql.functions._
+    // five lines; the expected coefficients re-derive below with the
+    // SAME exact moments and the SAME double chain (per-feature
+    // λ = A_ii/1000), so shrink arithmetic fails against math
+    val rows = Seq((1L, 0.0, 100.0), (2L, 0.0, 200.0),
+      (1L, 0.10, 90.0), (2L, 0.10, 190.0), (3L, 0.05, 290.0))
+    val dir = java.nio.file.Files.createTempDirectory("inf_rr").toString
+    rows.toDF("l_quantity", "l_discount", "l_extendedprice")
+      .select(col("l_quantity").cast("double").as("l_quantity"),
+        col("l_discount"), col("l_extendedprice"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val q = rows.map(_._1)
+    val d = rows.map(t => math.rint(t._2 * 1000000).toLong)
+    val y = rows.map(t => math.rint(t._3 * 100).toLong)
+    val n = BigInt(rows.size)
+    def sum2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x0, y0) => BigInt(x0) * y0 }.sum
+    val (s1, s2, sy) = (BigInt(q.sum), BigInt(d.sum), BigInt(y.sum))
+    val a11 = (n * sum2(q, q) - s1 * s1).toDouble
+    val a22 = (n * sum2(d, d) - s2 * s2).toDouble
+    val a12 = (n * sum2(q, d) - s1 * s2).toDouble
+    val b1 = (n * sum2(q, y) - s1 * sy).toDouble
+    val b2 = (n * sum2(d, y) - s2 * sy).toDouble
+    val (r11, r22) = (a11 + a11 / 1000.0, a22 + a22 / 1000.0)
+    val detR = r11 * r22 - a12 * a12
+    val det0 = a11 * a22 - a12 * a12
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    val out = Inference.queries("ridge_regression")(spark, dir)
+      .collect()(0)
+    assert(out.getLong(0) === 5L)
+    assert(out.getDouble(1) === r6((r22 * b1 - a12 * b2) / detR / 100.0))
+    assert(out.getDouble(2) === r6((r11 * b2 - a12 * b1) / detR * 10000.0))
+    assert(out.getDouble(3) === r6((a22 * b1 - a12 * b2) / det0 / 100.0))
+    assert(out.getDouble(4) === r6((a11 * b2 - a12 * b1) / det0 * 10000.0))
+    // ridge shrinks the solve toward zero on this fixture
+    assert(math.abs(out.getDouble(1)) < math.abs(out.getDouble(3)))
+  }
+
   test("cross_corr: a shifted proportional series is perfect at its lag") {
     // views d0..d2 = 1,2,3; purchases d1..d3 = 2,4,6 (2× views, +1 day):
     // every lag with ≥2 pairs correlates exactly 1.0; single-pair lags
