@@ -813,6 +813,62 @@ object Inference {
           .agg(count(lit(1)).as("only_urgent_all_cnt")))
     }),
 
+    // CUPED variance reduction (Deng et al.) — the modern A/B-test
+    // adjustment: per-user experiment metric y (second half of the
+    // span) is debiased by the pre-period covariate x (first half)
+    // via θ = cov(x,y)/var(x), pooled across both md5-assigned arms.
+    // One user-keyed aggregate builds (x, y) in exact micros, one
+    // hash-agg the five pooled moments (DECIMAL(38,0), chk-trapped),
+    // and the adjusted means spend a single mirrored double chain.
+    // ρ² (the variance-reduction fraction) rides along — the number
+    // that justifies running CUPED at all. Split day = min_day + 15,
+    // derived in-plan, no wall clock.
+    "cuped_adjust" -> ((s, dir) => {
+      val ev = Relational.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          bround(col("value") * lit(1000000.0)).cast("long").as("vm"))
+      val split = ev.agg(date_add(min(col("day")), 15).as("cut"))
+      val per = ev.crossJoin(broadcast(split))
+        .groupBy("user_id")
+        .agg(coalesce(sum(when(col("day") < col("cut"), col("vm"))),
+            lit(0L)).as("x"),
+          coalesce(sum(when(col("day") >= col("cut"), col("vm"))),
+            lit(0L)).as("y"))
+        .select(col("user_id"), col("x"), col("y"),
+          Dedup.hashBucket(concat(lit("arm:"),
+            col("user_id").cast("string")), 2L).as("arm"))
+        .localCheckpoint() // pooled moments + per-arm means share it
+      val mom = per.agg(count(lit(1)).as("n"),
+        sum("x").cast(D38).as("sx"), sum("y").cast(D38).as("sy"),
+        sum(col("x").cast(D38) * col("x")).cast(D38).as("sxx"),
+        sum(col("y").cast(D38) * col("y")).cast(D38).as("syy"),
+        sum(col("x").cast(D38) * col("y")).cast(D38).as("sxy"))
+      val nD = col("n").cast(D38)
+      val covN = chk(nD * col("sxy") - col("sx") * col("sy"),
+        "cuped_adjust").cast("double")
+      val varX = chk(nD * col("sxx") - col("sx") * col("sx"),
+        "cuped_adjust").cast("double")
+      val varY = chk(nD * col("syy") - col("sy") * col("sy"),
+        "cuped_adjust").cast("double")
+      val theta = when(varX > 0.0, covN / varX)
+      val rho2 = when(varX > 0.0 && varY > 0.0,
+        covN * covN / (varX * varY))
+      val arms = per.groupBy("arm").agg(count(lit(1)).as("n_users"),
+        sum("x").cast(D38).cast("double").as("sxg"),
+        sum("y").cast(D38).cast("double").as("syg"))
+      arms.crossJoin(broadcast(mom))
+        .select(col("arm"), col("n_users"),
+          bround(col("syg") / col("n_users").cast("double") /
+            lit(1000000.0), 6).as("raw_mean"),
+          bround((col("syg") / col("n_users").cast("double") -
+            theta * (col("sxg") / col("n_users").cast("double") -
+              col("sx").cast("double") / col("n").cast("double"))) /
+            lit(1000000.0), 6).as("cuped_mean"),
+          bround(theta, 6).as("theta"),
+          bround(lit(100.0) * rho2, 3).as("var_reduction_pct"))
+        .orderBy("arm")
+    }),
+
     // Closed-form ridge regression (two features + intercept via
     // centering) of line price on quantity and discount, with the OLS
     // twins alongside — the regularized companion of ols_fit/
@@ -1736,6 +1792,50 @@ object Inference {
         |  EXCEPT ALL
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))"""
         .stripMargin,
+
+    "cuped_adjust" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS vm
+        |  FROM events),
+        |sp AS (SELECT min(day) + 15 AS cut FROM ev),
+        |per AS (SELECT user_id,
+        |    COALESCE(CAST(sum(CASE WHEN day < cut THEN vm END)
+        |      AS BIGINT), 0) AS x,
+        |    COALESCE(CAST(sum(CASE WHEN day >= cut THEN vm END)
+        |      AS BIGINT), 0) AS y,
+        |    CAST('0x' || substr(md5('arm:'
+        |      || CAST(user_id AS VARCHAR)), 1, 7) AS BIGINT) % 2 AS arm
+        |  FROM ev CROSS JOIN sp GROUP BY user_id),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM per),
+        |gm AS (SELECT n, sx,
+        |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS covn,
+        |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS varx,
+        |    CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS vary
+        |  FROM mom),
+        |arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE) AS sxg,
+        |    CAST(CAST(sum(y) AS HUGEINT) AS DOUBLE) AS syg
+        |  FROM per GROUP BY 1)
+        |SELECT arm, n_users,
+        |  round_even(syg / CAST(n_users AS DOUBLE) / 1000000.0, 6)
+        |    AS raw_mean,
+        |  round_even((syg / CAST(n_users AS DOUBLE) -
+        |    (CASE WHEN varx > 0.0 THEN covn / varx END) *
+        |    (sxg / CAST(n_users AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1000000.0, 6)
+        |    AS cuped_mean,
+        |  round_even(CASE WHEN varx > 0.0 THEN covn / varx END, 6)
+        |    AS theta,
+        |  round_even(100.0 * (CASE WHEN varx > 0.0 AND vary > 0.0
+        |    THEN covn * covn / (varx * vary) END), 3)
+        |    AS var_reduction_pct
+        |FROM arms CROSS JOIN gm ORDER BY arm""".stripMargin,
 
     "ridge_regression" ->
       """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q,

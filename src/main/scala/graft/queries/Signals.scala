@@ -743,6 +743,51 @@ object Signals {
           sum("fp").cast(org.apache.spark.sql.types.DecimalType(38, 0))
             .cast("string").as("checksum"))
     }),
+    // Merkle partition tree over the orders table — table_checksum's
+    // LOCATE-THE-DIFF upgrade: the flat checksum says two copies
+    // differ, the tree says WHERE, in log₂(leaves) node compares
+    // instead of a full rescan (the incremental-verification primitive
+    // a 100 TB replication/backfill pipeline wants). Leaves = 16
+    // hash-buckets of order keys, each an order-independent 60-bit-
+    // fingerprint SUM folded into 60 bits (DECIMAL(38,0) exact before
+    // the fold, same row serialization as table_checksum so the two
+    // gates share one canonical form); empty buckets pin to 0 off a
+    // generated grid. Internal nodes = md5 fingerprint of "left:right"
+    // — four tiny pair-fold aggregates over ≤16 rows. Readout: all 31
+    // nodes (level, idx, hash).
+    "merkle_tree" -> ((s, dir) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val row = concat_ws("|", col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"), col("o_orderstatus"),
+        col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .cast("string"),
+        col("o_orderpriority"))
+      val leafAgg = t(s, dir, "orders")
+        .select(Dedup.hashBucket(col("o_orderkey").cast("string"), 16L)
+          .as("idx"), Dedup.fingerprint60(row).cast(dec38).as("fp"))
+        .groupBy("idx")
+        .agg(expr("CAST(CAST(sum(fp) AS DECIMAL(38,0))" +
+          " % 1152921504606846976 AS BIGINT)").as("node"))
+      val l0 = s.range(0, 16).select(col("id").as("idx"))
+        .join(leafAgg, Seq("idx"), "left_outer")
+        .select(col("idx"), coalesce(col("node"), lit(0L)).as("node"))
+      def up(df: DataFrame): DataFrame = df
+        .groupBy(expr("CAST(idx DIV 2 AS BIGINT)").as("gidx"))
+        .agg(Dedup.fingerprint60(concat(
+          max(when(expr("idx % 2") === 0, col("node"))).cast("string"),
+          lit(":"),
+          max(when(expr("idx % 2") === 1, col("node"))).cast("string")))
+          .as("node"))
+        .select(col("gidx").as("idx"), col("node"))
+      val l1 = up(l0); val l2 = up(l1); val l3 = up(l2); val l4 = up(l3)
+      Seq(0 -> l0, 1 -> l1, 2 -> l2, 3 -> l3, 4 -> l4)
+        .map { case (lv, df) =>
+          df.select(lit(lv.toLong).as("level"), col("idx"), col("node")) }
+        .reduce(_ unionByName _)
+        .orderBy("level", "idx")
+    }),
+
     // K-anonymity audit over the (lang, source) quasi-identifier pair:
     // the distribution of equivalence-class sizes and the smallest
     // class (= the k in k-anonymity). The re-identification-risk
@@ -2375,6 +2420,43 @@ object Signals {
         |SELECT price, d, n_orders FROM r
         |WHERE bp IS NULL OR d < bp
         |ORDER BY price DESC""".stripMargin,
+    // generated level-by-level pair folds; leaf sums in HUGEINT before
+    // the 60-bit fold, same row serialization as table_checksum
+    "merkle_tree" -> {
+      val base =
+        """WITH f AS (SELECT
+          |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+          |      1, 7) AS BIGINT) % 16 AS idx,
+          |    CAST('0x' || substr(md5(
+          |      CAST(o_orderkey AS VARCHAR) || '|' ||
+          |      CAST(o_custkey AS VARCHAR) || '|' ||
+          |      o_orderstatus || '|' ||
+          |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) ||
+          |      '|' || o_orderpriority), 1, 15) AS BIGINT) AS fp
+          |  FROM orders),
+          |la AS (SELECT idx,
+          |    CAST(CAST(sum(CAST(fp AS DECIMAL(38,0))) AS HUGEINT)
+          |      % 1152921504606846976 AS BIGINT) AS node
+          |  FROM f GROUP BY 1),
+          |l0 AS (SELECT g.idx AS idx, COALESCE(la.node, 0) AS node
+          |  FROM range(0, 16) g(idx) LEFT JOIN la ON g.idx = la.idx)"""
+          .stripMargin
+      val ups = (1 to 4).map { k =>
+        s""",
+           |l$k AS (SELECT idx // 2 AS idx, CAST('0x' || substr(md5(
+           |    CAST(max(CASE WHEN idx % 2 = 0 THEN node END)
+           |      AS VARCHAR) || ':' ||
+           |    CAST(max(CASE WHEN idx % 2 = 1 THEN node END)
+           |      AS VARCHAR)), 1, 15) AS BIGINT) AS node
+           |  FROM l${k - 1} GROUP BY 1)""".stripMargin
+      }.mkString
+      val sel = (0 to 4).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS level, idx, node FROM l$k")
+        .mkString(" UNION ALL ")
+      s"""$base$ups
+         |$sel
+         |ORDER BY level, idx""".stripMargin
+    },
     "table_checksum" ->
       """WITH f AS (SELECT CAST('0x' || substr(md5(
         |      CAST(o_orderkey AS VARCHAR) || '|' ||

@@ -415,6 +415,26 @@ class InferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("cuped_adjust: a perfect covariate flattens every arm to the grand mean") {
+    // y = 2x + 6 exactly (pre day 0, post day 20, cut = day0+15):
+    // θ = 2, ρ² = 1 → 100% variance reduction, and EVERY arm's CUPED
+    // mean collapses to the grand mean 16 regardless of how the md5
+    // split assigns the four users
+    val x = Seq(2.0, 4.0, 6.0, 8.0)
+    val rows = x.zipWithIndex.flatMap { case (xv, i) =>
+      Seq((ns(0), (i + 1).toLong, "view", xv),
+        (ns(20), (i + 1).toLong, "view", 2 * xv + 6))
+    }
+    val out = Inference.queries("cuped_adjust")(spark, eventsDir(rows))
+      .collect()
+    assert(out.map(_.getLong(1)).sum === 4L)
+    out.foreach { r =>
+      assert(r.getDouble(3) === 16.0) // cuped_mean
+      assert(r.getDouble(4) === 2.0) // theta
+      assert(r.getDouble(5) === 100.0) // var_reduction_pct
+    }
+  }
+
   test("ridge_regression: matches the hand-replicated Cramer chain") {
     import org.apache.spark.sql.functions._
     // five lines; the expected coefficients re-derive below with the

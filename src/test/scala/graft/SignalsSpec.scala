@@ -393,6 +393,46 @@ class SignalsSpec extends AnyFunSuite {
         600L - core.size - border.size, core.toSeq.sum)))
   }
 
+  test("merkle: row order never matters; one changed row flips one path") {
+    import spark.implicits._
+    def write(rows: Seq[(Long, Long, String, Double, String)],
+        shuffle: Boolean): String = {
+      val dir = java.nio.file.Files.createTempDirectory("sig_mk").toString
+      val r0 = if (shuffle) scala.util.Random.shuffle(rows) else rows
+      r0.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+        .repartition(if (shuffle) 7 else 2)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    def tree(dir: String): Seq[(Long, Long, Long)] =
+      graft.queries.Signals.queries("merkle_tree")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val rows = (1L to 40L).map(k =>
+      (k, k % 7, "O", 100.0 + k, "3-MEDIUM"))
+    val t1 = tree(write(rows, shuffle = false))
+    val t2 = tree(write(rows, shuffle = true))
+    assert(t1.size === 31)
+    assert(t1 === t2) // order- and partitioning-independent
+    // mutate one row's price: exactly one node differs per level, and
+    // the differing leaf is that key's hash bucket
+    val mutated = rows.map { case r @ (k, c, st, p, pr) =>
+      if (k == 17L) (k, c, st, p + 0.01, pr) else r }
+    val t3 = tree(write(mutated, shuffle = false))
+    val diff = t1.zip(t3).filter { case (a, b) => a != b }
+    assert(diff.size === 5) // one per level, leaf to root
+    def bucket(key: String, m: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString
+        .take(7), 16) % m
+    }
+    val leaf = bucket("17", 16L)
+    assert(diff.map(_._1).map(t => (t._1, t._2)) ===
+      Seq((0L, leaf), (1L, leaf / 2), (2L, leaf / 4), (3L, leaf / 8),
+        (4L, 0L)))
+  }
+
   test("mis_luby: census equals a plain-Scala Luby replay; MIS is legal") {
     import spark.implicits._
     // 6-cycle s1-p1-s3-p3-s2-p2-s1: the reference below replays the
