@@ -267,6 +267,54 @@ object Analytics {
     // window pass (lead) keyed by user, then a small (from, to) rollup —
     // the path-analysis primitive behind funnel mining. The window and
     // nothing else shuffles the raw stream.
+    // Sequential-pattern support mining (the PrefixSpan first rounds):
+    // how many users exhibit ⟨a,b⟩ — some a-event strictly before some
+    // b-event — and ⟨a,b,c⟩, for every type combination. The existence
+    // quantifiers collapse to per-(user,type) EXTREMA: ⟨a,b⟩ holds iff
+    // first(a) < last(b) (uniform even for a=b, where it demands two
+    // timestamps), and ⟨a,b,c⟩ needs m_ab = the earliest b AFTER
+    // first(a), then m_ab < last(c) — so the whole miner is one
+    // (user,type) aggregate plus one raw-event probe for the middle
+    // element, all user-keyed shuffles, never a per-user sequence
+    // materialization. Supports are exact user counts; every pattern
+    // with support > 0 emits (≤ |types|³ rows), no top-k to flap.
+    // event_transitions counts ADJACENT steps; this counts
+    // subsequence EXISTENCE — the episode-mining complement.
+    "seq_patterns" -> ((s, dir) => {
+      val ev = Relational.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .localCheckpoint() // extrema agg + the middle-element probe
+      val ft = ev.groupBy("user_id", "event_type")
+        .agg(min("us").as("fmin"), max("us").as("fmax"))
+        .localCheckpoint() // a-side, b-side, c-side all read it
+      val pairs = ft.select(col("user_id"), col("event_type").as("ta"),
+          col("fmin").as("fa"))
+        .join(ft.select(col("user_id"), col("event_type").as("tb"),
+          col("fmax").as("lb")), Seq("user_id"))
+        .filter(col("fa") < col("lb"))
+      val pairSup = pairs.groupBy("ta", "tb")
+        .agg(count(lit(1)).as("support"))
+        .select(concat(col("ta"), lit(">"), col("tb")).as("pattern"),
+          lit(2L).as("len"), col("support"))
+      val mab = ft.select(col("user_id"), col("event_type").as("ta"),
+          col("fmin").as("fa"))
+        .join(ev.select(col("user_id"), col("event_type").as("tb"),
+          col("us")), Seq("user_id"))
+        .filter(col("us") > col("fa"))
+        .groupBy("user_id", "ta", "tb").agg(min("us").as("mab"))
+      val tripSup = mab
+        .join(ft.select(col("user_id"), col("event_type").as("tc"),
+          col("fmax").as("lc")), Seq("user_id"))
+        .filter(col("mab") < col("lc"))
+        .groupBy("ta", "tb", "tc").agg(count(lit(1)).as("support"))
+        .select(concat(col("ta"), lit(">"), col("tb"), lit(">"),
+          col("tc")).as("pattern"), lit(3L).as("len"), col("support"))
+      pairSup.unionByName(tripSup)
+        .select(col("len"), col("pattern"), col("support"))
+        .orderBy("len", "pattern")
+    }),
+
     "event_transitions" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       Relational.events(s, dir)
@@ -1234,6 +1282,37 @@ object Analytics {
         |  round_even(max(pr), 6) AS pr_hi,
         |  round_even(max(cd), 6) AS cd_hi
         |FROM r GROUP BY 1, 2 ORDER BY event_type, tile""".stripMargin,
+
+    "seq_patterns" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us
+        |  FROM events),
+        |ft AS (SELECT user_id, event_type,
+        |    CAST(min(us) AS BIGINT) AS fmin,
+        |    CAST(max(us) AS BIGINT) AS fmax
+        |  FROM ev GROUP BY 1, 2),
+        |p2 AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM ft a JOIN ft b ON a.user_id = b.user_id
+        |    AND a.fmin < b.fmax
+        |  GROUP BY 1, 2),
+        |mab AS (SELECT a.user_id, a.event_type AS ta,
+        |    e.event_type AS tb, CAST(min(e.us) AS BIGINT) AS mab
+        |  FROM ft a JOIN ev e ON a.user_id = e.user_id
+        |    AND e.us > a.fmin
+        |  GROUP BY 1, 2, 3),
+        |p3 AS (SELECT m.ta, m.tb, c.event_type AS tc,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM mab m JOIN ft c ON m.user_id = c.user_id
+        |    AND m.mab < c.fmax
+        |  GROUP BY 1, 2, 3)
+        |SELECT len, pattern, support FROM (
+        |  SELECT CAST(2 AS BIGINT) AS len, ta || '>' || tb AS pattern,
+        |    support FROM p2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), ta || '>' || tb || '>' || tc,
+        |    support FROM p3)
+        |ORDER BY len, pattern""".stripMargin,
 
     "event_transitions" ->
       """WITH nx AS (

@@ -813,6 +813,36 @@ object Inference {
           .agg(count(lit(1)).as("only_urgent_all_cnt")))
     }),
 
+    // Rolling regression — the trailing-14-day OLS slope of the daily
+    // series per day (the "is growth accelerating TODAY" readout a
+    // metrics pipeline recomputes every morning): all five window
+    // moments (n, Σt, Σx, Σt², Σtx) come from ONE bounded window pass
+    // (t is the row index, so Σt/Σt² are exact small integers), the
+    // slope numerator/denominator n·Σtx − Σt·Σx stay exact longs, and
+    // each day spends one mirrored double chain. Only full windows
+    // emit. Complements theilsen_trend (global, robust) and
+    // holt_linear (recursive smoothing) with the windowed-refit shape.
+    "rolling_regression" -> ((s, dir) => {
+      val dd = dailySeries(s, dir)
+      val w = Window.orderBy("day") // bounded: one row per day
+      val idx = dd.select(col("day"), col("x"),
+        row_number().over(w).cast("long").as("t"))
+      val wr = w.rowsBetween(-13, 0)
+      val mom = idx.select(col("day"),
+        count(lit(1)).over(wr).as("m"),
+        sum("t").over(wr).as("st"),
+        sum("x").over(wr).as("sx"),
+        sum(col("t") * col("t")).over(wr).as("stt"),
+        sum(col("t") * col("x")).over(wr).as("stx"))
+      val num = lit(14L) * col("stx") - col("st") * col("sx")
+      val den = lit(14L) * col("stt") - col("st") * col("st")
+      mom.filter(col("m") === 14)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          bround(when(den =!= 0, num.cast("double") /
+            den.cast("double")), 6).as("slope_per_day"))
+        .orderBy("day")
+    }),
+
     // CUPED variance reduction (Deng et al.) — the modern A/B-test
     // adjustment: per-user experiment metric y (second half of the
     // span) is debiased by the pre-period covariate x (first half)
@@ -1792,6 +1822,28 @@ object Inference {
         |  EXCEPT ALL
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))"""
         .stripMargin,
+
+    "rolling_regression" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |ix AS (SELECT day, x,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        |  FROM d),
+        |mom AS (SELECT day,
+        |    count(*) OVER wr AS m,
+        |    CAST(sum(t) OVER wr AS BIGINT) AS st,
+        |    CAST(sum(x) OVER wr AS BIGINT) AS sx,
+        |    CAST(sum(t * t) OVER wr AS BIGINT) AS stt,
+        |    CAST(sum(t * x) OVER wr AS BIGINT) AS stx
+        |  FROM ix WINDOW wr AS (ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  round_even(CASE WHEN 14 * stt - st * st <> 0
+        |    THEN CAST(14 * stx - st * sx AS DOUBLE) /
+        |      CAST(14 * stt - st * st AS DOUBLE) END, 6)
+        |    AS slope_per_day
+        |FROM mom WHERE m = 14 ORDER BY day""".stripMargin,
 
     "cuped_adjust" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,

@@ -351,4 +351,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       === ((2L, 5L, 2L, 5L)))
   }
+  test("seq_patterns: existence quantifiers reduce to per-type extrema") {
+    import spark.implicits._
+    // u1: view,click,purchase in order; u2: click then view.
+    // pairs: view>click (u1), click>view (u2), view>purchase (u1),
+    // click>purchase (u1); only triple: view>click>purchase (u1);
+    // single-occurrence types never support x>x
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:0$m%d:00")
+    val rows = Seq(
+      (ts(1), 1L, "view", 1.0), (ts(2), 1L, "click", 1.0),
+      (ts(3), 1L, "purchase", 1.0),
+      (ts(1), 2L, "click", 1.0), (ts(2), 2L, "view", 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("an_sq").toString
+    rows.toDF("ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("seq_patterns")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (2L, "click>purchase", 1L), (2L, "click>view", 1L),
+      (2L, "view>click", 1L), (2L, "view>purchase", 1L),
+      (3L, "view>click>purchase", 1L)))
+  }
 }

@@ -415,6 +415,22 @@ class InferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling_regression: an exact linear series has slope 2 everywhere") {
+    // x_t = 2t + 3 for 20 days: every full 14-day window regresses to
+    // slope exactly 2.0; the 13 warm-up days stay silent
+    val rows = (0 until 20).flatMap { d =>
+      val x = 2 * (d + 1) + 3
+      (0 until x).map(i => (ns(d), i.toLong, "view", 1.0))
+    }
+    val out = Inference.queries("rolling_regression")(
+      spark, eventsDir(rows)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.length === 7)
+    assert(out.head._1 === "2024-01-14")
+    assert(out.last._1 === "2024-01-20")
+    assert(out.forall(_._2 === 2.0))
+  }
+
   test("cuped_adjust: a perfect covariate flattens every arm to the grand mean") {
     // y = 2x + 6 exactly (pre day 0, post day 20, cut = day0+15):
     // θ = 2, ρ² = 1 → 100% variance reduction, and EVERY arm's CUPED
