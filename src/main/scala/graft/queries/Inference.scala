@@ -813,6 +813,60 @@ object Inference {
           .agg(count(lit(1)).as("only_urgent_all_cnt")))
     }),
 
+    // Per-user behavioral diversity — Gini–Simpson index 1 − Σ(c/n)²
+    // = (n² − Σc²)/n², an EXACT rational per user (unlike Shannon
+    // entropy there is no ln to quantize), micro-quantized once and
+    // folded into a percent-point histogram: the user-segmentation feature
+    // (specialists vs generalists) a personalization pipeline
+    // computes corpus-wide. Two keyed aggregates, both on user_id —
+    // one shuffle.
+    "user_diversity" -> ((s, dir) => {
+      val per = Relational.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").as("n"), sum(col("c") * col("c")).as("c2"))
+        .select(bround(lit(1000000.0) *
+          (col("n") * col("n") - col("c2")).cast("double") /
+          (col("n") * col("n")).cast("double")).cast("long")
+          .as("d_micro"))
+      per.select(expr("CAST(d_micro DIV 10000 AS BIGINT)").as("pct"))
+        .groupBy("pct").agg(count(lit(1)).as("n_users"))
+        .orderBy("pct")
+    }),
+
+    // Burstiness index (Goh & Barabási) of each user's inter-event
+    // times, B = (σ−μ)/(σ+μ) — equivalently (√(nQ−S²) − S)/(√(nQ−S²)
+    // + S) over the exact integer gap moments (S, Q in DECIMAL(38,0):
+    // µs² gaps overflow BIGINT), so the only float op is one
+    // correctly-rounded sqrt-of-integer — no libm slack. B→−1 is
+    // clockwork, B→+1 is bursty; the per-user index buckets into a
+    // 0.1-wide histogram. Users need ≥2 gaps. One user-keyed sort
+    // feeds the lag; the rest is keyed aggregates.
+    "burstiness" -> ((s, dir) => {
+      // no event_id tiebreak needed: the gap MULTISET of a sorted
+      // timestamp list is invariant under permutations of equal values
+      val ev = Relational.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+      val gaps = ev
+        .select(col("user_id"),
+          (col("us") - lag(col("us"), 1).over(w)).as("g"))
+        .filter(col("g").isNotNull)
+      val per = gaps.groupBy("user_id").agg(
+          count(lit(1)).as("ng"), sum("g").cast(D38).as("sg"),
+          sum(col("g").cast(D38) * col("g")).cast(D38).as("qg"))
+        .filter(col("ng") >= 2)
+      val disc = chk(col("ng").cast(D38) * col("qg") -
+        col("sg") * col("sg"), "burstiness").cast("double")
+      val b = (sqrt(disc) - col("sg").cast("double")) /
+        (sqrt(disc) + col("sg").cast("double"))
+      // all-identical timestamps give σ = μ = 0 → B undefined; drop
+      per.filter(col("sg") > 0)
+        .select(bround(b * lit(10.0)).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_users"))
+        .orderBy("bucket")
+    }),
+
     // Rolling regression — the trailing-14-day OLS slope of the daily
     // series per day (the "is growth accelerating TODAY" readout a
     // metrics pipeline recomputes every morning): all five window
@@ -1822,6 +1876,44 @@ object Inference {
         |  EXCEPT ALL
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))"""
         .stripMargin,
+
+    "user_diversity" ->
+      """WITH pc AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pu AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(c * c) AS BIGINT) AS c2
+        |  FROM pc GROUP BY 1),
+        |dm AS (SELECT CAST(round_even(1000000.0 *
+        |      CAST(n * n - c2 AS DOUBLE) / CAST(n * n AS DOUBLE), 0)
+        |      AS BIGINT) AS d_micro
+        |  FROM pu)
+        |SELECT d_micro // 10000 AS pct,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM dm GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "burstiness" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us
+        |  FROM events),
+        |gp AS (SELECT user_id,
+        |    us - lag(us, 1) OVER (PARTITION BY user_id
+        |      ORDER BY us) AS g
+        |  FROM ev),
+        |per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(g) AS HUGEINT) AS sg,
+        |    CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS qg
+        |  FROM gp WHERE g IS NOT NULL GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |bb AS (SELECT
+        |    CAST(round_even((sqrt(CAST(CAST(ng AS HUGEINT) * qg
+        |        - sg * sg AS DOUBLE)) - CAST(sg AS DOUBLE)) /
+        |      (sqrt(CAST(CAST(ng AS HUGEINT) * qg - sg * sg
+        |        AS DOUBLE)) + CAST(sg AS DOUBLE)) * 10.0, 0)
+        |      AS BIGINT) AS bucket
+        |  FROM per WHERE sg > 0)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_users
+        |FROM bb GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rolling_regression" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day,

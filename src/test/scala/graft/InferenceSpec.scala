@@ -415,6 +415,39 @@ class InferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("user_diversity: Simpson index is exact per mix, no ln anywhere") {
+    // u1 all-view → D=0; u2 2+2 → D=.5; u3 four distinct types → D=.75
+    val rows =
+      (0 until 4).map(i => (ns(i), 1L, "view", 1.0)) ++
+      Seq((ns(0), 2L, "view", 1.0), (ns(1), 2L, "view", 1.0),
+        (ns(2), 2L, "click", 1.0), (ns(3), 2L, "click", 1.0)) ++
+      Seq((ns(0), 3L, "view", 1.0), (ns(1), 3L, "click", 1.0),
+        (ns(2), 3L, "purchase", 1.0), (ns(3), 3L, "signup", 1.0))
+    val out = Inference.queries("user_diversity")(spark, eventsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((0L, 1L), (50L, 1L), (75L, 1L)))
+  }
+
+  test("burstiness: clockwork pins -10; a bursty user matches the chain") {
+    // u1: three identical 10-second gaps → σ=0 → B=-1 → bucket -10.
+    // u2: gaps (1, 1, 1e6) µs; expected bucket re-derives the chain
+    val u1 = (0 until 4).map(i =>
+      (ns(0) + i.toLong * 10000000000L, 1L, "view", 1.0))
+    val offs = Seq(0L, 1000L, 2000L, 1000000000000L + 2000L)
+    val u2 = offs.map(o => (ns(1) + o, 2L, "view", 1.0))
+    val (ng, sg, qg) = (BigInt(3), BigInt(1000002),
+      BigInt(1) + 1 + BigInt(1000000) * 1000000)
+    val disc = (ng * qg - sg * sg).toDouble
+    val b = (math.sqrt(disc) - sg.toDouble) /
+      (math.sqrt(disc) + sg.toDouble)
+    val exp2 = BigDecimal(b * 10.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_EVEN).toLong
+    val out = Inference.queries("burstiness")(spark,
+      eventsDir(u1 ++ u2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((-10L, 1L), (exp2, 1L)).sortBy(_._1))
+  }
+
   test("rolling_regression: an exact linear series has slope 2 everywhere") {
     // x_t = 2t + 3 for 20 days: every full 14-day window regresses to
     // slope exactly 2.0; the 13 warm-up days stay silent
