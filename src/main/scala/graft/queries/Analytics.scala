@@ -171,74 +171,90 @@ object Analytics {
     // position, so a value-only ordering would let the two engines
     // assign straddling tied rows to different tiles.
     //
-    // Plan shape (the round-12 rewrite): the naive spelling —
-    // percent_rank()/ntile() OVER (PARTITION BY event_type ORDER BY
-    // value, event_id) — hash-partitions on event_type only, so ONE
-    // task sorts an entire type's rows: the classic
+    // Plan shape (round-12 rewrite, round-13 fusion): the naive
+    // spelling — percent_rank()/ntile() OVER (PARTITION BY event_type
+    // ORDER BY value, event_id) — hash-partitions on event_type only,
+    // so ONE task sorts an entire type's rows: the classic
     // single-partition-sort scale killer for a ~5-value partition key.
-    // All three functions are closed forms of (row_number, n) under a
-    // unique order key, and the global per-type row_number decomposes
-    // into range-partitioned pieces with per-partition offsets, all in
-    // declarative ops:
-    //   rn = strictly-smaller-value count (bucketed two-level
-    //        cumulative: monotone coarse bucket floor(value/1024) →
-    //        per-type bucket window over ~#buckets rows; within-bucket
-    //        value window over the (type, bucket) grid)
-    //      + within-value tie rank (window keyed by (type, value) —
-    //        grid-many small partitions, never one-per-type).
-    //   pr = (rn−1)/(n−1), cd = rn/n (both the engines' own IEEE
-    //   division), ntile = the ANSI first-r-buckets-get-one-extra rule.
-    // Every sort partition is bounded (bucket list, per-bucket grid,
-    // per-value ties); no task ever sorts a whole event type. Ranks
-    // are exact integers either way, so the oracle keeps the window
-    // spelling — the closed forms ARE the gate.
+    // Round 12 decomposed rn into a bucketed cumulative + a per-value
+    // tie window + a join back to the rows (correct, but 3 row-scale
+    // shuffles — the one bench regression of that round). Round 13
+    // observes the OUTPUT is a (type, tile) aggregate under an order
+    // key where value is non-decreasing in rn, so everything collapses
+    // to the (type, value) GRID — no row ever needs its own rank:
+    //   tile boundaries are closed forms of nn alone (ANSI ntile:
+    //     q = nn div 4, r = nn mod 4; tile j holds rn in
+    //     [start_j, end_j], start_j = (j-1)q + min(j-1, r) + 1),
+    //   per-tile n / pr_lo / pr_hi / cd_hi are closed forms of
+    //     (start_j, end_j, nn) — the same integer-ratio IEEE divisions
+    //     the window functions compute, hence bit-identical,
+    //   lo / hi = min/max value over tie groups whose rn interval
+    //     [smaller+1, smaller+t] intersects [start_j, end_j]
+    //     (values are sorted by rn, so the overlap test is exact).
+    // One row-scale shuffle total (ev → grid, map-side combined); the
+    // bucketed two-level cumulative (coarse bucket floor(value/1024) →
+    // per-type bucket window over ~#buckets rows; within-bucket value
+    // window keyed by (type, bucket)) and the 4-way tile explode all
+    // run at grid scale. Ranks are exact either way, so the oracle
+    // keeps the window spelling — the closed forms ARE the gate.
     "window_distribution" -> ((s, dir) => {
       val ev = Relational.events(s, dir)
         .filter(col("value").isNotNull)
-        .select(col("event_type"), col("value"), col("event_id"))
-      val nTbl = ev.groupBy("event_type").agg(count(lit(1)).as("nn"))
-      val grid = ev.groupBy(col("event_type"),
-          floor(col("value") / lit(1024.0)).as("bk"), col("value"))
-        .agg(count(lit(1)).as("t"))
-      val bcum = grid.groupBy("event_type", "bk").agg(sum("t").as("bt"))
+        .select(col("event_type"), col("value"))
+      // bucket width 1.0: events.value is 2-decimal in [0, ~560], so a
+      // unit bucket holds ≤ 100 distinct values — per-bucket grid sorts
+      // stay bounded no matter the ROW count, and the bucket list is
+      // range/width ≈ 560 per type
+      // bucket list straight from raw (map-side-combined agg → one row
+      // per (type, bucket)); boff (buckets strictly before) and nn
+      // (grand total) share one bucket-list-scale Window node — same
+      // partition spec, two frames, one sort — broadcast in one
+      // exchange. The second raw scan is a 2-column projection with
+      // full partial aggregation: cheaper at every scale than
+      // materializing a possibly row-scale grid to executor storage.
+      val bkW = Window.partitionBy("event_type").orderBy("bk")
+      val bcum = ev.groupBy(col("event_type"), floor(col("value")).as("bk"))
+        .agg(count(lit(1)).as("bt"))
         .withColumn("boff", coalesce(sum("bt").over(
-          Window.partitionBy("event_type").orderBy("bk")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          bkW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("nn", sum("bt").over(bkW.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
         .drop("bt")
-      val voffW = Window.partitionBy("event_type", "bk").orderBy("value")
+      // grid branch: one shuffle to (type, bk, value), voff = values
+      // strictly below in the same bucket — every sort partition is a
+      // per-bucket slice of the DISTINCT-value grid
+      val vW = Window.partitionBy("event_type", "bk").orderBy("value")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = grid
-        .withColumn("voff", coalesce(sum("t").over(voffW), lit(0L)))
+      val tiled = ev.groupBy(col("event_type"),
+          floor(col("value")).as("bk"), col("value"))
+        .agg(count(lit(1)).as("t"))
+        .withColumn("voff", coalesce(sum("t").over(vW), lit(0L)))
         .join(broadcast(bcum), Seq("event_type", "bk"))
-        .select(col("event_type"), col("value"),
-          (col("boff") + col("voff")).as("smaller"))
-      val tieW = Window.partitionBy("event_type", "value")
-        .orderBy("event_id")
-      val rn = ev
-        .withColumn("rn_tie", row_number().over(tieW))
-        .join(offs, Seq("event_type", "value"))
-        .join(broadcast(nTbl), Seq("event_type"))
-        .withColumn("rn", col("smaller") + col("rn_tie"))
-      // ANSI ntile(k): q = n div k rows per tile, the first r = n mod k
-      // tiles take one extra; when q = 0 every row lands in the THEN
-      // branch (rn ≤ n = r), so the else-side DIV 0 never evaluates
-      val ranked = rn.select(col("event_type"), col("value"),
-        when(col("nn") > 1,
-          (col("rn") - 1).cast("double") / (col("nn") - 1).cast("double"))
-          .otherwise(lit(0.0)).as("pr"),
-        (col("rn").cast("double") / col("nn").cast("double")).as("cd"),
-        expr("CAST(CASE WHEN rn <= (nn % 4) * (nn DIV 4 + 1)" +
-          " THEN (rn - 1) DIV (nn DIV 4 + 1) + 1" +
-          " ELSE (nn % 4) + (rn - (nn % 4) * (nn DIV 4 + 1) - 1)" +
-          " DIV (nn DIV 4) + 1 END AS INT)").as("tile"))
-      ranked
+        .withColumn("smaller", col("boff") + col("voff"))
+        .withColumn("q", expr("nn DIV 4"))
+        .withColumn("r", col("nn") % 4)
+        .withColumn("tile", explode(array((1 to 4).map(lit): _*)))
+        .withColumn("sz",
+          when(col("tile") <= col("r"), col("q") + 1).otherwise(col("q")))
+        .filter(col("sz") > 0)
+        .withColumn("startj", (col("tile") - 1) * col("q") +
+          least(col("tile") - 1, col("r")) + 1)
+        .withColumn("endj", col("startj") + col("sz") - 1)
+        .filter(col("smaller") + 1 <= col("endj") &&
+          col("smaller") + col("t") >= col("startj"))
+      tiled
         .groupBy("event_type", "tile")
-        .agg(count(lit(1)).as("n"),
+        .agg(min("sz").cast("long").as("n"),
           bround(min("value"), 6).as("lo"),
           bround(max("value"), 6).as("hi"),
-          bround(min("pr"), 6).as("pr_lo"),
-          bround(max("pr"), 6).as("pr_hi"),
-          bround(max("cd"), 6).as("cd_hi"))
+          bround(min(when(col("nn") > 1, (col("startj") - 1)
+            .cast("double") / (col("nn") - 1).cast("double"))
+            .otherwise(lit(0.0))), 6).as("pr_lo"),
+          bround(max(when(col("nn") > 1, (col("endj") - 1)
+            .cast("double") / (col("nn") - 1).cast("double"))
+            .otherwise(lit(0.0))), 6).as("pr_hi"),
+          bround(max(col("endj").cast("double") /
+            col("nn").cast("double")), 6).as("cd_hi"))
         .orderBy("event_type", "tile")
     }),
 
