@@ -52,6 +52,79 @@ object Insights {
     }
   }
 
+  /** Runs a streaming DataFrame to completion (AvailableNow) through a
+    * PARQUET sink and reads the settled result back — so the
+    * verification path itself is scale-true: result rows land on disk
+    * via executor writes like any production job, never in driver
+    * memory (the memory sink materializes every row in the driver —
+    * bounded for these grids, but the wrong pattern to rehearse).
+    *
+    *  - `append`   → Spark's NATIVE file sink: per-batch exactly-once
+    *    via the `_spark_metadata` commit log (the batch read-back
+    *    honors it), the literal production path for finalized windows.
+    *  - `complete` → foreachBatch + idempotent full overwrite (the
+    *    file sink rejects complete mode); the final batch's overwrite
+    *    IS the settled aggregate — `stream_funnel_table`'s pattern,
+    *    restart-safe because replaying any batch rewrites the same
+    *    prefix-complete result.
+    *  - `update`   → foreachBatch appending each update batch stamped
+    *    with its batchId; read-back keeps each key's LAST update
+    *    (max batchId per `lastWinsKey`), correct under any micro-batch
+    *    split the trigger picks.
+    *
+    * Fresh UUID sink + checkpoint per invocation: bench's three passes
+    * stay independent; restart-recovery over a SHARED checkpoint is
+    * exercised separately in FunnelStreamSpec.
+    */
+  private[graft] def parquetSinkReadback(s: SparkSession, df: DataFrame,
+      mode: String, tag: String,
+      lastWinsKey: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.{Dataset, Row}
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_fsink_" + tag + "_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12))
+    val sink = new java.io.File(base, "out").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val q = mode match {
+      case "append" =>
+        df.writeStream.outputMode("append").format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      case "complete" =>
+        df.writeStream.outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[Row], _: Long) =>
+            batch.write.mode("overwrite").parquet(sink)
+          }.start()
+      case "update" =>
+        require(lastWinsKey.nonEmpty,
+          "update-mode read-back needs a last-wins key")
+        df.writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            batch.withColumn("__fs_batch", lit(batchId))
+              .write.mode("append").parquet(sink)
+          }.start()
+      case other =>
+        throw new IllegalArgumentException(s"unsupported mode: $other")
+    }
+    q.awaitTermination()
+    if (!new java.io.File(sink).exists)
+      // zero batches committed (empty source) — settled result is empty
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], df.schema)
+    else if (mode == "update") {
+      val w = Window.partitionBy(lastWinsKey.map(col): _*)
+        .orderBy(col("__fs_batch").desc)
+      s.read.parquet(sink)
+        .withColumn("__fs_rn", row_number().over(w))
+        .filter(col("__fs_rn") === 1)
+        .drop("__fs_rn", "__fs_batch")
+    } else s.read.parquet(sink)
+  }
+
   /** [[queries]]' `connected_components` body, returning (result,
     * propagation rounds actually RUN) so InsightsSpec can gate the
     * early exit.
@@ -137,12 +210,13 @@ object Insights {
     * watermark advancement requires them, which drains every real
     * window through both aggregation levels.
     *
-    * Returns the memory-sink table name; the registered query reads it
-    * back ordered, and InsightsSpec gates the BOUNDED-SINK claim (row
-    * count == distinct purchase days with a joined view).
+    * Returns the settled grid read back from the native parquet file
+    * sink ([[parquetSinkReadback]]); InsightsSpec gates the
+    * BOUNDED-SINK claim (row count == distinct purchase days with a
+    * joined view).
     */
-  private[graft] def streamStreamJoinDailyTable(
-      s: SparkSession, dir: String): String = {
+  private[graft] def streamStreamJoinDaily(
+      s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._
     GraftSession.tune(s)
@@ -184,13 +258,8 @@ object Insights {
         count(lit(1)).as("n_users"))
       .select(date_format(col("day.start"), "yyyy-MM-dd").as("p_day"),
         col("n_pairs"), col("n_users"))
-    val tbl = "stream_ssj_" + Relational.sfTag(dir) + "_" +
-      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-    val q = grid.writeStream.format("memory").queryName(tbl)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    tbl
+    parquetSinkReadback(s, grid, "append",
+      "ssj_" + Relational.sfTag(dir))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -665,16 +734,9 @@ object Insights {
           raw.withColumn("ts", col("ts").cast(TimestampType))
         case _ => raw
       }
-      // per-invocation nonce: two concurrent runs over the same dir in
-      // one JVM would otherwise collide on the active queryName
-      val tbl = "stream_daily_" + Relational.sfTag(dir) + "_" +
-        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      val q = graft.streaming.FunnelStream.dailyEventCounts(ev)
-        .writeStream.format("memory").queryName(tbl)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(tbl)
+      parquetSinkReadback(s,
+          graft.streaming.FunnelStream.dailyEventCounts(ev),
+          "complete", "daily_" + Relational.sfTag(dir))
         .select(date_format(col("day_start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("cnt"))
         .orderBy("day", "event_type")
@@ -691,18 +753,13 @@ object Insights {
       import org.apache.spark.sql.streaming.Trigger
       val ev = streamEvents(s, dir)
         .select(col("event_type"), Signals.gridBin(col("value")))
-      val tbl = "stream_quant_" + Relational.sfTag(dir) + "_" +
-        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      val q = ev.groupBy("event_type", "bin")
-        .agg(count(lit(1)).as("c"))
-        .writeStream.format("memory").queryName(tbl)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // localCheckpoint: the readout self-joins the grid (cum window ⋈
-      // totals), and MemoryPlan leaves don't deduplicate attribute
-      // references across branches — a LogicalRDD does
-      Signals.gridQuantileReadout(s, s.table(tbl).localCheckpoint())
+      // the file-sink read-back is a plain parquet relation, so the
+      // readout's self-join (cum window ⋈ totals) needs no
+      // attribute-dedup workaround (the old memory-sink MemoryPlan did)
+      val grid = parquetSinkReadback(s,
+        ev.groupBy("event_type", "bin").agg(count(lit(1)).as("c")),
+        "complete", "quant_" + Relational.sfTag(dir))
+      Signals.gridQuantileReadout(s, grid)
     }),
 
     // Streaming HLL — approximate distinct users per type with
@@ -719,14 +776,9 @@ object Insights {
         org.apache.spark.sql.Encoders.STRING)
       val ev = streamEvents(s, dir)
         .select(col("event_type"), col("user_id").cast("string").as("uid"))
-      val tbl = "stream_hll_" + Relational.sfTag(dir) + "_" +
-        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      val q = ev.groupBy("event_type").agg(hll(col("uid")).as("regs"))
-        .writeStream.format("memory").queryName(tbl)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val regs = s.table(tbl).localCheckpoint()
+      val regs = parquetSinkReadback(s,
+        ev.groupBy("event_type").agg(hll(col("uid")).as("regs")),
+        "complete", "hll_" + Relational.sfTag(dir))
       val exact = Relational.events(s, dir).groupBy("event_type")
         .agg(countDistinct("user_id").as("true_distinct"))
       regs.join(exact, Seq("event_type"))
@@ -755,15 +807,9 @@ object Insights {
         expr("CAST(user_id DIV 62 AS BIGINT)").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
           .as("m"))
-      val tbl = "stream_bitmap_" + Relational.sfTag(dir) + "_" +
-        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      val q = ev.groupBy("event_type", "w")
-        .agg(bit_or(col("m")).as("bm"))
-        .writeStream.format("memory").queryName(tbl)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val counts = s.table(tbl).localCheckpoint()
+      val counts = parquetSinkReadback(s,
+          ev.groupBy("event_type", "w").agg(bit_or(col("m")).as("bm")),
+          "complete", "bitmap_" + Relational.sfTag(dir))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_words"),
           sum(bit_count(col("bm"))).cast("long").as("distinct_bitmap"))
@@ -791,14 +837,9 @@ object Insights {
       val ev = streamEvents(s, dir)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").cast("string").as("uid"))
-      val tbl = "stream_bloom_" + Relational.sfTag(dir) + "_" +
-        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      val q = ev.groupBy().agg(bloomAgg(col("uid")).as("bits"))
-        .writeStream.format("memory").queryName(tbl)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val bits = s.table(tbl).localCheckpoint()
+      val bits = parquetSinkReadback(s,
+        ev.groupBy().agg(bloomAgg(col("uid")).as("bits")),
+        "complete", "bloom_" + Relational.sfTag(dir))
       val present = Relational.events(s, dir)
         .filter(col("event_type") === "purchase")
         .select(col("user_id")).distinct()
@@ -836,14 +877,9 @@ object Insights {
       val cmsU = udaf(new graft.functions.CountMinSketchAgg(depth, width),
         org.apache.spark.sql.Encoders.STRING)
       val ev = streamEvents(s, dir).select(col("event_type"))
-      val tbl = "stream_cms_" + Relational.sfTag(dir) + "_" +
-        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      val q = ev.groupBy().agg(cmsU(col("event_type")).as("sketch"))
-        .writeStream.format("memory").queryName(tbl)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val sketch = s.table(tbl).localCheckpoint()
+      val sketch = parquetSinkReadback(s,
+        ev.groupBy().agg(cmsU(col("event_type")).as("sketch")),
+        "complete", "cms_" + Relational.sfTag(dir))
       val (h1, h2) =
         graft.functions.CountMinSketchAgg.hashPairCols(col("event_type"))
       val est = (0 until depth).map { i =>
@@ -870,14 +906,9 @@ object Insights {
       val mgU = udaf(new graft.functions.SpaceSavingAgg(16),
         org.apache.spark.sql.Encoders.STRING)
       val ev = streamEvents(s, dir).select(col("event_type"))
-      val tbl = "stream_topk_" + Relational.sfTag(dir) + "_" +
-        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      val q = ev.groupBy().agg(mgU(col("event_type")).as("summary"))
-        .writeStream.format("memory").queryName(tbl)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val summary = s.table(tbl).localCheckpoint()
+      val summary = parquetSinkReadback(s,
+        ev.groupBy().agg(mgU(col("event_type")).as("summary")),
+        "complete", "topk_" + Relational.sfTag(dir))
       Relational.events(s, dir).groupBy("event_type")
         .agg(count(lit(1)).as("true_cnt"))
         .crossJoin(broadcast(summary))
@@ -900,16 +931,13 @@ object Insights {
     "stream_dedup_counts" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ev = streamEvents(s, dir)
-      val tbl = "stream_dedup_" + Relational.sfTag(dir) + "_" +
-        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      val q = ev.select("user_id", "event_type")
-        .dropDuplicates("user_id", "event_type")
-        .groupBy("event_type").agg(count(lit(1)).as("distinct_users"))
-        .writeStream.format("memory").queryName(tbl)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(tbl).orderBy("event_type")
+      parquetSinkReadback(s,
+          ev.select("user_id", "event_type")
+            .dropDuplicates("user_id", "event_type")
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("distinct_users")),
+          "complete", "dedup_" + Relational.sfTag(dir))
+        .orderBy("event_type")
     }),
 
     // Stream-STATIC broadcast enrichment under the value oracle
@@ -927,15 +955,10 @@ object Insights {
         .select(col("user_id")).distinct()
         .withColumn("segment",
           concat(lit("seg"), pmod(col("user_id"), lit(4))))
-      val tbl = "stream_enrich_" + Relational.sfTag(dir) + "_" +
-        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      val q = graft.streaming.FunnelStream
-        .enrichedDailyCounts(ev.select("ts", "user_id"), dim)
-        .writeStream.format("memory").queryName(tbl)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(tbl)
+      parquetSinkReadback(s,
+          graft.streaming.FunnelStream
+            .enrichedDailyCounts(ev.select("ts", "user_id"), dim),
+          "complete", "enrich_" + Relational.sfTag(dir))
         .select(date_format(col("day_start"), "yyyy-MM-dd").as("day"),
           col("segment"), col("cnt"))
         .orderBy("day", "segment")
@@ -1042,15 +1065,11 @@ object Insights {
       val ds = src
         .select(col("user_id"), col("ts"), lit("e").as("event_type"))
         .as[graft.streaming.FunnelStream.UserEvent]
-      val tbl = "stream_sess_" + Relational.sfTag(dir) + "_" +
-        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      val q = graft.streaming.FunnelStream.userSessions(ds, 30, "1 hour")
-        .toDF.writeStream.format("memory").queryName(tbl)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val sessions = parquetSinkReadback(s,
+        graft.streaming.FunnelStream.userSessions(ds, 30, "1 hour").toDF(),
+        "append", "sess_" + Relational.sfTag(dir))
       val w = Window.partitionBy("user_id").orderBy("session_start")
-      s.table(tbl).filter(col("user_id") >= 0)
+      sessions.filter(col("user_id") >= 0)
         .select(col("user_id"),
           row_number().over(w).cast("long").as("sess_no"),
           col("events").as("n_events"),
@@ -1113,18 +1132,14 @@ object Insights {
       }
       val src = s.readStream.schema(s.read.parquet(p).schema)
         .option("maxFilesPerTrigger", "1").parquet(p)
-      val tbl = "stream_late_" + Relational.sfTag(dir) + "_" +
-        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      val q = src.withWatermark("ts", "1 day")
-        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-        .writeStream.format("memory").queryName(tbl)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val settled = parquetSinkReadback(s,
+        src.withWatermark("ts", "1 day")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt")),
+        "append", "late_" + Relational.sfTag(dir))
       // a finalized SENTINEL window (year-away) is fixture scaffolding,
       // not data — the readout keeps only real-horizon days
-      s.table(tbl)
+      settled
         .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("cnt"))
         .filter(col("day") <=
@@ -1254,21 +1269,17 @@ object Insights {
       val ds = streamEvents(s, dir)
         .select(col("user_id"), col("ts"), col("event_type"))
         .as[graft.streaming.FunnelStream.UserEvent]
-      val tbl = "stream_ufun_" + Relational.sfTag(dir) + "_" +
-        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      val q = graft.streaming.FunnelStream.userFunnelState(ds)
-        .toDF.writeStream.format("memory").queryName(tbl)
-        .outputMode("update").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(tbl)
+      parquetSinkReadback(s,
+          graft.streaming.FunnelStream.userFunnelState(ds).toDF(),
+          "update", "ufun_" + Relational.sfTag(dir),
+          lastWinsKey = Seq("user_id"))
         .groupBy("events", "purchases", "converted")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("events", "purchases", "converted")
     }),
 
     "stream_stream_join" -> ((s, dir) =>
-      s.table(streamStreamJoinDailyTable(s, dir)).orderBy("p_day")),
+      streamStreamJoinDaily(s, dir).orderBy("p_day")),
 
     // Spark 4's STATE STORE READER — the ops surface a 100 TB/day
     // streaming deployment lives on (state audits, skew diagnosis,
@@ -1287,14 +1298,14 @@ object Insights {
         "graft_ss_read_" + Relational.sfTag(dir) + "_" +
           java.util.UUID.randomUUID.toString.replace("-", "").take(12))
         .getAbsolutePath
-      val tbl = "stream_ssr_" + Relational.sfTag(dir) + "_" +
-        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       val counts = streamEvents(s, dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(bround(col("value") * lit(1000000.0)).cast("long"))
             .as("value_micros"))
-      val q = counts.writeStream.format("memory").queryName(tbl)
+      // sink rows are deliberately DISCARDED (noop): the gate reads the
+      // answer from the persisted STATE, never from the sink
+      val q = counts.writeStream.format("noop")
         .outputMode("complete")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
