@@ -93,31 +93,52 @@ object FunnelOverEvents {
     * it).
     */
   def streamQuery(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    GraftSession.tune(s)
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val tablePath = new java.io.File(s"$dir/events.parquet")
-    val raw =
-      if (tablePath.isDirectory)
-        s.readStream.schema(schema).parquet(tablePath.toString)
-      else
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val aggs = funnelAggs
     val sink = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_stream_funnel_" + Relational.sfTag(dir) + "_" +
         java.util.UUID.randomUUID.toString.replace("-", "").take(12))
       .getAbsolutePath
-    val q = raw.agg(aggs.head, aggs.tail: _*)
-      .writeStream
-      .outputMode("complete").trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode("overwrite").parquet(sink)
-      }
-      .start()
-    q.awaitTermination()
+    runStreamFunnel(s, dir, sink)
     FunnelTable.rows(FunnelTable.wideFromJoined(s.read.parquet(sink)))
       .orderBy("row_idx")
+  }
+
+  /** One streaming run of the funnel aggregate into `sink` (foreachBatch
+    * + idempotent overwrite). The knobs exist so FunnelStreamSpec can
+    * prove the RESTART-RECOVERY claim the overwrite pattern makes:
+    * `maxFilesPerTrigger` splits the fixture into several micro-batches,
+    * `ckpt` pins a durable checkpoint across runs, and `failAtBatch`
+    * injects a crash BEFORE that batch's write — the first run dies
+    * mid-stream, the rerun resumes from the committed offsets and the
+    * settled overwrite must still equal the batch aggregate. Production
+    * callers ([[streamQuery]]) leave every knob at None: fresh
+    * checkpoint, one AvailableNow drain.
+    */
+  private[graft] def runStreamFunnel(s: SparkSession, dir: String,
+      sink: String, ckpt: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None,
+      failAtBatch: Option[Long] = None): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    GraftSession.tune(s)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val tablePath = new java.io.File(s"$dir/events.parquet")
+    val rd = s.readStream.schema(schema)
+    val limited = maxFilesPerTrigger
+      .map(n => rd.option("maxFilesPerTrigger", n.toString)).getOrElse(rd)
+    val raw =
+      if (tablePath.isDirectory) limited.parquet(tablePath.toString)
+      else limited.option("pathGlobFilter", "events.parquet").parquet(dir)
+    val aggs = funnelAggs
+    val writer = raw.agg(aggs.head, aggs.tail: _*)
+      .writeStream
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (failAtBatch.contains(batchId))
+          throw new RuntimeException(s"injected failure at batch $batchId")
+        batch.write.mode("overwrite").parquet(sink)
+      }
+    val q = ckpt.map(c => writer.option("checkpointLocation", c))
+      .getOrElse(writer).start()
+    q.awaitTermination()
   }
 
   /** DuckDB twin of [[query]]: source-specific CTEs down to the wide

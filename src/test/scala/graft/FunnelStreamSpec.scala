@@ -549,4 +549,45 @@ class FunnelStreamSpec extends AnyFunSuite {
       spark, dir).collect().map(_.toSeq)
     assert(stream.toSeq === batch.toSeq)
   }
+
+  test("stream_funnel_table restart-recovery: crash mid-stream, " +
+      "resume from checkpoint, settle to batch parity") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fs_restart").toString
+    // 4 data files → 4 micro-batches under maxFilesPerTrigger=1
+    (0 until 400).map { i =>
+      (i.toLong, i.toLong % 7,
+        Seq("view", "purchase", "error")(i % 3), i.toLong * 3600000000L)
+    }.toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val base = java.nio.file.Files.createTempDirectory("fs_restart_run")
+    val sink = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    // run 1: injected crash BEFORE batch 1's write — batch 0's offsets
+    // and aggregate state are committed to the checkpoint, batches 1-3
+    // never run
+    val ex = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.queries.FunnelOverEvents.runStreamFunnel(spark, dir, sink,
+        ckpt = Some(ckpt), maxFilesPerTrigger = Some(1),
+        failAtBatch = Some(1L))
+    }
+    assert(Option(ex.getCause).exists(
+      _.getMessage.contains("injected failure at batch 1")))
+    // run 2: SAME checkpoint + sink, no injection — the engine must
+    // resume from the committed offsets (restoring batch 0's state, not
+    // re-reading its file) and the idempotent overwrite must settle to
+    // exactly the batch aggregate of all 400 rows
+    graft.queries.FunnelOverEvents.runStreamFunnel(spark, dir, sink,
+      ckpt = Some(ckpt), maxFilesPerTrigger = Some(1))
+    val recovered = graft.engine.FunnelTable.rows(
+        graft.engine.FunnelTable.wideFromJoined(spark.read.parquet(sink)))
+      .orderBy("row_idx").collect().map(_.toSeq)
+    val batch = graft.queries.FunnelOverEvents.query(spark, dir)
+      .collect().map(_.toSeq)
+    assert(recovered.toSeq === batch.toSeq)
+  }
 }
