@@ -38,7 +38,7 @@ import scala.collection.mutable
   * space (urls, ngrams, user agents) is unbounded but only the head
   * matters.
   */
-final class SpaceSavingAgg(val capacity: Int)
+final class MisraGriesAgg(val capacity: Int)
     extends Aggregator[String, Map[String, Long], Map[String, Long]] {
 
   override def zero: Map[String, Long] = Map.empty
@@ -81,7 +81,7 @@ final class SpaceSavingAgg(val capacity: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }
 
-object SpaceSavingAgg {
+object MisraGriesAgg {
 
   /** Brute-force reference for the property tests: exact counts of the
     * stream — the object the MG guarantee is stated against.

@@ -285,12 +285,17 @@ object Similarity {
       bround(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x) * lit(1000000.0), 0).cast("long")
     val base = emb.select(col("vec_id"), dbl(col("embedding")).as("vec"))
-    val seed = base.filter(col("vec_id") === 0L)
-      .select(col("vec")).collect()(0).getSeq[Double](0)
+    // deterministic seed = the SMALLEST vec_id (not a hardcoded 0 —
+    // a corpus without vec_id 0 would otherwise fail opaquely)
+    val seedRows = base.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id"), col("vec")).collect()
+    require(seedRows.nonEmpty, "kcenterSelect: empty embeddings input")
+    val seedId = seedRows(0).getLong(0)
+    val seed = seedRows(0).getSeq[Double](1)
     var state = base
       .withColumn("dmin", q2(col("vec"), typedlit(seed)))
       .localCheckpoint()
-    val sel = scala.collection.mutable.ArrayBuffer((0, 0L, 0L))
+    val sel = scala.collection.mutable.ArrayBuffer((0, seedId, 0L))
     for (i <- 1 until k) {
       val top = state
         .filter(!col("vec_id").isInCollection(sel.map(_._2)))
@@ -995,10 +1000,13 @@ object Similarity {
         floor(col("embedding").getItem(1).cast("double") / lit(h)).as("cy"))
       .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
       .localCheckpoint() // consumed by core cells AND the noise readout
+    // packed cell id cx·2³¹ + cy: injective for |cy| < 2³⁰ (at h=0.08
+    // that is |embedding[1]| < ~8.6e7 — far beyond any real embedding;
+    // the old ×1000 packing silently aliased cells outside ±100·h) and
+    // overflow-free for |cx| < 2³² — same arithmetic in the oracle
     val core = cells.filter(col("n") >= minPts)
       .select(col("cx"), col("cy"), col("n"),
-        ((col("cx") + lit(100L)) * lit(1000L) + col("cy") + lit(100L))
-          .as("id"))
+        (col("cx") * lit(2147483648L) + col("cy")).as("id"))
       .localCheckpoint() // adjacency probes it twice + label seed
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0)
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))

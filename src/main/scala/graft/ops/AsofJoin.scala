@@ -20,6 +20,15 @@ object AsofJoin {
     * `right(rightTime) <= left(leftTime)`; each `rightValues` column
     * appears in the output as `asof_<name>` (null when no right row
     * precedes). `leftTime`/`rightTime` must be mutually comparable.
+    *
+    * CONTRACT: every `rightValues` column must be of an ORDERABLE type
+    * (atomic, array, or struct-of-orderables — not map). The payload
+    * struct participates in the window ORDER BY to pin the tie rule
+    * for right rows sharing (key, time) — see below — so an
+    * unorderable value column fails analysis up front. Payloads with
+    * wide string members also ride the sort key; if ties are known
+    * impossible (unique (key, rightTime)), project such columns to a
+    * compact surrogate and re-join them after the as-of.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,

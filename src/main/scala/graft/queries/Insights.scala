@@ -52,6 +52,45 @@ object Insights {
     }
   }
 
+  /** Content-addressed, atomically-published replay fixture for the
+    * staggered-modtime streaming replays (stream_sessionize /
+    * stream_late_data / the stream-stream sentinel stream).
+    *
+    * `fp` must fingerprint the SOURCE content (count/max-ts/key-sum of
+    * the events feeding the build): the fixture directory name embeds
+    * it, so a REGENERATED events table at the same SF gets a fresh
+    * fixture instead of silently reusing a stale replay (the round-12
+    * advice item — a stale reuse surfaced as a confusing oracle
+    * mismatch). The build lands in a private temp dir and is RENAMED
+    * into place (same-filesystem atomic move): concurrent sessions
+    * can't observe a half-built fixture, and the loser of a publish
+    * race discards its copy and uses the winner's.
+    */
+  private def replayFixture(name: String, fp: String)(
+      build: java.io.File => Unit): java.io.File = {
+    val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+    val target = new java.io.File(tmpRoot, s"${name}_$fp")
+    if (!new java.io.File(target, "_GRAFT_REPLAY_READY").exists) {
+      val tmp = new java.io.File(tmpRoot, s"${name}_${fp}.build_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12))
+      build(tmp)
+      new java.io.File(tmp, "_GRAFT_REPLAY_READY").createNewFile()
+      try
+        java.nio.file.Files.move(tmp.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // lost a publish race (target now exists) — drop our build
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(tmp)
+      }
+    }
+    target
+  }
+
   /** Runs a streaming DataFrame to completion (AvailableNow) through a
     * PARQUET sink and reads the settled result back — so the
     * verification path itself is scale-true: result rows land on disk
@@ -220,19 +259,14 @@ object Insights {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._
     GraftSession.tune(s)
-    // the sentinel fixture is a pure function of nothing — build once
-    // per JVM; the READY marker keeps a half-written scratch untrusted
-    val scratch = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_stream_ssj_sentinel")
-    val ready = new java.io.File(scratch, "_GRAFT_REPLAY_READY")
-    if (!ready.exists) {
+    // the sentinel fixture is a pure function of nothing (fp = its
+    // layout version); the atomic publish still guards races
+    val scratch = replayFixture("graft_stream_ssj_sentinel", "v1") { tmp =>
       Seq((-1L, "view"), (-2L, "purchase")).toDF("user_id", "event_type")
         .select(col("user_id"),
           to_timestamp(lit("2100-01-01 00:00:00")).as("ts"),
           col("event_type"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(scratch.getAbsolutePath)
-      ready.createNewFile()
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
     }
     val real = streamEvents(s, dir)
       .select(col("user_id"), col("ts"), col("event_type"))
@@ -903,7 +937,7 @@ object Insights {
     // batch oracle (same exact-regime capacity: 16 ≥ ~5 event types).
     "stream_topk" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val mgU = udaf(new graft.functions.SpaceSavingAgg(16),
+      val mgU = udaf(new graft.functions.MisraGriesAgg(16),
         org.apache.spark.sql.Encoders.STRING)
       val ev = streamEvents(s, dir).select(col("event_type"))
       val summary = parquetSinkReadback(s,
@@ -1031,21 +1065,23 @@ object Insights {
       import s.implicits._
       GraftSession.tune(s)
       val ev = Relational.events(s, dir).select(col("user_id"), col("ts"))
-      val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
-      val scratch = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_stream_sess_" + Relational.sfTag(dir))
-      val p = scratch.getAbsolutePath
-      def dataFiles: Set[java.io.File] =
-        Option(scratch.listFiles).map(_.toSet).getOrElse(Set.empty)
-          .filter(f => !f.getName.startsWith("_") &&
-            !f.getName.startsWith("."))
-      // the replay fixture is a pure function of the sf dir — build it
-      // once per (sf, JVM); bench's warm-up + two timed passes then
-      // reuse it (the marker is written only after the sentinels, so a
-      // half-built scratch is rebuilt, never trusted)
-      val ready = new java.io.File(scratch, "_GRAFT_REPLAY_READY")
-      if (!ready.exists) {
-        ev.coalesce(1).write.mode("overwrite").parquet(p)
+      // one pass for the sentinel horizon AND the content fingerprint
+      // that keys the fixture (count / max-ts / user-sum: a regenerated
+      // events table at the same SF gets a fresh replay)
+      val meta = ev.agg(max(unix_micros(col("ts"))), count(lit(1)),
+        sum(col("user_id"))).collect()(0)
+      val maxUs = meta.getLong(0)
+      val fp = java.lang.Long.toHexString(meta.getLong(1)) + "_" +
+        java.lang.Long.toHexString(maxUs) + "_" +
+        java.lang.Long.toHexString(meta.getLong(2))
+      val scratch = replayFixture(
+          "graft_stream_sess_" + Relational.sfTag(dir), fp) { tmp =>
+        val tp = tmp.getAbsolutePath
+        def dataFiles: Set[java.io.File] =
+          Option(tmp.listFiles).map(_.toSet).getOrElse(Set.empty)
+            .filter(f => !f.getName.startsWith("_") &&
+              !f.getName.startsWith("."))
+        ev.coalesce(1).write.mode("overwrite").parquet(tp)
         val t0 = System.currentTimeMillis
         dataFiles.foreach(_.setLastModified(t0 - 60000))
         val yearUs = 365L * 86400 * 1000000
@@ -1053,13 +1089,13 @@ object Insights {
           val before = dataFiles
           Seq((-1L, us)).toDF("user_id", "us")
             .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
-            .coalesce(1).write.mode("append").parquet(p)
+            .coalesce(1).write.mode("append").parquet(tp)
           (dataFiles -- before).foreach(_.setLastModified(stamp))
         }
         sentinel(maxUs + yearUs, t0 - 40000)
         sentinel(maxUs + 2 * yearUs, t0 - 20000)
-        ready.createNewFile()
       }
+      val p = scratch.getAbsolutePath
       val src = s.readStream.schema(s.read.parquet(p).schema)
         .option("maxFilesPerTrigger", "1").parquet(p)
       val ds = src
@@ -1096,24 +1132,26 @@ object Insights {
       GraftSession.tune(s)
       val ev = Relational.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_type"))
-      val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0)
-        .getLong(0)
-      val scratch = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_stream_late_" + Relational.sfTag(dir))
-      val p = scratch.getAbsolutePath
-      def dataFiles: Set[java.io.File] =
-        Option(scratch.listFiles).map(_.toSet).getOrElse(Set.empty)
-          .filter(f => !f.getName.startsWith("_") &&
-            !f.getName.startsWith("."))
-      val ready = new java.io.File(scratch, "_GRAFT_REPLAY_READY")
-      if (!ready.exists) {
-        ev.coalesce(1).write.mode("overwrite").parquet(p)
+      val meta = ev.agg(max(unix_micros(col("ts"))), count(lit(1)),
+        sum(col("user_id"))).collect()(0)
+      val maxUs = meta.getLong(0)
+      val fp = java.lang.Long.toHexString(meta.getLong(1)) + "_" +
+        java.lang.Long.toHexString(maxUs) + "_" +
+        java.lang.Long.toHexString(meta.getLong(2))
+      val scratch = replayFixture(
+          "graft_stream_late_" + Relational.sfTag(dir), fp) { tmp =>
+        val tp = tmp.getAbsolutePath
+        def dataFiles: Set[java.io.File] =
+          Option(tmp.listFiles).map(_.toSet).getOrElse(Set.empty)
+            .filter(f => !f.getName.startsWith("_") &&
+              !f.getName.startsWith("."))
+        ev.coalesce(1).write.mode("overwrite").parquet(tp)
         val t0 = System.currentTimeMillis
         dataFiles.foreach(_.setLastModified(t0 - 60000))
         val yearUs = 365L * 86400 * 1000000
         def appendBatch(df: DataFrame, stamp: Long): Unit = {
           val before = dataFiles
-          df.coalesce(1).write.mode("append").parquet(p)
+          df.coalesce(1).write.mode("append").parquet(tp)
           (dataFiles -- before).foreach(_.setLastModified(stamp))
         }
         // TWO sentinels, the stream_sessionize lesson: the late-row
@@ -1128,8 +1166,8 @@ object Insights {
         sentinel(maxUs + 2 * yearUs, t0 - 30000)
         appendBatch(ev.filter(pmod(col("user_id"), lit(10)) === 0),
           t0 - 15000)
-        ready.createNewFile()
       }
+      val p = scratch.getAbsolutePath
       val src = s.readStream.schema(s.read.parquet(p).schema)
         .option("maxFilesPerTrigger", "1").parquet(p)
       val settled = parquetSinkReadback(s,

@@ -1631,7 +1631,7 @@ object LlmQueries {
           |cells AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n
           |  FROM pts GROUP BY 1, 2),
           |core AS MATERIALIZED (SELECT cx, cy, n,
-          |    (cx + 100) * 1000 + cy + 100 AS id
+          |    cx * 2147483648 + cy AS id
           |  FROM cells WHERE n >= 5),
           |adj AS MATERIALIZED (SELECT a.id AS src, b.id AS dst
           |  FROM core a JOIN core b
@@ -2012,11 +2012,12 @@ object LlmQueries {
       |      (x, y) -> x + y) * 1000000.0, 0) AS BIGINT)""".stripMargin
     val sb = new StringBuilder
     sb ++= "WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),\n"
+    // seed = min(vec_id), mirroring kcenterSelect's deterministic seed
     sb ++= ("d0 AS MATERIALIZED (SELECT e.vec_id, " + dist + " AS dmin\n" +
       "  FROM e, (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))" +
-      " AS emb FROM e WHERE vec_id = 0) c),\n")
+      " AS emb FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)) c),\n")
     for (i <- 1 until k) {
-      val excl = (Seq("vec_id <> 0") ++
+      val excl = (Seq("vec_id <> (SELECT min(vec_id) FROM e)") ++
         (1 until i).map(j => s"vec_id NOT IN (SELECT vec_id FROM s$j)"))
         .mkString(" AND ")
       sb ++= (s"s$i AS MATERIALIZED (SELECT vec_id, dmin FROM d${i - 1}\n" +
@@ -2030,7 +2031,8 @@ object LlmQueries {
     }
     // drop the trailing ",\n" of the last CTE
     sb.setLength(sb.length - 2)
-    sb ++= "\nSELECT CAST(0 AS INT) AS sel_order, CAST(0 AS BIGINT) AS vec_id," +
+    sb ++= "\nSELECT CAST(0 AS INT) AS sel_order," +
+      " (SELECT min(vec_id) FROM e) AS vec_id," +
       " CAST(0 AS BIGINT) AS dist_micros"
     for (i <- 1 until k)
       sb ++= s"\nUNION ALL SELECT $i, vec_id, dmin FROM s$i"

@@ -652,7 +652,7 @@ object Relational {
         .orderBy("event_type")
     }),
 
-    // Misra–Gries heavy-hitter summary (graft.functions.SpaceSavingAgg
+    // Misra–Gries heavy-hitter summary (graft.functions.MisraGriesAgg
     // — mergeable-summaries merge per Agarwal et al., PODS 2012): the
     // DETERMINISTIC-guarantee member of the sketch family (CMS
     // overestimates probabilistically; MG brackets truth two-sidedly:
@@ -664,9 +664,13 @@ object Relational {
     // dependent, as in any MG) is property-tested in SketchSpec
     // against a brute-force reference on random orders. At 100 TB the
     // 16-entry map per partition replaces the unbounded key shuffle.
+    // NOTE the query id is a historical misnomer: the algorithm is
+    // Misra–Gries (decrement-all, UNDERestimating counters), not
+    // Space-Saving (Metwally et al., overwrite-min, OVERestimating) —
+    // the id predates the rename and stays for artifact continuity.
     "space_saving_topk" -> ((s, dir) => {
       import s.implicits._
-      val mg = new graft.functions.SpaceSavingAgg(16)
+      val mg = new graft.functions.MisraGriesAgg(16)
       val ev = events(s, dir)
       val summary = ev.select(col("event_type")).as[String]
         .select(mg.toColumn.name("summary"))

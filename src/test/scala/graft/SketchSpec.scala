@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{HilbertIndex, SpaceSavingAgg}
+import graft.functions.{HilbertIndex, MisraGriesAgg}
 
 /** Round-12 additions: the Misra–Gries guarantee on random orders and
   * partitionings (the regime the oracle CANNOT gate, because MG
@@ -16,7 +16,7 @@ class SketchSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = TestSpark.session
 
-  private def mgRun(agg: SpaceSavingAgg, xs: Seq[String],
+  private def mgRun(agg: MisraGriesAgg, xs: Seq[String],
       pieces: Int): Map[String, Long] = {
     // random partition split + left-fold merge: any tree gives the bound
     val parts = xs.grouped(math.max(1, xs.size / pieces)).toSeq
@@ -33,8 +33,8 @@ class SketchSpec extends AnyFunSuite {
         Seq.fill(1 + 2000 / (1 + k * k))(s"k$k")
       })
       val n = xs.size.toLong
-      val summary = mgRun(new SpaceSavingAgg(cap), xs, 1 + rng.nextInt(7))
-      val exact = SpaceSavingAgg.exactCounts(xs)
+      val summary = mgRun(new MisraGriesAgg(cap), xs, 1 + rng.nextInt(7))
+      val exact = MisraGriesAgg.exactCounts(xs)
       assert(summary.size <= cap, s"trial $trial: capacity violated")
       val slack = n / (cap + 1)
       summary.foreach { case (k, est) =>
@@ -53,12 +53,12 @@ class SketchSpec extends AnyFunSuite {
 
   test("misra-gries exact regime: partition-free equality to true counts") {
     import spark.implicits._
-    val agg = new SpaceSavingAgg(16)
+    val agg = new MisraGriesAgg(16)
     val xs = Seq.fill(100)("a") ++ Seq.fill(37)("b") ++ Seq.fill(5)("c") ++
       Seq("d")
     val got = spark.createDataset(xs).repartition(7)
       .select(agg.toColumn.name("s")).collect().head
-    assert(got === SpaceSavingAgg.exactCounts(xs))
+    assert(got === MisraGriesAgg.exactCounts(xs))
   }
 
   test("hilbert: bijection and unit Manhattan steps on the full 16x16 grid") {
