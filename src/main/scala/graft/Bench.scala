@@ -89,6 +89,24 @@ object Bench {
       }
     }
 
+    // Heavy-tail variance control: min-of-two holds the noise down for
+    // sub-second queries, but the >2 s tail still swung 30%+ between
+    // rounds (spearman_corr 3.65 vs 4.86 s, same code/SF) — one GC or
+    // page-cache event inside a long slot shifts BOTH samples. Queries
+    // whose current min exceeds 2 s get a THIRD spaced sample; min of
+    // three cuts the chance that every sample absorbed noise.
+    suite.foreach { case (name, fn) =>
+      if (timings.get(name).exists(_ > 2.0)) {
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          timings(name) = math.min(timings(name), sec)
+        } catch { case _: Throwable => () /* keep the existing min */ }
+      }
+    }
+
     val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
