@@ -487,38 +487,39 @@ object Dedup {
     val edges = fwd
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    val labels0 = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"))
       .localCheckpoint(true)
-    var converged = labels.isEmpty
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("nid"), col("cluster").as("ncl")),
-          col("dst") === col("nid"))
-        .groupBy(col("src")).agg(min("ncl").as("nbr_min"))
-      val stepped = labels
-        .join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster"))
-      // pointer jump: follow my label's OWN label one hop
-      val jumped = stepped.as("x")
-        .join(
-          stepped.select(col("id").as("pid"), col("cluster").as("pcl")).as("p"),
-          col("x.cluster") === col("p.pid"), "left")
-        .select(col("x.id").as("id"),
-          least(col("x.cluster"), coalesce(col("pcl"), col("x.cluster")))
-            .as("cluster"))
-        .localCheckpoint(true)
-      converged = jumped
-        .join(labels.select(col("id").as("oid"), col("cluster").as("old")),
-          col("id") === col("oid"))
-        .filter(col("cluster") =!= col("old"))
-        .isEmpty
-      labels = jumped
-      iter += 1
-    }
+    val labels = if (labels0.isEmpty) labels0
+      else graft.ops.IterateUntilFixed.converge(
+        Map("labels" -> labels0), maxIter) { (st, _) =>
+        val prev = st("labels")
+        val nbrMin = edges
+          .join(prev.select(col("id").as("nid"), col("cluster").as("ncl")),
+            col("dst") === col("nid"))
+          .groupBy(col("src")).agg(min("ncl").as("nbr_min"))
+        val stepped = prev
+          .join(nbrMin, prev("id") === nbrMin("src"), "left")
+          .select(prev("id"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+              .as("cluster"))
+        // pointer jump: follow my label's OWN label one hop;
+        // pre-checkpointed so the change witness probes materialized
+        // partitions instead of re-running the round's joins
+        val jumped = stepped.as("x")
+          .join(
+            stepped.select(col("id").as("pid"), col("cluster").as("pcl")).as("p"),
+            col("x.cluster") === col("p.pid"), "left")
+          .select(col("x.id").as("id"),
+            least(col("x.cluster"), coalesce(col("pcl"), col("x.cluster")))
+              .as("cluster"))
+          .localCheckpoint(true)
+        val changed = jumped
+          .join(prev.select(col("id").as("oid"), col("cluster").as("old")),
+            col("id") === col("oid"))
+          .filter(col("cluster") =!= col("old"))
+        (Map("labels" -> jumped), changed)
+      }._1("labels")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
         (col("id") === col("cluster")).as("is_rep"))

@@ -1018,14 +1018,14 @@ object Similarity {
       .join(core.select(col("cx").as("tx"), col("cy").as("ty"),
         col("id").as("dst")), Seq("tx", "ty"))
       .select("src", "dst")
-    var lbl = core.select(col("id").as("node"), col("id").as("lbl"))
-    for (_ <- 1 to rounds) {
-      lbl = lbl.unionByName(
-          adj.join(lbl.select(col("node").as("dst"), col("lbl")), "dst")
+    val lbl0 = core.select(col("id").as("node"), col("id").as("lbl"))
+    val lbl = graft.ops.IterateUntilFixed.fixed(
+      Map("lbl" -> lbl0), rounds) { (st, _) =>
+      Map("lbl" -> st("lbl").unionByName(
+          adj.join(st("lbl").select(col("node").as("dst"), col("lbl")), "dst")
             .select(col("src").as("node"), col("lbl")))
-        .groupBy("node").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
-    }
+        .groupBy("node").agg(min("lbl").as("lbl")))
+    }("lbl")
     val clusters = core.join(lbl, core("id") === lbl("node"))
       .groupBy("lbl").agg(count(lit(1)).as("n_cells"),
         sum("n").as("n_points"))

@@ -234,20 +234,22 @@ object Curation {
       val m = cu.unionByName(cu.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("m")))
         .localCheckpoint() // consumed by 3 rounds
-      var v = m.select(col("i").as("dim")).distinct()
+      val v0 = m.select(col("i").as("dim")).distinct()
         .withColumn("v", lit(1000000L))
-      var lastMx: DataFrame = null
-      for (_ <- 1 to 3) {
-        val w = m.join(v.select(col("dim").as("j"), col("v")), "j")
-          .groupBy("i").agg(sum(col("m") * col("v")).as("w"))
-        lastMx = w.agg(max(abs(col("w"))).as("mx"))
-        v = w.crossJoin(broadcast(lastMx))
-          .select(col("i").as("dim"),
-            bround(col("w").cast("double") * lit(1000000.0) /
-              col("mx").cast("double")).cast("long").as("v"))
-          .localCheckpoint()
+      val st = graft.ops.IterateUntilFixed.fixed(Map("v" -> v0), 3) {
+        (st, _) =>
+          // pre-checkpointed: mx AND next v both read this round's w
+          val w = m.join(st("v").select(col("dim").as("j"), col("v")), "j")
+            .groupBy("i").agg(sum(col("m") * col("v")).as("w"))
+            .localCheckpoint()
+          val mx = w.agg(max(abs(col("w"))).as("mx"))
+          Map("mx" -> mx,
+            "v" -> w.crossJoin(broadcast(mx))
+              .select(col("i").as("dim"),
+                bround(col("w").cast("double") * lit(1000000.0) /
+                  col("mx").cast("double")).cast("long").as("v")))
       }
-      v.crossJoin(broadcast(lastMx))
+      st("v").crossJoin(broadcast(st("mx")))
         .select(col("dim"), col("v").as("v_micros"),
           col("mx").as("lambda_nanos"))
         .orderBy("dim")

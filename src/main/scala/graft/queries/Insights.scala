@@ -200,28 +200,22 @@ object Insights {
     val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var lbl = edges.select(col("src").as("node")).distinct()
+    val lbl0 = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint()
-    var delta = lbl
-    var rounds = 0
-    var r = 1
-    var live = true
-    while (r <= 3 && live) {
-      val cand = edges.join(delta, edges("dst") === delta("node"))
+    val (st, rounds) = graft.ops.IterateUntilFixed.converge(
+      Map("lbl" -> lbl0, "delta" -> lbl0), 3) { (st, _) =>
+      val delta0 = st("delta")
+      val cand = edges.join(delta0, edges("dst") === delta0("node"))
         .select(edges("src").as("node"), col("lbl"))
         .groupBy("node").agg(min("lbl").as("cand"))
-      val joined = lbl.join(cand, Seq("node"), "left")
+      val joined = st("lbl").join(cand, Seq("node"), "left")
       val next = joined.select(col("node"),
-          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      delta = joined.filter(col("cand") < col("lbl"))
-        .select(col("node"), col("cand").as("lbl")).localCheckpoint()
-      lbl = next
-      rounds = r
-      if (delta.isEmpty) live = false
-      r += 1
+        least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
+      val delta = joined.filter(col("cand") < col("lbl"))
+        .select(col("node"), col("cand").as("lbl"))
+      (Map("lbl" -> next, "delta" -> delta), delta)
     }
-    (lbl.groupBy("lbl").agg(count(lit(1)).as("sz"))
+    (st("lbl").groupBy("lbl").agg(count(lit(1)).as("sz"))
       .groupBy("sz").agg(count(lit(1)).as("n_groups"))
       .orderBy("sz"), rounds)
   }

@@ -87,38 +87,30 @@ object Signals {
         e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     val seed = "s" + li.agg(min("l_suppkey")).head().getLong(0)
-    var visited = s.createDataFrame(
+    val visited0 = s.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(seed, 0)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node",
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("lvl",
           org.apache.spark.sql.types.IntegerType, nullable = false))))
-    var frontier = visited
-    var rounds = 0
-    var l = 1
-    var live = true
-    while (l <= 4 && live) {
-      // broadcast the FRONTIER (≤ node-count rows), never shuffle the
-      // edge table — the textbook distributed-BFS join order; at the
-      // 10× fixture this was the difference between re-shuffling 12M
-      // edges four times (21.6 s) and four map-side hash probes. The
-      // visited anti-join broadcasts for the same reason.
-      val next = edges
+    // broadcast the FRONTIER (≤ node-count rows), never shuffle the
+    // edge table — the textbook distributed-BFS join order; at the
+    // 10× fixture this was the difference between re-shuffling 12M
+    // edges four times (21.6 s) and four map-side hash probes. The
+    // visited anti-join broadcasts for the same reason.
+    val (st, rounds) = graft.ops.IterateUntilFixed.frontier(
+      Map("visited" -> visited0, "frontier" -> visited0), 4) { (st, l) =>
+      val frontier = st("frontier")
+      edges
         .join(broadcast(frontier), frontier("node") === edges("src"))
         .select(col("dst").as("node")).distinct()
-        .join(broadcast(visited), Seq("node"), "left_anti")
+        .join(broadcast(st("visited")), Seq("node"), "left_anti")
         .select(col("node"), lit(l).as("lvl"))
-        .localCheckpoint()
-      if (next.isEmpty) live = false
-      else {
-        visited = visited.unionByName(next).localCheckpoint()
-        frontier = next
-        rounds = l
-      }
-      l += 1
+    } { (st, next, _) =>
+      Map("visited" -> st("visited").unionByName(next), "frontier" -> next)
     }
-    (visited.groupBy("lvl").agg(count(lit(1)).as("n")).orderBy("lvl"),
+    (st("visited").groupBy("lvl").agg(count(lit(1)).as("n")).orderBy("lvl"),
       rounds)
   }
 
@@ -154,46 +146,42 @@ object Signals {
     def pkeyOf(node: Column): Column = concat(
       lpad(graft.llm.Dedup.hashBucket(concat(lit("mis:"), node),
         1000000000L).cast("string"), 10, "0"), lit(":"), node)
-    var und = edges.select(col("src").as("node")).distinct()
+    val und0 = edges.select(col("src").as("node")).distinct()
       .select(col("node"), pkeyOf(col("node")).as("pkey"))
       .localCheckpoint()
-    var inAcc: DataFrame = null
-    var outAcc: DataFrame = null
-    var rounds = 0
-    var r = 1
-    var live = true
-    while (r <= 6 && live) {
+    val (st, rounds) = graft.ops.IterateUntilFixed.frontier(
+      Map("und" -> und0, "in" -> und0.limit(0), "out" -> und0.limit(0)),
+      6) { (st, _) =>
+      val und = st("und")
       val u1 = und.select(col("node").as("src"))
       val u2 = und.select(col("node").as("dst"), col("pkey").as("dkey"))
       val mn = edges.join(broadcast(u1), Seq("src"))
         .join(broadcast(u2), Seq("dst"))
         .groupBy("src").agg(min("dkey").as("mk"))
         .select(col("src").as("node"), col("mk"))
-      val newIn = und.join(broadcast(mn), Seq("node"), "left_outer")
+      und.join(broadcast(mn), Seq("node"), "left_outer")
         .filter(col("mk").isNull || col("pkey") < col("mk"))
         .select(col("node"), col("pkey"))
+    } { (st, newIn, _) =>
+      val und = st("und")
+      val outNodes = edges
+        .join(broadcast(newIn.select(col("node").as("src"))), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+      // pre-checkpointed: feeds both the out accumulator and the
+      // undecided anti-join (the harness's idempotent cp passes it
+      // through instead of re-materializing)
+      val newOut = und
+        .join(broadcast(outNodes), Seq("node"), "left_semi")
+        .select(col("node"), col("pkey"))
         .localCheckpoint()
-      if (newIn.isEmpty) live = false
-      else {
-        val outNodes = edges
-          .join(broadcast(newIn.select(col("node").as("src"))), Seq("src"))
-          .select(col("dst").as("node")).distinct()
-        val newOut = und
-          .join(broadcast(outNodes), Seq("node"), "left_semi")
-          .select(col("node"), col("pkey"))
-          .localCheckpoint()
-        inAcc = if (inAcc == null) newIn
-          else inAcc.unionByName(newIn).localCheckpoint()
-        outAcc = if (outAcc == null) newOut
-          else outAcc.unionByName(newOut).localCheckpoint()
-        und = und
+      Map(
+        "in" -> st("in").unionByName(newIn),
+        "out" -> st("out").unionByName(newOut),
+        "und" -> und
           .join(broadcast(newIn.select("node")), Seq("node"), "left_anti")
-          .join(broadcast(newOut.select("node")), Seq("node"), "left_anti")
-          .localCheckpoint()
-        rounds = r
-      }
-      r += 1
+          .join(broadcast(newOut.select("node")), Seq("node"), "left_anti"))
     }
+    val (inAcc, outAcc, und) = (st("in"), st("out"), st("und"))
     def prOf(c: Column): Column = substring(c, 1, 10).cast("long")
     val inStats = inAcc.agg(count(lit(1)).as("n_in"),
       sum(prOf(col("pkey"))).as("in_pr_sum"),
@@ -237,38 +225,34 @@ object Signals {
         concat(lit("s"), col("sk").cast("string")).as("dst"), col("w")))
       .localCheckpoint()
     val seed = "s" + li.agg(min("l_suppkey")).head().getLong(0)
-    var dist = s.createDataFrame(
+    val dist0 = s.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(seed, 0L)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node",
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("dist",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    var frontier = dist
-    var rounds = 0
-    var r = 1
-    var live = true
-    while (r <= 4 && live) {
+    val (st, rounds) = graft.ops.IterateUntilFixed.frontier(
+      Map("dist" -> dist0, "frontier" -> dist0), 4) { (st, _) =>
+      val frontier = st("frontier")
       val cand = edges
         .join(broadcast(frontier), frontier("node") === edges("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("dist") + col("w")).as("cd"))
-      val improved = cand
-        .join(dist.select(col("node"), col("dist").as("od")), Seq("node"), "left")
+      cand
+        .join(st("dist").select(col("node"), col("dist").as("od")),
+          Seq("node"), "left")
         .filter(col("od").isNull || col("cd") < col("od"))
         .select(col("node"), col("cd").as("dist"))
-        .localCheckpoint()
-      if (improved.isEmpty) live = false
-      else {
-        dist = dist.join(improved.select(col("node").as("inode")),
+    } { (st, improved, _) =>
+      Map(
+        "dist" -> st("dist")
+          .join(improved.select(col("node").as("inode")),
             col("node") === col("inode"), "left_anti")
-          .unionByName(improved).localCheckpoint()
-        frontier = improved
-        rounds = r
-      }
-      r += 1
+          .unionByName(improved),
+        "frontier" -> improved)
     }
-    (dist.groupBy("dist").agg(count(lit(1)).as("n")).orderBy("dist"),
+    (st("dist").groupBy("dist").agg(count(lit(1)).as("n")).orderBy("dist"),
       rounds)
   }
 
@@ -292,18 +276,18 @@ object Signals {
       .localCheckpoint() // consumed by sym edges + modularity's 3 readers
     val e = und.select(col("p1").as("v"), col("p2").as("u"))
       .unionByName(und.select(col("p2").as("v"), col("p1").as("u")))
-    var labels = e.select(col("v")).distinct()
+    val labels0 = e.select(col("v")).distinct()
       .withColumn("label", col("v").cast("long"))
-    for (_ <- 1 to 3) {
+    val labels = graft.ops.IterateUntilFixed.fixed(
+      Map("labels" -> labels0), 3) { (st, _) =>
       val cnt = e
-        .join(labels.select(col("v").as("u"), col("label")), "u")
+        .join(st("labels").select(col("v").as("u"), col("label")), "u")
         .groupBy("v", "label").agg(count(lit(1)).as("c"))
-      labels = cnt.groupBy("v")
+      Map("labels" -> cnt.groupBy("v")
         .agg(max(struct(col("c").as("c"),
           (col("label") * lit(-1L)).as("nl"))).as("m"))
-        .select(col("v"), (col("m.nl") * lit(-1L)).as("label"))
-        .localCheckpoint()
-    }
+        .select(col("v"), (col("m.nl") * lit(-1L)).as("label")))
+    }("labels")
     (und, e, labels)
   }
 
@@ -863,25 +847,26 @@ object Signals {
           .agg(countDistinct("v").as("n_vertices"),
             (count(lit(1)) / 2).cast("long").as("n_edges"))
           .select(lit(rnd).as("rnd"), col("n_vertices"), col("n_edges"))
-      var e = op.select(col("o"), col("p").as("p1"))
+      val e0 = op.select(col("o"), col("p").as("p1"))
         .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
         .filter(col("p1") < col("p2"))
         .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select("p1", "p2")
         .localCheckpoint()
-      var out = stats(0, e)
-      for (r <- 1 to 3) {
+      graft.ops.IterateUntilFixed.fixed(
+        Map("e" -> e0, "out" -> stats(0, e0)), 3) { (st, r) =>
+        val e = st("e")
         val keep = e.select(col("p1").as("v"))
           .unionByName(e.select(col("p2").as("v")))
           .groupBy("v").agg(count(lit(1)).as("dg"))
           .filter(col("dg") >= 3).select("v")
-        e = e.join(keep.withColumnRenamed("v", "p1"), Seq("p1"), "left_semi")
+        // pre-checkpointed: next round's peel AND this round's stats row
+        val e2 = e.join(keep.withColumnRenamed("v", "p1"), Seq("p1"), "left_semi")
           .join(keep.withColumnRenamed("v", "p2"), Seq("p2"), "left_semi")
           .select("p1", "p2")
           .localCheckpoint()
-        out = out.unionByName(stats(r, e))
-      }
-      out.orderBy("rnd")
+        Map("e" -> e2, "out" -> st("out").unionByName(stats(r, e2)))
+      }("out").orderBy("rnd")
     }),
 
     // Bounded-round k-truss peeling (k=4: every edge must sit in ≥ 2
@@ -899,14 +884,17 @@ object Signals {
       val op = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      var e = op.select(col("o"), col("p").as("p1"))
+      val e0 = op.select(col("o"), col("p").as("p1"))
         .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
         .filter(col("p1") < col("p2"))
         .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select("p1", "p2")
         .localCheckpoint()
-      var out: DataFrame = null
-      for (r <- 1 to 3) {
+      graft.ops.IterateUntilFixed.fixed(
+        Map("e" -> e0, "out" -> e0.limit(0)
+          .select(lit(0).as("rnd"), lit(0L).as("n_triangles"),
+            lit(0L).as("n_edges"))), 3) { (st, r) =>
+        val e = st("e")
         val tri = e.select(col("p1").as("a"), col("p2").as("b"))
           .join(e.select(col("p1").as("b"), col("p2").as("c")), Seq("b"))
           .join(e.select(col("p1").as("a"), col("p2").as("c")),
@@ -916,19 +904,19 @@ object Signals {
           .unionByName(tri.select(col("a").as("x"), col("c").as("y")))
           .groupBy("x", "y").agg(count(lit(1)).as("supp"))
           .localCheckpoint() // feeds the census AND the peel
-        e = e.join(
+        // pre-checkpointed: next round's closure AND this round's row
+        val e2 = e.join(
             supp.filter(col("supp") >= 2)
               .select(col("x").as("p1"), col("y").as("p2")),
             Seq("p1", "p2"), "left_semi")
           .localCheckpoint()
-        val row = e.agg(count(lit(1)).as("n_edges"))
+        val row = e2.agg(count(lit(1)).as("n_edges"))
           .crossJoin(broadcast(supp.agg(
             (coalesce(sum("supp"), lit(0L)) / lit(3)).cast("long")
               .as("n_triangles"))))
           .select(lit(r).as("rnd"), col("n_triangles"), col("n_edges"))
-        out = if (out == null) row else out.unionByName(row)
-      }
-      out.orderBy("rnd")
+        Map("e" -> e2, "out" -> st("out").unionByName(row))
+      }("out").orderBy("rnd")
     }),
 
     // Label propagation community detection (Raghavan, Albert, Kumara

@@ -658,9 +658,10 @@ class LlmSpec extends AnyFunSuite {
   test("dbscan grid: adjacent core cells merge, sparse cell is noise") {
     import spark.implicits._
     // cells (0,0) n=6 and (1,0) n=5 are core and 8-adjacent → one
-    // cluster of 11 points / 2 cells labeled min-id 100100; (-4,-4)
-    // n=5 is core but isolated → its own 5-point cluster 96096;
-    // (3,-4) n=2 misses minPts → 2 noise points
+    // cluster of 11 points / 2 cells labeled min packed id
+    // 0·2³¹+0 = 0; (-4,-4) n=5 is core but isolated → its own
+    // 5-point cluster −4·2³¹−4 = −8589934596; (3,-4) n=2 misses
+    // minPts → 2 noise points
     def pt(id: Long, x: Float, y: Float) =
       (id, Array(x, y, 0.0f, 0.0f), 0)
     val rows =
@@ -672,7 +673,7 @@ class LlmSpec extends AnyFunSuite {
     val out = Similarity.dbscanGrid(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq(
-      (100100L, 2L, 11L), (96096L, 1L, 5L), (-1L, 1L, 2L)))
+      (0L, 2L, 11L), (-8589934596L, 1L, 5L), (-1L, 1L, 2L)))
   }
 
   test("sorted neighborhood: adjacent near-dup scores, distant pair drops") {
