@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins._
+
+/** Physical-plan shape fingerprinting — the regression gate for the
+  * scale properties the round audits check by hand: no cartesian
+  * products, no unexpected single-partition exchanges, the expected
+  * broadcast/shuffle join mix, and no stray global sorts.
+  *
+  * A fingerprint is a canonical one-line count vector over the
+  * pre-execution physical plan (AQE's `initialPlan` — the statically
+  * chosen shape; runtime re-plans only ever improve on it). The counts
+  * are snapshotted per query into the committed `PLANSHAPES.json` and
+  * asserted by PlanShapeSpec: a deliberate plan change must update the
+  * snapshot in the same commit, and an accidental one (a broadcast
+  * silently degrading to sort-merge, a new single-partition exchange, a
+  * resurrected global sort) trips `sbt test` instead of waiting for a
+  * round-level bench diff.
+  *
+  * Counts, not tree hashes: expression ids, file listings, and stats
+  * annotations churn between runs, but the operator mix of a fixed
+  * query on fixed data is stable — and it is exactly the property the
+  * 100 TB review cares about.
+  */
+object PlanShape {
+
+  /** Flatten the plan tree, descending through AQE roots into their
+    * statically planned shape.
+    */
+  def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => nodes(a.initialPlan)
+    case _ => p +: p.children.flatMap(nodes)
+  }
+
+  /** Canonical shape line, e.g.
+    * `cartesian=0 bnlj=1 bhj=3 smj=0 shj=0 exchange=4 single_exchange=1 global_sort=1`.
+    *
+    *  - `cartesian`        CartesianProductExec — forbidden at scale; any
+    *                       nonzero count must be a reviewed snapshot entry
+    *  - `bnlj`             BroadcastNestedLoopJoinExec — legitimate only as
+    *                       a broadcast-small side (1-row combines)
+    *  - `bhj`/`smj`/`shj`  the equi-join mix; a bhj→smj drift is the classic
+    *                       silent regression (lost broadcast)
+    *  - `exchange`         all shuffle exchanges (the shuffle budget)
+    *  - `single_exchange`  exchanges whose static partitioning is
+    *                       SinglePartition — grand aggregates earn exactly
+    *                       one; anything extra is a scale killer
+    *  - `global_sort`      SortExec with global=true — the output ORDER BY
+    *                       earns one; row-scale intermediate sorts do not
+    */
+  def fingerprint(df: DataFrame): String = {
+    val ns = nodes(df.queryExecution.executedPlan)
+    val exchanges = ns.collect { case e: ShuffleExchangeExec => e }
+    val parts = Seq(
+      "cartesian" -> ns.count(_.isInstanceOf[CartesianProductExec]),
+      "bnlj" -> ns.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "bhj" -> ns.count(_.isInstanceOf[BroadcastHashJoinExec]),
+      "smj" -> ns.count(_.isInstanceOf[SortMergeJoinExec]),
+      "shj" -> ns.count(_.isInstanceOf[ShuffledHashJoinExec]),
+      "exchange" -> exchanges.size,
+      "single_exchange" ->
+        exchanges.count(_.outputPartitioning.numPartitions == 1),
+      "global_sort" -> ns.count {
+        case s: SortExec => s.global
+        case _ => false
+      })
+    parts.map { case (k, v) => s"$k=$v" }.mkString(" ")
+  }
+}

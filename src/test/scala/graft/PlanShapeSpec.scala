@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.PlanShape
+
+/** Snapshot gate over every registered batch query's physical plan
+  * shape (see [[graft.ops.PlanShape]]). The committed `PLANSHAPES.json`
+  * records each query's operator-count fingerprint at sf0.001 under the
+  * test session (local[4], 4 shuffle partitions — fingerprints are a
+  * function of the session shape, so regeneration must run under THIS
+  * spec); a deliberate plan change updates the snapshot in the same
+  * commit via
+  *
+  *   SPARK_GRAFT_REGEN_PLANSHAPES=1 sbt "testOnly graft.PlanShapeSpec"
+  *
+  * and an accidental one — a lost broadcast, a new cartesian, a
+  * single-partition exchange sneaking back in — fails here with the
+  * exact per-query count diff.
+  *
+  * Streaming queries are excluded: building them runs the full
+  * AvailableNow stream and their returned frame is a parquet read-back
+  * whose plan is a bare scan; their shape gates live in InsightsSpec /
+  * FunnelStreamSpec.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val snapshotPath = Paths.get("PLANSHAPES.json")
+
+  private def currentShapes(): Seq[(String, String)] =
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("stream_"))
+      .map { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        name -> PlanShape.fingerprint(df)
+      }
+
+  private def render(shapes: Seq[(String, String)]): String =
+    shapes.map { case (n, f) => s"""  "$n": "$f"""" }
+      .mkString("{\n", ",\n", "\n}\n")
+
+  private def parse(json: String): Map[String, String] =
+    """"([a-z0-9_]+)": "([^"]*)"""".r
+      .findAllMatchIn(json).map(m => m.group(1) -> m.group(2)).toMap
+
+  test("every batch query's plan shape matches the committed snapshot") {
+    val current = currentShapes()
+    if (sys.env.contains("SPARK_GRAFT_REGEN_PLANSHAPES")) {
+      Files.write(snapshotPath,
+        render(current).getBytes(StandardCharsets.UTF_8))
+      info(s"regenerated ${snapshotPath.toAbsolutePath} " +
+        s"(${current.size} queries) — commit it")
+    } else {
+      assert(Files.exists(snapshotPath),
+        s"$snapshotPath missing — regenerate with " +
+          "SPARK_GRAFT_REGEN_PLANSHAPES=1 sbt 'testOnly graft.PlanShapeSpec'")
+      val committed = parse(Files.readString(snapshotPath))
+      val diffs = current.flatMap { case (name, fp) =>
+        committed.get(name) match {
+          case None => Some(s"$name: MISSING from snapshot (now: $fp)")
+          case Some(c) if c != fp =>
+            Some(s"$name:\n  snapshot: $c\n  current:  $fp")
+          case _ => None
+        }
+      }
+      val stale = (committed.keySet -- current.map(_._1)).toSeq.sorted
+        .map(n => s"$n: in snapshot but no longer registered")
+      assert(diffs.isEmpty && stale.isEmpty,
+        "plan shapes drifted — if deliberate, regenerate the snapshot " +
+          "in the same commit (SPARK_GRAFT_REGEN_PLANSHAPES=1):\n" +
+          (diffs ++ stale).mkString("\n"))
+    }
+  }
+}
