@@ -1,8 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{SortExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.{PartialReducerPartitionSpec, SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins._
 
@@ -69,5 +69,38 @@ object PlanShape {
         case _ => false
       })
     parts.map { case (k, v) => s"$k=$v" }.mkString(" ")
+  }
+
+  /** Flatten the plan AFTER execution, descending through AQE roots into
+    * the final (runtime re-planned) physical plan and through query-stage
+    * leaves into their materialized subplans. [[nodes]] deliberately
+    * reads the STATIC shape; this reads what actually ran — the view
+    * where AQE runtime decisions (skew-join splits, coalesced reads,
+    * demoted broadcasts) are visible.
+    */
+  def executedNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: executedNodes(a.executedPlan)
+    case q: QueryStageExec => q +: executedNodes(q.plan)
+    case _ => p +: p.children.flatMap(executedNodes)
+  }
+
+  /** AQE skew-join evidence from an executed DataFrame: the number of
+    * shuffled joins the runtime flagged `isSkewJoin`, and the total
+    * [[PartialReducerPartitionSpec]] count across all adaptive shuffle
+    * reads (each is one split slice of a skewed reducer partition —
+    * > the number of skewed partitions when AQE fans one hot partition
+    * out over several map ranges).
+    */
+  def skewJoinStats(df: DataFrame): (Int, Int) = {
+    val ns = executedNodes(df.queryExecution.executedPlan)
+    val skewJoins = ns.count {
+      case j: SortMergeJoinExec => j.isSkewJoin
+      case j: ShuffledHashJoinExec => j.isSkewJoin
+      case _ => false
+    }
+    val splits = ns.collect { case r: AQEShuffleReadExec =>
+      r.partitionSpecs.count(_.isInstanceOf[PartialReducerPartitionSpec])
+    }.sum
+    (skewJoins, splits)
   }
 }

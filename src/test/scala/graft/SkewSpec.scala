@@ -1,78 +1,133 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.llm.Similarity
-import graft.ops.Skew
+import graft.llm.Dedup
+import graft.ops.PlanShape
 
-/** Salted aggregation correctness on a skewed fixture (one key carries
-  * 90% of rows), plus IVF ANN sanity against the exact scan.
+/** AQE skew-join evidence for the banded dedup joins.
+  *
+  * `Dedup.minhashBandedPairs` and `Dedup.prefixJaccardPairs` claim
+  * "AQE-skew-splittable" shapes: their candidate stages are plain
+  * equi-joins on band/gram keys, so when a corpus plants a hot key (a
+  * boilerplate near-dup family), the runtime must be able to split the
+  * hot reducer partition across tasks instead of serializing the whole
+  * bucket through one. This spec proves the claim END TO END on the
+  * real operators: a planted hot family, AQE thresholds scaled to the
+  * fixture's byte sizes (production keeps the 256 MB default because
+  * production skew is GBs), then assert via [[PlanShape.skewJoinStats]]
+  * that (a) the runtime flagged the join `isSkewJoin`, (b) the hot
+  * partition actually split into multiple PartialReducerPartitionSpec
+  * slices, and (c) the results are IDENTICAL to the unsplit run — the
+  * negative control with skewJoin disabled returns the same pair count
+  * and no skew flags, so the assertion isn't vacuous.
+  *
+  * The sf10-scale variant of this probe (tools/skew_probe.scala) runs
+  * a 12k-doc near-dup family against the 500k-doc corpus and records
+  * wall times with the split on/off in PLANS.md.
   */
 class SkewSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = TestSpark.session
 
-  private lazy val skewed = {
-    import spark.implicits._
-    // hot key "h": 900 rows; 10 cold keys: 10 rows each
-    ((1 to 900).map(i => ("h", i.toLong)) ++
-      (1 to 100).map(i => (s"c${i % 10}", i.toLong))).toDF("k", "v")
+  /** Run `body` with AQE skew thresholds scaled to spec-sized shuffles
+    * (partition bytes here are KBs, not the GBs the 256 MB default
+    * targets), restoring every key afterwards — the session is shared
+    * across suites.
+    */
+  private def withSkewConf[A](skewEnabled: Boolean)(body: => A): A = {
+    val keys = Seq(
+      "spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> skewEnabled.toString,
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2k",
+      // coalescing OFF: at spec scale, parallelismFirst coalesces the
+      // tiny upstream stages to ONE map task, and a skewed reducer
+      // partition fed by a single map has no map ranges to split —
+      // createSkewPartitionSpecs returns None and the skew silently
+      // doesn't fire. Production-scale maps are plentiful, so this is
+      // a fixture-size artifact, not an operator property.
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = keys.map { case (k, _) =>
+      // getOption-with-null-guard: optional confs (e.g. the adaptive
+      // broadcast threshold) report a null "value" rather than throwing
+      k -> scala.util.Try(Option(spark.conf.get(k))).toOption.flatten
+    }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
-  test("saltedSum equals plain groupBy sum on skewed keys") {
-    val plain = skewed.groupBy("k").agg(sum("v").as("sum_v"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val salted = Skew.saltedSum(skewed, "k", "v")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(salted === plain)
+  /** 600 identical docs (one hot band key per band — the worst-case
+    * boilerplate family) + 60 unique docs for a cold baseline. Hot
+    * band-key partitions measure ~8 KB compressed vs ~3 KB median, so
+    * factor 2.0 at the 2k threshold flags exactly the hot keys.
+    */
+  private def minhashCorpus: DataFrame = {
+    val hotText = (0 until 40).map(j => s"hot$j").mkString(" ")
+    spark.range(660).select(col("id").as("doc_id"),
+      when(col("id") < 600, lit(hotText))
+        .otherwise(concat_ws(" ", (0 until 40).map(j =>
+          concat(lit(s"u${j}_"), col("id"))): _*)).as("text"))
   }
 
-  test("saltedCount equals plain count") {
-    val plain = skewed.groupBy("k").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val salted = Skew.saltedCount(skewed, "k")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(salted === plain)
-    assert(salted("h") === 900L)
+  test("minhash banded join: AQE splits the planted hot band key") {
+    withSkewConf(skewEnabled = true) {
+      val pairs = Dedup.minhashBandedPairs(minhashCorpus)
+      val n = pairs.queryExecution.toRdd.count()
+      // C(600,2): every hot pair collides in all 4 bands at distance 0;
+      // unique docs never collide — the split must not change results
+      assert(n === 179700L)
+      val (skewJoins, splits) = PlanShape.skewJoinStats(pairs)
+      assert(skewJoins >= 1,
+        "banded self-join was not flagged isSkewJoin — hot band key " +
+          "not detected or OptimizeSkewedJoin reverted")
+      assert(splits >= 2,
+        s"expected the hot partitions to split into >=2 map-range " +
+          s"slices, got $splits")
+    }
   }
 
-  test("twoPhaseCountDistinct equals countDistinct") {
-    val plain = skewed.groupBy("k").agg(countDistinct("v").as("d"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val salted = Skew.twoPhaseCountDistinct(skewed, "k", "v")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(salted === plain)
+  test("minhash banded join: negative control without skew handling") {
+    withSkewConf(skewEnabled = false) {
+      val pairs = Dedup.minhashBandedPairs(minhashCorpus)
+      val n = pairs.queryExecution.toRdd.count()
+      assert(n === 179700L)
+      val (skewJoins, splits) = PlanShape.skewJoinStats(pairs)
+      assert(skewJoins === 0 && splits === 0,
+        "skew machinery fired with skewJoin.enabled=false")
+    }
   }
 
-  test("IVF ANN probes a strict candidate subset and overlaps the exact top-k") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val ivf = Similarity.ivfTopK(emb, 0L, 10, nlist = 16, nprobe = 4)
-      .collect().map(_.getLong(0))
-    assert(ivf.length === 10)
-    assert(ivf.distinct.length === 10)
-    val exact = Similarity.cosineTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
-    // random embeddings give clusters little structure; still, probing a
-    // quarter of the cells should recover part of the true top-10
-    assert(ivf.count(exact.contains) >= 2, s"ivf=${ivf.toSeq} exact=$exact")
-    // determinism
-    val again = Similarity.ivfTopK(emb, 0L, 10, nlist = 16, nprobe = 4)
-      .collect().map(_.getLong(0))
-    assert(again.toSeq === ivf.toSeq)
-  }
-
-  test("flat-quantizer IVF with a full probe equals exact top-k") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    // nprobe = nlist ⇒ every cell scanned ⇒ candidate set = whole corpus
-    val full = Similarity.ivfFlatTopK(emb, 0L, 10, nlist = 8, nprobe = 8)
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    val exact = Similarity.cosineTopK(emb, 0L, 10)
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    assert(full.toSeq === exact.toSeq)
-    // a partial probe returns a subset of the corpus, still k deep
-    val part = Similarity.ivfFlatTopK(emb, 0L, 10, nlist = 8, nprobe = 2)
-      .collect().map(_.getLong(0))
-    assert(part.length === 10 && part.distinct.length === 10)
+  test("prefix-filtered jaccard join: AQE splits the hot boilerplate gram") {
+    // 300 identical PAIRS of 4-token docs sharing one boilerplate
+    // shingle: with sz=2 the whole set is prefix, so the hot gram (the
+    // one shape that defeats rarest-first prefix ordering — a doc whose
+    // entire prefix is boilerplate) lands in every prefix: one gram key
+    // with 600 rows vs 2-row keys for the per-pair tails.
+    val docs = spark.range(600).select(col("id").as("doc_id"),
+      concat(lit("b1 b2 b3 t"), (col("id") / 2).cast("long").cast("string"))
+        .as("text"))
+    withSkewConf(skewEnabled = true) {
+      val pairs = Dedup.prefixJaccardPairs(docs, threshold = 0.5)
+      val n = pairs.queryExecution.toRdd.count()
+      // exactly the 300 identical pairs survive the exact-Jaccard
+      // verify (cross-family candidates share only the boilerplate
+      // gram: J = 1/3 < 0.5)
+      assert(n === 300L)
+      val (skewJoins, splits) = PlanShape.skewJoinStats(pairs)
+      assert(skewJoins >= 1,
+        "prefix candidate join was not flagged isSkewJoin")
+      assert(splits >= 2,
+        s"expected hot-gram partition split into >=2 slices, got $splits")
+    }
   }
 }
