@@ -29,9 +29,11 @@ def rep(table: String)(f: (org.apache.spark.sql.DataFrame, Int) => org.apache.sp
   println(s"GEN $table: ${spark.read.parquet(s"$out/$table.parquet").count()}")
 }
 
-for (t <- Seq("region", "nation", "customer", "supplier", "part"))
-  spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
-    .parquet(s"$out/$t.parquet")
+// single-line loop body: under spark-shell -I the REPL evaluates each
+// syntactically complete line, so a chain broken after .mode(...) runs
+// the prefix and silently drops the trailing .parquet(...) call (the
+// round-13 regeneration shipped without dims until copied by hand)
+for (t <- Seq("region", "nation", "customer", "supplier", "part")) { spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$out/$t.parquet"); println(s"GEN dim $t") }
 
 val OK = 10000000L // > max o_orderkey at sf0.1
 val PK = 1000000L

@@ -1,0 +1,65 @@
+// Round-13 AQE skew-split probe at sf10 (VERDICT r12 item 6): plant a
+// 12k-document near-dup family (one boilerplate core + a per-doc unique
+// token) into the 500k-doc sf10 corpus and run the REAL
+// Dedup.minhashBandedPairs through it twice — skew handling on and off —
+// recording wall time and the split counts from the executed plan.
+// Results land in PLANS.md next to the SkewSpec notes.
+//
+// Why a near-dup (not identical) family: identical docs produce one
+// 12k-row band bucket whose rows compress ~10x (same signature, same
+// band key), hiding the skew from AQE's compressed-byte stats; a
+// one-unique-token family keeps ~75% of docs on the modal band key while
+// the signatures differ row to row, so the hot partition's bytes are
+// real. Same reasoning as SkewSpec's fixtures.
+//
+// Conf notes (mirrors SkewSpec, scaled):
+//  - shuffle.partitions=512 so the 2M-row band table's median partition
+//    (~4k rows) sits well under the hot bucket (~9k extra rows).
+//  - skew threshold 512k / factor 2: the hot partition measures ~2 MB
+//    against a ~500 KB median. Production keeps the 256 MB default —
+//    production skew is GBs; the probe's family is sized to keep the
+//    C(12k,2) pair output affordable.
+//  - coalescePartitions OFF: local[32] parallelism-first coalescing
+//    targets totalBytes/32 (~12 MB here), which would fold the hot
+//    reducer into a multi-reducer group (ineligible for splitting) and
+//    fold upstream stages to few maps (no map ranges to split by). On a
+//    1000-executor cluster the parallelism term keeps the target near
+//    the advisory size and this interplay disappears.
+// Run: /opt/spark/bin/spark-shell --master local[32] --driver-memory 64g \
+//        --driver-class-path target/scala-2.13/classes -I tools/skew_probe.scala
+import org.apache.spark.sql.functions._
+
+graft.GraftSession.tune(spark)
+
+val sf10 = "/root/repo/target/sf10"
+val base = spark.read.parquet(s"$sf10/documents.parquet")
+  .select("doc_id", "text")
+
+val common = (0 until 40).map(j => s"boiler$j").mkString(" ")
+val family = spark.range(12000).select(
+  (col("id") + 900000000L).as("doc_id"),
+  concat(lit(common + " "), concat(lit("x"), col("id"))).as("text"))
+val corpus = base.unionByName(family)
+
+spark.conf.set("spark.sql.shuffle.partitions", "512")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512k")
+spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+def run(skewOn: Boolean): Unit = {
+  spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+  val t0 = System.nanoTime()
+  val pairs = graft.llm.Dedup.minhashBandedPairs(corpus)
+  val n = pairs.queryExecution.toRdd.count()
+  val sec = (System.nanoTime() - t0) / 1e9
+  val (skewJoins, splits) = graft.ops.PlanShape.skewJoinStats(pairs)
+  println(f"PROBE skewOn=$skewOn pairs=$n wall=$sec%.1f s skewJoins=$skewJoins partialSplits=$splits")
+}
+
+// off first so the on-run cannot ride its page cache warmth
+run(skewOn = false)
+run(skewOn = true)
+System.exit(0)
