@@ -755,6 +755,117 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // KMV theta sketch with SET ALGEBRA (graft.functions.KmvSketchAgg):
+    // the k-minimum-values sketch holds the k smallest distinct 60-bit
+    // md5 fingerprints — a fully DETERMINISTIC state (order-, split-,
+    // and merge-tree-independent) the oracle rebuilds with one window
+    // function. Its reason to exist next to HLL: INTERSECTION. The
+    // union k-min list is a uniform below-θ sample of the union hash
+    // space, both sketches are complete below θ (θ ≤ min(θ_a, θ_b)),
+    // so |A∩B ∩ sample| / |sample| estimates Jaccard and θ scales it
+    // to cardinalities. Per segment pair this merges two k-long arrays
+    // (array_distinct/sort/slice — all codegen'd built-ins) instead of
+    // re-shuffling the raw key column; exact witnesses (θ as a long,
+    // the top-k intersection count, exact distinct/intersect counts)
+    // ride along so the oracle compare is FP-free except two mirrored
+    // IEEE divides. Segments = 1995's ship quarters over l_partkey —
+    // the fixture's genuinely partial overlap (~1300 parts/quarter,
+    // pairwise Jaccard ≈ 0.5 at sf0.01), unlike events' user sets,
+    // which coincide across types. u_size < k is the exact regime
+    // (sketch = whole key set, estimates collapse to true counts) —
+    // covered by SketchSpec; both SFs run the estimation branch.
+    "kmv_theta_intersect" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      val k = 64
+      val kmv = udaf(new graft.functions.KmvSketchAgg(k), Encoders.STRING)
+      val seg = t(s, dir, "lineitem")
+        .filter(year(to_date(col("l_shipdate"))) === 1995)
+        .select(concat(lit("q"), quarter(to_date(col("l_shipdate")))
+          .cast("string")).as("seg"), col("l_partkey"))
+      val sk = seg.groupBy("seg")
+        .agg(kmv(col("l_partkey").cast("string")).as("sk"),
+          countDistinct("l_partkey").as("nd"))
+        .localCheckpoint() // one sketch build feeds both pair sides
+      val a = sk.select(col("seg").as("seg_a"),
+        col("sk").as("sk_a"), col("nd").as("nd_a"))
+      val b = sk.select(col("seg").as("seg_b"),
+        col("sk").as("sk_b"), col("nd").as("nd_b"))
+      // exact intersection witness: one distinct (seg, part) table,
+      // self-joined — 4 segments, the pair grid is tiny
+      val ut = seg.distinct().localCheckpoint()
+      val inter = ut.as("x").join(ut.as("y"),
+          col("x.l_partkey") === col("y.l_partkey") &&
+            col("x.seg") < col("y.seg"))
+        .groupBy(col("x.seg").as("seg_a"), col("y.seg").as("seg_b"))
+        .agg(count(lit(1)).as("true_inter"))
+      val rawUnion = when(col("u_size") < k, col("u_size").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60)) /
+          col("theta_fp").cast("double"))
+      a.join(broadcast(b), col("seg_a") < col("seg_b"))
+        .join(broadcast(inter), Seq("seg_a", "seg_b"), "left")
+        .withColumn("u",
+          slice(array_sort(array_distinct(concat(col("sk_a"), col("sk_b")))),
+            1, k))
+        .withColumn("u_size", size(col("u")).cast("long"))
+        .withColumn("theta_fp", element_at(col("u"), size(col("u"))))
+        .withColumn("inter_topk",
+          size(filter(array_intersect(col("sk_a"), col("sk_b")),
+            x => x <= col("theta_fp"))).cast("long"))
+        .select(col("seg_a"), col("seg_b"), col("u_size"),
+          col("theta_fp"), col("inter_topk"),
+          bround(rawUnion, 4).as("union_est"),
+          bround(col("inter_topk").cast("double") /
+            col("u_size").cast("double") * rawUnion, 4).as("inter_est"),
+          (col("nd_a") + col("nd_b") - coalesce(col("true_inter"), lit(0L)))
+            .as("true_union"),
+          coalesce(col("true_inter"), lit(0L)).as("true_inter"))
+        .orderBy("seg_a", "seg_b")
+    }),
+
+    // KMV sketch ROLLUP — the merge identity, witnessed EXACTLY (the
+    // sharper sibling of hll_rollup's register equality): the k-min of
+    // the union of per-quarter k-min lists IS the year's one-shot k-min
+    // — if x is among the k smallest of the year, at most k−1 year
+    // values are smaller, so at most k−1 in x's own quarter: x is in
+    // that quarter's sketch. merge_identical pins list equality
+    // relationally, so a 100 TB reader can trust that per-partition
+    // sketches roll up with NO estimation penalty vs re-scanning the
+    // raw keys; sum_seg_distinct alongside true_distinct witnesses the
+    // cross-quarter dedup the merge performed. The in-plan merge is
+    // flatten(collect_list) → distinct → sort → slice: collect_list
+    // order is nondeterministic, but the normalize-then-cut makes the
+    // result order-free (the same algebra KmvSketchAgg.merge runs).
+    "kmv_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      val k = 64
+      val kmv = udaf(new graft.functions.KmvSketchAgg(k), Encoders.STRING)
+      val seg = t(s, dir, "lineitem")
+        .filter(year(to_date(col("l_shipdate"))) === 1995)
+        .select(concat(lit("q"), quarter(to_date(col("l_shipdate")))
+          .cast("string")).as("seg"), col("l_partkey"))
+        .localCheckpoint() // one scan feeds quarter sketches + one-shot
+      val quarters = seg.groupBy("seg")
+        .agg(kmv(col("l_partkey").cast("string")).as("sk"),
+          countDistinct("l_partkey").as("nd"))
+      val merged = quarters.agg(count(lit(1)).as("n_segs"),
+        sum("nd").as("sum_seg_distinct"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
+          1, k).as("mk"))
+      val oneshot = seg.agg(
+        kmv(col("l_partkey").cast("string")).as("ok"),
+        countDistinct("l_partkey").as("true_distinct"))
+      merged.crossJoin(broadcast(oneshot)) // 1 row × 1 row
+        .withColumn("u_size", size(col("mk")).cast("long"))
+        .withColumn("theta_fp", element_at(col("mk"), size(col("mk"))))
+        .select(col("n_segs"), col("sum_seg_distinct"), col("u_size"),
+          col("theta_fp"),
+          bround(when(col("u_size") < k, col("u_size").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60)) /
+              col("theta_fp").cast("double")), 4).as("est_distinct"),
+          col("true_distinct"),
+          (col("mk") === col("ok")).cast("int").as("merge_identical"))
+    }),
+
     // Manual bloom-join reduction — the semi-join pushdown a 100 TB
     // fact⋈dim plan wants when the dim filter is selective but the dim
     // is too big to broadcast as a hash table: build ONE bit array over
@@ -1843,6 +1954,105 @@ object Relational {
         |  e.reg_weight, e.zero_regs
         |FROM est e JOIN cal c USING (event_type) JOIN tru t USING (event_type)
         |ORDER BY e.event_type""".stripMargin,
+    // the KMV state is deterministic ("k smallest distinct hashes"), so
+    // the oracle rebuilds the EXACT sketch per type with one window
+    // function, re-derives the union k-min per pair, and mirrors the
+    // two estimate divides on the same integers
+    "kmv_theta_intersect" ->
+      """WITH base AS (SELECT 'q' || CAST(quarter(CAST(l_shipdate AS DATE))
+        |      AS VARCHAR) AS seg, l_partkey
+        |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1995),
+        |fp AS (SELECT DISTINCT seg,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM base),
+        |rk AS (SELECT seg, h,
+        |    row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
+        |  FROM fp),
+        |sk AS (SELECT seg, h FROM rk WHERE rn <= 64),
+        |nd AS (SELECT seg, count(DISTINCT l_partkey) AS nd
+        |  FROM base GROUP BY 1),
+        |segs AS (SELECT DISTINCT seg FROM base),
+        |pairs AS (SELECT a.seg AS seg_a, b.seg AS seg_b
+        |  FROM segs a JOIN segs b ON a.seg < b.seg),
+        |uall AS (SELECT p.seg_a, p.seg_b, s.h
+        |  FROM pairs p JOIN sk s ON s.seg = p.seg_a OR s.seg = p.seg_b
+        |  GROUP BY 1, 2, 3),
+        |urk AS (SELECT seg_a, seg_b, h,
+        |    row_number() OVER (PARTITION BY seg_a, seg_b ORDER BY h) AS rn
+        |  FROM uall),
+        |us AS (SELECT seg_a, seg_b, CAST(count(*) AS BIGINT) AS u_size,
+        |    max(h) AS theta_fp
+        |  FROM urk WHERE rn <= 64 GROUP BY 1, 2),
+        |itk AS (SELECT u.seg_a, u.seg_b, CAST(count(*) AS BIGINT) AS inter_topk
+        |  FROM us u
+        |  JOIN sk x ON x.seg = u.seg_a AND x.h <= u.theta_fp
+        |  JOIN sk y ON y.seg = u.seg_b AND y.h = x.h
+        |  GROUP BY 1, 2),
+        |ti AS (SELECT x.seg AS seg_a, y.seg AS seg_b,
+        |    CAST(count(*) AS BIGINT) AS true_inter
+        |  FROM (SELECT DISTINCT seg, l_partkey FROM base) x
+        |  JOIN (SELECT DISTINCT seg, l_partkey FROM base) y
+        |    ON x.l_partkey = y.l_partkey AND x.seg < y.seg
+        |  GROUP BY 1, 2)
+        |SELECT u.seg_a, u.seg_b, u.u_size, u.theta_fp,
+        |  coalesce(i.inter_topk, 0) AS inter_topk,
+        |  round(CASE WHEN u.u_size < 64 THEN CAST(u.u_size AS DOUBLE)
+        |    ELSE 63.0 * power(2.0, 60) / CAST(u.theta_fp AS DOUBLE) END, 4)
+        |    AS union_est,
+        |  round(CAST(coalesce(i.inter_topk, 0) AS DOUBLE)
+        |      / CAST(u.u_size AS DOUBLE)
+        |      * (CASE WHEN u.u_size < 64 THEN CAST(u.u_size AS DOUBLE)
+        |         ELSE 63.0 * power(2.0, 60) / CAST(u.theta_fp AS DOUBLE) END), 4)
+        |    AS inter_est,
+        |  CAST(na.nd + nb.nd - coalesce(t.true_inter, 0) AS BIGINT)
+        |    AS true_union,
+        |  coalesce(t.true_inter, 0) AS true_inter
+        |FROM us u
+        |JOIN nd na ON na.seg = u.seg_a
+        |JOIN nd nb ON nb.seg = u.seg_b
+        |LEFT JOIN itk i ON i.seg_a = u.seg_a AND i.seg_b = u.seg_b
+        |LEFT JOIN ti t ON t.seg_a = u.seg_a AND t.seg_b = u.seg_b
+        |ORDER BY u.seg_a, u.seg_b""".stripMargin,
+    // the rollup identity is RELATIONAL here: merged-quarter k-min and
+    // one-shot year k-min are both rebuilt and compared as lists
+    "kmv_rollup" ->
+      """WITH base AS (SELECT 'q' || CAST(quarter(CAST(l_shipdate AS DATE))
+        |      AS VARCHAR) AS seg, l_partkey
+        |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1995),
+        |fp AS (SELECT DISTINCT seg,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM base),
+        |rk AS (SELECT seg, h,
+        |    row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
+        |  FROM fp),
+        |sk AS (SELECT seg, h FROM rk WHERE rn <= 64),
+        |nd AS (SELECT CAST(count(DISTINCT seg) AS BIGINT) AS n_segs,
+        |    CAST(sum(d) AS BIGINT) AS sum_seg_distinct
+        |  FROM (SELECT seg, count(DISTINCT l_partkey) AS d
+        |        FROM base GROUP BY 1)
+        |      t(seg, d)),
+        |mk AS (SELECT h FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT h FROM sk))
+        |  WHERE rn <= 64),
+        |yk AS (SELECT h FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT h FROM fp))
+        |  WHERE rn <= 64),
+        |ms AS (SELECT CAST(count(*) AS BIGINT) AS u_size, max(h) AS theta_fp
+        |  FROM mk),
+        |tru AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+        |    AS true_distinct FROM base)
+        |SELECT n.n_segs, n.sum_seg_distinct, m.u_size, m.theta_fp,
+        |  round(CASE WHEN m.u_size < 64 THEN CAST(m.u_size AS DOUBLE)
+        |    ELSE 63.0 * power(2.0, 60) / CAST(m.theta_fp AS DOUBLE) END, 4)
+        |    AS est_distinct,
+        |  t.true_distinct,
+        |  CAST((SELECT list(h ORDER BY h) FROM mk)
+        |    = (SELECT list(h ORDER BY h) FROM yk) AS INT) AS merge_identical
+        |FROM nd n, ms m, tru t""".stripMargin,
     // max-merge associativity means window registers ≡ registers of the
     // window's distinct (day, user) pairs — the oracle builds them
     // directly from those pairs, never simulating per-day sketches

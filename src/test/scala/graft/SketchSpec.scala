@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{HilbertIndex, MisraGriesAgg}
+import graft.functions.{HilbertIndex, KmvSketchAgg, MisraGriesAgg}
 
 /** Round-12 additions: the Misra–Gries guarantee on random orders and
   * partitionings (the regime the oracle CANNOT gate, because MG
@@ -98,5 +98,53 @@ class SketchSpec extends AnyFunSuite {
     val d = spark.sql("SELECT hilbert_index(CAST(3 AS BIGINT), CAST(5 AS BIGINT)) AS d")
       .collect().head.getLong(0)
     assert(d === HilbertIndex.compute(3L, 5L))
+  }
+
+  private def kmvRun(agg: KmvSketchAgg, xs: Seq[String],
+      pieces: Int): Seq[Long] = {
+    val parts = xs.grouped(math.max(1, xs.size / pieces)).toSeq
+    parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      .foldLeft(agg.zero)(agg.merge)
+  }
+
+  test("kmv: sketch IS the k smallest distinct fingerprints, any order/split") {
+    // determinism is the sketch's defining property: every arrival
+    // order, partition split, and merge tree must yield the identical
+    // state — which equals the brute-force k-min of the distinct set
+    val rnd = new scala.util.Random(13)
+    val agg = new KmvSketchAgg(16)
+    val keys = Seq.tabulate(400)(i => s"k${rnd.nextInt(120)}_$i") ++
+      Seq.tabulate(200)(i => s"dup${i % 25}") // repeats exercise distinctness
+    val expected = keys.distinct
+      .map(KmvSketchAgg.fingerprint60).distinct.sorted.take(16)
+    for (seed <- 1 to 5) {
+      val r = new scala.util.Random(seed)
+      val got = kmvRun(agg, r.shuffle(keys), 1 + r.nextInt(7))
+      assert(got === expected)
+    }
+  }
+
+  test("kmv exact regime: fewer distinct keys than k keeps the whole set") {
+    val agg = new KmvSketchAgg(64)
+    val keys = (0 until 20).map(i => s"only$i")
+    val got = kmvRun(agg, keys ++ keys, 3)
+    assert(got === keys.map(KmvSketchAgg.fingerprint60).sorted)
+    assert(got.length === 20) // u_size < k → estimates collapse to exact
+  }
+
+  test("kmv: union/intersection estimates bracket truth on a planted overlap") {
+    // A = 0..999, B = 500..1499 → |A∪B| = 1500, |A∩B| = 500, J = 1/3.
+    // KMV with k=64 has RSE ≈ 1/√(k−2) ≈ 12.7%; assert a generous 4σ.
+    val k = 64
+    val agg = new KmvSketchAgg(k)
+    val a = kmvRun(agg, (0 until 1000).map(i => s"u$i"), 4)
+    val b = kmvRun(agg, (500 until 1500).map(i => s"u$i"), 4)
+    val u = (a ++ b).distinct.sorted.take(k)
+    val theta = u.last
+    val interTopK = a.toSet.intersect(b.toSet).count(_ <= theta)
+    val unionEst = (k - 1).toDouble * math.pow(2.0, 60) / theta.toDouble
+    val interEst = interTopK.toDouble / u.size * unionEst
+    assert(math.abs(unionEst - 1500.0) <= 4 * 0.127 * 1500.0)
+    assert(math.abs(interEst - 500.0) <= 4 * 0.30 * 500.0)
   }
 }
