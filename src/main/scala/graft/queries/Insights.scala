@@ -821,6 +821,39 @@ object Insights {
         .orderBy("event_type")
     }),
 
+    // Streaming KMV — the fifth streaming sketch, extending the
+    // merge-algebra square to a LATTICE op: HLL merges by max, CMS/grid
+    // by sum, Bloom by OR, and the k-min-values list by
+    // sorted-distinct-take-k — each identical across micro-batches and
+    // partitions. KMV's edge over all of them: the accumulated state is
+    // fully DETERMINISTIC ("the k smallest distinct fingerprints seen"),
+    // so the streamed sketch is not just register-identical to its
+    // batch twin — the ORACLE rebuilds the exact list relationally and
+    // gates θ itself. Constant |types|·k·8 B state on an unbounded
+    // stream, and the sketch that comes out supports set algebra with
+    // any batch-built sketch (kmv_theta_intersect).
+    "stream_kmv" -> ((s, dir) => {
+      val kmv = udaf(new graft.functions.KmvSketchAgg(64),
+        org.apache.spark.sql.Encoders.STRING)
+      val ev = streamEvents(s, dir)
+        .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      val sk = parquetSinkReadback(s,
+        ev.groupBy("event_type").agg(kmv(col("uid")).as("sk")),
+        "complete", "kmv_" + Relational.sfTag(dir))
+      val exact = Relational.events(s, dir).groupBy("event_type")
+        .agg(countDistinct("user_id").as("true_distinct"))
+      sk.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          size(col("sk")).cast("long").as("u_size"),
+          element_at(col("sk"), size(col("sk"))).as("theta_fp"),
+          bround(when(size(col("sk")) < 64, size(col("sk")).cast("double"))
+            .otherwise(lit(63.0) * pow(lit(2.0), lit(60)) /
+              element_at(col("sk"), size(col("sk"))).cast("double")), 4)
+            .as("est_distinct"),
+          col("true_distinct"))
+        .orderBy("event_type")
+    }),
+
     // Streaming EXACT distinct via OR-merged bitmap words — the
     // precise-count partner of stream_hll on the stream (the same
     // pairing bitmap_distinct/hll_distinct make in batch): per
@@ -1359,6 +1392,29 @@ object Insights {
     "stream_hll" -> Relational.oracles("hll_distinct"),
     "stream_cms" -> Relational.oracles("cms_heavy_hitters"),
     "stream_topk" -> Relational.oracles("space_saving_topk"),
+    // the streamed k-min list is deterministic, so θ and u_size gate
+    // the sketch STATE itself, not just a readout
+    "stream_kmv" ->
+      """WITH fp AS (SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |rk AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM fp),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS u_size,
+        |    max(h) AS theta_fp
+        |  FROM rk WHERE rn <= 64 GROUP BY 1),
+        |tru AS (SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT s.event_type, s.u_size, s.theta_fp,
+        |  round(CASE WHEN s.u_size < 64 THEN CAST(s.u_size AS DOUBLE)
+        |    ELSE 63.0 * power(2.0, 60) / CAST(s.theta_fp AS DOUBLE) END, 4)
+        |    AS est_distinct,
+        |  t.true_distinct
+        |FROM st s JOIN tru t USING (event_type)
+        |ORDER BY s.event_type""".stripMargin,
     "stream_bitmap" ->
       """WITH w AS (SELECT event_type,
         |    CAST(user_id // 62 AS BIGINT) AS w,
