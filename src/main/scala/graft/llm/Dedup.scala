@@ -124,6 +124,19 @@ object Dedup {
     * noise pairs almost never collide — and unlike
     * [[minhashPairs]]'s per-table signature explode, the join carries
     * only (doc_id, band key).
+    *
+    * Hot-band skew at scale (measured, tools/skew_probe.scala +
+    * PLANS.md round 13): a boilerplate near-dup family creates a hot
+    * band key whose reducer partition serializes the k² pair products
+    * in one task — AQE's skew split cut a planted 20k-family join
+    * from 458 s to 126 s at sf10 (72 partial splits, identical
+    * output). Two detection caveats for operators of a real cluster:
+    * near-identical family rows compress ~10× in shuffle stats, so
+    * size `skewJoin.skewedPartitionThresholdInBytes` against
+    * POST-compression bytes; and keep reducer counts at or below
+    * `spark.shuffle.minNumPartitionsToHighlyCompress` (2000) or raise
+    * `spark.shuffle.accurateBlockThreshold`, else per-block sizes
+    * report as averages and the skew is statistically invisible.
     */
   def minhashBandedPairs(docs: DataFrame, maxDistance: Double = 0.6,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
