@@ -78,4 +78,31 @@ class PlanShapeSpec extends AnyFunSuite {
           (diffs ++ stale).mkString("\n"))
     }
   }
+
+  test("the gate is sensitive: a lost broadcast changes the fingerprint") {
+    // negative control for the snapshot's value — under a session where
+    // broadcast joins are disabled (the classic silent regression this
+    // gate exists to catch), a broadcast-relying query's fingerprint
+    // must visibly drift (bhj count drops / a shuffled join appears),
+    // otherwise a green snapshot run proves nothing
+    // join_equi carries NO broadcast hint — its bhj comes from the
+    // optimizer's stats-based choice, exactly the decision that can
+    // silently degrade (an explicitly hinted query like join_broadcast
+    // survives threshold=-1 by design, verified while writing this)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val healthy = graft.ops.PlanShape.fingerprint(
+      SparkEntry.queries("join_equi")(spark, sfDir))
+    try {
+      spark.conf.set(key, "-1")
+      val degraded = graft.ops.PlanShape.fingerprint(
+        SparkEntry.queries("join_equi")(spark, sfDir))
+      assert(healthy.contains("bhj=1"), s"unexpected healthy shape: $healthy")
+      assert(degraded != healthy,
+        "disabling broadcasts did not change the fingerprint — the " +
+          "gate would miss a lost broadcast")
+      assert(degraded.contains("bhj=0"),
+        s"degraded shape kept the broadcast: $degraded")
+    } finally spark.conf.set(key, saved)
+  }
 }
