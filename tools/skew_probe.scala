@@ -1,5 +1,5 @@
 // Round-13 AQE skew-split probe at sf10 (VERDICT r12 item 6): plant a
-// 12k-document near-dup family (one boilerplate core + a per-doc unique
+// 20k-document near-dup family (one boilerplate core + a per-doc unique
 // token) into the 500k-doc sf10 corpus and run the REAL
 // Dedup.minhashBandedPairs through it twice -- skew handling on and off --
 // recording wall time and the split counts from the executed plan.
