@@ -80,4 +80,29 @@ object GraftSession {
       df.repartition(spark.sessionState.conf.numShufflePartitions)
     else df
   }
+
+  /** Run `body` (which starts and drains streaming queries on `s`) with
+    * the RocksDB state-store provider pinned, restoring the prior
+    * setting afterwards. This is the 100 TB stateful-streaming posture
+    * and the provider EVERY engine stream query verifies under: the
+    * default HDFS-backed store keeps every keyed entry on-heap, which
+    * cannot hold a day's key space at scale, while RocksDB keeps
+    * working state off-heap with local-disk overflow (and is required
+    * by `transformWithState` anyway). The provider is read at query
+    * START, so wrapping the start+drain is sufficient; stateless
+    * streams simply never open a store. Save/restore (rather than a
+    * session-wide default) keeps spec-level negative controls able to
+    * exercise the heap provider deliberately.
+    */
+  def withRocksDbState[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
 }

@@ -38,6 +38,10 @@ final class KmvSketchAgg(val k: Int)
   override def zero: Seq[Long] = Vector.empty
 
   override def reduce(buf: Seq[Long], key: String): Seq[Long] = {
+    // NULL keys are ignored, matching countDistinct's NULL semantics
+    // (and the oracle's md5(NULL) = NULL row, which never enters the
+    // k-min window) — without this a single null key NPEs the job
+    if (key == null) return buf
     val fp = KmvSketchAgg.fingerprint60(key)
     // steady-state fast path: once the buffer is full, most arrivals
     // hash above θ (= buf.last) and return without allocation

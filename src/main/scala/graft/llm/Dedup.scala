@@ -130,25 +130,53 @@ object Dedup {
     * band key whose reducer partition serializes the k² pair products
     * in one task — AQE's skew split cut a planted 20k-family join
     * from 458 s to 126 s at sf10 (72 partial splits, identical
-    * output). Two detection caveats for operators of a real cluster:
-    * near-identical family rows compress ~10× in shuffle stats, so
-    * size `skewJoin.skewedPartitionThresholdInBytes` against
-    * POST-compression bytes; and keep reducer counts at or below
-    * `spark.shuffle.minNumPartitionsToHighlyCompress` (2000) or raise
-    * `spark.shuffle.accurateBlockThreshold`, else per-block sizes
-    * report as averages and the skew is statistically invisible.
+    * output). But the same probe proved AQE's DETECTION can be blinded
+    * at exactly the scale that matters: near-identical family rows
+    * compress ~10× in shuffle stats, and >2000 reducers switch to
+    * `HighlyCompressedMapStatus`, which averages per-block sizes below
+    * `spark.shuffle.accurateBlockThreshold` — the skew becomes
+    * statistically invisible and the 458 s straggler returns. So since
+    * r14 the operator carries its OWN defense, upstream of any runtime
+    * detector: band-bucket sizes are counted in the candidate stage
+    * and buckets above `hotBucketCap` rows are salt-split (scheme
+    * below). AQE skew handling stays on as the second line for skew
+    * the cap does not cross.
+    *
+    * Salt×salt block scheme (the classic triangle decomposition of a
+    * skewed self-join): a bucket of n > cap rows gets m = ⌈n/cap⌉ salt
+    * blocks, each row salted s = hash(doc_id) mod m; side A emits a
+    * row into block keys (lo=s, hi=t) for t ∈ [s, m), side B into
+    * (lo=u, hi=s) for u ∈ [0, s] — an unordered pair with salts
+    * (s_x ≤ s_y) meets in EXACTLY block (s_x, s_y), so no pair is lost
+    * or double-built, and diagonal blocks (lo = hi) keep the doc_id
+    * order predicate that de-duplicates within a block. One reducer
+    * task now builds at most ~cap² pair products instead of n².
+    * Per-pair output is identical (the Jaccard estimate depends only
+    * on the two signatures), pinned by SkewSpec against an unsalted
+    * run with AQE skew handling OFF. The hot-bucket list that drives
+    * the broadcast is at most (banded rows)/cap entries and in
+    * practice the handful of boilerplate families — a corpus where it
+    * approaches the bound is one giant dup family, which no join
+    * strategy saves.
     */
   def minhashBandedPairs(docs: DataFrame, maxDistance: Double = 0.6,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      numHashes: Int = 16, bands: Int = 4,
+      hotBucketCap: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(hotBucketCap > 0, "hotBucketCap must be positive")
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, numHashes)
+    // The signature table materializes ONCE (localCheckpoint): three
+    // consumers — the hot-bucket detection aggregate and both join
+    // sides — would otherwise each re-run the shingle-explode + md5 +
+    // min-aggregate pipeline, which dominates this operator's cost
+    // (measured 4× recompute ⇒ ~4× wall time at sf0.1 when the sides
+    // didn't share). The banded explode below is cheap array slicing
+    // over the checkpointed rows.
+    val sig = minhashSignatures(docs, numHashes).localCheckpoint()
     // Carry the signature array THROUGH the band join (sig = 16 longs
     // ≈ 128 B/doc): estimating on the collision rows and
     // deduping after costs bands× shuffle bytes but computes the whole
-    // signature pipeline once per side — re-joining signatures onto a
-    // distinct'd pair list would re-run the explode+aggregate twice
-    // more (measured 4× recompute ⇒ ~4× wall time at sf0.1).
+    // signature pipeline once per side.
     val banded = sig.select(col("doc_id"),
       array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
       explode(array((0 until bands).map { j =>
@@ -167,18 +195,60 @@ object Dedup {
       when(element_at(col("a.sig"), i) === element_at(col("b.sig"), i), 1)
         .otherwise(0)
     }.reduce(_ + _)
-    // SHUFFLE_HASH, not the optimizer's broadcast choice: the banded
-    // side is O(corpus) — broadcasting it only looks cheap at test SF
-    // and would OOM at scale — and with BOTH sides shuffling on the same
-    // band keys, the two identical signature subplans collapse into one
-    // ReusedExchange (verified in the executed plan), halving the
-    // signature computation that a broadcast plan runs twice.
-    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (lit(1.0) - matches.cast("double") / lit(numHashes)).as("jaccard_dist"))
+    val estimate =
+      (lit(1.0) - matches.cast("double") / lit(numHashes)).as("jaccard_dist")
+    // Hot-bucket detection: a partial-aggregating count per band key
+    // (map-side combine makes this one cheap shuffle of distinct keys),
+    // then an existence probe — the operator's own runtime decision,
+    // same in kind as AQE's, on a frame bounded by (banded rows)/cap.
+    val hot = banded.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > hotBucketCap)
+    val paired = if (hot.isEmpty) {
+      // Cold path (every bucket ≤ cap — all test SFs land here):
+      // SHUFFLE_HASH, not the optimizer's broadcast choice: the banded
+      // side is O(corpus) — broadcasting it only looks cheap at test SF
+      // and would OOM at scale — and with BOTH sides shuffling on the
+      // same band keys, the two identical subplans collapse into one
+      // ReusedExchange (verified in the executed plan), so the banded
+      // explode over the checkpoint runs once.
+      banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          estimate)
+    } else {
+      // Hot path: salt-split the hot buckets (scheme in the scaladoc).
+      // Cold rows ride the same join with m=1 ⇒ lo=hi=0 and singleton
+      // sequence explodes — identical semantics, one code path.
+      val bm = banded.join(broadcast(hot), Seq("band_idx", "band_key"),
+          "left")
+        .withColumn("m", coalesce(
+          ceil(col("bucket_n") / lit(hotBucketCap.toDouble)).cast("int"),
+          lit(1)))
+        .withColumn("salt", pmod(hash(col("doc_id")), col("m")))
+      val aSide = bm.select(col("doc_id"), col("sig"),
+        col("band_idx"), col("band_key"), col("salt").as("lo"),
+        explode(sequence(col("salt"), col("m") - 1)).as("hi"))
+      val bSide = bm.select(col("doc_id"), col("sig"),
+        col("band_idx"), col("band_key"),
+        explode(sequence(lit(0), col("salt"))).as("lo"),
+        col("salt").as("hi"))
+      aSide.as("a").hint("shuffle_hash").join(bSide.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.lo") === col("b.lo") && col("a.hi") === col("b.hi") &&
+            // off-diagonal blocks meet each unordered pair exactly once
+            // (salt order replaces doc order); diagonal blocks hold
+            // both emissions of a row, so doc order dedupes there
+            (col("a.lo") =!= col("a.hi") ||
+              col("a.doc_id") < col("b.doc_id")))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+          estimate)
+    }
+    paired
       // a pair appears once per colliding band with an identical
       // estimate; keep one
       .dropDuplicates("doc_a", "doc_b")
@@ -699,7 +769,9 @@ object Dedup {
     * only when its whole prefix is boilerplate); the verify join
     * carries the two shingle arrays for candidates only.
     */
-  def prefixJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+      hotBucketCap: Int = 4096): DataFrame = {
+    require(hotBucketCap > 0, "hotBucketCap must be positive")
     // Shingles carry as 60-bit md5-prefix FINGERPRINTS (the multimodal
     // checksum recipe) from the first projection on: the candidate join
     // keys, the df aggregate, and the verify intersections all work on
@@ -759,25 +831,68 @@ object Dedup {
     // α = ⌈t/(1+t)·(|A|+|B|)⌉. Measured at sf0.1: 409k → 125k
     // candidates before the (exact) verify join. t/(1+t) rounds DOWN in
     // IEEE, so the bound never over-prunes; the SignalsSpec brute-force
-    // parity test guards losslessness end-to-end.
-    val pa = prefix.select(col("doc_id").as("doc_a"), col("gram"),
-      col("rn").as("rn_a"), col("sz").as("sz_a"))
-    val pb = prefix.select(col("doc_id").as("doc_b"), col("gram"),
-      col("rn").as("rn_b"), col("sz").as("sz_b"))
+    // parity test guards losslessness end-to-end. Both this and the
+    // length filter below are symmetric under a↔b swap, which is what
+    // lets the hot path order pairs by salt instead of doc_id.
+    //
     // Length filter (PPJoin lemma 1): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
     // so J ≥ t forces the smaller set to carry ≥ ⌈t·max⌉ elements. It
     // prunes size-mismatched pairs the positional bound alone keeps
     // (e.g. a rank-1 prefix hit between a 10-gram and a 100-gram doc).
     // Cheap long comparisons on columns already in the joined row, ahead
     // of the distinct and the array-carrying verify join.
-    val cand = pa.join(pb, Seq("gram"))
-      .filter(col("doc_a") < col("doc_b") &&
-        least(col("sz_a"), col("sz_b")) >=
-          ceil(lit(threshold) * greatest(col("sz_a"), col("sz_b"))) &&
-        lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))
-          >= ceil(lit(threshold / (1 + threshold))
-            * (col("sz_a") + col("sz_b"))))
-      .select("doc_a", "doc_b").distinct()
+    val ppjoinFilters =
+      least(col("sz_a"), col("sz_b")) >=
+        ceil(lit(threshold) * greatest(col("sz_a"), col("sz_b"))) &&
+        lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
+          ceil(lit(threshold / (1 + threshold)) * (col("sz_a") + col("sz_b")))
+    // Hot-gram defense (same rationale and salt×salt block scheme as
+    // [[minhashBandedPairs]] — see its scaladoc): rarest-first prefix
+    // ordering keeps boilerplate shingles out of prefixes UNLESS a
+    // doc's whole prefix is boilerplate, and the sf10 skew probe proved
+    // AQE's detection of exactly that family can be blinded by shuffle
+    // compression. Detection keys on the df aggregate the pipeline
+    // already computes, not on a count over the prefix rows: df ≥ the
+    // gram's prefix-bucket size, so no hot bucket escapes, and the
+    // overestimate (a hot-df gram that rarest-first ordering kept out
+    // of most prefixes) only costs ~⌈df/cap⌉/2 block replicas of the
+    // FEW rows it kept — while counting prefix rows directly would
+    // re-run the rank window, which measured +24% on the cold path.
+    val hot = df.filter(col("df") > hotBucketCap)
+      .select(col("gram"), col("df").as("bucket_n"))
+    val cand = if (hot.isEmpty) {
+      val pa = prefix.select(col("doc_id").as("doc_a"), col("gram"),
+        col("rn").as("rn_a"), col("sz").as("sz_a"))
+      val pb = prefix.select(col("doc_id").as("doc_b"), col("gram"),
+        col("rn").as("rn_b"), col("sz").as("sz_b"))
+      pa.join(pb, Seq("gram"))
+        .filter(col("doc_a") < col("doc_b") && ppjoinFilters)
+        .select("doc_a", "doc_b").distinct()
+    } else {
+      // materialized once: with per-side salt emissions the two join
+      // sides are no longer the identical subplan ReusedExchange
+      // dedupes on the cold path, so without this the whole prefix
+      // pipeline (df aggregate + rank window) would run twice
+      val pm = prefix.join(broadcast(hot), Seq("gram"), "left")
+        .withColumn("m", coalesce(
+          ceil(col("bucket_n") / lit(hotBucketCap.toDouble)).cast("int"),
+          lit(1)))
+        .withColumn("salt", pmod(hash(col("doc_id")), col("m")))
+        .localCheckpoint()
+      val pa = pm.select(col("doc_id").as("doc_a"), col("gram"),
+        col("rn").as("rn_a"), col("sz").as("sz_a"), col("salt").as("lo"),
+        explode(sequence(col("salt"), col("m") - 1)).as("hi"))
+      val pb = pm.select(col("doc_id").as("doc_b"), col("gram"),
+        col("rn").as("rn_b"), col("sz").as("sz_b"),
+        explode(sequence(lit(0), col("salt"))).as("lo"),
+        col("salt").as("hi"))
+      pa.join(pb, Seq("gram", "lo", "hi"))
+        .filter((col("lo") =!= col("hi") || col("doc_a") < col("doc_b")) &&
+          ppjoinFilters)
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .distinct()
+    }
     val jac = col("inter").cast("double") /
       (col("sz_a") + col("sz_b") - col("inter")).cast("double")
     cand

@@ -56,10 +56,21 @@ object IterateUntilFixed {
     * checkpoint-backed `LogicalRDD` (a step may pre-checkpoint an
     * intermediate that feeds TWO state frames, so neither consumer
     * recomputes it) passes through instead of re-materializing.
+    *
+    * Matched on the `LogicalRDD` class itself, not its simple name (a
+    * string match is brittle across Spark versions). Caveat this
+    * inherits from the plan shape: a state frame built DIRECTLY from an
+    * RDD (`spark.createDataFrame(rdd, schema)`) also roots at
+    * `LogicalRDD` and is treated as pre-checkpointed — correct for
+    * lineage (an RDD root has no Catalyst lineage to truncate; the
+    * caller owns its persistence), and no engine step builds state
+    * that way.
     */
   private def cp(df: DataFrame): DataFrame =
-    if (df.queryExecution.logical.getClass.getSimpleName == "LogicalRDD") df
-    else df.localCheckpoint()
+    df.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => df.localCheckpoint()
+    }
 
   /** Checkpoint every frame `next` replaced; frames carried by reference
     * from `prev` (or listed in `reuse` — e.g. the already-checkpointed

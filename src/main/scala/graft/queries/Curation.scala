@@ -242,7 +242,10 @@ object Curation {
           val w = m.join(st("v").select(col("dim").as("j"), col("v")), "j")
             .groupBy("i").agg(sum(col("m") * col("v")).as("w"))
             .localCheckpoint()
-          val mx = w.agg(max(abs(col("w"))).as("mx"))
+          // pre-checkpointed like w: the harness's "mx" state slot and
+          // the broadcast inside next-"v" both consume this 1-row frame
+          // — materializing it once here keeps the round at one agg job
+          val mx = w.agg(max(abs(col("w"))).as("mx")).localCheckpoint()
           Map("mx" -> mx,
             "v" -> w.crossJoin(broadcast(mx))
               .select(col("i").as("dim"),

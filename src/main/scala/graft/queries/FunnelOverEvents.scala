@@ -136,9 +136,13 @@ object FunnelOverEvents {
           throw new RuntimeException(s"injected failure at batch $batchId")
         batch.write.mode("overwrite").parquet(sink)
       }
-    val q = ckpt.map(c => writer.option("checkpointLocation", c))
-      .getOrElse(writer).start()
-    q.awaitTermination()
+    // stateful (global complete-mode agg) → verified under the RocksDB
+    // provider like every other engine stream query
+    GraftSession.withRocksDbState(s) {
+      val q = ckpt.map(c => writer.option("checkpointLocation", c))
+        .getOrElse(writer).start()
+      q.awaitTermination()
+    }
   }
 
   /** DuckDB twin of [[query]]: source-specific CTEs down to the wide

@@ -125,32 +125,38 @@ object Insights {
         java.util.UUID.randomUUID.toString.replace("-", "").take(12))
     val sink = new java.io.File(base, "out").getAbsolutePath
     val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
-    val q = mode match {
-      case "append" =>
-        df.writeStream.outputMode("append").format("parquet")
-          .option("path", sink).option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-      case "complete" =>
-        df.writeStream.outputMode("complete")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: Dataset[Row], _: Long) =>
-            batch.write.mode("overwrite").parquet(sink)
-          }.start()
-      case "update" =>
-        require(lastWinsKey.nonEmpty,
-          "update-mode read-back needs a last-wins key")
-        df.writeStream.outputMode("update")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-            batch.withColumn("__fs_batch", lit(batchId))
-              .write.mode("append").parquet(sink)
-          }.start()
-      case other =>
-        throw new IllegalArgumentException(s"unsupported mode: $other")
+    // every engine stream query verifies under the RocksDB state-store
+    // provider — the only store that holds 100 TB/day key spaces (see
+    // GraftSession.withRocksDbState); FunnelStreamSpec pins via a
+    // progress listener that the stateful entries actually engage it
+    GraftSession.withRocksDbState(s) {
+      val q = mode match {
+        case "append" =>
+          df.writeStream.outputMode("append").format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+        case "complete" =>
+          df.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: Dataset[Row], _: Long) =>
+              batch.write.mode("overwrite").parquet(sink)
+            }.start()
+        case "update" =>
+          require(lastWinsKey.nonEmpty,
+            "update-mode read-back needs a last-wins key")
+          df.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+              batch.withColumn("__fs_batch", lit(batchId))
+                .write.mode("append").parquet(sink)
+            }.start()
+        case other =>
+          throw new IllegalArgumentException(s"unsupported mode: $other")
+      }
+      q.awaitTermination()
     }
-    q.awaitTermination()
     if (!new java.io.File(sink).exists)
       // zero batches committed (empty source) — settled result is empty
       s.createDataFrame(s.sparkContext.emptyRDD[Row], df.schema)
@@ -1391,14 +1397,14 @@ object Insights {
     // register-identical to the batch sketch → the batch oracle serves
     "stream_hll" -> Relational.oracles("hll_distinct"),
     "stream_cms" -> Relational.oracles("cms_heavy_hitters"),
-    "stream_topk" -> Relational.oracles("space_saving_topk"),
+    "stream_topk" -> Relational.oracles("misra_gries_topk"),
     // the streamed k-min list is deterministic, so θ and u_size gate
     // the sketch STATE itself, not just a readout
     "stream_kmv" ->
       """WITH fp AS (SELECT DISTINCT event_type,
         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
         |      AS BIGINT) AS h
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |rk AS (SELECT event_type, h,
         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
         |  FROM fp),

@@ -74,7 +74,7 @@ object Relational {
     dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "") +
       "_" + runToken
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private val queriesBase: Map[String, (SparkSession, String) => DataFrame] = Map(
     // GROUP BY + COUNT (SURVEY §2.4; report_engine.py:179-183)
     "groupby_count" -> ((s, dir) =>
       events(s, dir)
@@ -664,11 +664,12 @@ object Relational {
     // dependent, as in any MG) is property-tested in SketchSpec
     // against a brute-force reference on random orders. At 100 TB the
     // 16-entry map per partition replaces the unbounded key shuffle.
-    // NOTE the query id is a historical misnomer: the algorithm is
-    // Misra–Gries (decrement-all, UNDERestimating counters), not
-    // Space-Saving (Metwally et al., overwrite-min, OVERestimating) —
-    // the id predates the rename and stays for artifact continuity.
-    "space_saving_topk" -> ((s, dir) => {
+    // Canonical id since r14; the historical id `space_saving_topk` (a
+    // misnomer — the algorithm is Misra–Gries's decrement-all
+    // UNDERestimating counters, not Space-Saving's overwrite-min
+    // OVERestimating ones; Metwally et al., ICDT 2005) stays
+    // registered as an alias below for artifact continuity.
+    "misra_gries_topk" -> ((s, dir) => {
       import s.implicits._
       val mg = new graft.functions.MisraGriesAgg(16)
       val ev = events(s, dir)
@@ -1500,6 +1501,14 @@ object Relational {
     })
   )
 
+  /** `space_saving_topk` is the pre-r14 id of [[queriesBase misra_gries_topk]]
+    * (see the misnomer note at its registration) — kept as an alias so
+    * per-round artifacts (`CORRECTNESS_r*`, `BENCH_r*`) stay comparable
+    * across the rename.
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesBase + ("space_saving_topk" -> queriesBase("misra_gries_topk"))
+
   /** Column checksums both sink round-trips must preserve (computed by
     * DuckDB from the parquet originals).
     */
@@ -1511,7 +1520,7 @@ object Relational {
       |  CAST(sum(length(text)) AS BIGINT) AS text_len
       |FROM documents""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "groupby_count" ->
       """SELECT event_type, count(event_type) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -1836,7 +1845,7 @@ object Relational {
     // exact regime (capacity ≥ distinct): MG counters are plain
     // counts and the summary holds every key — the oracle is the
     // group-by it degenerates to
-    "space_saving_topk" ->
+    "misra_gries_topk" ->
       """WITH keys AS (SELECT event_type, count(*) AS true_cnt
         |             FROM events GROUP BY event_type),
         |n AS (SELECT count(*) AS sz FROM keys)
@@ -1965,7 +1974,7 @@ object Relational {
         |fp AS (SELECT DISTINCT seg,
         |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
         |      AS BIGINT) AS h
-        |  FROM base),
+        |  FROM base WHERE l_partkey IS NOT NULL),
         |rk AS (SELECT seg, h,
         |    row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
         |  FROM fp),
@@ -2023,7 +2032,7 @@ object Relational {
         |fp AS (SELECT DISTINCT seg,
         |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
         |      AS BIGINT) AS h
-        |  FROM base),
+        |  FROM base WHERE l_partkey IS NOT NULL),
         |rk AS (SELECT seg, h,
         |    row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
         |  FROM fp),
@@ -2459,4 +2468,8 @@ object Relational {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, valid_from_us""".stripMargin
   )
+
+  /** Alias oracle mirrors the query alias (see [[queries]]). */
+  val oracles: Map[String, String] =
+    oraclesBase + ("space_saving_topk" -> oraclesBase("misra_gries_topk"))
 }

@@ -550,6 +550,66 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(stream.toSeq === batch.toSeq)
   }
 
+  test("SparkEntry stream verification path runs its stateful operators " +
+      "on RocksDB") {
+    // The r13 gap: FunnelStreamSpec pinned RocksDB for two hand-built
+    // shapes, but the registered stream queries verified on the default
+    // heap-backed store — the one component that cannot hold 100 TB/day
+    // key spaces. parquetSinkReadback now pins the provider for every
+    // engine stream run (GraftSession.withRocksDbState); this test
+    // watches the actual verification path of a stateful entry through
+    // a progress listener and asserts every stateful micro-batch
+    // reported RocksDB's custom metrics (the heap store reports none
+    // prefixed "rocksdb").
+    import spark.implicits._
+    val rocks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nonRocks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener
+            .QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener
+            .QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops != null && ops.nonEmpty) {
+          val isRocks = ops.exists(_.customMetrics.keySet().stream()
+            .anyMatch(_.startsWith("rocksdb")))
+          if (isRocks) rocks.incrementAndGet()
+          else nonRocks.incrementAndGet()
+        }
+      }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener
+            .QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("srocks").toString
+      Seq((1L, 1L, "a"), (2L, 1L, "a"), (3L, 1L, "a"), (4L, 1L, "b"),
+        (5L, 2L, "a"))
+        .toDF("us", "user_id", "event_type")
+        .select(timestamp_micros(col("us")).as("ts"), col("user_id"),
+          col("event_type"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // dropDuplicates state through the real registered entry
+      val got = graft.queries.Insights.queries("stream_dedup_counts")(
+        spark, dir).collect()
+      assert(got.nonEmpty)
+      // progress events are async — poll for the stateful batches
+      var waited = 0
+      while (rocks.get() == 0 && nonRocks.get() == 0 && waited < 50) {
+        Thread.sleep(200); waited += 1
+      }
+      assert(rocks.get() > 0,
+        "no RocksDB-backed stateful micro-batch observed on the " +
+          "verification path")
+      assert(nonRocks.get() === 0,
+        s"${nonRocks.get()} stateful micro-batches ran on a non-RocksDB " +
+          "store during the verification run")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("stream_funnel_table restart-recovery: crash mid-stream, " +
       "resume from checkpoint, settle to batch parity") {
     import spark.implicits._

@@ -38,8 +38,17 @@ class PlanShapeSpec extends AnyFunSuite {
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("stream_"))
       .map { name =>
+        // the snapshot format round-trips names/fingerprints without
+        // JSON escaping — enforce the charset instead of escaping, so a
+        // nonconforming name fails HERE rather than silently never
+        // parsing back (permanently-MISSING gate entries)
+        assert(name.matches("[a-z0-9_]+"),
+          s"query id '$name' breaks the snapshot charset [a-z0-9_]+")
         val df = SparkEntry.queries(name)(spark, sfDir)
-        name -> PlanShape.fingerprint(df)
+        val fp = PlanShape.fingerprint(df)
+        assert(!fp.exists(c => c == '"' || c == '\\'),
+          s"fingerprint for '$name' needs JSON escaping: $fp")
+        name -> fp
       }
 
   private def render(shapes: Seq[(String, String)]): String =
@@ -47,7 +56,7 @@ class PlanShapeSpec extends AnyFunSuite {
       .mkString("{\n", ",\n", "\n}\n")
 
   private def parse(json: String): Map[String, String] =
-    """"([a-z0-9_]+)": "([^"]*)"""".r
+    """"([^"]+)": "([^"]*)"""".r
       .findAllMatchIn(json).map(m => m.group(1) -> m.group(2)).toMap
 
   test("every batch query's plan shape matches the committed snapshot") {

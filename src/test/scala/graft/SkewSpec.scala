@@ -107,6 +107,113 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  /** Run `body`'s Spark jobs while recording the MAX per-task shuffle
+    * write record count — the per-task work bound the salt-split is
+    * supposed to enforce (a hot self-join bucket serializes its whole
+    * pair product through ONE task's shuffle write; salted blocks
+    * spread it). Listener events are async, so after the action the
+    * value is polled until stable.
+    */
+  private def maxTaskShuffleWrite[A](body: => A): (A, Long) = {
+    val max = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          val r = m.shuffleWriteMetrics.recordsWritten
+          max.updateAndGet(c => math.max(c, r))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val res = body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      // drained when unchanged across three 200 ms polls (≤ 15 s cap)
+      while (stable < 3 && waited < 75) {
+        Thread.sleep(200)
+        waited += 1
+        val v = max.get()
+        if (v == last) stable += 1 else { stable = 0; last = v }
+      }
+      (res, max.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("minhash banded join: operator salt-split bounds the hot bucket " +
+      "when AQE skew detection is blind") {
+    withSkewConf(skewEnabled = false) {
+      // cap 50 forces the 600-doc family into m=12 salt blocks per band
+      val salted = Dedup.minhashBandedPairs(minhashCorpus,
+        hotBucketCap = 50)
+      val (n, maxSalted) =
+        maxTaskShuffleWrite(salted.queryExecution.toRdd.count())
+      assert(n === 179700L)
+      // the salted run never crossed an AQE skew split — the bound is
+      // the operator's own, not the runtime detector's
+      val (skewJoins, splits) = PlanShape.skewJoinStats(salted)
+      assert(skewJoins === 0 && splits === 0,
+        "AQE skew machinery fired with skewJoin.enabled=false")
+      // sensitivity control: cap disabled, same corpus, same conf —
+      // the hot band bucket's C(600,2) pair product serializes through
+      // single tasks. 78 blocks/band spread over 16 reducers puts the
+      // salted expectation near 45k; the unsalted floor is one whole
+      // band's 179,700.
+      val unsalted = Dedup.minhashBandedPairs(minhashCorpus,
+        hotBucketCap = Int.MaxValue)
+      val (n2, maxUnsalted) =
+        maxTaskShuffleWrite(unsalted.queryExecution.toRdd.count())
+      assert(n2 === 179700L)
+      assert(maxUnsalted > 150000L,
+        s"control failed to reproduce the hot task (max=$maxUnsalted) — " +
+          "the metric no longer captures the straggler, fix the test")
+      assert(maxSalted < 120000L,
+        s"salt-split did not bound per-task work: max=$maxSalted " +
+          s"(unsalted control: $maxUnsalted)")
+      // pair identity, both directions — not just the count
+      assert(salted.select("doc_a", "doc_b", "jaccard_dist")
+        .except(unsalted.select("doc_a", "doc_b", "jaccard_dist"))
+        .isEmpty, "salted pairs ⊄ unsalted")
+      assert(unsalted.select("doc_a", "doc_b", "jaccard_dist")
+        .except(salted.select("doc_a", "doc_b", "jaccard_dist"))
+        .isEmpty, "unsalted pairs ⊄ salted")
+    }
+  }
+
+  test("prefix jaccard join: operator salt-split bounds the hot gram " +
+      "when AQE skew detection is blind") {
+    // 600 IDENTICAL docs (the boilerplate family whose every prefix
+    // gram is hot AND whose candidates survive the PPJoin filters) +
+    // 60 unique docs for a cold margin
+    val hotText = (0 until 6).map(j => s"hot$j").mkString(" ")
+    val docs = spark.range(660).select(col("id").as("doc_id"),
+      when(col("id") < 600, lit(hotText))
+        .otherwise(concat_ws(" ", (0 until 6).map(j =>
+          concat(lit(s"u${j}_"), col("id"))): _*)).as("text"))
+    withSkewConf(skewEnabled = false) {
+      val salted = Dedup.prefixJaccardPairs(docs, threshold = 0.5,
+        hotBucketCap = 50)
+      val (n, maxSalted) =
+        maxTaskShuffleWrite(salted.queryExecution.toRdd.count())
+      assert(n === 179700L)
+      val unsalted = Dedup.prefixJaccardPairs(docs, threshold = 0.5,
+        hotBucketCap = Int.MaxValue)
+      val (n2, maxUnsalted) =
+        maxTaskShuffleWrite(unsalted.queryExecution.toRdd.count())
+      assert(n2 === 179700L)
+      assert(maxUnsalted > 150000L,
+        s"control failed to reproduce the hot task (max=$maxUnsalted)")
+      assert(maxSalted < 120000L,
+        s"salt-split did not bound per-task work: max=$maxSalted " +
+          s"(unsalted control: $maxUnsalted)")
+      assert(salted.except(unsalted).isEmpty, "salted pairs ⊄ unsalted")
+      assert(unsalted.except(salted).isEmpty, "unsalted pairs ⊄ salted")
+    }
+  }
+
   test("prefix-filtered jaccard join: AQE splits the hot boilerplate gram") {
     // 300 identical PAIRS of 4-token docs sharing one boilerplate
     // shingle: with sz=2 the whole set is prefix, so the hot gram (the
