@@ -52,8 +52,10 @@ object PlanShape {
     *  - `global_sort`      SortExec with global=true — the output ORDER BY
     *                       earns one; row-scale intermediate sorts do not
     */
-  def fingerprint(df: DataFrame): String = {
-    val ns = nodes(df.queryExecution.executedPlan)
+  def fingerprint(df: DataFrame): String =
+    countsOf(nodes(df.queryExecution.executedPlan))
+
+  private def countsOf(ns: Seq[SparkPlan]): String = {
     val exchanges = ns.collect { case e: ShuffleExchangeExec => e }
     val parts = Seq(
       "cartesian" -> ns.count(_.isInstanceOf[CartesianProductExec]),
@@ -69,6 +71,29 @@ object PlanShape {
         case _ => false
       })
     parts.map { case (k, v) => s"$k=$v" }.mkString(" ")
+  }
+
+  /** Fingerprint of a streaming MICRO-BATCH physical plan (from
+    * `GraftMicroBatchAccess.lastExecution`): the same count vector as
+    * [[fingerprint]] plus the stateful-operator count — the streaming
+    * shape property a 100 TB review cares about (state appearing where
+    * none is expected, or a dedup/session/join losing its store).
+    * Stateful nodes are matched by class-name prefix, not imports: the
+    * exec classes are `private[sql]` and the set (StateStoreSave/
+    * Restore, StreamingDeduplicate, FlatMapGroupsWithState,
+    * TransformWithState, StreamingSymmetricHashJoin, SessionWindow
+    * variants) shares the naming convention.
+    */
+  def microBatchFingerprint(p: SparkPlan): String = {
+    val ns = nodes(p)
+    val stateful = ns.count { n =>
+      val c = n.getClass.getSimpleName
+      c.startsWith("StateStore") || c.startsWith("Streaming") ||
+        c.startsWith("FlatMapGroupsWithState") ||
+        c.startsWith("TransformWithState") ||
+        c.startsWith("SessionWindowStateStore")
+    }
+    countsOf(ns) + s" stateful=$stateful"
   }
 
   /** Flatten the plan AFTER execution, descending through AQE roots into
@@ -91,6 +116,39 @@ object PlanShape {
     * > the number of skewed partitions when AQE fans one hot partition
     * out over several map ranges).
     */
+  /** Capture registry for streaming micro-batch plan shapes.
+    *
+    * The batch gate fingerprints a DataFrame before running it; a
+    * stream query's shape only exists while the query RUNS, and the
+    * verification read-back is a bare scan of the sink — so the stream
+    * runners ([[graft.queries.Insights]]'s parquetSinkReadback and
+    * [[graft.queries.FunnelOverEvents]]'s runStreamFunnel) record the
+    * last micro-batch's fingerprint here right after each drain, keyed
+    * by the runner's sink tag. PlanShapeSpec drains the registry around
+    * each registered stream query and asserts the committed
+    * `PLANSHAPES_STREAM.json` snapshot. Always-on: a record is one map
+    * put of a short string per stream RUN (tags are reused across runs
+    * at the same SF, so the map stays bounded).
+    */
+  object streamShapes {
+    private val shapes =
+      scala.collection.concurrent.TrieMap[String, String]()
+
+    def record(tag: String,
+        q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      org.apache.spark.sql.execution.streaming.runtime.GraftMicroBatchAccess
+        .lastExecution(q)
+        .foreach(qe =>
+          shapes.put(tag, microBatchFingerprint(qe.executedPlan)))
+
+    /** Snapshot-and-clear, for per-query attribution in the gate. */
+    def drain(): Map[String, String] = {
+      val m = shapes.toMap
+      shapes.clear()
+      m
+    }
+  }
+
   def skewJoinStats(df: DataFrame): (Int, Int) = {
     val ns = executedNodes(df.queryExecution.executedPlan)
     val skewJoins = ns.count {

@@ -142,6 +142,8 @@ object FunnelOverEvents {
       val q = ckpt.map(c => writer.option("checkpointLocation", c))
         .getOrElse(writer).start()
       q.awaitTermination()
+      graft.ops.PlanShape.streamShapes.record(
+        "funnel_" + Relational.sfTag(dir), q)
     }
   }
 

@@ -156,6 +156,9 @@ object Insights {
           throw new IllegalArgumentException(s"unsupported mode: $other")
       }
       q.awaitTermination()
+      // the read-back below is a bare sink scan — the micro-batch plan
+      // is the only place streaming shape regressions are visible
+      graft.ops.PlanShape.streamShapes.record(tag, q)
     }
     if (!new java.io.File(sink).exists)
       // zero batches committed (empty source) — settled result is empty
@@ -1375,18 +1378,26 @@ object Insights {
           sum(bround(col("value") * lit(1000000.0)).cast("long"))
             .as("value_micros"))
       // sink rows are deliberately DISCARDED (noop): the gate reads the
-      // answer from the persisted STATE, never from the sink
-      val q = counts.writeStream.format("noop")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.format("statestore").load(ckpt)
-        .select(col("key.event_type").as("event_type"),
-          col("value.count").as("cnt"),
-          col("value.sum").as("value_micros"))
-        .orderBy("event_type")
+      // answer from the persisted STATE, never from the sink. Both the
+      // run AND the state read live under the RocksDB provider (the
+      // statestore source instantiates the provider from session conf
+      // at read time, so the read materializes inside the wrapper).
+      GraftSession.withRocksDbState(s) {
+        val q = counts.writeStream.format("noop")
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.ops.PlanShape.streamShapes.record(
+          "ssread_" + Relational.sfTag(dir), q)
+        s.read.format("statestore").load(ckpt)
+          .select(col("key.event_type").as("event_type"),
+            col("value.count").as("cnt"),
+            col("value.sum").as("value_micros"))
+          .orderBy("event_type")
+          .localCheckpoint()
+      }
     })
   )
 

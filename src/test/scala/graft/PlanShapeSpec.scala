@@ -22,10 +22,13 @@ import graft.ops.PlanShape
   * single-partition exchange sneaking back in — fails here with the
   * exact per-query count diff.
   *
-  * Streaming queries are excluded: building them runs the full
-  * AvailableNow stream and their returned frame is a parquet read-back
-  * whose plan is a bare scan; their shape gates live in InsightsSpec /
-  * FunnelStreamSpec.
+  * Streaming queries get their own snapshot (`PLANSHAPES_STREAM.json`,
+  * same regen flag): building one runs the full AvailableNow stream and
+  * returns a parquet read-back whose plan is a bare scan, so the gated
+  * artifact is the last MICRO-BATCH plan each stream runner records
+  * into [[PlanShape.streamShapes]] — the plan where a streaming lost
+  * broadcast, stray cartesian, or vanished stateful operator would
+  * actually hide.
   */
 class PlanShapeSpec extends AnyFunSuite {
 
@@ -84,6 +87,60 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(diffs.isEmpty && stale.isEmpty,
         "plan shapes drifted — if deliberate, regenerate the snapshot " +
           "in the same commit (SPARK_GRAFT_REGEN_PLANSHAPES=1):\n" +
+          (diffs ++ stale).mkString("\n"))
+    }
+  }
+
+  private val streamSnapshotPath = Paths.get("PLANSHAPES_STREAM.json")
+
+  private def currentStreamShapes(): Seq[(String, String)] =
+    SparkEntry.queries.keys.toSeq.sorted
+      .filter(_.startsWith("stream_"))
+      .map { name =>
+        assert(name.matches("[a-z0-9_]+"),
+          s"query id '$name' breaks the snapshot charset [a-z0-9_]+")
+        PlanShape.streamShapes.drain() // discard other suites' captures
+        SparkEntry.queries(name)(spark, sfDir) // runs the stream eagerly
+        val recorded = PlanShape.streamShapes.drain()
+        assert(recorded.nonEmpty,
+          s"$name ran no stream the runners recorded a micro-batch " +
+            "plan for — recording hook lost?")
+        // values only: the registry tags embed the per-JVM run token
+        // (they're scratch-path tags), and the drain-per-query protocol
+        // already attributes shapes to the query name
+        val fp = recorded.values.toSeq.sorted.mkString("; ")
+        assert(!fp.exists(c => c == '"' || c == '\\'),
+          s"stream fingerprint for '$name' needs JSON escaping: $fp")
+        name -> fp
+      }
+
+  test("every stream query's micro-batch plan shape matches the " +
+      "committed snapshot") {
+    val current = currentStreamShapes()
+    if (sys.env.contains("SPARK_GRAFT_REGEN_PLANSHAPES")) {
+      Files.write(streamSnapshotPath,
+        render(current).getBytes(StandardCharsets.UTF_8))
+      info(s"regenerated ${streamSnapshotPath.toAbsolutePath} " +
+        s"(${current.size} stream queries) — commit it")
+    } else {
+      assert(Files.exists(streamSnapshotPath),
+        s"$streamSnapshotPath missing — regenerate with " +
+          "SPARK_GRAFT_REGEN_PLANSHAPES=1 sbt 'testOnly graft.PlanShapeSpec'")
+      val committed = parse(Files.readString(streamSnapshotPath))
+      val diffs = current.flatMap { case (name, fp) =>
+        committed.get(name) match {
+          case None => Some(s"$name: MISSING from snapshot (now: $fp)")
+          case Some(c) if c != fp =>
+            Some(s"$name:\n  snapshot: $c\n  current:  $fp")
+          case _ => None
+        }
+      }
+      val stale = (committed.keySet -- current.map(_._1)).toSeq.sorted
+        .map(n => s"$n: in snapshot but no longer registered")
+      assert(diffs.isEmpty && stale.isEmpty,
+        "stream micro-batch plan shapes drifted — if deliberate, " +
+          "regenerate the snapshot in the same commit " +
+          "(SPARK_GRAFT_REGEN_PLANSHAPES=1):\n" +
           (diffs ++ stale).mkString("\n"))
     }
   }
