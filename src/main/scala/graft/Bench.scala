@@ -39,6 +39,50 @@ object Bench {
         case c => c.toString
       } + "\""
 
+    // SPARK_GRAFT_PASSES=1 turns bench into a single-pass soak runner
+    // (no warm-up, no extra samples): constrained-memory and linearity
+    // soaks care about completion + metrics, not steady-state timing,
+    // and the warm-up pass would double a multi-minute suite for
+    // nothing.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    require(passes >= 1, "SPARK_GRAFT_PASSES must be >= 1")
+
+    // SPARK_GRAFT_SPILL=1: per-query executor spill deltas
+    // (memoryBytesSpilled / diskBytesSpilled summed over tasks) from a
+    // task-end listener, reported as a "spill" JSON field — the
+    // spill-not-OOM evidence a constrained-memory soak exists to
+    // produce. Attribution uses the FIRST timed pass only (spill is a
+    // plan property, not a noise source), with a stability poll per
+    // query because listener events are async.
+    val spillTrack = sys.env.contains("SPARK_GRAFT_SPILL")
+    val memSpill = new java.util.concurrent.atomic.AtomicLong(0)
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong(0)
+    if (spillTrack)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) {
+              memSpill.addAndGet(m.memoryBytesSpilled)
+              diskSpill.addAndGet(m.diskBytesSpilled)
+            }
+          }
+        })
+    def spillNow(): (Long, Long) = {
+      var last = (-1L, -1L)
+      var stable = 0
+      var i = 0
+      while (stable < 2 && i < 20) {
+        Thread.sleep(100); i += 1
+        val v = (memSpill.get(), diskSpill.get())
+        if (v == last) stable += 1 else { stable = 0; last = v }
+      }
+      (memSpill.get(), diskSpill.get())
+    }
+    val spills =
+      scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+
     // Warm-up pass: run the whole suite once UNTIMED, then time the
     // second pass. A fresh JVM's first execution of a plan shape pays
     // janino compilation + C2 JIT of the whole Catalyst/codegen stack —
@@ -46,11 +90,13 @@ object Bench {
     // steady state is what a long-lived cluster actually runs at, and is
     // the number a 100 TB throughput estimate should extrapolate from
     // (same reasoning as JMH warm-up iterations).
-    spark.range(1 << 20).selectExpr("sum(id)").write
-      .mode("overwrite").format("noop").save()
-    suite.foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+    if (passes > 1) {
+      spark.range(1 << 20).selectExpr("sum(id)").write
+        .mode("overwrite").format("noop").save()
+      suite.foreach { case (_, fn) =>
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
     }
 
     // Two timed passes, min per query. A single pass is hostage to
@@ -65,7 +111,7 @@ object Bench {
     // error (the same reasoning as the min: noise can only lose samples).
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (_ <- 1 to 2) {
+    for (pass <- 1 to passes) {
       suite.foreach { case (name, fn) =>
         // Trigger ContextCleaner OUTSIDE the timed slot: cleanup of
         // dropped broadcast/shuffle references is driven by driver GC,
@@ -74,12 +120,17 @@ object Bench {
         // timed slots, which min-of-two cannot cancel when both passes
         // of a long query absorb one.
         System.gc()
+        val spillBase = if (spillTrack && pass == 1) spillNow() else (0L, 0L)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           val sec = (System.nanoTime() - t0) / 1e9
           timings(name) = timings.get(name).fold(sec)(math.min(_, sec))
           errors.remove(name)
+          if (spillTrack && pass == 1) {
+            val (m, d) = spillNow()
+            spills(name) = (m - spillBase._1, d - spillBase._2)
+          }
         } catch {
           case e: Throwable =>
             if (!timings.contains(name))
@@ -96,7 +147,7 @@ object Bench {
     // whose current min exceeds 2 s get a THIRD spaced sample; min of
     // three cuts the chance that every sample absorbed noise.
     suite.foreach { case (name, fn) =>
-      if (timings.get(name).exists(_ > 2.0)) {
+      if (passes > 1 && timings.get(name).exists(_ > 2.0)) {
         System.gc()
         val t0 = System.nanoTime()
         try {
@@ -110,8 +161,13 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    val spillField =
+      if (!spillTrack) ""
+      else spills.map { case (k, (m, d)) =>
+        s"""${q(k)}:{"mem_spilled":$m,"disk_spilled":$d}"""
+      }.mkString(""","spill":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$spillField,"sf":${q(sfDir)}}"""
     println(line)
     // Durable full-suite artifact: the driver's BENCH_r*.json captures
     // stdout whose tail truncates past ~64 queries, so cross-round
