@@ -456,6 +456,81 @@ object Scoring {
           bround(col("kept_cnt").cast("double")
             / col("before_cnt").cast("double"), 6).as("keep_rate"))
         .orderBy("bin")
+    }),
+
+    // Systematic probability-proportional-to-size sampling [Madow,
+    // AMS 1949] — the survey-sampling workhorse for weighted corpus
+    // subsetting: put units in a deterministic md5-shuffled order,
+    // accumulate integer-cent weights, and take every unit whose
+    // cumulative interval crosses a stride = T/k grid point (units
+    // heavier than the stride select with multiplicity — reported, not
+    // hidden). Never rand(): reruns and engines agree unit-for-unit.
+    // The prefix sum is the textbook TWO-LEVEL scan: 256 md5-prefix
+    // buckets (a PREFIX of the global sort key, so bucket order nests
+    // in item order) roll up to per-bucket offsets on a 256-row frame,
+    // then each bucket cumsums locally — no row-scale single-partition
+    // window at any corpus size; bucket fan-out is the scale knob.
+    "pps_systematic" -> ((s, dir) => {
+      val k = 200L // samples per stratum
+      val u = t(s, dir, "orders").select(
+        col("o_orderpriority").as("stratum"),
+        col("o_orderkey").as("uk"),
+        bround(col("o_totalprice") * 100).cast("long").as("w"),
+        md5(concat(lit("pps:"), col("o_orderkey").cast("string")))
+          .as("h"))
+        .withColumn("bkt",
+          expr("cast(conv(substring(h, 1, 2), 16, 10) as bigint)"))
+        .localCheckpoint() // feeds bucket totals AND the local cumsum
+      val offs = u.groupBy("stratum", "bkt").agg(sum("w").as("tw"))
+        .withColumn("off", sum("tw").over(Window.partitionBy("stratum")
+          .orderBy("bkt")) - col("tw"))
+      val strideT = u.groupBy("stratum").agg(
+        greatest(expr(s"sum(w) div ${k}L"), lit(1L)).as("stride"))
+      val c = u
+        .withColumn("lc", sum("w").over(Window
+          .partitionBy("stratum", "bkt").orderBy(col("h"), col("uk"))))
+        .join(broadcast(offs.select("stratum", "bkt", "off")),
+          Seq("stratum", "bkt"))
+        .join(broadcast(strideT), Seq("stratum"))
+        .withColumn("ci", col("off") + col("lc"))
+        .withColumn("m",
+          expr("ci div stride - (ci - w) div stride"))
+      c.groupBy("stratum").agg(
+          count(lit(1)).as("n_units"),
+          sum("w").as("total_w"),
+          max("stride").as("stride"),
+          sum("m").as("n_sampled"),
+          sum(when(col("m") > 0, 1L).otherwise(0L)).as("units_hit"),
+          sum(when(col("m") > 0, col("w")).otherwise(0L)).as("w_hit"))
+        .orderBy("stratum")
+    }),
+
+    // Inverse-propensity-score off-policy evaluation [Horvitz–Thompson
+    // 1952; Dudík et al., ICML 2011] — the counterfactual "what would a
+    // UNIFORM action policy have earned?" readout that RLHF/bandit
+    // data pipelines run before training on logged interactions.
+    // Behavior propensities are the empirical action frequencies
+    // n_a/N, so each action's IPS term collapses to an exact rational
+    // (R_a/n_a)/(A·100) — reported PER ACTION (one division chain,
+    // identical IEEE in both engines) precisely so no cross-row float
+    // sum exists for engines to order differently. Rewards quantize to
+    // integer cents up front (the repo-wide money rule). One keyed
+    // aggregate + two 1-row broadcasts; linear at any log size.
+    "ips_offpolicy" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type").as("action"),
+        bround(col("value") * 100).cast("long").as("r"))
+      val per = e.groupBy("action").agg(count(lit(1)).as("n"),
+        sum("r").as("r_cents"))
+      val tot = per.agg(sum("n").as("big_n"),
+        count(lit(1)).cast("long").as("n_actions"))
+      per.crossJoin(broadcast(tot))
+        .select(col("action"), col("n"), col("r_cents"),
+          bround(col("n").cast("double")
+            / col("big_n").cast("double"), 6).as("propensity"),
+          (col("r_cents").cast("double") / col("n").cast("double")
+            / col("n_actions").cast("double") / lit(100.0))
+            .as("ips_term"))
+        .orderBy("action")
     })
   )
 
@@ -964,6 +1039,59 @@ object Scoring {
         |  CAST(sum(novel) AS BIGINT) AS novel_grams,
         |  round_even(CAST(sum(novel) AS DOUBLE) /
         |    CAST(sum(n_grams) AS DOUBLE), 6) AS novelty_rate
-        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same two-level bucket-prefix cumsum as the Spark plan; the md5
+    // hex prefix doubles as the bucket id so bucket order nests in the
+    // global (h, uk) order
+    "pps_systematic" ->
+      """WITH u AS (SELECT o_orderpriority AS stratum,
+        |    o_orderkey AS uk,
+        |    CAST(round_even(o_totalprice * 100, 0) AS BIGINT) AS w,
+        |    md5('pps:' || CAST(o_orderkey AS VARCHAR)) AS h
+        |  FROM orders),
+        |ub AS (SELECT *, CAST('0x' || substr(h, 1, 2) AS BIGINT)
+        |    AS bkt FROM u),
+        |offs AS (SELECT stratum, bkt, CAST(sum(w) AS BIGINT) AS tw
+        |  FROM ub GROUP BY 1, 2),
+        |offs2 AS (SELECT stratum, bkt,
+        |    CAST(sum(tw) OVER (PARTITION BY stratum ORDER BY bkt)
+        |      AS BIGINT) - tw AS off FROM offs),
+        |st AS (SELECT stratum,
+        |    greatest(CAST(sum(w) AS BIGINT) // 200, 1) AS stride
+        |  FROM ub GROUP BY 1),
+        |c AS (SELECT ub.stratum, ub.w,
+        |    CAST(sum(ub.w) OVER (PARTITION BY ub.stratum, ub.bkt
+        |      ORDER BY ub.h, ub.uk) AS BIGINT) + off AS ci,
+        |    stride
+        |  FROM ub
+        |  JOIN offs2 ON ub.stratum = offs2.stratum
+        |    AND ub.bkt = offs2.bkt
+        |  JOIN st ON ub.stratum = st.stratum)
+        |SELECT stratum, CAST(count(*) AS BIGINT) AS n_units,
+        |  CAST(sum(w) AS BIGINT) AS total_w,
+        |  max(stride) AS stride,
+        |  CAST(sum(ci // stride - (ci - w) // stride) AS BIGINT)
+        |    AS n_sampled,
+        |  CAST(sum(CASE WHEN ci // stride - (ci - w) // stride > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS units_hit,
+        |  CAST(sum(CASE WHEN ci // stride - (ci - w) // stride > 0
+        |    THEN w ELSE 0 END) AS BIGINT) AS w_hit
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-action IPS terms: each an exact rational through one fixed
+    // division chain — no cross-row float sum on either side
+    "ips_offpolicy" ->
+      """WITH e AS (SELECT event_type AS action,
+        |    CAST(round_even(value * 100, 0) AS BIGINT) AS r
+        |  FROM events),
+        |per AS (SELECT action, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r) AS BIGINT) AS r_cents FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n,
+        |    CAST(count(*) AS BIGINT) AS n_actions FROM per)
+        |SELECT action, n, r_cents,
+        |  round_even(CAST(n AS DOUBLE) / CAST(big_n AS DOUBLE), 6)
+        |    AS propensity,
+        |  CAST(r_cents AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / CAST(n_actions AS DOUBLE) / 100.0 AS ips_term
+        |FROM per, tot ORDER BY action""".stripMargin
   )
 }
