@@ -522,4 +522,47 @@ class ScoringSpec extends AnyFunSuite {
     assert(out(0) === ((8L, 1L, 1L, 0.125)))
     assert(out(9) === ((2L, 1L, 1L, 0.5)))
   }
+
+  test("pps_systematic: stride-grid counts, multiplicity, order-proof") {
+    import spark.implicits._
+    // Fixtures chosen so the expectation is invariant to the md5
+    // shuffle order (the test must not encode one md5 permutation):
+    // stratum A: 4 equal units of 100 cents → T=400, stride
+    // max(400 div 200, 1)=2; EVERY unit covers exactly 100/2=50 grid
+    // points wherever it lands → n_sampled 200, all 4 hit.
+    // stratum B: one 1_000_000-cent whale + one 2-cent minnow →
+    // stride 1000002 div 200 = 5000; in either order the whale's
+    // interval contains all 200 grid points and the minnow's none
+    // (2-cent span can't straddle a 5000 boundary at either end:
+    // offsets 0..2 and 1000000..1000002 both sit flush against a
+    // multiple of 5000 ± 2).
+    val dir = java.nio.file.Files.createTempDirectory("pps").toString
+    (Seq((1L, "A", 1.00), (2L, "A", 1.00), (3L, "A", 1.00),
+      (4L, "A", 1.00), (5L, "B", 10000.00), (6L, "B", 0.02)))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = graft.queries.Scoring.queries("pps_systematic")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out("A") === ((4L, 400L, 2L, 200L, 4L, 400L)))
+    assert(out("B") === ((2L, 1000002L, 5000L, 200L, 1L, 1000000L)))
+  }
+
+  test("ips_offpolicy: per-action exact-rational IPS terms") {
+    import spark.implicits._
+    // a: rewards 1.00+3.00 over 2 pulls, b: 5.00 over 1 pull; N=3,
+    // A=2 actions → term_a = 400/2/2/100 = 1.0, term_b =
+    // 500/1/2/100 = 2.5 (uniform target policy π=1/A).
+    val dir = java.nio.file.Files.createTempDirectory("ips").toString
+    Seq(("a", 1.00), ("a", 3.00), ("b", 5.00))
+      .toDF("event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.queries.Scoring.queries("ips_offpolicy")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("a") === ((2L, 400L, 0.666667, 1.0)))
+    assert(out("b") === ((1L, 500L, 0.333333, 2.5)))
+  }
 }
