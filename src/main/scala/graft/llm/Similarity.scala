@@ -672,8 +672,30 @@ object Similarity {
     * the same projections — unlike the seeded
     * BucketedRandomProjectionLSH path.
     */
+  /** Corpus-size-adaptive (nBits, bitsPerBand) for the sign-LSH pair
+    * join. Candidate volume is ~n²·b/2^r — with FIXED banding it grows
+    * quadratically in the corpus (measured: the registered query at
+    * r=8 took 3.8 s on 20k vectors but 1491 s on 200k — per-bucket
+    * density is the whole game). LSH theory tunes (r, b) jointly to n:
+    * each step adds 4 band bits (16× more selective buckets) AND more
+    * bands so high-similarity recall degrades gently instead of
+    * collapsing — at cos 0.9: 87% (48/8×6), 74% (96/12×8),
+    * 66% (160/16×10). Thresholds are POWERS OF TWO the oracle mirrors
+    * with the same CASE over count(*), so query↔oracle equality holds
+    * at every scale, not just at the gate SFs (verified at sf1, where
+    * the 20k-vector corpus takes the middle branch).
+    */
+  def signLshParams(n: Long): (Int, Int) =
+    if (n <= 16384L) (48, 8)
+    else if (n <= 262144L) (96, 12)
+    else (160, 16)
+
   def signLshNearDupPairs(emb: DataFrame, minCosine: Double = 0.4,
-      nBits: Int = 48, bitsPerBand: Int = 8, dim: Int = 64): DataFrame = {
+      dim: Int = 64): DataFrame = {
+    // one 1-row count job — the same statistic an index build reads
+    // from table metadata; at scale this is a planning-time constant,
+    // not a data pass worth optimizing
+    val (nBits, bitsPerBand) = signLshParams(emb.count())
     val banded = signBanded(emb, nBits, bitsPerBand, dim)
     banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

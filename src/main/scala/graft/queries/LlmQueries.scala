@@ -883,9 +883,48 @@ object LlmQueries {
        |banded AS ($bandSelects)""".stripMargin
   }
 
-  private def signLshOracle(minCosine: Double, nBits: Int = 48,
-      bitsPerBand: Int = 8): String = {
-    s"""${signLshCtes(nBits, bitsPerBand)},
+  /** DuckDB twin of [[Similarity.signLshParams]] + the banded bucket
+    * relation: ALL projection bits up to the widest step are computed
+    * once, each step's banding is a guarded branch, and a CASE over
+    * count(*) — the same power-of-two thresholds as the Spark side —
+    * selects exactly one branch. Query↔oracle equality therefore holds
+    * at EVERY corpus size (the sf1 fixture exercises the 96/12 branch),
+    * not just at the gate SFs.
+    */
+  private def signLshAdaptiveCtes(): String = {
+    val steps = Seq((48, 8), (96, 12), (160, 16))
+    val maxBits = steps.map(_._1).max
+    val projs = Similarity.signProjections(maxBits, dim = 64)
+    val bitCols = projs.zipWithIndex.map { case (r, i) =>
+      val chain = r.zipWithIndex.map { case (sign, d) =>
+        val term = s"CAST(embedding[${d + 1}] AS DOUBLE)"
+        if (d == 0) { if (sign > 0) term else s"(0.0 - $term)" }
+        else if (sign > 0) s"+ $term" else s"- $term"
+      }.mkString(" ")
+      s"CASE WHEN ($chain) > 0 THEN 1 ELSE 0 END AS bit$i"
+    }.mkString(",\n  ")
+    val branches = steps.map { case (nBits, r) =>
+      val bands = nBits / r
+      val sel = (0 until bands).map { j =>
+        val key = (0 until r)
+          .map(q => s"CAST(bit${j * r + q} AS VARCHAR)")
+          .mkString(" || ")
+        s"SELECT vec_id, $j AS band_idx, $key AS band_key FROM bits " +
+          s"WHERE (SELECT r FROM rsel) = $r"
+      }.mkString(" UNION ALL ")
+      s"($sel)"
+    }.mkString(" UNION ALL ")
+    s"""WITH bits AS (SELECT vec_id,
+       |  $bitCols
+       |FROM embeddings),
+       |rsel AS (SELECT CASE WHEN count(*) <= 16384 THEN 8
+       |    WHEN count(*) <= 262144 THEN 12 ELSE 16 END AS r
+       |  FROM embeddings),
+       |banded AS ($branches)""".stripMargin
+  }
+
+  private def signLshOracle(minCosine: Double): String = {
+    s"""${signLshAdaptiveCtes()},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM banded a JOIN banded b
