@@ -705,9 +705,11 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
     // SemDeDup: semantic near-dup pruning inside deterministic
-    // coarse-quantizer cells — emits the dropped members
+    // coarse-quantizer cells — emits the dropped members. Cell count
+    // scales with the corpus ([[Similarity.semDedupCells]]; k=16 at
+    // gate SFs), mirrored by the oracle's CASE over count(*).
     "semdedup" -> ((s, dir) =>
-      Similarity.semDedupDropped(emb(s, dir), nlist = 16, minCosine = 0.35)),
+      Similarity.semDedupDroppedAuto(emb(s, dir), minCosine = 0.35)),
     // embedding-space decontamination against an md5-sampled held-out
     // set (stand-in for the eval suite): emits the contaminated ids
     "decontaminate_embed" -> ((s, dir) =>
@@ -1031,6 +1033,35 @@ object LlmQueries {
     """WITH seeds AS (
       |  SELECT vec_id AS seed_id, embedding AS seed FROM embeddings
       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |d AS (
+      |  SELECT e.vec_id, s.seed_id,
+      |    round(sum((CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed[i] AS DOUBLE))
+      |            * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed[i] AS DOUBLE))),
+      |          6) AS d2
+      |  FROM embeddings e, seeds s, range(1, 65) t(i)
+      |  GROUP BY e.vec_id, s.seed_id),
+      |asn AS (
+      |  SELECT vec_id, seed_id AS cell FROM d
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) = 1)""".stripMargin
+
+  /** [[ivfFlatCtes]] with the seed count selected by the same CASE over
+    * count(*) as [[Similarity.semDedupCells]] (QUALIFY rank ≤ k instead
+    * of a constant LIMIT), so the semdedup oracle tracks the adaptive
+    * quantizer at every corpus size. ann_ivf_flat / kmeans_step keep
+    * the fixed-16 prefix: their cost is probe-/centroid-bound, not
+    * pair-bound, so nothing forces their k to move with n.
+    */
+  private val ivfAdaptiveCtes: String =
+    """WITH ksel AS (
+      |  SELECT CASE WHEN count(*) <= 16384 THEN 16
+      |    WHEN count(*) <= 65536 THEN 64
+      |    WHEN count(*) <= 262144 THEN 256 ELSE 1024 END AS k
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT vec_id AS seed_id, embedding AS seed FROM embeddings
+      |  QUALIFY row_number()
+      |    OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+      |    <= (SELECT k FROM ksel)),
       |d AS (
       |  SELECT e.vec_id, s.seed_id,
       |    round(sum((CAST(e.embedding[i] AS DOUBLE) - CAST(s.seed[i] AS DOUBLE))
@@ -1906,7 +1937,7 @@ object LlmQueries {
     // vectors, within-cell pairs only, max rounded cosine per dropped
     // member. round_even mirrors Spark's bround.
     "semdedup" ->
-      s"""$ivfFlatCtes,
+      s"""$ivfAdaptiveCtes,
          |nrm AS (
          |  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE)
          |    * CAST(embedding[i] AS DOUBLE))) AS nrm
