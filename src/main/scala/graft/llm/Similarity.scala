@@ -472,30 +472,119 @@ object Similarity {
     * cosine and are dropped up front (the un-normalized spelling drops
     * them too: NaN never clears the threshold).
     */
-  def exactCosinePairs(emb: DataFrame, minCosine: Double): DataFrame = {
-    // materialize the normalized vectors BEFORE the pair join:
-    // `transform` is a higher-order function (CodegenFallback), and
-    // left in the plan Catalyst collapses it into the join projection —
-    // interpreted normalization per PAIR (n²) instead of per vector (n).
-    // After the checkpoint the n² inner loop is only the codegen'd dot.
-    val v = emb
-      .select(col("vec_id"), dbl(col("embedding")).as("vec"))
-      .withColumn("__n", sqrt(dot(col("vec"), col("vec"))))
-      .filter(col("__n") > 0)
-      .select(col("vec_id"), transform(col("vec"), _ / col("__n")).as("vec"))
-      .localCheckpoint()
-    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        dot(col("a.vec"), col("b.vec")).as("__raw"))
-      // bround allocates a BigDecimal PER ROW (measured 3.7 s of this
-      // query's 5.2 s at sf0.1) — pre-filter on the raw dot with a
-      // half-ulp-at-scale-6 margin (any value whose round-6 clears
-      // minCosine is ≥ minCosine − 5e-7), so the exact rounded
-      // threshold only evaluates on the ~0.05% of pairs that survive
-      .filter(col("__raw") >= minCosine - 1e-6)
+  /** Unit-normalized (vec_id, vec) frame, materialized BEFORE any pair
+    * join: `transform` is a higher-order function (CodegenFallback),
+    * and left in the plan Catalyst collapses it into the join
+    * projection — interpreted normalization per PAIR (n²) instead of
+    * per vector (n). After the checkpoint the n² inner loop is only
+    * the codegen'd dot. Zero-norm vectors have no cosine and drop here.
+    */
+  private def normalizedVecs(emb: DataFrame): DataFrame = emb
+    .select(col("vec_id"), dbl(col("embedding")).as("vec"))
+    .withColumn("__n", sqrt(dot(col("vec"), col("vec"))))
+    .filter(col("__n") > 0)
+    .select(col("vec_id"), transform(col("vec"), _ / col("__n")).as("vec"))
+    .localCheckpoint()
+
+  /** The raw-dot margin pre-filter + exact rounded threshold shared by
+    * every exact pair scan: bround allocates a BigDecimal PER ROW
+    * (measured 3.7 s of this query's 5.2 s at sf0.1) — pre-filter on
+    * the raw dot with a half-ulp-at-scale-6 margin (any value whose
+    * round-6 clears minCosine is ≥ minCosine − 5e-7), so the exact
+    * rounded threshold only evaluates on the ~0.05% of pairs that
+    * survive.
+    */
+  private def thresholdPairs(raw: DataFrame, minCosine: Double): DataFrame =
+    raw.filter(col("__raw") >= minCosine - 1e-6)
       .select(col("vec_a"), col("vec_b"), bround(col("__raw"), 6).as("cos"))
       .filter(col("cos") >= minCosine)
       .orderBy("vec_a", "vec_b")
+
+  def exactCosinePairs(emb: DataFrame, minCosine: Double): DataFrame = {
+    val v = normalizedVecs(emb)
+    thresholdPairs(
+      v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          dot(col("a.vec"), col("b.vec")).as("__raw")),
+      minCosine)
+  }
+
+  /** [[exactCosinePairs]] enumerated by a block schedule: vectors hash
+    * into `nBlocks` disjoint blocks (crc32 of vec_id — deterministic,
+    * uncorrelated with insertion order), and the pair space is covered
+    * by the B·(B+1)/2 block pairs (p ≤ q): a same-block leg joins on
+    * vec_id < vec_id, a cross-block leg needs no id condition (the
+    * blocks are disjoint, so each unordered pair appears in exactly one
+    * leg) and canonicalizes with least/greatest. The UNION of legs is
+    * the unsharded pair set row for row (LlmSpec proves identity).
+    *
+    * What sharding buys: each leg's pair enumeration — and each leg's
+    * broadcast build side — is bounded at (n/B)² and n/B rows
+    * respectively, so the scan degrades into restartable bounded jobs
+    * instead of one n²-sized one. At 100 TB the legs run as separate
+    * jobs over `blk=`-partitioned storage; here they union into one
+    * plan over the checkpointed normalized vectors.
+    */
+  def exactCosinePairsBlocked(emb: DataFrame, minCosine: Double,
+      nBlocks: Int): DataFrame = {
+    require(nBlocks >= 1, s"nBlocks must be >= 1, got $nBlocks")
+    val v = normalizedVecs(emb)
+      .withColumn("__blk",
+        pmod(crc32(col("vec_id").cast("string")), lit(nBlocks)).cast("int"))
+    val legs = for { p <- 0 until nBlocks; q <- p until nBlocks } yield {
+      val a = v.filter(col("__blk") === p).as("a")
+      val b = v.filter(col("__blk") === q).as("b")
+      val cond =
+        if (p == q) col("a.vec_id") < col("b.vec_id") else lit(true)
+      a.join(b, cond).select(
+        least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
+        dot(col("a.vec"), col("b.vec")).as("__raw"))
+    }
+    thresholdPairs(legs.reduce(_ unionByName _), minCosine)
+  }
+
+  /** Default TOTAL pair budget for the exact scan: 2³⁸ ≈ 2.7e11 pairs
+    * covers the measured sf10 soak point (200k vectors ⇒ 2e10 pairs,
+    * 437 s) with headroom for one more ~3×, and REFUSES the next 10×
+    * (2M vectors ⇒ 2e12 pairs ≈ 12 h) — the misuse the scaladoc used to
+    * guard only by prose.
+    */
+  val defaultMaxPairs: Long = 1L << 38
+
+  /** Per-leg pair bound for the auto block schedule: 2³¹ pairs keeps a
+    * leg's broadcast side ≤ ~46k vectors.
+    */
+  val defaultLegPairs: Long = 1L << 31
+
+  /** [[exactCosinePairs]] with the exactness bound MECHANICAL instead of
+    * documentary: the total pair count must clear `maxPairsBudget` (a
+    * require, not a scaladoc — at 100 TB "run it blocked-exact on the
+    * shard or raise τ" is now enforced), and a corpus whose pair count
+    * exceeds `maxLegPairs` auto-shards into the [[exactCosinePairsBlocked]]
+    * schedule with B = ⌈n/√maxLegPairs⌉ so no single leg enumerates
+    * more than ~maxLegPairs pairs. Output is identical to the unsharded
+    * scan on every branch.
+    *
+    * @param nRows precomputed corpus row count (same contract as
+    *   [[signLshNearDupPairs]]: None runs one eager count job).
+    */
+  def exactCosinePairsBudgeted(emb: DataFrame, minCosine: Double,
+      maxPairsBudget: Long = defaultMaxPairs,
+      maxLegPairs: Long = defaultLegPairs,
+      nRows: Option[Long] = None): DataFrame = {
+    val n = nRows.getOrElse(emb.count())
+    val totalPairs = BigInt(n) * BigInt((n - 1) max 0L) / 2
+    require(totalPairs <= BigInt(maxPairsBudget),
+      s"exactCosinePairs would enumerate ~$totalPairs pairs over $n " +
+        s"vectors, exceeding maxPairsBudget=$maxPairsBudget. This scan " +
+        "is exact-by-contract O(n²): raise minCosine, run it " +
+        "blocked-exact per shard, or raise the budget deliberately.")
+    if (totalPairs <= BigInt(maxLegPairs)) exactCosinePairs(emb, minCosine)
+    else {
+      val b = math.ceil(n.toDouble / math.sqrt(maxLegPairs.toDouble)).toInt
+      exactCosinePairsBlocked(emb, minCosine, b max 2)
+    }
   }
 
   /** Recall gate (the `quantile_gate`/`distinct_gate` pattern applied to
@@ -591,7 +680,11 @@ object Similarity {
     * threshold (≥0.7) banding separates and [[signLshNearDupPairs]] /
     * [[semDedupDropped]] are the production candidate generators; at a
     * bulk-tail threshold the honest 100 TB posture is "this is a pair
-    * ENUMERATION, run it blocked-exact on the shard or raise τ".
+    * ENUMERATION, run it blocked-exact on the shard or raise τ" — and
+    * that posture is now MECHANICAL, not documentary: the full side
+    * runs through [[exactCosinePairsBudgeted]], which require-fails
+    * past `maxPairsBudget` total pairs and auto-shards into the
+    * bounded block schedule past [[defaultLegPairs]] per job.
     *
     * sampleCap = 1024 covers the whole fixture at sf≤0.01 (sample ≡
     * corpus, output unchanged) and bounds the gate's pair join at any
@@ -601,10 +694,13 @@ object Similarity {
     */
   def cosineNearDupGated(emb: DataFrame,
       minCosine: Double = 0.9, minRecall: Double = 0.8,
-      sampleCap: Int = 1024): DataFrame =
+      sampleCap: Int = 1024,
+      maxPairsBudget: Long = defaultMaxPairs,
+      nRows: Option[Long] = None): DataFrame =
     recallGated(
       exactCosinePairs(hashSample(emb, sampleCap), minCosine),
-      exactCosinePairs(emb, minCosine),
+      exactCosinePairsBudgeted(emb, minCosine,
+        maxPairsBudget = maxPairsBudget, nRows = nRows),
       Seq("vec_a", "vec_b"), minRecall,
       Seq(col("vec_a").asc, col("vec_b").asc))
 
@@ -685,17 +781,30 @@ object Similarity {
     * at every scale, not just at the gate SFs (verified at sf1, where
     * the 20k-vector corpus takes the middle branch).
     */
-  def signLshParams(n: Long): (Int, Int) =
-    if (n <= 16384L) (48, 8)
-    else if (n <= 262144L) (96, 12)
-    else (160, 16)
+  /** The banding step table — THE single source of truth: each entry is
+    * (maxRows, nBits, bitsPerBand); the first row whose maxRows covers
+    * the corpus wins. The DuckDB oracle's CASE over count(*)
+    * ([[graft.queries.LlmQueries]]) is GENERATED from this sequence, so
+    * a threshold edit here moves both engines together — a hand-copied
+    * SQL constant desyncs query and oracle at exactly one branch
+    * boundary, which the sf0.01 gate cannot catch.
+    */
+  val signLshSteps: Seq[(Long, Int, Int)] =
+    Seq((16384L, 48, 8), (262144L, 96, 12), (Long.MaxValue, 160, 16))
 
+  def signLshParams(n: Long): (Int, Int) =
+    signLshSteps.collectFirst { case (m, b, r) if n <= m => (b, r) }.get
+
+  /** @param nRows precomputed corpus row count (an index build reads
+    *   this from table metadata/statistics). When None, the builder
+    *   runs ONE eager 1-row count job at DataFrame-construction time —
+    *   note that merely building the plan (e.g. for explain/plan-shape
+    *   snapshots) then executes a Spark job, and a derived (non-scan)
+    *   input is computed twice. Pass the count when you have it.
+    */
   def signLshNearDupPairs(emb: DataFrame, minCosine: Double = 0.4,
-      dim: Int = 64): DataFrame = {
-    // one 1-row count job — the same statistic an index build reads
-    // from table metadata; at scale this is a planning-time constant,
-    // not a data pass worth optimizing
-    val (nBits, bitsPerBand) = signLshParams(emb.count())
+      dim: Int = 64, nRows: Option[Long] = None): DataFrame = {
+    val (nBits, bitsPerBand) = signLshParams(nRows.getOrElse(emb.count()))
     val banded = signBanded(emb, nBits, bitsPerBand, dim)
     banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -820,18 +929,24 @@ object Similarity {
     * with the corpus for the same reason). Gate SFs (≤16384 vectors)
     * keep k=16, so small-scale results are unchanged.
     */
+  /** (maxRows, cells) step table — single source of truth shared with
+    * the oracle's generated CASE, same contract as [[signLshSteps]].
+    */
+  val semDedupCellSteps: Seq[(Long, Int)] =
+    Seq((16384L, 16), (65536L, 64), (262144L, 256), (Long.MaxValue, 1024))
+
   def semDedupCells(n: Long): Int =
-    if (n <= 16384L) 16
-    else if (n <= 65536L) 64
-    else if (n <= 262144L) 256
-    else 1024
+    semDedupCellSteps.collectFirst { case (m, k) if n <= m => k }.get
 
   /** [[semDedupDropped]] with the cell count chosen from the corpus
-    * size (one 1-row count job — an index-build-time statistic).
+    * size. `nRows` carries the same precomputed-count contract as
+    * [[signLshNearDupPairs]]: None runs one eager count job at
+    * construction time.
     */
-  def semDedupDroppedAuto(emb: DataFrame,
-      minCosine: Double = 0.35): DataFrame =
-    semDedupDropped(emb, semDedupCells(emb.count()), minCosine)
+  def semDedupDroppedAuto(emb: DataFrame, minCosine: Double = 0.35,
+      nRows: Option[Long] = None): DataFrame =
+    semDedupDropped(emb, semDedupCells(nRows.getOrElse(emb.count())),
+      minCosine)
 
   def semDedupDropped(emb: DataFrame, nlist: Int = 16,
       minCosine: Double = 0.35): DataFrame = {

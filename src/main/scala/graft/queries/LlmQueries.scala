@@ -894,7 +894,11 @@ object LlmQueries {
     * not just at the gate SFs.
     */
   private def signLshAdaptiveCtes(): String = {
-    val steps = Seq((48, 8), (96, 12), (160, 16))
+    // branches AND thresholds derive from Similarity.signLshSteps — the
+    // single source of truth — so a step-table edit moves query and
+    // oracle together (the sf0.01 gate can't see a desync at an upper
+    // branch boundary)
+    val steps = Similarity.signLshSteps.map { case (_, b, r) => (b, r) }
     val maxBits = steps.map(_._1).max
     val projs = Similarity.signProjections(maxBits, dim = 64)
     val bitCols = projs.zipWithIndex.map { case (r, i) =>
@@ -916,11 +920,13 @@ object LlmQueries {
       }.mkString(" UNION ALL ")
       s"($sel)"
     }.mkString(" UNION ALL ")
+    val rselCase = Similarity.signLshSteps.init
+      .map { case (m, _, r) => s"WHEN count(*) <= $m THEN $r" }
+      .mkString("CASE ", " ", s" ELSE ${Similarity.signLshSteps.last._3} END")
     s"""WITH bits AS (SELECT vec_id,
        |  $bitCols
        |FROM embeddings),
-       |rsel AS (SELECT CASE WHEN count(*) <= 16384 THEN 8
-       |    WHEN count(*) <= 262144 THEN 12 ELSE 16 END AS r
+       |rsel AS (SELECT $rselCase AS r
        |  FROM embeddings),
        |banded AS ($branches)""".stripMargin
   }
@@ -1051,11 +1057,13 @@ object LlmQueries {
     * the fixed-16 prefix: their cost is probe-/centroid-bound, not
     * pair-bound, so nothing forces their k to move with n.
     */
+  private val semDedupKselCase: String = Similarity.semDedupCellSteps.init
+    .map { case (m, k) => s"WHEN count(*) <= $m THEN $k" }
+    .mkString("CASE ", " ", s" ELSE ${Similarity.semDedupCellSteps.last._2} END")
+
   private val ivfAdaptiveCtes: String =
-    """WITH ksel AS (
-      |  SELECT CASE WHEN count(*) <= 16384 THEN 16
-      |    WHEN count(*) <= 65536 THEN 64
-      |    WHEN count(*) <= 262144 THEN 256 ELSE 1024 END AS k
+    s"""WITH ksel AS (
+      |  SELECT $semDedupKselCase AS k
       |  FROM embeddings),
       |seeds AS (
       |  SELECT vec_id AS seed_id, embedding AS seed FROM embeddings

@@ -31,6 +31,12 @@ object Scoring {
     */
   private val bm25Terms = Seq("data", "filter")
 
+  /** Samples per stratum for `pps_systematic` — interpolated into the
+    * oracle SQL (like the signLsh minCosine) so the two sides can't
+    * drift.
+    */
+  private val ppsSamplesPerStratum = 200L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_rank" -> ((s, dir) =>
       Ranking.bm25TopDocs(t(s, dir, "documents"), bm25Terms, k = 20)),
@@ -471,7 +477,7 @@ object Scoring {
     // then each bucket cumsums locally — no row-scale single-partition
     // window at any corpus size; bucket fan-out is the scale knob.
     "pps_systematic" -> ((s, dir) => {
-      val k = 200L // samples per stratum
+      val k = ppsSamplesPerStratum
       val u = t(s, dir, "orders").select(
         col("o_orderpriority").as("stratum"),
         col("o_orderkey").as("uk"),
@@ -513,9 +519,12 @@ object Scoring {
     // n_a/N, so each action's IPS term collapses to an exact rational
     // (R_a/n_a)/(A·100) — reported PER ACTION (one division chain,
     // identical IEEE in both engines) precisely so no cross-row float
-    // sum exists for engines to order differently. Rewards quantize to
-    // integer cents up front (the repo-wide money rule). One keyed
-    // aggregate + two 1-row broadcasts; linear at any log size.
+    // sum exists for engines to order differently; the term still
+    // rounds to 6 dp like every other cross-engine float (the repo-wide
+    // rule — a refactor of the division chain must not break equality).
+    // Rewards quantize to integer cents up front (the repo-wide money
+    // rule). One keyed aggregate + two 1-row broadcasts; linear at any
+    // log size.
     "ips_offpolicy" -> ((s, dir) => {
       val e = t(s, dir, "events").select(col("event_type").as("action"),
         bround(col("value") * 100).cast("long").as("r"))
@@ -527,8 +536,8 @@ object Scoring {
         .select(col("action"), col("n"), col("r_cents"),
           bround(col("n").cast("double")
             / col("big_n").cast("double"), 6).as("propensity"),
-          (col("r_cents").cast("double") / col("n").cast("double")
-            / col("n_actions").cast("double") / lit(100.0))
+          bround(col("r_cents").cast("double") / col("n").cast("double")
+            / col("n_actions").cast("double") / lit(100.0), 6)
             .as("ips_term"))
         .orderBy("action")
     })
@@ -1044,7 +1053,7 @@ object Scoring {
     // hex prefix doubles as the bucket id so bucket order nests in the
     // global (h, uk) order
     "pps_systematic" ->
-      """WITH u AS (SELECT o_orderpriority AS stratum,
+      s"""WITH u AS (SELECT o_orderpriority AS stratum,
         |    o_orderkey AS uk,
         |    CAST(round_even(o_totalprice * 100, 0) AS BIGINT) AS w,
         |    md5('pps:' || CAST(o_orderkey AS VARCHAR)) AS h
@@ -1057,7 +1066,8 @@ object Scoring {
         |    CAST(sum(tw) OVER (PARTITION BY stratum ORDER BY bkt)
         |      AS BIGINT) - tw AS off FROM offs),
         |st AS (SELECT stratum,
-        |    greatest(CAST(sum(w) AS BIGINT) // 200, 1) AS stride
+        |    greatest(CAST(sum(w) AS BIGINT) // $ppsSamplesPerStratum, 1)
+        |      AS stride
         |  FROM ub GROUP BY 1),
         |c AS (SELECT ub.stratum, ub.w,
         |    CAST(sum(ub.w) OVER (PARTITION BY ub.stratum, ub.bkt
@@ -1090,8 +1100,8 @@ object Scoring {
         |SELECT action, n, r_cents,
         |  round_even(CAST(n AS DOUBLE) / CAST(big_n AS DOUBLE), 6)
         |    AS propensity,
-        |  CAST(r_cents AS DOUBLE) / CAST(n AS DOUBLE)
-        |    / CAST(n_actions AS DOUBLE) / 100.0 AS ips_term
+        |  round_even(CAST(r_cents AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / CAST(n_actions AS DOUBLE) / 100.0, 6) AS ips_term
         |FROM per, tot ORDER BY action""".stripMargin
   )
 }

@@ -531,6 +531,47 @@ class LlmSpec extends AnyFunSuite {
     assert(gated.nonEmpty && gated.toSeq === exact.toSeq)
   }
 
+  test("block-sharded exact pair scan equals the unsharded pair set") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Similarity.exactCosinePairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(exact.nonEmpty)
+    // pair-set identity across block counts, including B=1 (one
+    // same-block leg) and a B large enough that many legs are tiny
+    for (b <- Seq(1, 3, 7)) {
+      val blocked = Similarity.exactCosinePairsBlocked(emb, 0.4, b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(blocked.toSeq === exact.toSeq, s"nBlocks=$b diverged")
+    }
+  }
+
+  test("pairs budget is mechanical: trips on an oversized corpus, auto-shards past the leg bound") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val n = emb.count() // 200 vectors at sf0.01 -> 19 900 pairs
+    // a budget below the corpus's pair count must REQUIRE-fail with the
+    // actionable message, not silently enumerate
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.exactCosinePairsBudgeted(emb, 0.4,
+        maxPairsBudget = 100L, nRows = Some(n))
+    }
+    assert(ex.getMessage.contains("maxPairsBudget"))
+    // the same call through the gated operator trips too (the budget
+    // guards the registered query's full side)
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupGated(emb, minCosine = 0.4,
+        maxPairsBudget = 100L, nRows = Some(n))
+    }
+    // a leg bound below the pair count forces the block schedule
+    // (B = ceil(n/sqrt(maxLegPairs)) = ceil(200/70.7) = 3) and the
+    // output is still the unsharded pair set
+    val sharded = Similarity.exactCosinePairsBudgeted(emb, 0.4,
+      maxLegPairs = 5000L, nRows = Some(n))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = Similarity.exactCosinePairs(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sharded.toSeq === exact.toSeq)
+  }
+
   test("chunkWithStride: hand-checked chunk count, sizes, and overlap") {
     // 10 tokens, size 4, stride 3 -> starts 0,3,6,9; token counts 4,4,4,1
     val words = (1 to 10).map(i => s"w$i")
