@@ -429,6 +429,56 @@ object Dedup {
     clean.unionByName(decontaminate(candidates, blocklist))
   }
 
+  /** [[decontaminateBloom]] with the filter PARTITIONED into
+    * `nShards` independent shards keyed by crc32(fingerprint) mod
+    * nShards — the fix for the one way the broadcast spelling stops
+    * scaling: filter bits grow with the BLOCKLIST (~10 bits/entry for
+    * ~1% FPR), so at a 10⁹-entry blocklist the single-aggregate filter
+    * is a ~1.2 GB byte array that merges up one aggregation tree and
+    * lands WHOLE in every probe task. Here each shard aggregates
+    * independently (nShards parallel partial-agg trees over
+    * 1/nShards-sized buffers), and the probe is a SHUFFLE-HASH join on
+    * the shard key — each probe task builds a hash table of only the
+    * shard rows in its partition (~totalBits/nShards bytes), never the
+    * whole filter. The corpus pays one narrow (id, fingerprint) shuffle
+    * instead of a filter broadcast; text never shuffles. The trade
+    * flips in the filter's favor exactly when the filter outgrows
+    * comfortable broadcast (~100 MB): below that, prefer
+    * [[decontaminateBloom]]'s zero-shuffle map-side probe.
+    *
+    * Semantics are IDENTICAL to [[decontaminate]] (no false negatives;
+    * bloom-positive candidates re-check exactly): a null text has a
+    * null fingerprint, hashes to a null shard, drops out of the inner
+    * probe join and stays clean — the same keep-the-row reading as the
+    * exact anti-join. `idCol` must be a non-null row key (it routes
+    * bloom hits back to their rows); the registered query uses doc_id.
+    */
+  def decontaminateBloomSharded(corpus: DataFrame, blocklist: DataFrame,
+      idCol: String = "doc_id", nShards: Int = 16,
+      nBitsPerShard: Int = 1 << 16, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val bloomAgg = udaf(new graft.functions.BloomFilterAgg(nBitsPerShard, k),
+      Encoders.STRING)
+    def shardOf(fp: Column): Column =
+      pmod(crc32(fp), lit(nShards)).cast("int")
+    val blooms = blocklist
+      .select(TextAnalysis.fingerprint(col("text")).as("__fp"))
+      .filter(col("__fp").isNotNull) // null never matches the anti-join
+      .groupBy(shardOf(col("__fp")).as("__shard"))
+      .agg(bloomAgg(col("__fp")).as("__bloom"))
+    val hitIds = corpus
+      .select(col(idCol), TextAnalysis.fingerprint(col("text")).as("__fp"))
+      .withColumn("__shard", shardOf(col("__fp")))
+      .join(blooms.hint("shuffle_hash"), Seq("__shard"))
+      .filter(graft.functions.BloomFilterAgg.mayContain(
+        col("__bloom"), col("__fp"), nBitsPerShard, k))
+      .select(idCol)
+    val clean = corpus.join(hitIds, Seq(idCol), "left_anti")
+    val candidates = corpus.join(hitIds, Seq(idCol), "left_semi")
+    clean.unionByName(decontaminate(candidates, blocklist))
+  }
+
   /** Lowercased word n-grams of a text column (empty array below n
     * tokens) — the GPT-3-style contamination unit [Brown et al.,
     * "Language Models are Few-Shot Learners", arXiv:2005.14165 §C uses

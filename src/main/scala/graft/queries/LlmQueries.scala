@@ -399,6 +399,18 @@ object LlmQueries {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
+    // the blocklist-outgrows-broadcast path: the filter lives in 16
+    // crc32-keyed shards and the probe is a shuffle-hash join on the
+    // shard key, so no task ever holds the whole filter — same result
+    // row for row (same oracle)
+    "decontaminate_bloom_sharded" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminateBloomSharded(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
     "split_assign" -> ((s, dir) =>
       docs(s, dir)
         .groupBy(Dedup.assignSplit(docs(s, dir), "doc_id").as("split"), col("lang"))
@@ -1500,6 +1512,7 @@ object LlmQueries {
     // IDENTICAL oracle by construction: the bloom path's whole claim is
     // row-for-row equality with the exact anti-join
     "decontaminate_bloom" -> decontaminateOracle,
+    "decontaminate_bloom_sharded" -> decontaminateOracle,
     // same bucket arithmetic as Dedup.assignSplit
     "split_assign" ->
       """SELECT split, lang, count(*) AS cnt FROM (

@@ -176,6 +176,32 @@ class LlmSpec extends AnyFunSuite {
       s"bloom should prune: candidates=$candidates trueHits=$trueHits")
   }
 
+  test("sharded bloom decontamination equals the exact anti-join with no whole-filter broadcast") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val blocklist = d.filter(col("doc_id") % 2 === 1)
+    val exact = Dedup.decontaminate(corpus, blocklist)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sharded = Dedup.decontaminateBloomSharded(corpus, blocklist,
+      nShards = 16, nBitsPerShard = 1 << 12)
+    assert(sharded.select("doc_id").collect().map(_.getLong(0)).toSet
+      === exact)
+    // shard-count invariance (the shard key only routes; semantics
+    // must not depend on it), including the degenerate 1-shard case
+    assert(Dedup.decontaminateBloomSharded(corpus, blocklist, nShards = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === exact)
+    // the probe must be a shuffle-hash join on the shard key — each
+    // task builds only its partition's shard rows — with NO broadcast
+    // of any bloom column (a broadcast would put the whole filter in
+    // every task, the exact failure mode the sharding removes)
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"probe join is not shuffle-hash:\n$plan")
+    assert(!plan.split("\n").exists(l =>
+      l.contains("BroadcastExchange") && l.contains("__bloom")),
+      s"bloom filter is broadcast:\n$plan")
+  }
+
   test("mixture sampling is deterministic and hits per-source rates roughly") {
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val rates = Seq("src0" -> 0, "src1" -> 1000)
