@@ -775,8 +775,11 @@ object Similarity {
     * density is the whole game). LSH theory tunes (r, b) jointly to n:
     * each step adds 4 band bits (16× more selective buckets) AND more
     * bands so high-similarity recall degrades gently instead of
-    * collapsing — at cos 0.9: 87% (48/8×6), 74% (96/12×8),
-    * 66% (160/16×10). Thresholds are POWERS OF TWO the oracle mirrors
+    * collapsing — at cos 0.90–0.92, MEASURED on planted near-dup
+    * families ([[graft.tools.SignLshRecallProbe]], 300k-vector run for
+    * the top branch; band math predicted 87/74/66): 88% (48/8×6),
+    * 78% (96/12×8), 65% (160/16×10) — floors 0.85/0.72/0.60 are pinned
+    * by SignLshRecallSpec. Thresholds are POWERS OF TWO the oracle mirrors
     * with the same CASE over count(*), so query↔oracle equality holds
     * at every scale, not just at the gate SFs (verified at sf1, where
     * the 20k-vector corpus takes the middle branch).
@@ -805,6 +808,19 @@ object Similarity {
   def signLshNearDupPairs(emb: DataFrame, minCosine: Double = 0.4,
       dim: Int = 64, nRows: Option[Long] = None): DataFrame = {
     val (nBits, bitsPerBand) = signLshParams(nRows.getOrElse(emb.count()))
+    signLshNearDupPairsAt(emb, minCosine, dim, nBits, bitsPerBand)
+  }
+
+  /** [[signLshNearDupPairs]] at EXPLICIT banding parameters — the
+    * measurement surface for the per-branch recall floors
+    * ([[graft.tools.SignLshRecallProbe]], SignLshRecallSpec): recall of
+    * a true pair at angle θ is 1−(1−p^r)^b with p = 1−θ/π, a function
+    * of (nBits, bitsPerBand) alone, so each [[signLshSteps]] branch can
+    * be measured on a planted family without building a corpus at that
+    * branch's row-count threshold.
+    */
+  def signLshNearDupPairsAt(emb: DataFrame, minCosine: Double,
+      dim: Int, nBits: Int, bitsPerBand: Int): DataFrame = {
     val banded = signBanded(emb, nBits, bitsPerBand, dim)
     banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
