@@ -28,8 +28,23 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
-    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    val filtered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // SPARK_GRAFT_TRANCHE=i/N: run the i-th (0-based) of N contiguous
+    // alphabetic tranches — the cap-queries-per-JVM protocol for long
+    // soaks (the r14 sf10 finding: a single JVM running hundreds of
+    // heavy queries accumulates cleaner/GC debt that inflates successor
+    // slots 2-100x; tranching bounds how much debt any slot can inherit,
+    // and the soak driver loops spark-submit over i)
+    val suite = sys.env.get("SPARK_GRAFT_TRANCHE") match {
+      case Some(spec) =>
+        val Array(i, n) = spec.split("/").map(_.trim.toInt)
+        require(n >= 1 && i >= 0 && i < n,
+          s"SPARK_GRAFT_TRANCHE must be i/N with 0 <= i < N, got $spec")
+        val per = (filtered.size + n - 1) / n
+        filtered.slice(i * per, (i + 1) * per)
+      case None => filtered
+    }
 
     def q(s: String): String =
       "\"" + s.flatMap {
@@ -109,6 +124,21 @@ object Bench {
     // its pass-2 attempt, and a pass-2 failure never erases a valid
     // pass-1 timing — only a query with NO successful sample reports an
     // error (the same reasoning as the min: noise can only lose samples).
+    // Soak mode (single pass) DRAINS the cleaner between timed slots
+    // instead of just nudging it: the r14 sf10 protocol finding was that
+    // System.gc() alone only ENQUEUES dropped broadcast/shuffle refs —
+    // the async cleaning thread then competes with the next query's
+    // timed slot, inflating tranche values 2-100x (tpch_q7_like 341.6 s
+    // first-pass vs 20.4 s isolated). drain() polls the cleaner's
+    // reference buffer until the post-GC wave stops shrinking, so debt
+    // is paid between slots, not inside them. Multi-pass bench keeps
+    // the cheap gc-only nudge: min-of-N already absorbs slot noise and
+    // the full drain would add ~0.4 s x 3 passes x suite size.
+    val soakDrain = passes == 1
+    def interSlot(): Unit =
+      if (soakDrain)
+        org.apache.spark.graftbridge.CleanerBridge.drain(spark.sparkContext)
+      else System.gc()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for (pass <- 1 to passes) {
@@ -119,7 +149,7 @@ object Bench {
         // and a periodic-GC timer would instead fire full GCs INSIDE
         // timed slots, which min-of-two cannot cancel when both passes
         // of a long query absorb one.
-        System.gc()
+        interSlot()
         val spillBase = if (spillTrack && pass == 1) spillNow() else (0L, 0L)
         val t0 = System.nanoTime()
         try {

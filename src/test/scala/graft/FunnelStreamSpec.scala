@@ -320,6 +320,77 @@ class FunnelStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState restart recovers state from RocksDB SST files " +
+      "with identical post-restart output") {
+    // The r12 restart test predates the RocksDB pinning and proves
+    // recovery of HDFSBackedStateStore heap snapshots only. This one
+    // restarts a transformWithState query on the SAME checkpoint under
+    // the RocksDB provider, so what must reload is RocksDB's own
+    // artifact chain (SST files + changelog), and asserts rocksdb*
+    // metrics in BOTH runs plus output identity with the uninterrupted
+    // semantics: user 1's counter continues from the restored (2 events)
+    // state, not from zero.
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_ckpt").toString
+    val input = MemoryStream[FunnelStream.UserEvent]
+    // foreachBatch: the one Update-mode sink that supports checkpoint
+    // recovery (memory sink refuses to restart from a checkpoint)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Long, Boolean)]()
+    def start() = FunnelStream.userFunnelStateV2(input.toDS())
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[FunnelStream.UserFunnelUpdate],
+            _: Long) =>
+          df.collect().foreach(u =>
+            out.add((u.user_id, u.events, u.purchases, u.converted)))
+          ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update()).start()
+    def rocksMetrics(q: org.apache.spark.sql.streaming.StreamingQuery)
+        : Unit = {
+      val withState = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(withState.nonEmpty, "no stateful batch progress recorded")
+      val custom = withState.last.stateOperators.head.customMetrics.keySet()
+      assert(custom.stream().anyMatch(_.startsWith("rocksdb")),
+        s"state metrics are not RocksDB's: $custom")
+    }
+    val q1 = start()
+    try {
+      input.addData(
+        FunnelStream.UserEvent(1L, ts(1, 1), "view"),
+        FunnelStream.UserEvent(1L, ts(1, 2), "view"),
+        FunnelStream.UserEvent(2L, ts(1, 1), "view"))
+      q1.processAllAvailable()
+      rocksMetrics(q1)
+    } finally q1.stop()
+    val q2 = start() // NEW query, same checkpoint: RocksDB state reloads
+    try {
+      input.addData(FunnelStream.UserEvent(1L, ts(1, 3), "purchase"))
+      q2.processAllAvailable()
+      rocksMetrics(q2)
+    } finally {
+      q2.stop()
+      prior match {
+        case Some(v0) => spark.conf.set(provider, v0)
+        case None => spark.conf.unset(provider)
+      }
+    }
+    // exactly the uninterrupted update sequence: run-1 emits (1,2,0) and
+    // (2,1,0); run-2's purchase continues user 1 at events=3 — a reset
+    // (lost state) would emit events=1, a replayed batch would duplicate
+    val updates = out.asScala.toSeq.sorted
+    assert(updates === Seq(
+      (1L, 2L, 0L, false), (1L, 3L, 1L, true), (2L, 1L, 0L, false)))
+  }
+
   test("stream-stream join runs on RocksDB state and matches hand semantics") {
     // The 100 TB posture for join state: the HDFSBackedStateStore keeps
     // every keyed entry on-heap, so watermark-bounded join state at
