@@ -531,6 +531,17 @@ object Similarity {
     val v = normalizedVecs(emb)
       .withColumn("__blk",
         pmod(crc32(col("vec_id").cast("string")), lit(nBlocks)).cast("int"))
+    // each leg is a PLAIN join, deliberately: Catalyst auto-broadcasts
+    // small legs (the spec fixtures) into the nested-loop shape, and
+    // big legs become partition-pair cartesian scans — the same shape
+    // (and per-pair cost) as a smaller unsharded scan. Both measured
+    // alternatives at sf10 lose: forcing broadcast() on 40k-row legs
+    // ran 2.25× the unsharded scan (the conditioned broadcast
+    // nested-loop inner iteration is not whole-stage-codegen'd), and
+    // letting 40k-row legs go cartesian with 1250-row partitions ran
+    // 3.1× (per-task build-partition re-deserialization never
+    // amortizes). The leg bound below is sized so legs keep
+    // amortization-sized partitions.
     val legs = for { p <- 0 until nBlocks; q <- p until nBlocks } yield {
       val a = v.filter(col("__blk") === p).as("a")
       val b = v.filter(col("__blk") === q).as("b")
@@ -552,10 +563,20 @@ object Similarity {
     */
   val defaultMaxPairs: Long = 1L << 38
 
-  /** Per-leg pair bound for the auto block schedule: 2³¹ pairs keeps a
-    * leg's broadcast side ≤ ~46k vectors.
+  /** Per-leg pair bound for the auto block schedule: 2³⁵ pairs
+    * (≈3.4e10 — a ~17-minute leg at the measured 34M pairs/s/host).
+    * Sized by MEASUREMENT, not instinct: the sf10 200k-vector scan
+    * (2e10 pairs, 594 s) runs FASTER unsharded than any blocked
+    * spelling of it — 40k-vector legs cost 2.25× as forced-broadcast
+    * nested loops (no whole-stage codegen on the conditioned inner
+    * iteration) and 3.1× as small-partition cartesians (per-task
+    * build-side re-deserialization) — so the auto-shard must not
+    * engage below the scale where one job is operationally
+    * unreasonable. Above it, legs of ≤ √(2³⁵) ≈ 185k vectors keep
+    * cartesian partitions big enough to amortize, i.e. each leg
+    * behaves exactly like a smaller unsharded scan.
     */
-  val defaultLegPairs: Long = 1L << 31
+  val defaultLegPairs: Long = 1L << 35
 
   /** [[exactCosinePairs]] with the exactness bound MECHANICAL instead of
     * documentary: the total pair count must clear `maxPairsBudget` (a
