@@ -38,11 +38,28 @@ object Bench {
     // and the soak driver loops spark-submit over i)
     val suite = sys.env.get("SPARK_GRAFT_TRANCHE") match {
       case Some(spec) =>
-        val Array(i, n) = spec.split("/").map(_.trim.toInt)
+        // validate the SHAPE first: a malformed value ('2', 'a/4',
+        // '1/2/3') must reach this message, not a MatchError or
+        // NumberFormatException from the destructuring
+        val parsed = spec.split("/").map(_.trim) match {
+          case Array(a, b) if a.matches("\\d+") && b.matches("\\d+") =>
+            Some((a.toInt, b.toInt))
+          case _ => None
+        }
+        require(parsed.isDefined,
+          s"SPARK_GRAFT_TRANCHE must be i/N with 0 <= i < N, got '$spec'")
+        val (i, n) = parsed.get
         require(n >= 1 && i >= 0 && i < n,
-          s"SPARK_GRAFT_TRANCHE must be i/N with 0 <= i < N, got $spec")
+          s"SPARK_GRAFT_TRANCHE must be i/N with 0 <= i < N, got '$spec'")
         val per = (filtered.size + n - 1) / n
-        filtered.slice(i * per, (i + 1) * per)
+        val slice = filtered.slice(i * per, (i + 1) * per)
+        // ceiling division can leave trailing tranches EMPTY (5 queries
+        // at N=4 -> tranche 3 has none); a soak driver looping i=0..N-1
+        // would get a silent no-op run. Fail fast with the reason.
+        require(slice.nonEmpty,
+          s"tranche $i/$n selects no queries (${filtered.size} after " +
+            "filtering; ceiling split exhausted them in earlier tranches)")
+        slice
       case None => filtered
     }
 
@@ -97,6 +114,40 @@ object Bench {
     }
     val spills =
       scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+
+    // Host-speed canary: a fixed, data-independent CPU-bound
+    // calibration (mix + sort of a deterministic in-memory long range,
+    // min of 3) recorded alongside the suite timings. Two consecutive
+    // rounds had cross-round bench comparisons ambiguated by VM-speed
+    // variance (r15: a phantom 1.39x "regression" on untouched queries
+    // that cost real investigation; the same binary+data measured
+    // 1.5-1.7x slower on that round's host). Dividing per-query deltas
+    // by the canary ratio separates "the plan changed" from "the host
+    // changed" mechanically. Single-threaded on purpose: it calibrates
+    // per-core speed (what every task slot sees), not the scheduler.
+    def canarySec(): Double = {
+      var sink = 0L
+      val reps = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val a = new Array[Long](1 << 22)
+        var i = 0
+        while (i < a.length) {
+          // splitmix64-style mix: cheap, fixed, and incompressible by
+          // the JIT into anything data-dependent
+          var z = i.toLong * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          a(i) = z ^ (z >>> 31)
+          i += 1
+        }
+        java.util.Arrays.sort(a)
+        sink ^= a(a.length / 2)
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (sink == 42L) System.err.println("") // defeat dead-code elim
+      reps.min
+    }
+    val canary = canarySec()
 
     // Warm-up pass: run the whole suite once UNTIMED, then time the
     // second pass. A fresh JVM's first execution of a plan shape pays
@@ -197,7 +248,7 @@ object Bench {
         s"""${q(k)}:{"mem_spilled":$m,"disk_spilled":$d}"""
       }.mkString(""","spill":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$spillField,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"queries":$qs,"errors":$es$spillField,"sf":${q(sfDir)}}"""
     println(line)
     // Durable full-suite artifact: the driver's BENCH_r*.json captures
     // stdout whose tail truncates past ~64 queries, so cross-round
