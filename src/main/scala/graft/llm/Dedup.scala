@@ -429,22 +429,92 @@ object Dedup {
     clean.unionByName(decontaminate(candidates, blocklist))
   }
 
+  /** Filter-sizing constants for the sharded bloom, single-sourced so
+    * the derivation is spec-pinnable (the [[graft.llm.Similarity]]
+    * `signLshSteps` pattern): ~10 bits per blocklist entry holds the
+    * false-positive rate near 1% at k=5, and each shard's filter is
+    * capped at 2²⁸ bits = 32 MiB — small enough that a probe task's
+    * build-side hash table stays a comfortable fraction of executor
+    * memory, large enough that a 10⁹-entry blocklist needs only ~38
+    * shards.
+    */
+  val bloomBitsPerEntry: Int = 10
+  val bloomShardMaxBits: Long = 1L << 28 // 32 MiB per shard
+  val bloomShardMinBits: Int = 1 << 16   // 8 KiB floor for tiny lists
+
+  /** Shard plan for [[decontaminateBloomSharded]]: blocklist count →
+    * (nShards, nBitsPerShard). Total bits grow linearly with the
+    * blocklist (FPR stays fixed); the shard count is whatever keeps
+    * each shard under [[bloomShardMaxBits]]; per-shard bits are the
+    * exact ceiling-division share rounded up to the aggregator's
+    * 64-bit word granularity — no power-of-two rounding, so the plan
+    * never overshoots the 32 MiB target by 2×. Examples (pinned by
+    * LlmSpec): 10³ entries → (1, 2¹⁶); 10⁸ → (4, ~31 MiB);
+    * 10⁹ → (38, ~31.4 MiB).
+    */
+  def bloomShardPlan(blockCount: Long): (Int, Int) = {
+    val n = bloomShardCount(blockCount)
+    (n, bloomShardBits(blockCount, n))
+  }
+
+  def bloomShardCount(blockCount: Long): Int = {
+    val totalBits = math.max(1L, blockCount) * bloomBitsPerEntry
+    (((totalBits + bloomShardMaxBits - 1) / bloomShardMaxBits) max 1L).toInt
+  }
+
+  /** Per-shard filter bits for `blockCount` entries over `nShards`
+    * shards — factored out of [[bloomShardPlan]] so a caller FIXING the
+    * shard count still gets bits sized to its actual share (a fixed
+    * 2¹⁶-bit default saturates past ~6.5k entries/shard: FPR→1 and the
+    * whole corpus routes through the exact re-check — correct, but the
+    * sharding's performance point is lost).
+    */
+  def bloomShardBits(blockCount: Long, nShards: Int): Int = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val totalBits = math.max(1L, blockCount) * bloomBitsPerEntry
+    val perShard = (totalBits + nShards - 1) / nShards
+    require(perShard <= Int.MaxValue - 63,
+      s"$blockCount entries over $nShards shards needs a >2^31-bit " +
+        "shard filter; raise nShards")
+    val rounded = ((perShard + 63) / 64) * 64 // BloomFilterAgg wants %64
+    math.max(bloomShardMinBits.toLong, rounded).toInt
+  }
+
   /** [[decontaminateBloom]] with the filter PARTITIONED into
     * `nShards` independent shards keyed by crc32(fingerprint) mod
     * nShards — the fix for the one way the broadcast spelling stops
     * scaling: filter bits grow with the BLOCKLIST (~10 bits/entry for
-    * ~1% FPR), so at a 10⁹-entry blocklist the single-aggregate filter
-    * is a ~1.2 GB byte array that merges up one aggregation tree and
-    * lands WHOLE in every probe task. Here each shard aggregates
-    * independently (nShards parallel partial-agg trees over
-    * 1/nShards-sized buffers), and the probe is a SHUFFLE-HASH join on
-    * the shard key — each probe task builds a hash table of only the
-    * shard rows in its partition (~totalBits/nShards bytes), never the
-    * whole filter. The corpus pays one narrow (id, fingerprint) shuffle
-    * instead of a filter broadcast; text never shuffles. The trade
-    * flips in the filter's favor exactly when the filter outgrows
-    * comfortable broadcast (~100 MB): below that, prefer
-    * [[decontaminateBloom]]'s zero-shuffle map-side probe.
+    * ~1% FPR, [[bloomBitsPerEntry]]), so at a 10⁹-entry blocklist the
+    * single-aggregate filter is a ~1.2 GB byte array that merges up one
+    * aggregation tree and lands WHOLE in every probe task. Here each
+    * shard aggregates independently (nShards parallel partial-agg trees
+    * over 1/nShards-sized buffers), and the probe is a SHUFFLE-HASH
+    * join on the shard key — each probe task builds a hash table of
+    * only the shard rows in its partition (~totalBits/nShards bytes),
+    * never the whole filter. The corpus pays one narrow
+    * (id, fingerprint) shuffle instead of a filter broadcast; text
+    * never shuffles. The trade flips in the filter's favor exactly when
+    * the filter outgrows comfortable broadcast (~100 MB): below that,
+    * prefer [[decontaminateBloom]]'s zero-shuffle map-side probe.
+    *
+    * Both sizing AND probe parallelism are ADAPTIVE by default:
+    *  - `nShards`/`nBitsPerShard` ≤ 0 derive from the blocklist count
+    *    via [[bloomShardPlan]] (one cheap count job over the narrow
+    *    blocklist unless `blockCount` supplies it) — a fixed shard
+    *    count either caps parallelism or, with fixed bits, SATURATES
+    *    the filter at large blocklists (FPR→1, routing the whole
+    *    corpus through the exact re-check: correct but pointless).
+    *  - the probe join key is `(shard, salt)` with `nSalts` salts
+    *    (default: enough that nShards·nSalts ≥ the session's shuffle
+    *    parallelism). Each shard's bloom ROW replicates across its
+    *    salts (an explode — nSalts×filterBytes of bounded, chosen
+    *    shuffle write); each corpus fingerprint picks one salt by
+    *    xxhash64 of its id. Without the salt the probe stage has
+    *    exactly nShards distinct keys — and because those partitions
+    *    are UNIFORM, AQE's skew-split never rescues it, funneling a
+    *    100 TB corpus through a handful of tasks at exactly the scale
+    *    this operator targets. With it, probe parallelism tracks the
+    *    cluster, independent of how few shards the filter needs.
     *
     * Semantics are IDENTICAL to [[decontaminate]] (no false negatives;
     * bloom-positive candidates re-check exactly): a null text has a
@@ -454,25 +524,45 @@ object Dedup {
     * bloom hits back to their rows); the registered query uses doc_id.
     */
   def decontaminateBloomSharded(corpus: DataFrame, blocklist: DataFrame,
-      idCol: String = "doc_id", nShards: Int = 16,
-      nBitsPerShard: Int = 1 << 16, k: Int = 5): DataFrame = {
+      idCol: String = "doc_id", nShards: Int = 0,
+      nBitsPerShard: Int = 0, k: Int = 5, nSalts: Int = 0,
+      blockCount: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.Encoders
-    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val bloomAgg = udaf(new graft.functions.BloomFilterAgg(nBitsPerShard, k),
-      Encoders.STRING)
-    def shardOf(fp: Column): Column =
-      pmod(crc32(fp), lit(nShards)).cast("int")
-    val blooms = blocklist
+    val fps = blocklist
       .select(TextAnalysis.fingerprint(col("text")).as("__fp"))
       .filter(col("__fp").isNotNull) // null never matches the anti-join
+    val cnt =
+      if (nShards > 0 && nBitsPerShard > 0) 0L // fully explicit: no count
+      else blockCount.getOrElse(fps.count())
+    val shards = if (nShards > 0) nShards else bloomShardCount(cnt)
+    val bits = if (nBitsPerShard > 0) nBitsPerShard
+      else bloomShardBits(cnt, shards)
+    val salts =
+      if (nSalts > 0) nSalts
+      else {
+        val target = corpus.sparkSession.sessionState.conf.numShufflePartitions
+        math.max(1, (target + shards - 1) / shards)
+      }
+    val bloomAgg = udaf(new graft.functions.BloomFilterAgg(bits, k),
+      Encoders.STRING)
+    def shardOf(fp: Column): Column =
+      pmod(crc32(fp), lit(shards)).cast("int")
+    val blooms = fps
       .groupBy(shardOf(col("__fp")).as("__shard"))
       .agg(bloomAgg(col("__fp")).as("__bloom"))
+      // replicate each shard's filter row across the salt space: the
+      // build side grows by salts×filterBytes (bounded, chosen), the
+      // probe side gains shards×salts distinct join keys
+      .withColumn("__salt",
+        explode(sequence(lit(0), lit(salts - 1))))
     val hitIds = corpus
       .select(col(idCol), TextAnalysis.fingerprint(col("text")).as("__fp"))
       .withColumn("__shard", shardOf(col("__fp")))
-      .join(blooms.hint("shuffle_hash"), Seq("__shard"))
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts.toLong))
+        .cast("int"))
+      .join(blooms.hint("shuffle_hash"), Seq("__shard", "__salt"))
       .filter(graft.functions.BloomFilterAgg.mayContain(
-        col("__bloom"), col("__fp"), nBitsPerShard, k))
+        col("__bloom"), col("__fp"), bits, k))
       .select(idCol)
     val clean = corpus.join(hitIds, Seq(idCol), "left_anti")
     val candidates = corpus.join(hitIds, Seq(idCol), "left_semi")

@@ -526,7 +526,25 @@ object Similarity {
     * plan over the checkpointed normalized vectors.
     */
   def exactCosinePairsBlocked(emb: DataFrame, minCosine: Double,
-      nBlocks: Int): DataFrame = {
+      nBlocks: Int): DataFrame =
+    thresholdPairs(blockedLegsRaw(emb, nBlocks).reduce(_ unionByName _),
+      minCosine)
+
+  /** The block schedule as SEPARATE leg DataFrames, each already
+    * thresholded — the restartable-jobs surface the blocked scaladoc
+    * promises: at 100 TB the legs run as independent jobs over `blk=`-
+    * partitioned storage (each bounded at (n/B)² pairs, resumable after
+    * any failure), and the union of their outputs is the unsharded pair
+    * set row for row (LlmSpec proves the identity; the r16 sf10 probe
+    * measures per-leg walls on the 200k-vector corpus). All legs share
+    * ONE checkpointed normalized-vector frame, so running them
+    * leg-by-leg re-pays no normalization.
+    */
+  def exactCosinePairsLegs(emb: DataFrame, minCosine: Double,
+      nBlocks: Int): Seq[DataFrame] =
+    blockedLegsRaw(emb, nBlocks).map(thresholdPairs(_, minCosine))
+
+  private def blockedLegsRaw(emb: DataFrame, nBlocks: Int): Seq[DataFrame] = {
     require(nBlocks >= 1, s"nBlocks must be >= 1, got $nBlocks")
     val v = normalizedVecs(emb)
       .withColumn("__blk",
@@ -540,9 +558,9 @@ object Similarity {
     // nested-loop inner iteration is not whole-stage-codegen'd), and
     // letting 40k-row legs go cartesian with 1250-row partitions ran
     // 3.1× (per-task build-partition re-deserialization never
-    // amortizes). The leg bound below is sized so legs keep
+    // amortizes). The leg bound is sized so legs keep
     // amortization-sized partitions.
-    val legs = for { p <- 0 until nBlocks; q <- p until nBlocks } yield {
+    for { p <- 0 until nBlocks; q <- p until nBlocks } yield {
       val a = v.filter(col("__blk") === p).as("a")
       val b = v.filter(col("__blk") === q).as("b")
       val cond =
@@ -552,7 +570,6 @@ object Similarity {
         greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
         dot(col("a.vec"), col("b.vec")).as("__raw"))
     }
-    thresholdPairs(legs.reduce(_ unionByName _), minCosine)
   }
 
   /** Default TOTAL pair budget for the exact scan: 2³⁸ ≈ 2.7e11 pairs

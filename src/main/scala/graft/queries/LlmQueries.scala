@@ -33,6 +33,35 @@ object LlmQueries {
     s.read.parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Row count of a parquet table from file FOOTERS (summed block row
+    * counts), no Spark job — the `nRows` feed for the adaptive-banding
+    * builders ([[Similarity.signLshNearDupPairs]]/`semDedupDroppedAuto`/
+    * `cosineNearDupGated`), whose `emb.count()` default otherwise runs
+    * two extra jobs per invocation at index-build time (count + its
+    * partial-agg stage). Exactly what a table catalog supplies at
+    * 100 TB; cached per path because plan-shape snapshots and Verify
+    * both rebuild the same query repeatedly. Footer reads are O(files)
+    * driver-side metadata fetches, the same class of work as listing
+    * the directory.
+    */
+  private val footerCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def parquetRowCount(s: SparkSession, path: String): Long =
+    footerCounts.computeIfAbsent(path, { p: String =>
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(conf)
+      val files = fs.listStatus(root).filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      require(files.nonEmpty, s"no parquet files under $p")
+      files.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+
   // fanout (adaptive multi-core spread of an unsplittable local scan —
   // see GraftSession.fanout) is applied PER QUERY, not in the loaders:
   // the extra exchange costs ~0.3-0.5 s, which only the explode/
@@ -353,7 +382,8 @@ object LlmQueries {
     // 8.8 s for the shuffle-free broadcast pair scan.
     "cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupGated(embFan(s, dir),
-        minCosine = 0.4, minRecall = 0.8)),
+        minCosine = 0.4, minRecall = 0.8,
+        nRows = Some(parquetRowCount(s, s"$dir/embeddings.parquet")))),
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, docs(s, dir))),
     // keyframe-sample + 2:1-resize stub over the video modality: the
@@ -376,7 +406,8 @@ object LlmQueries {
         TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")),
     "neardup_signlsh" -> ((s, dir) =>
-      Similarity.signLshNearDupPairs(emb(s, dir), minCosine = 0.4)),
+      Similarity.signLshNearDupPairs(emb(s, dir), minCosine = 0.4,
+        nRows = Some(parquetRowCount(s, s"$dir/embeddings.parquet")))),
     "ann_sign" -> ((s, dir) => Similarity.annSignTopK(emb(s, dir), k = 10)),
     // decontaminate the even-id half of the corpus against the odd-id
     // half as a stand-in blocklist (exact dups planted across both)
@@ -399,10 +430,13 @@ object LlmQueries {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
-    // the blocklist-outgrows-broadcast path: the filter lives in 16
-    // crc32-keyed shards and the probe is a shuffle-hash join on the
-    // shard key, so no task ever holds the whole filter — same result
-    // row for row (same oracle)
+    // the blocklist-outgrows-broadcast path: the filter lives in
+    // crc32-keyed shards (count and bits derived from the blocklist
+    // size, Dedup.bloomShardPlan) and the probe is a shuffle-hash join
+    // on (shard, salt) — no task ever holds the whole filter, and the
+    // salt keeps probe parallelism at the session's shuffle width even
+    // when the filter needs few shards — same result row for row (same
+    // oracle)
     "decontaminate_bloom_sharded" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.decontaminateBloomSharded(
@@ -416,6 +450,37 @@ object LlmQueries {
         .groupBy(Dedup.assignSplit(docs(s, dir), "doc_id").as("split"), col("lang"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("split", "lang")),
+    // END-TO-END curation pipeline — the composition a real corpus
+    // build runs, registered as ONE query because plan-reuse, exchange-
+    // reuse, and fusion bugs only appear composed (every stage already
+    // passes alone): exact dedup (keep lowest doc_id per fingerprint)
+    // → bloom decontamination against the doc_id%10==7 held-out slice
+    // (the 100 TB spelling: map-side filter probe, exact re-check of
+    // hits only) → token-count quality gate → hash-bucket split
+    // assignment → stride chunking of the train split. One CTE-chain
+    // oracle mirrors every stage. Shuffle ledger at scale: one window
+    // shuffle on the 16-byte fingerprint (dedup), zero corpus shuffles
+    // in decontamination (broadcast filter + broadcast re-check of the
+    // tiny hit set), then map-only gates/chunking — the text column
+    // crosses the wire exactly once.
+    "curation_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val heldOut = d.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val corpus = d.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val deduped = corpus
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(TextAnalysis.fingerprint(col("text")))
+            .orderBy("doc_id")))
+        .filter(col("__rn") === 1).drop("__rn")
+      val decon = Dedup.decontaminateBloom(deduped, heldOut)
+      val quality = decon.filter(
+        TextAnalysis.tokenCount(col("text")).between(5, 10000))
+      val train = quality.filter(
+        Dedup.assignSplit(quality, "doc_id") === "train")
+      TextAnalysis.chunkWithStride(train, 64, 48)
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // Cross-split near-dup leakage audit: count minhash near-dup pairs
     // whose two docs landed in DIFFERENT train/val/test splits — the
     // eval-contamination failure a row-hash split cannot prevent (the
@@ -721,7 +786,8 @@ object LlmQueries {
     // scales with the corpus ([[Similarity.semDedupCells]]; k=16 at
     // gate SFs), mirrored by the oracle's CASE over count(*).
     "semdedup" -> ((s, dir) =>
-      Similarity.semDedupDroppedAuto(emb(s, dir), minCosine = 0.35)),
+      Similarity.semDedupDroppedAuto(emb(s, dir), minCosine = 0.35,
+        nRows = Some(parquetRowCount(s, s"$dir/embeddings.parquet")))),
     // embedding-space decontamination against an md5-sampled held-out
     // set (stand-in for the eval suite): emits the contaminated ids
     "decontaminate_embed" -> ((s, dir) =>
@@ -1513,6 +1579,32 @@ object LlmQueries {
     // row-for-row equality with the exact anti-join
     "decontaminate_bloom" -> decontaminateOracle,
     "decontaminate_bloom_sharded" -> decontaminateOracle,
+    // the composed pipeline: each CTE is the oracle spelling of one
+    // stage (dedup_exact_window / decontaminate / quality_score's token
+    // gate / split_assign's bucket / chunk_docs), chained
+    "curation_pipeline" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+         |ded AS (SELECT * FROM corpus
+         |  QUALIFY row_number() OVER (PARTITION BY $fpSql
+         |    ORDER BY doc_id) = 1),
+         |dec AS (SELECT * FROM ded a WHERE NOT EXISTS (
+         |  SELECT 1 FROM documents b WHERE b.doc_id % 10 = 7
+         |    AND ${fpSql.replace("text", "b.text")} = ${fpSql.replace("text", "a.text")})),
+         |qual AS (SELECT * FROM dec
+         |  WHERE len(regexp_extract_all(text, '\\S+')) BETWEEN 5 AND 10000),
+         |tr AS (SELECT * FROM qual
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+         |    AS BIGINT) % 1000 < 800),
+         |t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+         |  FROM tr),
+         |sq AS (SELECT doc_id, toks, len(toks) AS n FROM t
+         |  WHERE len(toks) > 0),
+         |x AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start
+         |  FROM sq)
+         |SELECT doc_id, start // 48 AS chunk_idx,
+         |  least(64, n - start) AS chunk_tokens,
+         |  md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_md5
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
     // same bucket arithmetic as Dedup.assignSplit
     "split_assign" ->
       """SELECT split, lang, count(*) AS cnt FROM (
