@@ -438,6 +438,84 @@ class FunnelStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream join state survives a RocksDB checkpoint restart " +
+      "with identical post-restart output") {
+    // The transformWithState restart test proves RocksDB SST recovery
+    // for user-defined state; symmetric JOIN state (the heaviest stream
+    // query — both sides buffered per key until the watermark closes
+    // the interval) had never crossed a restart. Run 1 buffers view
+    // rows for users 1 and 2 and emits user 1's in-window match; run 2
+    // — a NEW query on the SAME checkpoint — feeds a purchase for
+    // user 2, whose matching view exists ONLY in run-1's recovered join
+    // state. A lost-state restart emits nothing for user 2; a replayed
+    // batch duplicates user 1's row. rocksdb* metrics are asserted in
+    // both runs so the recovery being proven is RocksDB's artifact
+    // chain, not a heap snapshot.
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("ssj_ckpt").toString
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def start() = {
+      val v = views.toDF().toDF("v_user", "v_ts")
+        .withWatermark("v_ts", "1 day")
+      val p = purchases.toDF().toDF("p_user", "p_ts")
+        .withWatermark("p_ts", "1 day")
+      v.join(p,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 7 DAYS"))
+        .select("v_user", "p_ts")
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.collect().foreach(r =>
+              out.add((r.getLong(0), r.getTimestamp(1).toString)))
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+    }
+    def rocksMetrics(q: org.apache.spark.sql.streaming.StreamingQuery)
+        : Unit = {
+      val withState = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(withState.nonEmpty, "no stateful batch progress recorded")
+      val custom = withState.last.stateOperators.head.customMetrics.keySet()
+      assert(custom.stream().anyMatch(_.startsWith("rocksdb")),
+        s"state metrics are not RocksDB's: $custom")
+    }
+    val q1 = start()
+    try {
+      views.addData((1L, ts(1, 1)), (2L, ts(1, 2)))
+      q1.processAllAvailable()
+      purchases.addData((1L, ts(3, 1)))
+      q1.processAllAvailable()
+      rocksMetrics(q1)
+    } finally q1.stop()
+    val q2 = start() // NEW query, same checkpoint: join state reloads
+    try {
+      // user 2's purchase joins a view buffered BEFORE the restart;
+      // the 8-days-out purchase for user 1 must stay unmatched
+      purchases.addData((2L, ts(5, 1)), (1L, ts(9, 1)))
+      q2.processAllAvailable()
+      rocksMetrics(q2)
+    } finally {
+      q2.stop()
+      prior match {
+        case Some(v0) => spark.conf.set(provider, v0)
+        case None => spark.conf.unset(provider)
+      }
+    }
+    assert(out.asScala.toSeq.sorted === Seq(
+      (1L, "2024-01-03 01:00:00.0"), (2L, "2024-01-05 01:00:00.0")))
+  }
+
   test("session gap compares exact microseconds, not truncated millis") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
