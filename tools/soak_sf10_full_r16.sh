@@ -15,6 +15,7 @@ JAR=$(ls /root/repo/target/scala-2.13/funnelreportetlpipelinespark_*.jar)
 for i in $(seq 0 $((N - 1))); do
   echo "=== tranche $i/$N $(date +%H:%M:%S)"
   SPARK_GRAFT_SF_DIR=/root/repo/target/sf10 \
+  SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_PASSES=1 \
   SPARK_GRAFT_TRANCHE=$i/$N \
   SPARK_GRAFT_BENCH_OUT="$OUT_DIR/tranche_$i.json" \
