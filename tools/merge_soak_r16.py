@@ -20,20 +20,24 @@ for path in sorted(glob.glob(f"{out_dir}/tranche_*.json")):
     if "canary_sec" in j:
         canaries.append(j["canary_sec"])
 
+sf_label = ("/root/repo/target/sf1 (10x sf0.1 rows)" if "sf1_" in out_dir
+            or "/sf1" in out_dir or dest.endswith("SOAK_sf1_full_r16.json")
+            else "/root/repo/target/sf10 (100x sf0.1 rows, 10x sf1)")
+
 merged = {
     "metric": "total",
     "value": round(sum(queries.values()), 1),
     "unit": "sec",
-    "sf": "/root/repo/target/sf10 (100x sf0.1 rows, 10x sf1)",
+    "sf": sf_label,
     "protocol": (
-        "Round-16 full-suite sf10 soak UNDER THE DRAINED PROTOCOL "
+        "Round-16 full-suite soak UNDER THE DRAINED PROTOCOL "
         "(the r15 fix moved into Bench: SPARK_GRAFT_PASSES=1 drains the "
         "ContextCleaner reference buffer to stability between timed "
-        "slots). 6 alphabetic tranches, one JVM each, single pass, "
+        "slots). Alphabetic tranches, one JVM each, single pass, "
         "local[32], 96g driver, spark.network.timeout=600s. The only "
-        "prior full series (SOAK_sf10_full_r14.json) predates the drain "
-        "and carries known 2-100x inflated entries; this one is the "
-        "trustworthy scale-ratio table."
+        "prior full sf10 series (SOAK_sf10_full_r14.json) predates the "
+        "drain and carries known 2-100x inflated entries; this series "
+        "is the trustworthy scale-ratio table."
     ),
     "canary_sec": min(canaries) if canaries else None,
     "n_queries": len(queries),
@@ -46,13 +50,23 @@ with open(dest, "w") as f:
 print(f"wrote {dest}: {len(queries)} queries, {len(errors)} errors, "
       f"total {merged['value']}s, canary {merged['canary_sec']}")
 
-try:
-    with open("/root/repo/BENCH_FULL_r16.json") as f:
-        bench = json.loads(f.read())["queries"]
-    ratios = sorted(((queries[q] / bench[q], q) for q in queries
-                     if q in bench and bench[q] > 0), reverse=True)
-    print("top sf0.1->sf10 ratios:")
-    for r, q in ratios[:25]:
-        print(f"  {r:8.1f}x  {q}  ({bench[q]:.2f}s -> {queries[q]:.1f}s)")
-except FileNotFoundError:
-    pass
+def ratio_tail(base_path, label, denom_floor=0.0):
+    try:
+        with open(base_path) as f:
+            base = json.loads(f.read())["queries"]
+    except FileNotFoundError:
+        return
+    ratios = sorted(((queries[q] / base[q], q) for q in queries
+                     if q in base and base[q] > denom_floor), reverse=True)
+    print(f"top {label} ratios:")
+    for r, q in ratios[:30]:
+        print(f"  {r:8.1f}x  {q}  ({base[q]:.2f}s -> {queries[q]:.1f}s)")
+
+
+ratio_tail("/root/repo/BENCH_FULL_r16.json", "sf0.1->sf10")
+# the VERDICT-item-5 table: 10x data, so >10x time = super-linear.
+# Sub-0.3s sf1 entries are JVM-overhead-dominated and produce phantom
+# ratios; the table floors the denominator and the PLANS.md write-up
+# notes the floor.
+ratio_tail("/root/repo/SOAK_sf1_full_r16.json", "sf1->sf10",
+           denom_floor=0.3)
