@@ -580,20 +580,27 @@ object Similarity {
     */
   val defaultMaxPairs: Long = 1L << 38
 
-  /** Per-leg pair bound for the auto block schedule: 2³⁵ pairs
-    * (≈3.4e10 — a ~17-minute leg at the measured 34M pairs/s/host).
-    * Sized by MEASUREMENT, not instinct: the sf10 200k-vector scan
-    * (2e10 pairs, 594 s) runs FASTER unsharded than any blocked
-    * spelling of it — 40k-vector legs cost 2.25× as forced-broadcast
-    * nested loops (no whole-stage codegen on the conditioned inner
-    * iteration) and 3.1× as small-partition cartesians (per-task
-    * build-side re-deserialization) — so the auto-shard must not
-    * engage below the scale where one job is operationally
-    * unreasonable. Above it, legs of ≤ √(2³⁵) ≈ 185k vectors keep
-    * cartesian partitions big enough to amortize, i.e. each leg
-    * behaves exactly like a smaller unsharded scan.
+  /** Per-leg pair bound for the auto block schedule: 2³² pairs
+    * (≈4.3e9), so the blocked schedule engages above ~93k vectors
+    * with legs of ≤ √(2³²) = 65 536 vectors. Sized by a WARM A/B at
+    * sf10 (round 16, S,B,S,B alternated in one JVM, identical
+    * pair-set signatures all four runs): at 200k vectors (2e10
+    * pairs) the 10-leg plain-join union runs 183.9 s warm vs 322.4 s
+    * unsharded (1.75×), and at 100k vectors (5e9 pairs, B=2 → 3
+    * legs) it still wins 61.2 s vs 74.6 s (1.22×) — parallel
+    * occupancy, not JIT: ~50k-vector plain-join legs keep
+    * amortization-sized cartesian partitions AND fill all task slots,
+    * where the unsharded scan's tail partitions straggle. (The r15
+    * calibration that measured blocked LOSING used two leg spellings
+    * since abandoned — forced-broadcast nested loops, 2.25×, no
+    * whole-stage codegen on the conditioned inner iteration; and
+    * small-partition cartesians, 3.1×, per-task build-side
+    * re-deserialization. The plain-join legs have neither defect.)
+    * Below the trip point a single scan stays the measured winner,
+    * and each leg above it behaves exactly like a smaller unsharded
+    * scan — plus every leg is independently restartable.
     */
-  val defaultLegPairs: Long = 1L << 35
+  val defaultLegPairs: Long = 1L << 32
 
   /** [[exactCosinePairs]] with the exactness bound MECHANICAL instead of
     * documentary: the total pair count must clear `maxPairsBudget` (a
