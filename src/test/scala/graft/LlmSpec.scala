@@ -713,6 +713,26 @@ class LlmSpec extends AnyFunSuite {
     assert(sharded.toSeq === exact.toSeq)
   }
 
+  test("exactCosinePairsBudgeted: default auto-shard trip point pinned at 2^32") {
+    // the r16 warm A/B behind the constant (PLANS.md "warm A/B settles
+    // the exact-scan crossover"): blocked won 1.75x warm at 200k
+    // vectors and 1.22x at 100k, so the schedule must engage above
+    // ~92.7k vectors and leave smaller corpora on the single measured-
+    // faster scan. nRows is the branch input, so the decision is
+    // testable without a large corpus: the boundary is the largest n
+    // with n(n-1)/2 <= 2^32, i.e. 92682 single / 92683 blocked.
+    assert(Similarity.defaultLegPairs === (1L << 32))
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def isUnion(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.logical.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.nonEmpty
+    assert(!isUnion(Similarity.exactCosinePairsBudgeted(emb, 0.4,
+      nRows = Some(92682L))))
+    assert(isUnion(Similarity.exactCosinePairsBudgeted(emb, 0.4,
+      nRows = Some(92683L))))
+  }
+
   test("chunkWithStride: hand-checked chunk count, sizes, and overlap") {
     // 10 tokens, size 4, stride 3 -> starts 0,3,6,9; token counts 4,4,4,1
     val words = (1 to 10).map(i => s"w$i")
