@@ -104,6 +104,53 @@ object GraftSession {
     * session-wide default) keeps spec-level negative controls able to
     * exercise the heap provider deliberately.
     */
+  /** Scale-adaptive stateful-stream shuffle width: ⌈sourceBytes/64 MiB⌉
+    * clamped to [1, defaultParallelism]. Streaming stateful operators
+    * cannot use AQE (disabled in stateful workloads), so their shuffle —
+    * and therefore their STATE STORE count — is pinned at plan time to
+    * `spark.sql.shuffle.partitions`, a constant tuned to the core count.
+    * That constant is wrong in both directions (guide §2): at 100 TB it
+    * undershoots (the cap keeps it at cluster width, the right ceiling),
+    * and on a small replay it overshards catastrophically — at sf0.1 the
+    * 2 MB events stream got 32 state partitions (64 KB each), and every
+    * partition × every store × every micro-batch paid a full RocksDB
+    * checkpoint commit whose cost is fsync-bound, not data-bound
+    * (measured r17: `rocksdbCommitFileSyncLatency` was >90% of commit
+    * time; stream_stream_join 13.5 s → 6.2 s, stream_sessionize
+    * 9.1 s → 3.8 s, stream_late_data 6.9 s → 2.7 s at the derived
+    * width). 64 MiB/partition sits at the small end of the guide's
+    * 100 MB–1 GB target precisely so the width ramps up early as data
+    * grows. `sourceBytes < 0` (unknown — no file source visible) keeps
+    * the session's width: never guess narrower than configured.
+    */
+  def streamStateWidth(s: SparkSession, sourceBytes: Long): Int = {
+    val target = 64L << 20
+    val byData = (sourceBytes + target - 1) / target
+    math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong, byData))
+      .toInt
+  }
+
+  /** Run `body` (which starts and drains streaming queries over the
+    * file-backed stream `src`) with `spark.sql.shuffle.partitions` set
+    * to [[streamStateWidth]] of the source's on-disk bytes, restoring
+    * the prior width afterwards. Result-neutral by the engine's
+    * determinism contract (exact aggregates, per-key stateful logic,
+    * total output ORDER BY) — partitioning never changes any declared
+    * query's rows.
+    */
+  def withStreamStateWidth[A](s: SparkSession, src: DataFrame)(
+      body: => A): A = {
+    val bytes =
+      org.apache.spark.sql.graftbridge.GraftBridge.streamSourceBytes(src)
+    if (bytes < 0) body
+    else {
+      val key = "spark.sql.shuffle.partitions"
+      val prior = s.conf.get(key)
+      s.conf.set(key, streamStateWidth(s, bytes).toString)
+      try body finally s.conf.set(key, prior)
+    }
+  }
+
   def withRocksDbState[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prior = s.conf.getOption(key)

@@ -137,13 +137,16 @@ object FunnelOverEvents {
         batch.write.mode("overwrite").parquet(sink)
       }
     // stateful (global complete-mode agg) → verified under the RocksDB
-    // provider like every other engine stream query
-    GraftSession.withRocksDbState(s) {
-      val q = ckpt.map(c => writer.option("checkpointLocation", c))
-        .getOrElse(writer).start()
-      q.awaitTermination()
-      graft.ops.PlanShape.streamShapes.record(
-        "funnel_" + Relational.sfTag(dir), q)
+    // provider like every other engine stream query; state width derives
+    // from the source's bytes (GraftSession.streamStateWidth, r17)
+    GraftSession.withStreamStateWidth(s, raw) {
+      GraftSession.withRocksDbState(s) {
+        val q = ckpt.map(c => writer.option("checkpointLocation", c))
+          .getOrElse(writer).start()
+        q.awaitTermination()
+        graft.ops.PlanShape.streamShapes.record(
+          "funnel_" + Relational.sfTag(dir), q)
+      }
     }
   }
 

@@ -128,7 +128,12 @@ object Insights {
     // every engine stream query verifies under the RocksDB state-store
     // provider — the only store that holds 100 TB/day key spaces (see
     // GraftSession.withRocksDbState); FunnelStreamSpec pins via a
-    // progress listener that the stateful entries actually engage it
+    // progress listener that the stateful entries actually engage it.
+    // State width derives from the source's bytes (r17,
+    // GraftSession.streamStateWidth): AQE cannot size stateful shuffles,
+    // and the fixed core-count width oversharded small replays into
+    // fsync-bound per-store commits.
+    GraftSession.withStreamStateWidth(s, df) {
     GraftSession.withRocksDbState(s) {
       val q = mode match {
         case "append" =>
@@ -159,6 +164,7 @@ object Insights {
       // the read-back below is a bare sink scan — the micro-batch plan
       // is the only place streaming shape regressions are visible
       graft.ops.PlanShape.streamShapes.record(tag, q)
+    }
     }
     if (!new java.io.File(sink).exists)
       // zero batches committed (empty source) — settled result is empty
@@ -1382,6 +1388,8 @@ object Insights {
       // run AND the state read live under the RocksDB provider (the
       // statestore source instantiates the provider from session conf
       // at read time, so the read materializes inside the wrapper).
+      // State width data-derived like every other stream runner (r17).
+      GraftSession.withStreamStateWidth(s, counts) {
       GraftSession.withRocksDbState(s) {
         val q = counts.writeStream.format("noop")
           .outputMode("complete")
@@ -1397,6 +1405,7 @@ object Insights {
             col("value.sum").as("value_micros"))
           .orderBy("event_type")
           .localCheckpoint()
+      }
       }
     })
   )

@@ -15,4 +15,38 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Total on-disk bytes behind every file-based streaming source in
+    * `df`'s logical plan (−1 when none is visible — e.g. a memory
+    * source). Feeds [[graft.GraftSession.withStreamStateWidth]]'s
+    * scale-adaptive stateful-shuffle sizing: the file sizes are exactly
+    * what a table catalog knows before planning, so deriving width from
+    * them is the streaming analogue of AQE's size-based coalescing
+    * (which micro-batch plans cannot use — AQE is disabled in stateful
+    * workloads). Lives in the bridge package because
+    * `StreamingRelation`/`DataSource` are `private[sql]`.
+    *
+    * A directory source counts the whole directory (a glob-filtered
+    * scan of a mixed directory overcounts); overcounting only ever
+    * widens the derived state width, which is the safe direction.
+    */
+  def streamSourceBytes(df: org.apache.spark.sql.Dataset[_]): Long = {
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
+    try {
+      val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+      // analyzed, not logical: Spark 4 parks readStream sources behind
+      // UnresolvedDataSource until analysis resolves StreamingRelation
+      val sums = df.queryExecution.analyzed.collect {
+        case StreamingRelation(ds, _, _) =>
+          val paths = ds.paths ++ ds.options.get("path")
+          paths.distinct.map { p =>
+            val path = new org.apache.hadoop.fs.Path(p)
+            val fs = path.getFileSystem(hconf)
+            try fs.getContentSummary(path).getLength
+            catch { case _: Exception => 0L }
+          }.sum
+      }
+      if (sums.isEmpty) -1L else sums.sum
+    } catch { case _: Exception => -1L }
+  }
 }

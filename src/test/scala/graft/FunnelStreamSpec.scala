@@ -799,4 +799,54 @@ class FunnelStreamSpec extends AnyFunSuite {
       .collect().map(_.toSeq)
     assert(recovered.toSeq === batch.toSeq)
   }
+
+  test("streamStateWidth derives from source bytes: floor 1, " +
+      "64 MiB/partition, capped at defaultParallelism, scoped conf") {
+    // r17: stateful-stream shuffle width is data-derived (AQE cannot
+    // size stateful shuffles), replacing the fixed core-count width
+    // that oversharded small replays into fsync-bound RocksDB commits.
+    val par = spark.sparkContext.defaultParallelism
+    assert(GraftSession.streamStateWidth(spark, 0L) === 1)
+    assert(GraftSession.streamStateWidth(spark, 2L << 20) === 1)
+    assert(GraftSession.streamStateWidth(spark, 64L << 20) === 1)
+    assert(GraftSession.streamStateWidth(spark, (64L << 20) + 1) === 2)
+    // monotone in bytes, and saturates at the cluster width — the
+    // 100 TB posture: width is the cluster's, never the constant's
+    assert(GraftSession.streamStateWidth(spark, 1L << 40) === par)
+    val sizes = Seq(1L, 1L << 20, 1L << 26, 1L << 28, 1L << 34, 1L << 44)
+      .map(GraftSession.streamStateWidth(spark, _))
+    assert(sizes === sizes.sorted, s"width not monotone: $sizes")
+
+    // the wrapper scopes spark.sql.shuffle.partitions to the derived
+    // width and restores the session's value afterwards, even on throw
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    val events = spark.readStream
+      .schema(spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001")
+    var inside = ""
+    GraftSession.withStreamStateWidth(spark, events) {
+      inside = spark.conf.get(key)
+    }
+    assert(inside === "1", s"sf0.001 events should derive width 1: $inside")
+    assert(spark.conf.get(key) === prior, "width conf not restored")
+    intercept[RuntimeException] {
+      GraftSession.withStreamStateWidth(spark, events) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get(key) === prior,
+      "width conf not restored after a throw")
+
+    // unknown source bytes (memory stream — no file source) keeps the
+    // session's width untouched: never guess narrower than configured
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](spark)
+    GraftSession.withStreamStateWidth(spark, mem.toDF()) {
+      assert(spark.conf.get(key) === prior)
+    }
+  }
 }
