@@ -555,7 +555,7 @@ object Dedup {
       // probe side gains shards×salts distinct join keys
       .withColumn("__salt",
         explode(sequence(lit(0), lit(salts - 1))))
-    val hitIds = corpus
+    val hits = corpus
       .select(col(idCol), TextAnalysis.fingerprint(col("text")).as("__fp"))
       .withColumn("__shard", shardOf(col("__fp")))
       .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts.toLong))
@@ -563,10 +563,25 @@ object Dedup {
       .join(blooms.hint("shuffle_hash"), Seq("__shard", "__salt"))
       .filter(graft.functions.BloomFilterAgg.mayContain(
         col("__bloom"), col("__fp"), bits, k))
+      .select(col(idCol), col("__fp"))
+    // Single-probe routing (r17): the old clean/candidate split consumed
+    // the probe join TWICE (a left_anti AND a left_semi over `hitIds`),
+    // so the salted shuffle-hash probe subplan materialized twice in the
+    // pinned plan (shj=2) — 2× probe work at exactly the scale this
+    // operator targets. Instead: bloom-positive candidates carry their
+    // fingerprint out of the ONE probe, the exact re-check confirms them
+    // against the distinct blocklist fingerprints (same join the
+    // fallback [[decontaminate]] runs, but over only the candidate
+    // sliver), and one anti-join routes the corpus around the confirmed
+    // ids. Row-identical: a blocked fingerprint is always bloom-positive
+    // (no false negatives), so {id ∈ hits ∧ fp ∈ blocklist} ≡
+    // {fp ∈ blocklist}; null fingerprints drop from the inner probe and
+    // stay clean, the exact anti-join's keep-the-row reading.
+    val confirmed = hits.join(
+        fps.select(col("__fp").as("__blocked_fp")).distinct(),
+        col("__fp") === col("__blocked_fp"), "left_semi")
       .select(idCol)
-    val clean = corpus.join(hitIds, Seq(idCol), "left_anti")
-    val candidates = corpus.join(hitIds, Seq(idCol), "left_semi")
-    clean.unionByName(decontaminate(candidates, blocklist))
+    corpus.join(confirmed, Seq(idCol), "left_anti")
   }
 
   /** Lowercased word n-grams of a text column (empty array below n

@@ -439,9 +439,19 @@ object LlmQueries {
     // oracle)
     "decontaminate_bloom_sharded" -> ((s, dir) => {
       val d = docs(s, dir)
+      // blockCount feeds SHARD SIZING only (bits/shard, shard count) —
+      // correctness never depends on it, so the parquet-footer total
+      // halved (the blocklist is the odd-doc_id half; ids are dense, so
+      // this over-counts by at most the null-text sliver, the safe
+      // direction: more bits, never saturation) replaces the
+      // fps.count() job the old spelling ran per invocation
+      // (r16 verdict item 4 — the same footer feed the similarity
+      // queries got in r16 item 7).
       Dedup.decontaminateBloomSharded(
         d.filter(pmod(col("doc_id"), lit(2)) === 0),
-        d.filter(pmod(col("doc_id"), lit(2)) === 1))
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        blockCount =
+          Some(parquetRowCount(s, s"$dir/documents.parquet") / 2))
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),

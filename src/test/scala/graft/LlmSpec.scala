@@ -207,6 +207,11 @@ class LlmSpec extends AnyFunSuite {
     val plan = sharded.queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"),
       s"probe join is not shuffle-hash:\n$plan")
+    // exactly ONE probe (r17): the old clean/candidate split consumed
+    // the probe join twice (left_anti + left_semi), materializing the
+    // salted shuffle-hash subplan twice — 2x probe work at scale
+    assert("ShuffledHashJoin".r.findAllIn(plan).size === 1,
+      s"salted probe should materialize exactly once:\n$plan")
     def broadcastsBloom(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
       p.collect {
         case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
