@@ -159,9 +159,10 @@ object Bench {
     if (passes > 1) {
       spark.range(1 << 20).selectExpr("sum(id)").write
         .mode("overwrite").format("noop").save()
-      suite.foreach { case (_, fn) =>
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
+      suite.foreach { case (name, fn) =>
+        try SparkEntry.withOverlay(spark, name) {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        } catch { case _: Throwable => () }
       }
     }
 
@@ -204,7 +205,9 @@ object Bench {
         val spillBase = if (spillTrack && pass == 1) spillNow() else (0L, 0L)
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          SparkEntry.withOverlay(spark, name) {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          }
           val sec = (System.nanoTime() - t0) / 1e9
           timings(name) = timings.get(name).fold(sec)(math.min(_, sec))
           errors.remove(name)
@@ -232,7 +235,9 @@ object Bench {
         System.gc()
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          SparkEntry.withOverlay(spark, name) {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          }
           val sec = (System.nanoTime() - t0) / 1e9
           timings(name) = math.min(timings(name), sec)
         } catch { case _: Throwable => () /* keep the existing min */ }

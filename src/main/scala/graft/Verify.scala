@@ -31,8 +31,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // per-query conf overlay (SparkEntry.confOverlays): performance
+      // confs only, but applied here too so the oracle gate checks the
+      // exact configuration the bench runs
+      try SparkEntry.withOverlay(spark, name) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         // class name too: ParseException and friends can have a null/empty
         // message, which made a real failure look blank in the round log

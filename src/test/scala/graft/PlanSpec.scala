@@ -291,4 +291,39 @@ class PlanSpec extends AnyFunSuite {
     assert((ok -- qk).isEmpty, s"oracles without a query: ${ok -- qk}")
     assert(qk.size === mods.map(_._2.size).sum + 5) // 5 SparkEntry-level
   }
+
+  test("per-query conf overlays are registered, scoped, and restored") {
+    // r17 (r16 verdict item 2): the shuffle-width posture is
+    // engine-visible — a query declares its conf overlay and the
+    // runners apply it ONLY inside that query's scope
+    val overlays = SparkEntry.confOverlays
+    assert(overlays.keySet.subsetOf(SparkEntry.queries.keySet),
+      s"overlay for unregistered query: " +
+        s"${overlays.keySet -- SparkEntry.queries.keySet}")
+    assert(overlays.contains("assoc_rules"),
+      "assoc_rules must carry its shuffle-width overlay (r16 PLANS: " +
+        "sf10 isolated 17.6x -> 11.9x at initialPartitionNum=256)")
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val prior = spark.conf.getOption(key)
+    var inside = ""
+    SparkEntry.withOverlay(spark, "assoc_rules") {
+      inside = spark.conf.get(key)
+    }
+    assert(inside === "256")
+    assert(spark.conf.getOption(key) === prior,
+      "overlay leaked past its query's scope")
+    // restored on throw too: a failed query must not poison the next
+    // bench slot's configuration
+    intercept[RuntimeException] {
+      SparkEntry.withOverlay(spark, "assoc_rules") {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.getOption(key) === prior,
+      "overlay leaked after a throw")
+    // a query with no overlay is a pass-through
+    SparkEntry.withOverlay(spark, "filters") {
+      assert(spark.conf.getOption(key) === prior)
+    }
+  }
 }
