@@ -736,11 +736,20 @@ object Dedup {
           .join(prev.select(col("id").as("nid"), col("cluster").as("ncl")),
             col("dst") === col("nid"))
           .groupBy(col("src")).agg(min("ncl").as("nbr_min"))
+        // stepped materializes once (r17): the pointer jump consumes it
+        // on BOTH sides of its self-join — unmaterialized, the
+        // edges⋈labels + min-aggregate chain ran twice per round (and a
+        // third time in the old derived change witness)
         val stepped = prev
           .join(nbrMin, prev("id") === nbrMin("src"), "left")
           .select(prev("id"),
             least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-              .as("cluster"))
+              .as("cluster"),
+            // old label rides along so the change witness is a FILTER
+            // over the checkpointed round result, not a jumped⋈prev
+            // re-join per probe
+            prev("cluster").as("__old"))
+          .localCheckpoint(true)
         // pointer jump: follow my label's OWN label one hop;
         // pre-checkpointed so the change witness probes materialized
         // partitions instead of re-running the round's joins
@@ -750,13 +759,11 @@ object Dedup {
             col("x.cluster") === col("p.pid"), "left")
           .select(col("x.id").as("id"),
             least(col("x.cluster"), coalesce(col("pcl"), col("x.cluster")))
-              .as("cluster"))
+              .as("cluster"),
+            col("x.__old").as("__old"))
           .localCheckpoint(true)
-        val changed = jumped
-          .join(prev.select(col("id").as("oid"), col("cluster").as("old")),
-            col("id") === col("oid"))
-          .filter(col("cluster") =!= col("old"))
-        (Map("labels" -> jumped), changed)
+        val changed = jumped.filter(col("cluster") =!= col("__old"))
+        (Map("labels" -> jumped.select(col("id"), col("cluster"))), changed)
       }._1("labels")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"),

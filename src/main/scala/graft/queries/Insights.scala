@@ -223,7 +223,15 @@ object Insights {
       val cand = edges.join(delta0, edges("dst") === delta0("node"))
         .select(edges("src").as("node"), col("lbl"))
         .groupBy("node").agg(min("lbl").as("cand"))
+      // ONE materialization per round (r17): `next` and `delta` both
+      // derive from this join — left unmaterialized, the harness's
+      // per-frame checkpoints re-ran the edges⋈delta join + aggregate
+      // chain once PER CONSUMER (profiled at sf0.1: 40 driver-side jobs
+      // for 3 rounds, wall 7.1 s against 7.8 s of task time — job
+      // round-trips, not compute). Pre-checkpointing `joined` makes the
+      // two state frames single-stage scans of the materialized rows.
       val joined = st("lbl").join(cand, Seq("node"), "left")
+        .localCheckpoint()
       val next = joined.select(col("node"),
         least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
       val delta = joined.filter(col("cand") < col("lbl"))
