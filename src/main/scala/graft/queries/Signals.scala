@@ -99,18 +99,26 @@ object Signals {
     // 10× fixture this was the difference between re-shuffling 12M
     // edges four times (21.6 s) and four map-side hash probes. The
     // visited anti-join broadcasts for the same reason.
+    // visited lives OUTSIDE the harness state (r17, the mis_luby
+    // accumulator pattern): as a state frame, every round re-
+    // checkpointed visited-so-far — an O(|visited|) copy job per round.
+    // A driver-side union of the ≤4 checkpointed per-round frontiers
+    // (visited0 is a 1-row local relation) has bounded lineage, and the
+    // anti-join broadcast scans the materialized deltas directly.
+    var visited = visited0
     val (st, rounds) = graft.ops.IterateUntilFixed.frontier(
-      Map("visited" -> visited0, "frontier" -> visited0), 4) { (st, l) =>
+      Map("frontier" -> visited0), 4) { (st, l) =>
       val frontier = st("frontier")
       edges
         .join(broadcast(frontier), frontier("node") === edges("src"))
         .select(col("dst").as("node")).distinct()
-        .join(broadcast(st("visited")), Seq("node"), "left_anti")
+        .join(broadcast(visited), Seq("node"), "left_anti")
         .select(col("node"), lit(l).as("lvl"))
     } { (st, next, _) =>
-      Map("visited" -> st("visited").unionByName(next), "frontier" -> next)
+      visited = visited.unionByName(next)
+      Map("frontier" -> next)
     }
-    (st("visited").groupBy("lvl").agg(count(lit(1)).as("n")).orderBy("lvl"),
+    (visited.groupBy("lvl").agg(count(lit(1)).as("n")).orderBy("lvl"),
       rounds)
   }
 
@@ -867,8 +875,12 @@ object Signals {
         .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select("p1", "p2")
         .localCheckpoint()
-      graft.ops.IterateUntilFixed.fixed(
-        Map("e" -> e0, "out" -> stats(0, e0)), 3) { (st, r) =>
+      // trajectory rows accumulate driver-side over the checkpointed
+      // per-round edge sets (r17, the mis_luby accumulator pattern):
+      // as a state frame, `out` was re-checkpointed union-so-far each
+      // round — one extra job per round for a ≤4-row frame
+      val rows = scala.collection.mutable.ArrayBuffer(stats(0, e0))
+      graft.ops.IterateUntilFixed.fixed(Map("e" -> e0), 3) { (st, r) =>
         val e = st("e")
         val keep = e.select(col("p1").as("v"))
           .unionByName(e.select(col("p2").as("v")))
@@ -879,8 +891,10 @@ object Signals {
           .join(keep.withColumnRenamed("v", "p2"), Seq("p2"), "left_semi")
           .select("p1", "p2")
           .localCheckpoint()
-        Map("e" -> e2, "out" -> st("out").unionByName(stats(r, e2)))
-      }("out").orderBy("rnd")
+        rows += stats(r, e2)
+        Map("e" -> e2)
+      }
+      rows.reduce(_.unionByName(_)).orderBy("rnd")
     }),
 
     // Bounded-round k-truss peeling (k=4: every edge must sit in ≥ 2
@@ -904,10 +918,9 @@ object Signals {
         .groupBy("p1", "p2").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select("p1", "p2")
         .localCheckpoint()
-      graft.ops.IterateUntilFixed.fixed(
-        Map("e" -> e0, "out" -> e0.limit(0)
-          .select(lit(0).as("rnd"), lit(0L).as("n_triangles"),
-            lit(0L).as("n_edges"))), 3) { (st, r) =>
+      // trajectory rows accumulate driver-side (r17, the kcore pattern)
+      val rows = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      graft.ops.IterateUntilFixed.fixed(Map("e" -> e0), 3) { (st, r) =>
         val e = st("e")
         val tri = e.select(col("p1").as("a"), col("p2").as("b"))
           .join(e.select(col("p1").as("b"), col("p2").as("c")), Seq("b"))
@@ -924,13 +937,14 @@ object Signals {
               .select(col("x").as("p1"), col("y").as("p2")),
             Seq("p1", "p2"), "left_semi")
           .localCheckpoint()
-        val row = e2.agg(count(lit(1)).as("n_edges"))
+        rows += e2.agg(count(lit(1)).as("n_edges"))
           .crossJoin(broadcast(supp.agg(
             (coalesce(sum("supp"), lit(0L)) / lit(3)).cast("long")
               .as("n_triangles"))))
           .select(lit(r).as("rnd"), col("n_triangles"), col("n_edges"))
-        Map("e" -> e2, "out" -> st("out").unionByName(row))
-      }("out").orderBy("rnd")
+        Map("e" -> e2)
+      }
+      rows.reduce(_.unionByName(_)).orderBy("rnd")
     }),
 
     // Label propagation community detection (Raghavan, Albert, Kumara
