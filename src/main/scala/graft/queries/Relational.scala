@@ -293,21 +293,32 @@ object Relational {
     // min_hops and the bounded visit count are exact integers on both
     // engines.
     "recursive_cte" -> ((s, dir) => {
-      events(s, dir).createOrReplaceTempView("events_rcte_v")
+      // the edge list materializes ONCE before the recursion (r17): the
+      // planner's loop execution re-evaluates every CTE the recursive
+      // member references on EACH iteration, so the window+distinct
+      // edge derivation ran per hop (profiled at sf0.1: 46 jobs for
+      // 1.9 s of task time — iteration-replanning overhead, not
+      // compute). A checkpointed edge view makes each iteration's scan
+      // a materialized-RDD read; the recursion itself stays declarative
+      // SQL and computes the identical reachability set.
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+            .orderBy(col("ts"), col("event_id"))))
+        .filter(col("prev").isNotNull && col("prev") =!= col("event_type"))
+        .select(col("prev"), col("event_type").as("curr"))
+        .distinct()
+        .localCheckpoint()
+        .createOrReplaceTempView("edges_rcte_v")
       s.sql(
         """WITH RECURSIVE
-          |edges AS (
-          |  SELECT DISTINCT prev, event_type AS curr FROM (
-          |    SELECT lag(event_type) OVER (
-          |        PARTITION BY user_id ORDER BY ts, event_id) AS prev,
-          |      event_type
-          |    FROM events_rcte_v) x
-          |  WHERE prev IS NOT NULL AND prev <> event_type),
           |reach(node, hops) AS (
           |  SELECT 'signup', 0
           |  UNION ALL
           |  SELECT e.curr, r.hops + 1
-          |  FROM reach r JOIN edges e ON e.prev = r.node
+          |  FROM reach r JOIN edges_rcte_v e ON e.prev = r.node
           |  WHERE r.hops < 4)
           |SELECT node, CAST(min(hops) AS BIGINT) AS min_hops,
           |  CAST(count(*) AS BIGINT) AS visits
