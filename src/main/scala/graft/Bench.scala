@@ -149,6 +149,42 @@ object Bench {
     }
     val canary = canarySec()
 
+    // Parallel-throughput canary (r17 measurement fix, old field kept):
+    // the single-threaded canary calibrates per-core speed, but this
+    // round's baseline measured the whole suite 1.27× slower than r16's
+    // artifact at an EQUAL single-core canary — the host's parallel
+    // throughput (steal/turbo under all-core load) had moved while
+    // per-core speed hadn't, exactly the case canary_sec cannot see.
+    // Same splitmix+sort kernel, one array per core, all cores at once,
+    // min of 3: "canary_par_sec" calibrates what 32 concurrent task
+    // slots actually get.
+    def canaryParSec(): Double = {
+      val n = spark.sparkContext.defaultParallelism
+      val reps = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val threads = (0 until n).map { t =>
+          new Thread(() => {
+            val a = new Array[Long](1 << 22)
+            var i = 0
+            while (i < a.length) {
+              var z = (i.toLong + (t.toLong << 32)) * 0x9E3779B97F4A7C15L
+              z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+              z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+              a(i) = z ^ (z >>> 31)
+              i += 1
+            }
+            java.util.Arrays.sort(a)
+            if (a(a.length / 2) == 42L) System.err.println("")
+          })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      }
+      reps.min
+    }
+    val canaryPar = canaryParSec()
+
     // Warm-up pass: run the whole suite once UNTIMED, then time the
     // second pass. A fresh JVM's first execution of a plan shape pays
     // janino compilation + C2 JIT of the whole Catalyst/codegen stack —
@@ -253,7 +289,7 @@ object Bench {
         s"""${q(k)}:{"mem_spilled":$m,"disk_spilled":$d}"""
       }.mkString(""","spill":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"queries":$qs,"errors":$es$spillField,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"canary_par_sec":$canaryPar,"queries":$qs,"errors":$es$spillField,"sf":${q(sfDir)}}"""
     println(line)
     // Durable full-suite artifact: the driver's BENCH_r*.json captures
     // stdout whose tail truncates past ~64 queries, so cross-round

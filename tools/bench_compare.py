@@ -42,8 +42,12 @@ def main():
     top_n = 0
     if "--top" in sys.argv:
         top_n = int(sys.argv[sys.argv.index("--top") + 1])
-    cb = before.get("canary_sec")
-    ca = after.get("canary_sec")
+    # prefer the parallel-throughput canary (r17+): the single-core one
+    # misses all-core steal/turbo shifts, which is most of what actually
+    # moves between rounds on this host
+    cb = before.get("canary_par_sec") or before.get("canary_sec")
+    ca = (after.get("canary_par_sec") if "canary_par_sec" in before
+          else None) or after.get("canary_sec")
     host_ratio = (ca / cb) if (cb and ca) else 1.0
     qb, qa = before["queries"], after["queries"]
     common = sorted(set(qb) & set(qa))
