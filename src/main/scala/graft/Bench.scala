@@ -158,30 +158,41 @@ object Bench {
     // Same splitmix+sort kernel, one array per core, all cores at once,
     // min of 3: "canary_par_sec" calibrates what 32 concurrent task
     // slots actually get.
-    def canaryParSec(): Double = {
+    // A thread that dies (e.g. OOM allocating its array on a
+    // low-memory driver) would otherwise be swallowed by join() and
+    // yield a silently-fast bogus value that poisons every
+    // canary-normalized comparison — degrade to None (field omitted)
+    // so bench_compare falls back to canary_sec on both sides.
+    def canaryParSec(): Option[Double] = {
       val n = spark.sparkContext.defaultParallelism
+      val died = new java.util.concurrent.atomic.AtomicBoolean(false)
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val threads = (0 until n).map { t =>
           new Thread(() => {
-            val a = new Array[Long](1 << 22)
-            var i = 0
-            while (i < a.length) {
-              var z = (i.toLong + (t.toLong << 32)) * 0x9E3779B97F4A7C15L
-              z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-              z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-              a(i) = z ^ (z >>> 31)
-              i += 1
-            }
-            java.util.Arrays.sort(a)
-            if (a(a.length / 2) == 42L) System.err.println("")
+            try {
+              val a = new Array[Long](1 << 22)
+              var i = 0
+              while (i < a.length) {
+                var z = (i.toLong + (t.toLong << 32)) * 0x9E3779B97F4A7C15L
+                z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+                z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+                a(i) = z ^ (z >>> 31)
+                i += 1
+              }
+              java.util.Arrays.sort(a)
+              if (a(a.length / 2) == 42L) System.err.println("")
+            } catch { case _: Throwable => died.set(true) }
           })
         }
         threads.foreach(_.start())
         threads.foreach(_.join())
         (System.nanoTime() - t0) / 1e9
       }
-      reps.min
+      if (died.get()) {
+        System.err.println("canary_par_sec: a rep thread died; omitting")
+        None
+      } else Some(reps.min)
     }
     val canaryPar = canaryParSec()
 
@@ -288,8 +299,10 @@ object Bench {
       else spills.map { case (k, (m, d)) =>
         s"""${q(k)}:{"mem_spilled":$m,"disk_spilled":$d}"""
       }.mkString(""","spill":{""", ",", "}")
+    val canaryParField =
+      canaryPar.fold("")(v => s""""canary_par_sec":$v,""")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"canary_par_sec":$canaryPar,"queries":$qs,"errors":$es$spillField,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,$canaryParField"queries":$qs,"errors":$es$spillField,"sf":${q(sfDir)}}"""
     println(line)
     // Durable full-suite artifact: the driver's BENCH_r*.json captures
     // stdout whose tail truncates past ~64 queries, so cross-round

@@ -520,8 +520,12 @@ object Dedup {
     * bloom-positive candidates re-check exactly): a null text has a
     * null fingerprint, hashes to a null shard, drops out of the inner
     * probe join and stays clean — the same keep-the-row reading as the
-    * exact anti-join. `idCol` must be a non-null row key (it routes
-    * bloom hits back to their rows); the registered query uses doc_id.
+    * exact anti-join. `idCol` must be a UNIQUE, non-null row key (it
+    * routes bloom hits back to their rows, and the final anti-join is
+    * id-wise: under duplicate ids, EVERY row sharing an id with a
+    * confirmed-contaminated row would drop, whereas [[decontaminate]]
+    * routes fingerprint-wise); the registered query uses doc_id, which
+    * is unique by the fixture contract.
     */
   def decontaminateBloomSharded(corpus: DataFrame, blocklist: DataFrame,
       idCol: String = "doc_id", nShards: Int = 0,

@@ -42,11 +42,17 @@ object GraftBridge {
           paths.distinct.map { p =>
             val path = new org.apache.hadoop.fs.Path(p)
             val fs = path.getFileSystem(hconf)
+            // a transiently unreadable path is UNKNOWN, not empty:
+            // contributing 0 would let a single listing hiccup clamp a
+            // possibly-huge stream to 1 state partition, violating the
+            // "never guess narrower than configured" invariant
             try fs.getContentSummary(path).getLength
-            catch { case _: Exception => 0L }
+            catch { case _: Exception => return -1L }
           }.sum
       }
-      if (sums.isEmpty) -1L else sums.sum
+      // 0 total bytes is indistinguishable from "nothing readable";
+      // keep the session width rather than clamping to the floor
+      if (sums.isEmpty || sums.sum <= 0L) -1L else sums.sum
     } catch { case _: Exception => -1L }
   }
 }

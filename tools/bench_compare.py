@@ -44,10 +44,12 @@ def main():
         top_n = int(sys.argv[sys.argv.index("--top") + 1])
     # prefer the parallel-throughput canary (r17+): the single-core one
     # misses all-core steal/turbo shifts, which is most of what actually
-    # moves between rounds on this host
-    cb = before.get("canary_par_sec") or before.get("canary_sec")
-    ca = (after.get("canary_par_sec") if "canary_par_sec" in before
-          else None) or after.get("canary_sec")
+    # moves between rounds on this host. Use it only when BOTH artifacts
+    # carry it — mixing a parallel canary on one side with a single-core
+    # canary on the other would produce a meaningless host_ratio.
+    both_par = ("canary_par_sec" in before) and ("canary_par_sec" in after)
+    cb = before["canary_par_sec"] if both_par else before.get("canary_sec")
+    ca = after["canary_par_sec"] if both_par else after.get("canary_sec")
     host_ratio = (ca / cb) if (cb and ca) else 1.0
     qb, qa = before["queries"], after["queries"]
     common = sorted(set(qb) & set(qa))
