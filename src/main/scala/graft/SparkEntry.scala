@@ -61,9 +61,30 @@ object SparkEntry {
     * (r16, reproduced twice) — which is exactly why the knob is
     * per-query.
     */
-  def confOverlays: Map[String, Map[String, String]] = Map(
-    "assoc_rules" -> Map(
-      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "256"))
+  def confOverlays: Map[String, Map[String, String]] = {
+    // AQE's parallelismFirst coalescing floors post-shuffle partitions
+    // at minPartitionSize (default 1m) — so at small replay SFs a
+    // few-MB exchange coalesces to bytes/1MB ≈ 2-5 partitions, and any
+    // operator that MULTIPLIES rows after that exchange (pair
+    // expansion, per-doc token/chunk explode) runs its heavy stage 2-5
+    // wide regardless of session width. A 64k floor restores
+    // parallelism exactly where the fan-out is (r18 A/B: adamic_adar
+    // 0.38×, curation_pipeline 0.52×, containment 0.72×); at
+    // production scale partitions sit far above 1 MB and the knob is
+    // inert. NOT blanket-applied: the same floor regressed the
+    // iterative/scan-heavy band up to 3× (greedy_cover, winnow — more
+    // tiny tasks per round, nothing to win), so it stays a per-query
+    // overlay like the assoc_rules width.
+    val smallPartFloor = Map(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k")
+    Map(
+      "assoc_rules" -> Map(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "256"),
+      "adamic_adar" -> smallPartFloor,
+      "curation_pipeline" -> smallPartFloor,
+      "containment_neardup" -> smallPartFloor,
+      "prefix_jaccard" -> smallPartFloor)
+  }
 
   /** Run `body` under `name`'s conf overlay (if any), restoring every
     * touched key afterwards — including on throw, so a failed query

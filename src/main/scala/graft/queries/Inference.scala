@@ -572,7 +572,13 @@ object Inference {
         .select(col("pk"),
           bround(lit(1000000000000.0) / log(col("deg").cast("double")))
             .cast("long").as("w_pico"))
-      val ew = e.join(degw, "pk")
+      // ew materializes ONCE (r18): the pair self-join consumes it on
+      // BOTH sides, and the optimizer rebuilt the scan→distinct→degree
+      // chain per consumer (profiled at sf0.1: the distinct's map stage
+      // ran twice, ~1 s of duplicated task time). The checkpoint is the
+      // weighted edge list — 3 narrow longs per row, a fraction of the
+      // lineitem scan it replaces.
+      val ew = e.join(degw, "pk").localCheckpoint()
       val pa = ew.select(col("pk"), col("sk").as("sa"), col("w_pico"))
       val pb = ew.select(col("pk"), col("sk").as("sb"))
       pa.join(pb, Seq("pk")).filter(col("sa") < col("sb"))

@@ -172,10 +172,15 @@ object Signals {
     val (st, rounds) = graft.ops.IterateUntilFixed.frontier(
       Map("und" -> und0), 6) { (st, _) =>
       val und = st("und")
-      val u1 = und.select(col("node").as("src"))
+      // no src∈und pre-filter (r18, -1 broadcast and -1 join per round):
+      // mn may now carry minima for already-DECIDED srcs, but the
+      // left_outer probe below is keyed on und's own nodes, so those
+      // extra build rows never match anything — newIn is row-identical.
+      // The aggregate's extra input (edges whose dst is undecided but
+      // whose src retired) shrinks with the undecided set like
+      // everything else in the round.
       val u2 = und.select(col("node").as("dst"), col("pkey").as("dkey"))
-      val mn = edges.join(broadcast(u1), Seq("src"))
-        .join(broadcast(u2), Seq("dst"))
+      val mn = edges.join(broadcast(u2), Seq("dst"))
         .groupBy("src").agg(min("dkey").as("mk"))
         .select(col("src").as("node"), col("mk"))
       und.join(broadcast(mn), Seq("node"), "left_outer")
@@ -183,22 +188,30 @@ object Signals {
         .select(col("node"), col("pkey"))
     } { (st, newIn, _) =>
       val und = st("und")
+      // no distinct (r18): the left_semi/anti probes below ignore
+      // build-side duplicates, and the distinct paid an exchange inside
+      // every round's broadcast-build job
       val outNodes = edges
         .join(broadcast(newIn.select(col("node").as("src"))), Seq("src"))
-        .select(col("dst").as("node")).distinct()
-      // pre-checkpointed: feeds both the out accumulator and the
-      // undecided anti-join (the harness's idempotent cp passes it
-      // through instead of re-materializing)
+        .select(col("dst").as("node"))
+      // newOut stays LAZY (r18): it derives entirely from materialized
+      // frames (und, newIn, the checkpointed edges), so its lineage is
+      // bounded without a checkpoint — and its only consumer is the
+      // final count aggregate after the schedule, so materializing it
+      // per round paid a checkpoint job whose rows were read once.
       val newOut = und
         .join(broadcast(outNodes), Seq("node"), "left_semi")
         .select(col("node"), col("pkey"))
-        .localCheckpoint()
       inDeltas += newIn
       outDeltas += newOut
+      // ONE anti-join per round (r18, was two chained anti-joins with
+      // two broadcast builds): retire newIn ∪ N(newIn) together —
+      // anti-joining against nodes outside `und` is a no-op, so this
+      // equals the old newIn-then-newOut removal exactly
       Map(
         "und" -> und
-          .join(broadcast(newIn.select("node")), Seq("node"), "left_anti")
-          .join(broadcast(newOut.select("node")), Seq("node"), "left_anti"))
+          .join(broadcast(newIn.select("node")
+            .unionByName(outNodes)), Seq("node"), "left_anti"))
     }
     val empty = und0.limit(0)
     val inAcc = inDeltas.foldLeft(empty)(_.unionByName(_))
@@ -984,23 +997,26 @@ object Signals {
     "modularity_score" -> ((s, dir) => {
       val (und, _, labels) = lpaLabels(s, dir)
       val mTot = und.agg(count(lit(1)).as("m"))
-      val sizes = labels.groupBy("label")
-        .agg(count(lit(1)).as("members"))
       val intra = und
         .join(labels.select(col("v").as("p1"), col("label").as("la")), "p1")
         .join(labels.select(col("v").as("p2"), col("label").as("lb")), "p2")
         .filter(col("la") === col("lb"))
         .groupBy(col("la").as("label")).agg(count(lit(1)).as("intra_edges"))
-      val degSum = und.select(col("p1").as("v"))
+      // members and degree_sum fused into ONE pass over labels⋈deg (r18,
+      // guide §2.3 — one wide aggregate instead of two readers): every
+      // labeled vertex comes from the edge list, so the inner deg join
+      // keeps exactly the rows the old separate `sizes` aggregate
+      // counted, and count/sum read off the same joined row.
+      val deg = und.select(col("p1").as("v"))
         .unionByName(und.select(col("p2").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
-        .join(labels, "v")
-        .groupBy("label").agg(sum("deg").as("degree_sum"))
+      val vstats = labels.join(deg, "v")
+        .groupBy("label").agg(count(lit(1)).as("members"),
+          sum("deg").as("degree_sum"))
       val md = col("m").cast("double")
       val dd = col("degree_sum").cast("double") / (lit(2.0) * md)
-      val contrib = sizes
+      val contrib = vstats
         .join(intra, Seq("label"), "left")
-        .join(degSum, Seq("label"))
         .crossJoin(broadcast(mTot))
         .select(col("label"), col("members"),
           coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
