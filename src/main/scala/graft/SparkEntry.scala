@@ -51,15 +51,13 @@ object SparkEntry {
     * computes, and the oracle gate re-runs every overlaid query like any
     * other.
     *
-    * `assoc_rules`: its basket pair-expansion shuffle starves at the
-    * session's core-count shuffle width at scale (r16 PLANS: sf10
-    * isolated 17.6× → 11.9× ≈ linear-with-waves at
-    * `initialPartitionNum=256`); AQE coalescing folds the extra
-    * partitions back at small SF, so the overlay is ~free locally
-    * (measured r17 sf0.1: 3.26 s baseline → 3.22 s overlaid). NOT
-    * blanket-applied: the same conf regresses `range_join_window` 2.1×
-    * (r16, reproduced twice) — which is exactly why the knob is
-    * per-query.
+    * The r17 `assoc_rules` `initialPartitionNum=256` overlay was REMOVED
+    * in r18: its justification was the r16 sf10 measurement (17.6× →
+    * 11.9×), and the r18 re-validation at the same SF measured the
+    * OPPOSITE — sf10 isolated 53.6 s without vs 62.0 s with the overlay
+    * (scale ratio 16.8× vs 22.8×), i.e. the conf is anti-scale on the
+    * current host/engine. A conf carried for a scale benefit that does
+    * not reproduce is exactly what an optimization round must drop.
     */
   def confOverlays: Map[String, Map[String, String]] = {
     // AQE's parallelismFirst coalescing floors post-shuffle partitions
@@ -74,12 +72,10 @@ object SparkEntry {
     // inert. NOT blanket-applied: the same floor regressed the
     // iterative/scan-heavy band up to 3× (greedy_cover, winnow — more
     // tiny tasks per round, nothing to win), so it stays a per-query
-    // overlay like the assoc_rules width.
+    // overlay.
     val smallPartFloor = Map(
       "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k")
     Map(
-      "assoc_rules" -> Map(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "256"),
       "adamic_adar" -> smallPartFloor,
       "curation_pipeline" -> smallPartFloor,
       "containment_neardup" -> smallPartFloor,

@@ -1027,12 +1027,25 @@ object Dedup {
     val hot = df.filter(col("df") > hotBucketCap)
       .select(col("gram"), col("df").as("bucket_n"))
     val cand = if (hot.isEmpty) {
-      val pa = prefix.select(col("doc_id").as("doc_a"), col("gram"),
-        col("rn").as("rn_a"), col("sz").as("sz_a"))
-      val pb = prefix.select(col("doc_id").as("doc_b"), col("gram"),
-        col("rn").as("rn_b"), col("sz").as("sz_b"))
-      pa.join(pb, Seq("gram"))
-        .filter(col("doc_a") < col("doc_b") && ppjoinFilters)
+      // Alias-only join sides + SHUFFLE_HASH (r18): the old spelling
+      // put a column-RENAMING Project on each side, which defeats plan
+      // canonicalization, so no exchange was shared and the planner
+      // (picking broadcast at small SF) rebuilt the whole df+rank
+      // prefix pipeline on the probe side — the window stage ran twice
+      // in the executed plan. Bare as("a")/as("b") aliases keep the two
+      // subplans canonically identical (the minhashBandedPairs
+      // precedent, where reuse is verified to fire), and the shuffle
+      // spelling gives them a common Exchange(gram) to collapse into —
+      // which is also the only strategy that scales: the prefix table
+      // is O(corpus), never broadcastable at the scale this operator
+      // targets. Renames move to one Project ABOVE the join.
+      prefix.as("a").hint("shuffle_hash").join(prefix.as("b"),
+          col("a.gram") === col("b.gram") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.rn").as("rn_a"), col("a.sz").as("sz_a"),
+          col("b.rn").as("rn_b"), col("b.sz").as("sz_b"))
+        .filter(ppjoinFilters)
         .select("doc_a", "doc_b").distinct()
     } else {
       // materialized once: with per-side salt emissions the two join

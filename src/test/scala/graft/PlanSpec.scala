@@ -300,22 +300,29 @@ class PlanSpec extends AnyFunSuite {
     assert(overlays.keySet.subsetOf(SparkEntry.queries.keySet),
       s"overlay for unregistered query: " +
         s"${overlays.keySet -- SparkEntry.queries.keySet}")
-    assert(overlays.contains("assoc_rules"),
-      "assoc_rules must carry its shuffle-width overlay (r16 PLANS: " +
-        "sf10 isolated 17.6x -> 11.9x at initialPartitionNum=256)")
-    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    // r18: the r16 assoc_rules initialPartitionNum overlay was removed
+    // (its sf10 justification measured anti-scale on re-validation:
+    // 53.6 s without vs 62.0 s with, tools output in OPTIMIZATION_r18);
+    // the small-partition floor for starved fan-out stages is the r18
+    // overlay family, pinned here via adamic_adar
+    assert(!overlays.contains("assoc_rules"),
+      "the refuted assoc_rules overlay must stay removed (r18 sf10 A/B)")
+    assert(overlays.contains("adamic_adar"),
+      "adamic_adar must carry its small-partition AQE floor (r18 A/B: " +
+        "pair fan-out starved at bytes/1MB partitions)")
+    val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     val prior = spark.conf.getOption(key)
     var inside = ""
-    SparkEntry.withOverlay(spark, "assoc_rules") {
+    SparkEntry.withOverlay(spark, "adamic_adar") {
       inside = spark.conf.get(key)
     }
-    assert(inside === "256")
+    assert(inside === "64k")
     assert(spark.conf.getOption(key) === prior,
       "overlay leaked past its query's scope")
     // restored on throw too: a failed query must not poison the next
     // bench slot's configuration
     intercept[RuntimeException] {
-      SparkEntry.withOverlay(spark, "assoc_rules") {
+      SparkEntry.withOverlay(spark, "adamic_adar") {
         throw new RuntimeException("boom")
       }
     }
