@@ -123,8 +123,25 @@ object GraftSession {
     * grows. `sourceBytes < 0` (unknown — no file source visible) keeps
     * the session's width: never guess narrower than configured.
     */
+  /** Per-partition source-byte target for [[streamStateWidth]],
+    * overridable via `spark.graft.stream.statePartitionBytes` (bytes).
+    * Default 8 MiB (r18, was 64 MiB in r17): the r17 value was sized
+    * against COMMIT overhead only — at sf0.1 (2 MB source) both values
+    * derive width 1 and the fsync-flood fix is identical — but the sf1
+    * per-batch probe showed the next regime is COMPUTE-bound, not
+    * commit-bound: a 22 MB source carries a 2M-row symmetric-hash join
+    * whose addBatch ran 30 s on the single derived partition while
+    * state commit cost ~1 s. 8 MiB/partition widens exactly when there
+    * is real per-row work to spread (sf1 derives 3) and still saturates
+    * at cluster width long before production scale; the A/B table in
+    * OPTIMIZATION_r18.md pins the choice.
+    */
+  def streamStatePartitionBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.stream.statePartitionBytes")
+      .map(_.toLong).filter(_ > 0).getOrElse(8L << 20)
+
   def streamStateWidth(s: SparkSession, sourceBytes: Long): Int = {
-    val target = 64L << 20
+    val target = streamStatePartitionBytes(s)
     val byData = (sourceBytes + target - 1) / target
     math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong, byData))
       .toInt

@@ -801,15 +801,31 @@ class FunnelStreamSpec extends AnyFunSuite {
   }
 
   test("streamStateWidth derives from source bytes: floor 1, " +
-      "64 MiB/partition, capped at defaultParallelism, scoped conf") {
+      "8 MiB/partition default (conf-overridable), capped at " +
+      "defaultParallelism, scoped conf") {
     // r17: stateful-stream shuffle width is data-derived (AQE cannot
     // size stateful shuffles), replacing the fixed core-count width
     // that oversharded small replays into fsync-bound RocksDB commits.
+    // r18: the per-partition byte target dropped 64 MiB → 8 MiB and
+    // became conf-overridable — the sf1 per-batch probe showed the
+    // regime past the fsync fix is COMPUTE-bound (a 22 MB source ran a
+    // 2M-row symmetric-hash join single-partition for 30 s while state
+    // commit cost ~1 s), so the width must widen as soon as there is
+    // real per-row work to spread.
     val par = spark.sparkContext.defaultParallelism
     assert(GraftSession.streamStateWidth(spark, 0L) === 1)
     assert(GraftSession.streamStateWidth(spark, 2L << 20) === 1)
-    assert(GraftSession.streamStateWidth(spark, 64L << 20) === 1)
-    assert(GraftSession.streamStateWidth(spark, (64L << 20) + 1) === 2)
+    assert(GraftSession.streamStateWidth(spark, 8L << 20) === 1)
+    assert(GraftSession.streamStateWidth(spark, (8L << 20) + 1) === 2)
+    // the target is a runtime conf: the scale-dependent constant stays
+    // parameterised, with the 8 MiB local default
+    spark.conf.set("spark.graft.stream.statePartitionBytes",
+      (64L << 20).toString)
+    try {
+      assert(GraftSession.streamStateWidth(spark, 64L << 20) === 1)
+      assert(GraftSession.streamStateWidth(spark, (64L << 20) + 1) === 2)
+    } finally
+      spark.conf.unset("spark.graft.stream.statePartitionBytes")
     // monotone in bytes, and saturates at the cluster width — the
     // 100 TB posture: width is the cluster's, never the constant's
     assert(GraftSession.streamStateWidth(spark, 1L << 40) === par)
